@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the reference README's headline shape:
+read parquet → derive cols → group → top-k by distinct count) on sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB-equivalent SQL per query (same aliases!).
+
+Float discipline: money sums are cast per-row to DECIMAL(18,4) before
+summing in BOTH engines — decimal addition is exact and order-independent,
+so Spark's partition-order-dependent double summation can't drift from the
+oracle. Final values cast back to double. LIMIT queries always carry a
+deterministic tie-break.
 """
 
 from __future__ import annotations
@@ -12,27 +17,357 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amadeus_spark.operators import aggregates, joins, sampling, sketches
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top-100 suppliers by distinct parts shipped (the
+    reference's ``most_distinct`` shape, par_stream.rs:351-372) on
+    sf0.001."""
+    lineitem = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    return sketches.most_distinct(lineitem, "l_suppkey", "l_partkey", 100)
+
+
+# --------------------------------------------------------------------------
+# queries() / oracle_sql() — names must line up 1:1; aliases must match.
+# --------------------------------------------------------------------------
+
+_DEC = "decimal(18,6)"  # 6 decimal digits: exact for money (2dp), discounted
+# price (4dp) and charge (6dp) — the per-row cast never lands on a rounding
+# boundary, so Spark (HALF_UP) and DuckDB agree digit-for-digit.
+
+
+def _money_sum(col: F.Column) -> F.Column:
+    """Order-independent money sum: per-row decimal cast, exact sum."""
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+# --- §2.5 sketches ---------------------------------------------------------
+
+
+def q_most_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_distinct (par_stream.rs:351-372): top-10 suppliers by distinct
+    part count (exact mode; approx mode is bench-only)."""
+    return sketches.most_distinct(_t(spark, sf_dir, "lineitem"), "l_suppkey", "l_partkey", 10)
+
+
+def q_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_frequent (par_stream.rs:334-348): top-10 parts by line count."""
+    return sketches.most_frequent(_t(spark, sf_dir, "lineitem"), "l_partkey", 10)
+
+
+# --- §2.4 aggregations -----------------------------------------------------
+
+
+def q_summary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fork/tuple-sink one-pass multi-aggregate (par_sink/tuple.rs):
+    count+sum+mean+stddev_pop+min+max of l_quantity in one scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = F.col("l_quantity")
+    return li.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(c).cast("double").alias("total"),
+        F.avg(c).alias("mean"),
+        F.round(F.stddev_pop(c), 4).alias("stddev"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram (par_sink/histogram.rs): value→count sorted by value."""
+    return aggregates.histogram(_t(spark, sf_dir, "lineitem"), "l_returnflag")
+
+
+def q_group_by_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_by(sink) generality (par_sink/group_by.rs) as TPC-H Q1:
+    grouped multi-aggregate incl. derived expressions."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (par_sink/max.rs): customer name with highest acctbal
+    and lowest acctbal, one pass (acctbal ties broken by name via struct
+    ordering is not needed: acctbal is continuous; keep key in the result)."""
+    cu = _t(spark, sf_dir, "customer")
+    return cu.agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
+
+
+# --- §2.3 joins ------------------------------------------------------------
+
+
+def q_inner_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inner_join (broadcast, par_stream/join.rs:71-125): revenue per
+    nation — fact table joins broadcast dims; two-level dim chain."""
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders")
+    enriched = joins.inner_join(
+        od, cu.withColumnRenamed("c_custkey", "o_custkey"), on="o_custkey"
+    )
+    enriched = joins.inner_join(
+        enriched, na.withColumnRenamed("n_nationkey", "c_nationkey"), on="c_nationkey"
+    )
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            _money_sum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_join (par_stream/join.rs:14-67): every customer with order
+    count, including customers with no orders (empty-iter semantics →
+    count 0)."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    j = joins.left_join(cu.select("c_custkey", "c_name"), od.select("c_custkey", "o_orderkey"), on="c_custkey", broadcast_right=False)
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi/left_anti (beyond reference): customers with ≥1 order vs
+    none, counted in one output row."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    with_orders = joins.semi_join(cu, od, on="c_custkey").count()
+    without = joins.anti_join(cu, od, on="c_custkey").count()
+    return spark.createDataFrame(
+        [(with_orders, without)], "with_orders bigint, without_orders bigint"
+    )
+
+
+# --- §2.2 transforms / §2.6 set ops, top-n --------------------------------
+
+
+def q_map_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map+filter (par_stream.rs:79-104): derive revenue per line, keep
+    high-discount lines; aggregates to keep output small."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_discount") >= 0.05)
+        .withColumn("rev", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _money_sum(F.col("rev")).alias("total_rev"),
+        )
+    )
+
+
+def q_flat_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flat_map (par_stream.rs:88-95) → explode: tokenize documents on
+    single spaces, count token occurrences, top-20 tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return (
+        tok.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q_chain_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chain (par_stream.rs:129-135) = union-all of two streams, then a
+    histogram over the combined stream proves no dedup happened."""
+    od = _t(spark, sf_dir, "orders")
+    hi = od.filter(F.col("o_totalprice") > 100000).select("o_orderstatus")
+    lo = od.filter(F.col("o_totalprice") <= 150000).select("o_orderstatus")
+    both = hi.unionAll(lo)
+    return both.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("cnt")).orderBy("o_orderstatus")
+
+
+def q_sort_n_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort_n_by (amadeus-streaming/src/sort.rs) → TakeOrderedAndProject:
+    top-15 orders by totalprice, tie-break orderkey."""
+    od = _t(spark, sf_dir, "orders")
+    return sampling.sort_n_by(
+        od.select("o_orderkey", "o_totalprice"),
+        15,
+        F.desc("o_totalprice"),
+        F.asc("o_orderkey"),
+    )
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_unstable exact-k semantics (amadeus-streaming/src/sample.rs:
+    125-185), made engine-reproducible: order by md5(salt||key) — a fixed
+    uniform permutation — take k. Cross-checkable in any SQL engine."""
+    od = _t(spark, sf_dir, "orders")
+    return sampling.deterministic_sample(od.select("o_orderkey", "o_custkey"), "o_orderkey", 25)
+
+
+def q_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """all/any short-circuit ∀/∃ (par_sink/all.rs, any.rs) as one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    all_pos = aggregates.all_match(li, F.col("l_quantity") > 0)
+    any_big = aggregates.any_match(li, F.col("l_quantity") > 1000)
+    return spark.createDataFrame(
+        [(all_pos, any_big)], "all_qty_positive boolean, any_qty_over_1000 boolean"
+    )
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct + count (Spark-native set op; reference lacks distinct —
+    SURVEY §2.6): distinct (custkey, orderstatus) pairs."""
+    od = _t(spark, sf_dir, "orders")
+    return od.select("o_custkey", "o_orderstatus").distinct().agg(
+        F.count(F.lit(1)).alias("n_distinct_pairs")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "most_distinct": q_most_distinct,
+        "most_frequent": q_most_frequent,
+        "summary_agg": q_summary_agg,
+        "histogram": q_histogram,
+        "group_by_pricing": q_group_by_pricing,
+        "max_by": q_max_by,
+        "inner_join": q_inner_join,
+        "left_join": q_left_join,
+        "semi_anti_join": q_semi_anti_join,
+        "map_filter": q_map_filter,
+        "flat_map": q_flat_map,
+        "chain_union": q_chain_union,
+        "sort_n_by": q_sort_n_by,
+        "sample_deterministic": q_sample_deterministic,
+        "all_any": q_all_any,
+        "distinct_count": q_distinct_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "most_distinct": """
+            SELECT l_suppkey, COUNT(DISTINCT l_partkey) AS distinct_vals
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY distinct_vals DESC, l_suppkey LIMIT 10
+        """,
+        "most_frequent": """
+            SELECT l_partkey, COUNT(*) AS freq
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY freq DESC, l_partkey LIMIT 10
+        """,
+        "summary_agg": """
+            SELECT COUNT(*) AS cnt,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS total,
+                   AVG(l_quantity) AS mean,
+                   ROUND(STDDEV_POP(l_quantity), 4) AS stddev,
+                   MIN(l_quantity) AS min_val,
+                   MAX(l_quantity) AS max_val
+            FROM lineitem
+        """,
+        "histogram": """
+            SELECT l_returnflag, COUNT(*) AS cnt
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "group_by_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+                   AVG(l_quantity) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "max_by": """
+            SELECT MAX_BY(c_name, c_acctbal) AS richest,
+                   MIN_BY(c_name, c_acctbal) AS poorest,
+                   MAX(c_acctbal) AS max_bal,
+                   MIN(c_acctbal) AS min_bal
+            FROM customer
+        """,
+        "inner_join": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "left_join": """
+            SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+        """,
+        "semi_anti_join": """
+            SELECT (SELECT COUNT(*) FROM customer c
+                     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+                   (SELECT COUNT(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+        """,
+        "map_filter": """
+            SELECT COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+            FROM lineitem WHERE l_discount >= 0.05
+        """,
+        "flat_map": """
+            SELECT token, COUNT(*) AS freq
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+            WHERE token <> ''
+            GROUP BY token ORDER BY freq DESC, token LIMIT 20
+        """,
+        "chain_union": """
+            SELECT o_orderstatus, COUNT(*) AS cnt FROM (
+                SELECT o_orderstatus FROM orders WHERE o_totalprice > 100000
+                UNION ALL
+                SELECT o_orderstatus FROM orders WHERE o_totalprice <= 150000
+            ) GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "sort_n_by": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+        """,
+        "sample_deterministic": """
+            SELECT o_orderkey, o_custkey FROM orders
+            ORDER BY MD5('rs' || CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 25
+        """,
+        "all_any": """
+            SELECT (SELECT COUNT(*) FROM lineitem WHERE NOT (l_quantity > 0)) = 0 AS all_qty_positive,
+                   (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 1000) > 0 AS any_qty_over_1000
+        """,
+        "distinct_count": """
+            SELECT COUNT(*) AS n_distinct_pairs FROM (
+                SELECT DISTINCT o_custkey, o_orderstatus FROM orders
+            )
+        """,
+    }

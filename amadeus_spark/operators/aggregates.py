@@ -1,0 +1,79 @@
+"""Terminal aggregations — SURVEY.md §2.4.
+
+The reference's UDAF contract is FolderSync {zero, push, done} +
+CombinerSync {combine} (amadeus-core/src/par_sink/folder.rs:63-71,
+combiner.rs:54-58), run partial-per-thread then merged at the driver.
+Spark's HashAggregate partial/final is the same topology with a real
+exchange, so every reference aggregation maps to a built-in expression —
+JVM-side, codegen'd, mergeable, spill-aware (the reference's group_by
+held all state in one IndexMap in memory, group_by.rs:146; Spark spills).
+
+``fork`` / tuple sinks (par_sink/fork.rs, tuple.rs) — several sinks in one
+pass — map to a single ``df.agg(e1, e2, ...)`` (one scan, one partial/final
+pass) or ``df.groupBy(k).agg(...)`` for the grouped form.
+
+Notes on semantics preserved:
+- ``mean`` in the reference is Kahan-compensated (par_sink/mean.rs:47-69);
+  Spark's avg is a plain double sum/count. Documented tolerance, not ported.
+- ``stddev`` in the reference is **population** σ (divides by n,
+  stddev.rs:62) → F.stddev_pop, not stddev_samp.
+- ``histogram`` returns value→count sorted by value
+  (par_sink/histogram.rs:54-110) → groupBy().count().orderBy(value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def summary_agg(df: DataFrame, col: str) -> DataFrame:
+    """One-pass multi-aggregate (reference: tuple sinks / ``fork``,
+    par_sink/tuple.rs:57+, fork.rs:24-121): count, sum, mean, population
+    stddev, min, max of a numeric column in a single scan."""
+    c = F.col(col)
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(c).alias("total"),
+        F.avg(c).alias("mean"),
+        F.stddev_pop(c).alias("stddev"),
+        F.min(c).alias("min_val"),
+        F.max(c).alias("max_val"),
+    )
+
+
+def histogram(df: DataFrame, col: str) -> DataFrame:
+    """Exact value→count, sorted by value (par_sink/histogram.rs:37-110)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt")).orderBy(col)
+
+
+def max_by(df: DataFrame, value_col: str, ord_col: str) -> DataFrame:
+    """max_by/min_by (par_stream.rs:268-292; par_sink/max.rs) → F.max_by."""
+    return df.agg(F.max_by(value_col, ord_col).alias("max_by_val"))
+
+
+def min_by(df: DataFrame, value_col: str, ord_col: str) -> DataFrame:
+    return df.agg(F.min_by(value_col, ord_col).alias("min_by_val"))
+
+
+def group_agg(
+    df: DataFrame, keys: Sequence[str], exprs: Sequence[Column]
+) -> DataFrame:
+    """``group_by(sink)`` (par_sink/group_by.rs:23-91): any aggregation per
+    key. Arbitrary agg expressions cover the reference's nested-sink
+    generality for everything except per-group *collection* sinks, which
+    map to collect_list/collect_set or applyInPandas."""
+    return df.groupBy(*keys).agg(*exprs)
+
+
+def all_match(df: DataFrame, predicate: Column) -> bool:
+    """Short-circuiting ∀ (par_sink/all.rs:18-80): no row violates the
+    predicate. Spark short-circuits via isEmpty's limit-1 scan."""
+    return df.filter(~predicate).isEmpty()
+
+
+def any_match(df: DataFrame, predicate: Column) -> bool:
+    """Short-circuiting ∃ (par_sink/any.rs:18-62)."""
+    return not df.filter(predicate).isEmpty()

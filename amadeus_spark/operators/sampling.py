@@ -1,0 +1,44 @@
+"""Sampling and top-n — SURVEY.md §2.5/2.6.
+
+- ``sort_n_by(n, cmp)`` (par_stream.rs:181-191, amadeus-streaming/src/
+  sort.rs:24-31): bounded top-n, mergeable. Spark's orderBy().limit(n)
+  plans as TakeOrderedAndProject — each task keeps n rows, driver merges;
+  the identical algorithm, already distributed.
+- ``sample_unstable(k)`` (par_stream.rs:375-389, sample.rs:125-185):
+  exact-k uniform reservoir, mergeable across partitions. Spark has
+  Bernoulli ``df.sample`` (fraction, not exact-k); exact-k is
+  orderBy(rand(seed)).limit(k) — a uniform random permutation's first k
+  elements IS a uniform k-reservoir, and TakeOrderedAndProject keeps it
+  one pass, no full sort. Deterministic under a fixed seed *and* fixed
+  partitioning; for cross-engine oracle checks use hash-based sampling
+  (deterministic_sample) instead of rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sort_n_by(df: DataFrame, n: int, *order: Column) -> DataFrame:
+    """Top-n by comparator → TakeOrderedAndProject."""
+    return df.orderBy(*order).limit(n)
+
+
+def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """Exact-k uniform sample (reference sample_unstable semantics)."""
+    return df.orderBy(F.rand(seed)).limit(k)
+
+
+def deterministic_sample(df: DataFrame, key: str, k: int, salt: str = "rs") -> DataFrame:
+    """Exact-k sample that is reproducible across engines: order by a hash
+    of a unique key. Uniform over keys for a good hash; cross-checkable in
+    SQL (same md5 expression in DuckDB)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    return df.orderBy(h, F.col(key)).limit(k)
+
+
+def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Streaming-friendly fraction sample (reference SampleTotal shape,
+    sample.rs:7-39): no shuffle at all, each task keeps ~fraction rows."""
+    return df.sample(fraction=fraction, seed=seed)

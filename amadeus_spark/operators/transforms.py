@@ -1,0 +1,52 @@
+"""Row transforms / projections / filters — SURVEY.md §2.2.
+
+In the reference these are arbitrary serialized Rust closures
+(map/flat_map/filter/update/inspect, par_stream.rs:61-135). The Spark-first
+translation keeps the hot path in Catalyst expressions (JVM,
+whole-stage-codegen) and only drops to Pandas UDFs when a transform can't
+be expressed as columns — the reference's closure generality is the *slow*
+path here, not the default.
+
+map        → select/withColumn           (par_stream.rs:79-85)
+flat_map   → select(explode(...))        (par_stream.rs:88-95)
+filter     → df.filter(expr)             (par_stream.rs:98-104)
+update     → withColumn overwrite        (par_stream.rs:70-76)
+inspect    → df.foreach / observe        (par_stream.rs:61-67)
+chain      → unionAll                    (par_stream.rs:129-135)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+
+
+def map_rows(df: DataFrame, **cols: Column) -> DataFrame:
+    """1→1 transform via named column expressions (the fast path for the
+    reference's ``map``)."""
+    return df.withColumns(dict(cols))
+
+
+def flat_map(df: DataFrame, out_cols: dict[str, Column]) -> DataFrame:
+    """1→N transform: every expression in ``out_cols`` may be a generator
+    (explode/posexplode/inline) — Spark expands them in the Generate node."""
+    return df.select(*[c.alias(n) for n, c in out_cols.items()])
+
+
+def chain(*dfs: DataFrame) -> DataFrame:
+    """Concatenate streams (reference ``chain`` = union-all, no dedup)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionAll(d)
+    return out
+
+
+def map_partitions_pandas(
+    df: DataFrame, fn: Callable[[Iterable[pd.DataFrame]], Iterable[pd.DataFrame]], schema
+) -> DataFrame:
+    """Escape hatch for closures with no expression equivalent — the
+    reference's fully-general ``map``. Arrow-batched (mapInPandas), never
+    row-at-a-time."""
+    return df.mapInPandas(fn, schema=schema)
