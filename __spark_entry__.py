@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amadeus_spark.functions import dedup, similarity, text
 from amadeus_spark.operators import aggregates, joins, sampling, sketches
 
 
@@ -251,6 +252,74 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM-pipeline: text analysis ------------------------------------------
+
+_SIM_QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring per language (functions/text.py):
+    whole corpus in one projection + one groupBy."""
+    docs = _t(spark, sf_dir, "documents")
+    qe = text.quality_exprs("text")
+    per_doc = docs.select(
+        "lang",
+        qe["n_tokens"].alias("n_tokens"),
+        qe["quality_score"].alias("q"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("q").cast("decimal(18,9)")).cast("double").alias("quality_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram language-ID histogram (functions/text.py lang_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(text.lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("pred_lang")
+    )
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (functions/dedup.py):
+    corpus-level unique/dropped stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup_stats(docs, "doc_id", text.fingerprint(F.col("text")))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified (threshold 0.8)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via byte banding + hamming verification."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, limit=20)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for 5 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _SIM_QUERY_IDS, k=5)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN top-5 (bucketed candidates, exact verify)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, _SIM_QUERY_IDS, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "most_distinct": q_most_distinct,
@@ -269,6 +338,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "all_any": q_all_any,
         "distinct_count": q_distinct_count,
+        "token_stats": q_token_stats,
+        "lang_id": q_lang_id,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
     }
 
 
@@ -370,4 +446,24 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
             )
         """,
+        "token_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   SUM({text.quality_sql('text')['n_tokens']}) AS total_tokens,
+                   CAST(SUM(CAST({text.quality_sql('text')['quality_score']} AS DECIMAL(18,9))) AS DOUBLE) AS quality_sum
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "lang_id": f"""
+            SELECT {text.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
+            FROM documents GROUP BY 1 ORDER BY pred_lang
+        """,
+        "fingerprint_dedup": f"""
+            SELECT COUNT(*) AS n_unique, SUM(copies - 1) AS n_dropped,
+                   MAX(copies) AS max_copies
+            FROM (SELECT {text.fingerprint_sql('text')} AS fp, COUNT(*) AS copies
+                  FROM documents GROUP BY 1)
+        """,
+        "minhash_lsh": dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8),
+        "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
+        "cosine_topk": similarity.cosine_topk_oracle("embeddings", _SIM_QUERY_IDS, 5),
+        "ann_lsh": similarity.ann_lsh_oracle("embeddings", _SIM_QUERY_IDS, 5),
     }

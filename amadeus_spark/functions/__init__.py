@@ -1,0 +1,3 @@
+from amadeus_spark.functions import dedup, similarity, text
+
+__all__ = ["dedup", "similarity", "text"]

@@ -1,0 +1,334 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of this module):
+- **Exact**: hash-groupBy on a content fingerprint — one shuffle on the
+  fingerprint, combiner-side partial counts. 100 TB-safe.
+- **MinHash+LSH**: per-doc signature is a map-side projection (no
+  shuffle); LSH banding turns near-dup search from O(n²) into
+  ``groupBy(band_id, band_hash)`` — one shuffle keyed by band hash, then
+  candidate verification joins only within buckets. This is the textbook
+  shingle→minhash→band→bucket-join plan (Broder; Leskovec et al. MMDS
+  ch.3) and the standard 100 TB dedup path.
+- **SimHash**: 32-bit signature per doc (map-side), byte-banding for
+  candidates (a hamming-≤k pair must share one of 4 bytes for k ≤ 3 by
+  pigeonhole; wider k trades recall), bit_count(xor) verification.
+- **n-gram Jaccard**: exact verification metric used by both LSH paths.
+
+Every operator is pure Catalyst SQL expressions — no Python UDF in any
+hot path. Each builder returns *both* the Spark-SQL fragment and the
+DuckDB fragment built from the same constants, so the driver's oracle
+check runs the identical algorithm in both engines (the acceptance
+criterion is hash equality, not approximation bands).
+
+Reference anchor: amadeus has no dedup; this is the beyond-reference
+surface BASELINE.json's north star requires. The hashing primitive
+(first 8 hex chars of md5 → uint32) is engine-portable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---- shared constants (Spark exprs AND DuckDB oracle use these) ----------
+SHINGLE_K = 3
+NUM_HASHES = 64
+LSH_BANDS = 16
+LSH_ROWS = 4  # NUM_HASHES == LSH_BANDS * LSH_ROWS
+MERSENNE_P = 4_294_967_311  # prime > 2^32
+_rng = random.Random(20240813)
+HASH_A = [_rng.randrange(1, 1 << 20) for _ in range(NUM_HASHES)]
+HASH_B = [_rng.randrange(0, 1 << 20) for _ in range(NUM_HASHES)]
+
+SIMHASH_BITS = 32
+SIMHASH_BYTES = 4
+
+
+# ---- dual-dialect fragment builders ---------------------------------------
+# Each returns (spark_sql, duckdb_sql). Structural parity by construction.
+
+
+def toks_frag(col: str) -> tuple[str, str]:
+    return (
+        f"filter(split({col}, ' '), x -> x != '')",
+        f"list_filter(string_split({col}, ' '), x -> x <> '')",
+    )
+
+
+def shingles_frag(col: str, k: int = SHINGLE_K) -> tuple[str, str]:
+    """Distinct k-token shingles joined by single spaces."""
+    ts, td = toks_frag(col)
+    spark = (
+        f"array_distinct(transform(sequence(1, greatest(size({ts}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({ts}, i, {k}))))"
+    )
+    duck = (
+        f"list_distinct(list_transform(range(1, greatest(len({td}) - {k - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice({td}, i, i + {k - 1}), ' ')))"
+    )
+    return spark, duck
+
+
+def hash32_frag(s_spark: str, s_duck: str) -> tuple[str, str]:
+    """Portable 32-bit string hash: first 8 hex chars of md5 as uint32."""
+    return (
+        f"cast(conv(substring(md5({s_spark}), 1, 8), 16, 10) as bigint)",
+        f"cast(cast('0x' || substr(md5({s_duck}), 1, 8) as ubigint) as bigint)",
+    )
+
+
+def shingle_hashes_frag(col: str, k: int = SHINGLE_K) -> tuple[str, str]:
+    shs, shd = shingles_frag(col, k)
+    hs, hd = hash32_frag("s", "s")
+    return (
+        f"transform({shs}, s -> {hs})",
+        f"list_transform({shd}, s -> {hd})",
+    )
+
+
+def minhash_sig_frag(hashes_col: str = "hs") -> tuple[list[str], list[str]]:
+    """NUM_HASHES signature components over a pre-computed hash array."""
+    spark = [
+        f"array_min(transform({hashes_col}, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in zip(HASH_A, HASH_B)
+    ]
+    duck = [
+        f"list_min(list_transform({hashes_col}, h -> (h * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in zip(HASH_A, HASH_B)
+    ]
+    return spark, duck
+
+
+def band_hashes_frag(sig_col: str = "sig") -> tuple[list[str], list[str]]:
+    """LSH band hashes: md5 over each band's R signature values."""
+    spark, duck = [], []
+    for j in range(LSH_BANDS):
+        lo = j * LSH_ROWS + 1
+        spark.append(
+            f"md5(concat_ws(',', transform(slice({sig_col}, {lo}, {LSH_ROWS}),"
+            f" x -> cast(x as string))))"
+        )
+        duck.append(
+            f"md5(array_to_string(list_slice({sig_col}, {lo}, {lo + LSH_ROWS - 1}), ','))"
+        )
+    return spark, duck
+
+
+# ---- Spark-side operators -------------------------------------------------
+
+
+def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """id, sh (distinct shingles), sig (minhash signature array) — all
+    map-side projection, zero shuffle."""
+    shs, _ = shingles_frag(text_col)
+    hs, _ = hash32_frag("s", "s")
+    sig_s, _ = minhash_sig_frag("hs")
+    return (
+        df.select(id_col, F.expr(shs).alias("sh"))
+        .withColumn("hs", F.expr(f"transform(sh, s -> {hs})"))
+        .withColumn("sig", F.expr("array(" + ", ".join(sig_s) + ")"))
+        .drop("hs")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH, verified with exact shingle
+    Jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+
+    Physical plan at scale: project sig per doc → explode 16 band hashes
+    → shuffle on (band_id, band_hash) → per-bucket self-join emits
+    candidates → distinct → join back to shingle arrays (shuffle on id)
+    → exact verify. No O(n²) stage anywhere; skewed buckets (boilerplate
+    docs) are the known hot spot — AQE skew-join splits them.
+    """
+    docs = with_minhash(df, id_col, text_col)
+    band_s, _ = band_hashes_frag("sig")
+    bands = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.expr("array(" + ", ".join(band_s) + ")")).alias(
+            "band_id", "bh"
+        ),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.bh") == F.col("b.bh"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = docs.select(F.col(id_col).alias("doc"), "sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "cast(size(array_intersect(sh_a, sh_b)) as double)"
+                " / cast(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) as double)"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return verified
+
+
+def minhash_lsh_oracle(table: str, id_col: str, text_col: str, threshold: float = 0.8) -> str:
+    """DuckDB twin of minhash_lsh_pairs — same constants, same algorithm."""
+    _, shd = shingles_frag(text_col)
+    _, hd = hash32_frag("s", "s")
+    _, sig_d = minhash_sig_frag("hs")
+    _, band_d = band_hashes_frag("sig")
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc, {j} AS band_id, {frag} AS bh FROM sigs" for j, frag in enumerate(band_d)
+    )
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT {id_col} AS doc, {shd} AS sh FROM {table}
+), hashed AS MATERIALIZED (
+  SELECT doc, sh, list_transform(sh, s -> {hd}) AS hs FROM docs
+), sigs AS MATERIALIZED (
+  SELECT doc, sh, [{', '.join(sig_d)}] AS sig FROM hashed
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc < b.doc
+), verified AS (
+  SELECT doc_a, doc_b,
+    cast(len(list_intersect(x.sh, y.sh)) as double)
+      / cast(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) as double) AS jaccard
+  FROM cand JOIN sigs x ON x.doc = cand.doc_a JOIN sigs y ON y.doc = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---- SimHash --------------------------------------------------------------
+
+
+def simhash_frag(col: str) -> tuple[str, str]:
+    """32-bit SimHash over (non-distinct) token hashes: bit b is set when
+    more than half the tokens have bit b set."""
+    ts, td = toks_frag(col)
+    hs, hd = hash32_frag("t", "t")
+    th_s = f"transform({ts}, t -> {hs})"
+    th_d = f"list_transform({td}, t -> {hd})"
+    bits_s, bits_d = [], []
+    for b in range(SIMHASH_BITS):
+        w = 1 << b
+        bits_s.append(
+            f"(case when 2 * size(filter(__th, h -> (shiftright(h, {b}) & 1) = 1))"
+            f" > size(__th) then {w}L else 0L end)"
+        )
+        bits_d.append(
+            f"(case when 2 * len(list_filter(__th, h -> ((h >> {b}) & 1) = 1))"
+            f" > len(__th) then {w} else 0 end)"
+        )
+    spark = "(" + " + ".join(bits_s) + ")"
+    duck = "(" + " + ".join(bits_d) + ")"
+    return spark.replace("__th", th_s), duck.replace("__th", th_d)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, limit: int = 20
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash byte-banding + hamming verify.
+
+    Candidates = pairs sharing ≥1 of the 4 signature bytes (pigeonhole:
+    guarantees recall for hamming ≤ 3; documented trade for ≤ 8), then
+    bit_count(simhash_a XOR simhash_b) ≤ max_hamming, top ``limit`` by
+    (hamming, doc_a, doc_b). Banding keeps it one shuffle keyed by byte
+    value — no O(n²) at scale."""
+    sh_s, _ = simhash_frag(text_col)
+    docs = df.select(F.col(id_col).alias("doc"), F.expr(sh_s).alias("sh32"))
+    bands = docs.select(
+        "doc",
+        "sh32",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"(shiftright(sh32, {8 * j}) & 255)" for j in range(SIMHASH_BYTES)
+                )
+                + ")"
+            )
+        ).alias("byte_id", "byte_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.byte_id") == F.col("b.byte_id"),
+                F.col("a.byte_val") == F.col("b.byte_val"),
+                F.col("a.doc") < F.col("b.doc"),
+            ],
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh32").alias("sa"),
+            F.col("b.sh32").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(limit)
+    )
+
+
+def simhash_oracle(
+    table: str, id_col: str, text_col: str, max_hamming: int = 8, limit: int = 20
+) -> str:
+    _, sh_d = simhash_frag(text_col)
+    bytes_d = ", ".join(f"((sh32 >> {8 * j}) & 255)" for j in range(SIMHASH_BYTES))
+    return f"""
+WITH docs AS (
+  SELECT {id_col} AS doc, {sh_d} AS sh32 FROM {table}
+), bands AS (
+  SELECT doc, sh32, g.byte_id, [{bytes_d}][g.byte_id + 1] AS byte_val
+  FROM docs, (SELECT unnest(range(0, {SIMHASH_BYTES})) AS byte_id) g
+), cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh32 AS sa, b.sh32 AS sb
+  FROM bands a JOIN bands b
+    ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val AND a.doc < b.doc
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+ORDER BY hamming, doc_a, doc_b LIMIT {limit}
+"""
+
+
+# ---- exact dedup ----------------------------------------------------------
+
+
+def exact_dedup_stats(df: DataFrame, id_col: str, fingerprint_col) -> DataFrame:
+    """Exact dedup by content fingerprint: per-key keeper (min id) + dup
+    count, aggregated to corpus stats. One shuffle on the fingerprint."""
+    per_key = df.groupBy(fingerprint_col.alias("fp")).agg(
+        F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("copies")
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("copies") - 1).alias("n_dropped"),
+        F.max("copies").alias("max_copies"),
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY/BASELINE's LLM-pipeline mandate:
+
+- **Brute-force cosine top-k** (baseline): broadcast the (small) query
+  set against the full corpus — one scan, broadcast-nested-loop join,
+  per-query top-k via window. Exact; the plan is the right one at scale
+  *when queries are few* (queries broadcast, corpus never shuffles).
+- **Random-hyperplane LSH ANN** (scale path): each vector gets a
+  ``n_planes``-bit bucket from the signs of dot products with fixed
+  hyperplanes (Charikar SimHash for cosine). Join queries↔corpus on
+  equal bucket → candidates shrink ~2^-n_planes; verify with exact
+  cosine. One shuffle keyed by bucket id. An IVF refinement would
+  replace random planes with k-means centroids; same join shape.
+
+All arithmetic is fixed-order (zip_with/aggregate left-to-right) so the
+DuckDB oracle (list_transform/list_reduce, same order) matches
+bit-for-bit — dot products are deterministic, not "approximately equal".
+
+Hyperplane constants are generated from a fixed seed and embedded as
+literals in BOTH dialects.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+N_PLANES = 8
+_rng = random.Random(777)
+#: fixed random hyperplanes (unit-free; sign test only needs direction)
+HYPERPLANES = [
+    [round(_rng.gauss(0.0, 1.0), 6) for _ in range(EMB_DIM)] for _ in range(N_PLANES)
+]
+
+
+def dot_frag(a: str, b: str) -> tuple[str, str]:
+    """Fixed-order dot product of two float arrays as double."""
+    spark = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        f" cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    duck = (
+        f"list_reduce(list_transform(range(1, len({a}) + 1),"
+        f" i -> cast({a}[i] as double) * cast({b}[i] as double)), (acc, x) -> acc + x)"
+    )
+    return spark, duck
+
+
+def _plane_literal_spark(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({v} as double)" for v in plane) + ")"
+
+
+def _plane_literal_duck(plane: list[float]) -> str:
+    return "[" + ", ".join(f"cast({v} as double)" for v in plane) + "]"
+
+
+def bucket_frag(vec: str) -> tuple[str, str]:
+    """LSH bucket id: bit j set iff dot(vec, plane_j) >= 0."""
+    sparks, ducks = [], []
+    for j, plane in enumerate(HYPERPLANES):
+        ds_s = (
+            f"aggregate(zip_with({vec}, {_plane_literal_spark(plane)},"
+            f" (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        dd_s = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1),"
+            f" i -> cast({vec}[i] as double) * ({_plane_literal_duck(plane)})[i]),"
+            f" (acc, x) -> acc + x)"
+        )
+        sparks.append(f"(case when {ds_s} >= 0 then {1 << j} else 0 end)")
+        ducks.append(f"(case when {dd_s} >= 0 then {1 << j} else 0 end)")
+    return "(" + " + ".join(sparks) + ")", "(" + " + ".join(ducks) + ")"
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    ds, _ = dot_frag(vec_col, vec_col)
+    return df.withColumn("norm", F.expr(f"sqrt({ds})"))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (q_id, n_id, cosine) for each query
+    id. Broadcast queries × scan corpus; per-query top-k window."""
+    base = with_norm(df.select(id_col, vec_col), vec_col)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    ds, _ = dot_frag("q_vec", "n_vec")
+    joined = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cosine", F.expr(f"{ds} / (q_norm * n_norm)"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine")
+        .orderBy("q_id", F.desc("cosine"), "n_id")
+    )
+
+
+def cosine_topk_oracle(
+    table: str, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    _, dd_self = dot_frag(vec_col, vec_col)
+    _, dd = dot_frag("q_vec", "n_vec")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS id, {vec_col} AS vec, sqrt({dd_self}) AS norm
+  FROM {table}
+), q AS (
+  SELECT id AS q_id, vec AS q_vec, norm AS q_norm FROM base WHERE id IN ({ids})
+), c AS (
+  SELECT id AS n_id, vec AS n_vec, norm AS n_norm FROM base
+), scored AS (
+  SELECT q_id, n_id, {dd} / (q_norm * n_norm) AS cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY {dd} / (q_norm * n_norm) DESC, n_id) AS rn
+  FROM c JOIN q ON q_id <> n_id
+)
+SELECT q_id, n_id, cosine FROM scored WHERE rn <= {k}
+ORDER BY q_id, cosine DESC, n_id
+"""
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN via random-hyperplane LSH: candidates restricted to the query's
+    bucket, then exact cosine top-k within. Returns (q_id, n_id, cosine)."""
+    bs, _ = bucket_frag(vec_col)
+    base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "bucket", F.expr(bs)
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+        F.col("bucket").alias("n_bucket"),
+    )
+    ds, _ = dot_frag("q_vec", "n_vec")
+    joined = (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_bucket") == F.col("n_bucket")) & (F.col("q_id") != F.col("n_id")),
+        )
+        .withColumn("cosine", F.expr(f"{ds} / (q_norm * n_norm)"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine")
+        .orderBy("q_id", F.desc("cosine"), "n_id")
+    )
+
+
+def ann_lsh_oracle(
+    table: str, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> str:
+    _, dd_self = dot_frag(vec_col, vec_col)
+    _, bd = bucket_frag(vec_col)
+    _, dd = dot_frag("q_vec", "n_vec")
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS id, {vec_col} AS vec, sqrt({dd_self}) AS norm, {bd} AS bucket
+  FROM {table}
+), q AS (
+  SELECT id AS q_id, vec AS q_vec, norm AS q_norm, bucket AS q_bucket FROM base WHERE id IN ({ids})
+), c AS (
+  SELECT id AS n_id, vec AS n_vec, norm AS n_norm, bucket AS n_bucket FROM base
+), scored AS (
+  SELECT q_id, n_id, {dd} / (q_norm * n_norm) AS cosine,
+         row_number() OVER (PARTITION BY q_id ORDER BY {dd} / (q_norm * n_norm) DESC, n_id) AS rn
+  FROM c JOIN q ON q_bucket = n_bucket AND q_id <> n_id
+)
+SELECT q_id, n_id, cosine FROM scored WHERE rn <= {k}
+ORDER BY q_id, cosine DESC, n_id
+"""

@@ -1,0 +1,162 @@
+"""Text analysis for large-scale training-data pipelines: tokenization,
+quality scoring, language-ID, document fingerprinting.
+
+Everything here is pure Catalyst expressions (JVM-side, codegen,
+no Python UDFs) so the ops run at scan speed on 100 TB — the design
+constraint is "each doc row is touched once, all derived stats come from
+one projection". Each operator has a DuckDB-SQL twin builder so the
+driver's oracle check exercises identical semantics (shared constants,
+same expression tree in both dialects).
+
+Reference anchor: the reference's row transforms are arbitrary closures
+(amadeus-core/src/par_stream.rs:79-104); these are the domain operators a
+user of the reference would write inside ``map``, re-expressed as columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Shared constants — used by both the Spark exprs and the SQL twins.
+STOPWORDS = ("the", "and", "of", "a", "to", "in")
+LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "es": (" el ", " los ", " una "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " les ", " et "),
+}
+PUNCT_CHARS = (".", ",", "!", "?", ";", ":")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (single-space split so the
+    DuckDB twin's string_split agrees exactly)."""
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def occurrences(col_sql: str, needle: str) -> Column:
+    """Spark Column: occurrences of ``needle`` in the column named by the
+    SQL fragment ``col_sql`` (fragment, so callers can pre-lower)."""
+    esc = needle.replace("'", "''")
+    return F.expr(
+        f"(length({col_sql}) - length(replace({col_sql}, '{esc}', ''))) / {len(needle)}"
+    )
+
+
+def occurrences_sql(col_sql: str, needle: str) -> str:
+    esc = needle.replace("'", "''")
+    return f"(length({col_sql}) - length(replace({col_sql}, '{esc}', ''))) / {len(needle)}"
+
+
+def punct_count(col_sql: str = "text") -> Column:
+    expr = " + ".join(occurrences_sql(col_sql, c) for c in PUNCT_CHARS)
+    return F.expr(f"({expr})")
+
+
+def punct_count_sql(col_sql: str = "text") -> str:
+    return "(" + " + ".join(occurrences_sql(col_sql, c) for c in PUNCT_CHARS) + ")"
+
+
+def stopword_count(col_sql: str = "text") -> Column:
+    expr = " + ".join(
+        occurrences_sql(f"(' ' || lower({col_sql}) || ' ')", f" {w} ") for w in STOPWORDS
+    )
+    return F.expr(f"({expr})")
+
+
+def stopword_count_sql(col_sql: str = "text") -> str:
+    return (
+        "("
+        + " + ".join(
+            occurrences_sql(f"(' ' || lower({col_sql}) || ' ')", f" {w} ")
+            for w in STOPWORDS
+        )
+        + ")"
+    )
+
+
+def _tokcount_sql(col_sql: str) -> str:
+    return f"len(list_filter(string_split({col_sql}, ' '), x -> x <> ''))"
+
+
+def _tokcount_spark_sql(col_sql: str) -> str:
+    return f"size(filter(split({col_sql}, ' '), x -> x != ''))"
+
+
+def quality_exprs(col_sql: str = "text") -> dict[str, Column]:
+    """Quality-scoring feature set: length, token stats, punctuation and
+    stopword ratios, composite score. One projection, no shuffle."""
+    ntok = f"cast({_tokcount_spark_sql(col_sql)} as double)"
+    nchar = f"cast(length({col_sql}) as double)"
+    stop = stopword_count_sql(col_sql)
+    punct = punct_count_sql(col_sql)
+    return {
+        "n_chars_derived": F.expr(f"length({col_sql})"),
+        "n_tokens": F.expr(_tokcount_spark_sql(col_sql)),
+        "avg_token_len": F.expr(f"{nchar} / {ntok}"),
+        "stopword_ratio": F.expr(f"cast({stop} as double) / {ntok}"),
+        "punct_ratio": F.expr(f"cast({punct} as double) / {nchar}"),
+        "quality_score": F.expr(
+            f"cast({stop} as double) / {ntok} * 0.5"
+            f" + least({ntok} / 100.0, 1.0) * 0.3"
+            f" + (1.0 - cast({punct} as double) / {nchar}) * 0.2"
+        ),
+    }
+
+
+def quality_sql(col_sql: str = "text") -> dict[str, str]:
+    """DuckDB twin of quality_exprs — same tree, DuckDB list dialect."""
+    ntok = f"cast({_tokcount_sql(col_sql)} as double)"
+    nchar = f"cast(length({col_sql}) as double)"
+    stop = stopword_count_sql(col_sql)
+    punct = punct_count_sql(col_sql)
+    return {
+        "n_chars_derived": f"length({col_sql})",
+        "n_tokens": _tokcount_sql(col_sql),
+        "avg_token_len": f"{nchar} / {ntok}",
+        "stopword_ratio": f"cast({stop} as double) / {ntok}",
+        "punct_ratio": f"cast({punct} as double) / {nchar}",
+        "quality_score": (
+            f"cast({stop} as double) / {ntok} * 0.5"
+            f" + least({ntok} / 100.0, 1.0) * 0.3"
+            f" + (1.0 - cast({punct} as double) / {nchar}) * 0.2"
+        ),
+    }
+
+
+def _lang_score_sql(col_sql: str, lang: str) -> str:
+    padded = f"(' ' || lower({col_sql}) || ' ')"
+    return (
+        "(" + " + ".join(occurrences_sql(padded, m) for m in LANG_MARKERS[lang]) + ")"
+    )
+
+
+def lang_id_sql(col_sql: str = "text") -> str:
+    """n-gram-marker language ID, identical text in both dialects
+    (pure standard SQL: replace/length/CASE)."""
+    en, es, de, fr = (_lang_score_sql(col_sql, lg) for lg in ("en", "es", "de", "fr"))
+    return (
+        f"CASE WHEN {en} = 0 AND {es} = 0 AND {de} = 0 AND {fr} = 0 THEN 'und' "
+        f"WHEN {en} >= {es} AND {en} >= {de} AND {en} >= {fr} THEN 'en' "
+        f"WHEN {es} >= {de} AND {es} >= {fr} THEN 'es' "
+        f"WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END"
+    )
+
+
+def lang_id(col_sql: str = "text") -> Column:
+    return F.expr(lang_id_sql(col_sql))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowered
+    text — stable content key for exact dedup across formatting noise."""
+    return F.md5(F.concat_ws(" ", tokens(F.lower(col))))
+
+
+def fingerprint_sql(col_sql: str = "text") -> str:
+    return f"md5(array_to_string(list_filter(string_split(lower({col_sql}), ' '), x -> x <> ''), ' '))"
