@@ -1,0 +1,165 @@
+"""Source/sink tests following the reference's parity discipline
+(SURVEY §5): typed and dynamic reads agree; projection reaches the scan;
+round-trips preserve row counts."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.functions import multimodal
+from amadeus_spark.sources import cloudfront, readers, warc
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def tmpdir_data(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("sources"))
+
+
+def test_csv_typed_dynamic_parity(spark, tmpdir_data):
+    """Reference invariant (tests/csv.rs:45-59): static and dynamic reads
+    of the same file agree."""
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "nation.parquet"))
+    path = os.path.join(tmpdir_data, "nation_csv")
+    readers.write_csv(src, path)
+
+    typed = readers.read_csv(
+        spark,
+        path,
+        schema=readers.schema_from_amadeus(
+            [("n_nationkey", "i32", False), ("n_name", "string", False), ("n_regionkey", "i32", False)]
+        ),
+    )
+    dynamic = readers.read_csv(spark, path)  # header=False → _c0.._c2
+    assert typed.count() == dynamic.count() == src.count()
+    t = {(r.n_nationkey, r.n_name) for r in typed.collect()}
+    d = {(r._c0, r._c1) for r in dynamic.collect()}
+    assert t == d
+
+
+def test_json_roundtrip(spark, tmpdir_data):
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "region.parquet"))
+    path = os.path.join(tmpdir_data, "region_json")
+    readers.write_json(src, path)
+    back = readers.read_json(spark, path)
+    assert back.count() == src.count()
+    assert {r.r_name for r in back.collect()} == {r.r_name for r in src.collect()}
+
+
+def test_parquet_projection_pushdown(spark):
+    """Reference: projection-at-parse (record/predicates.rs, tested at
+    tests/parquet.rs:167-199). Spark: column pruning must reach the scan —
+    ReadSchema contains only selected columns."""
+    df = readers.read_parquet(
+        spark, os.path.join(SF_SMOKE, "lineitem.parquet"), columns=["l_orderkey", "l_quantity"]
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    assert "l_orderkey" in scan[0] and "l_quantity" in scan[0]
+    assert "l_extendedprice" not in scan[0]
+
+
+def test_filter_pushdown(spark):
+    df = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet")).filter(
+        F.col("l_quantity") > 30
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan, plan
+
+
+CLOUDFRONT_SAMPLE = """#Version: 1.0
+#Fields: date time x-edge-location sc-bytes c-ip cs-method cs(Host) cs-uri-stem sc-status cs(Referer) cs(User-Agent) cs-uri-query cs(Cookie) x-edge-result-type x-edge-request-id x-host-header cs-protocol cs-bytes time-taken x-forwarded-for ssl-protocol ssl-cipher x-edge-response-result-type cs-protocol-version fle-status fle-encrypted-fields
+2019-12-04\t21:02:31\tLAX1\t392\t192.0.2.100\tGET\td111111abcdef8.cloudfront.net\t/index.html\t200\t-\tMozilla/5.0\t-\t-\tHit\tSOX4xwn4XV6Q4rgb7XiVGOHms_BGlTAC4KyHmureZmBNrjGdRLiNIQ==\td111111abcdef8.cloudfront.net\thttps\t23\t0.001\t-\tTLSv1.2\tECDHE-RSA-AES128-GCM-SHA256\tHit\tHTTP/2.0\t-\t-
+2019-12-04\t21:02:39\tLAX1\t392\t192.0.2.200\tGET\td111111abcdef8.cloudfront.net\t/index.html\t200\t-\tcurl/7.1\t-\t-\tHit\tk6WGMNkEzR5BEM_SaF47gjtX9zBDO2m349OY2an0QPEaUum1ZOLrow==\td111111abcdef8.cloudfront.net\thttps\t23\t0.000\t-\tTLSv1.2\tECDHE-RSA-AES128-GCM-SHA256\tHit\tHTTP/2.0\t-\t-
+"""
+
+
+def test_cloudfront_parse(spark, tmpdir_data):
+    """Reference: cloudfront.rs:62-110 + examples/cloudfront_logs.rs."""
+    p = os.path.join(tmpdir_data, "cf")
+    os.makedirs(p, exist_ok=True)
+    with gzip.open(os.path.join(p, "E1.2019-12-04.gz"), "wt") as f:
+        f.write(CLOUDFRONT_SAMPLE)
+    df = cloudfront.read_cloudfront(spark, p)
+    rows = df.collect()
+    assert len(rows) == 2  # comment lines dropped
+    r = {x.remote_ip: x for x in rows}
+    assert r["192.0.2.100"].response_bytes == 392
+    assert r["192.0.2.100"].referer is None  # '-' → NULL
+    assert r["192.0.2.100"].url == "https://d111111abcdef8.cloudfront.net/index.html"
+    assert r["192.0.2.100"].time.hour == 21
+    hist = cloudfront.hourly_histogram(df).collect()
+    assert hist[0].requests == 2
+
+
+def _make_warc(records: list[tuple[str, str, bytes]]) -> bytes:
+    out = b""
+    for url, ip, body in records:
+        headers = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-IP-Address: {ip}\r\nContent-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        out += headers + body + b"\r\n\r\n"
+    return out
+
+
+def test_warc_parse(spark, tmpdir_data):
+    """Reference: amadeus-commoncrawl parser.rs → Webpage{ip,url,contents}."""
+    p = os.path.join(tmpdir_data, "warc")
+    os.makedirs(p, exist_ok=True)
+    payload = _make_warc(
+        [
+            ("http://example.com/", "93.184.216.34", b"<html>hello</html>"),
+            ("http://example.org/x", "93.184.216.35", b"body two \r\n with newlines"),
+        ]
+    )
+    with open(os.path.join(p, "test.warc"), "wb") as f:
+        f.write(payload)
+    with open(os.path.join(p, "test2.warc.gz"), "wb") as f:
+        f.write(gzip.compress(payload))
+    df = warc.read_warc(spark, p)
+    rows = df.collect()
+    assert len(rows) == 4  # 2 records × 2 files
+    by_url = sorted(rows, key=lambda r: (r.url, len(r.contents)))
+    assert by_url[0].url == "http://example.com/"
+    assert bytes(by_url[0].contents) == b"<html>hello</html>"
+    assert by_url[0].ip == "93.184.216.34"
+
+
+def test_multimodal_features(spark):
+    media = multimodal.make_fake_media(spark, 32)
+    feats = multimodal.extract_features(media, fake=True).collect()
+    assert len(feats) == 32
+    f0 = next(x for x in feats if x.media_id == 0)
+    assert len(f0.feature) == 8 and f0.n_bytes > 0
+    # deterministic across runs
+    feats2 = multimodal.extract_features(multimodal.make_fake_media(spark, 32), fake=True).collect()
+    assert {x.media_id: x.sha256 for x in feats} == {x.media_id: x.sha256 for x in feats2}
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"abc", fake=False)
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.make_fake_media(spark, 9)
+    plan = multimodal.frame_sample_plan(media, every_n=30).collect()
+    vids = [r for r in plan if r.media_id == 2]  # n_frames=92 → 0,30,60,90
+    assert [v.frame_idx for v in vids] == [0, 30, 60, 90]
+
+
+def test_write_parquet_partitioned(spark, tmpdir_data):
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    path = os.path.join(tmpdir_data, "orders_part")
+    readers.write_parquet(src, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path)
+    assert back.count() == src.count()
+    # partition pruning: filtering on the partition col reads a subset dir
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    assert pruned.count() == src.filter(F.col("o_orderstatus") == "F").count()
