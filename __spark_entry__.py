@@ -252,6 +252,107 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- event-time / window operators (events table) -------------------------
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from amadeus_spark.tables import load_events
+
+    return load_events(spark, sf_dir)
+
+
+def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation — the reference's flagship CloudFront
+    query shape (examples/cloudfront_logs.rs:33-40: truncate_minutes(60)
+    → group_by → count) on the events table."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _money_sum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+        .limit(100)
+    )
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic/frame window functions (absent in the reference,
+    SURVEY §2.6): row_number, lag, running sum per user ordered by time."""
+    ev = _ev(spark, sf_dir)
+    ev.createOrReplaceTempView("__events_w")
+    return spark.sql(
+        """
+        SELECT user_id, event_id, rn, prev_value, running_value
+        FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   coalesce(lag(value) OVER w, cast(-1 as double)) AS prev_value,
+                   sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS running_value
+            FROM __events_w
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ) WHERE user_id < 5 AND rn <= 3
+        ORDER BY user_id, rn
+        """
+    )
+
+
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in batch (gaps-and-islands, 30-min gap) — batch
+    twin of streaming session_window; per-user session counts."""
+    ev = _ev(spark, sf_dir)
+    ev.createOrReplaceTempView("__events_s")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+          FROM __events_s
+        ), f AS (
+          SELECT user_id, ts,
+                 CASE WHEN prev_ts IS NULL
+                           OR ts > prev_ts + INTERVAL 30 MINUTES THEN 1
+                      ELSE 0 END AS new_sess
+          FROM e
+        )
+        SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+        FROM f GROUP BY user_id ORDER BY user_id
+        """
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (timeseries; beyond the reference): for each purchase,
+    the same user's latest click at-or-before it; corpus-level stats so
+    output is compact. Gap summed in exact integer microseconds."""
+    ev = _ev(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = joins.asof_join(
+        purchases,
+        clicks,
+        on_keys=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        direction="backward",
+        left_id_cols=["event_id"],
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("r_ts").alias("n_matched"),
+        F.sum(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias(
+            "total_gap_us"
+        ),
+    )
+
+
 # --- LLM-pipeline: text analysis ------------------------------------------
 
 _SIM_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -338,6 +439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "all_any": q_all_any,
         "distinct_count": q_distinct_count,
+        "hourly_events": q_hourly_events,
+        "window_functions": q_window_functions,
+        "sessionization": q_sessionization,
+        "asof_join": q_asof_join,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -446,9 +551,55 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
             )
         """,
+        "hourly_events": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 100
+        """,
+        "window_functions": """
+            SELECT user_id, event_id, rn, prev_value, running_value
+            FROM (
+                SELECT user_id, event_id,
+                       row_number() OVER w AS rn,
+                       coalesce(lag(value) OVER w, cast(-1 as double)) AS prev_value,
+                       sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS running_value
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) t WHERE user_id < 5 AND rn <= 3
+            ORDER BY user_id, rn
+        """,
+        "sessionization": """
+            WITH e AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), f AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1
+                          ELSE 0 END AS new_sess
+              FROM e
+            )
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+            FROM f GROUP BY user_id ORDER BY user_id
+        """,
+        "asof_join": """
+            SELECT COUNT(*) AS n_purchases,
+                   COUNT(last_click) AS n_matched,
+                   CAST(SUM(epoch_us(ts) - epoch_us(last_click)) AS BIGINT) AS total_gap_us
+            FROM (
+              SELECT p.ts,
+                     (SELECT max(c.ts) FROM events c
+                       WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                         AND c.ts <= p.ts) AS last_click
+              FROM events p WHERE p.event_type = 'purchase'
+            ) t
+        """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
-                   SUM({text.quality_sql('text')['n_tokens']}) AS total_tokens,
+                   CAST(SUM({text.quality_sql('text')['n_tokens']}) AS BIGINT) AS total_tokens,
                    CAST(SUM(CAST({text.quality_sql('text')['quality_score']} AS DECIMAL(18,9))) AS DOUBLE) AS quality_sum
             FROM documents GROUP BY lang ORDER BY lang
         """,
@@ -457,7 +608,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
         "fingerprint_dedup": f"""
-            SELECT COUNT(*) AS n_unique, SUM(copies - 1) AS n_dropped,
+            SELECT COUNT(*) AS n_unique, CAST(SUM(copies - 1) AS BIGINT) AS n_dropped,
                    MAX(copies) AS max_copies
             FROM (SELECT {text.fingerprint_sql('text')} AS fp, COUNT(*) AS copies
                   FROM documents GROUP BY 1)

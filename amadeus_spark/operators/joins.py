@@ -54,6 +54,7 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    left_id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_time <= left_time (direction='backward'; 'forward' = earliest
@@ -76,7 +77,8 @@ def asof_join(
     l, r = left.alias("l"), right.alias("r")
     joined = l.join(r, on=cond, how="left")
     order = rt.desc() if direction == "backward" else rt.asc()
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(order)
+    part = list(left_id_cols) if left_id_cols else list(left.columns)
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in part]).orderBy(order)
     ranked = joined.withColumn("__rn", F.row_number().over(w))
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns

@@ -1,0 +1,3 @@
+from amadeus_spark.streaming import events
+
+__all__ = ["events"]

@@ -1,0 +1,162 @@
+"""Structured Streaming operators over event streams.
+
+The reference's "streaming" is one-pass/online algorithms
+(amadeus-streaming/src/lib.rs:10-19), not unbounded event-time
+processing — SURVEY §2.6 records event-time semantics as absent there.
+This module supplies the event-time model Spark-natively and re-expresses
+the reference's mergeable sketches as streaming aggregations:
+
+- tumbling/sliding/session windows with watermarks (late data dropped
+  deterministically by the watermark bound);
+- ``approx_count_distinct`` inside windowed aggs = the HLL sketch
+  (distinct.rs) running incrementally, state = sketch per window — the
+  exact architecture the reference's UnionAssign merge implies;
+- per-key top-k via ``applyInPandasWithState`` = Top<K,usize>
+  (top.rs:18-35) as explicit streaming state.
+
+At scale: state store is keyed by (window, key); watermark bounds state
+size; ``spark.sql.shuffle.partitions`` governs state-store parallelism
+and must be set before the first micro-batch (it's sticky per query).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (parquet dir); each new file is a
+    micro-batch input — the deterministic way to test streaming logic."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling (or sliding) window event counts + value sums per
+    event_type with watermarked late-data handling."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def windowed_distinct_users(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes", rsd: float = 0.02
+) -> DataFrame:
+    """Streaming most_distinct building block: HLL sketch per window —
+    reference HyperLogLog (distinct.rs:138-166) as incremental state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("approx_users"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "approx_users")
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user (gap-based) — beyond the reference."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_TOPK_STATE_SCHEMA = "counts map<string,bigint>"
+_TOPK_OUT_SCHEMA = "event_type string, freq bigint"
+
+
+def streaming_topk_types(events: DataFrame, k: int = 5) -> DataFrame:
+    """Per-group running top-k with explicit state — the reference's
+    Top<Item,usize> sketch (amadeus-streaming/src/top.rs:18-35) as
+    applyInPandasWithState. State per group = exact counts map (the
+    reference bounds memory with a CMS for the tail; at one state row
+    per distinct event_type the exact map is the right trade here —
+    swap in a CMS dict for unbounded key domains).
+
+    Grouping key: a constant bucket per event_type shard so state is
+    partitioned; emits current top-k each micro-batch."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        counts: dict[str, int] = dict(state.get[0]) if state.exists else {}
+        for pdf in pdfs:
+            for et, n in pdf.groupby("event_type").size().items():
+                counts[et] = counts.get(et, 0) + int(n)
+        state.update((counts,))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield pd.DataFrame(top, columns=["event_type", "freq"])
+
+    return (
+        events.withColumn("bucket", F.lit(0))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOPK_OUT_SCHEMA,
+            stateStructType=_TOPK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming query with Trigger.AvailableNow to completion —
+    processes all available input then stops (deterministic tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -38,6 +38,19 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark's Parquet
+    reader rejects by default; read nanos as long (legacy conf, settable
+    at runtime so it works under the driver's own session) and derive a
+    microsecond timestamp with exact integer division (ns values ~1.7e18
+    exceed double precision — never divide as float)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True
 ) -> dict[str, DataFrame]:
@@ -48,7 +61,7 @@ def load_tables(
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
         dfs[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

@@ -44,7 +44,9 @@ def compare(spark_df, duck_rel) -> dict[str, Any]:
     for ra, rb in zip(a, b):
         for va, vb in zip(ra, rb):
             if isinstance(va, float) or isinstance(vb, float):
-                fa, fb = float(va), float(vb)
+                # None vs NaN: Spark returns None, pandas returns NaN
+                fa = float("nan") if va is None else float(va)
+                fb = float("nan") if vb is None else float(vb)
                 if math.isnan(fa) and math.isnan(fb):
                     continue
                 if fa != fb:

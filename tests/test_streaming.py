@@ -1,0 +1,98 @@
+"""Streaming tests: batch/stream parity (the streaming twin of the
+reference's local/dist parity discipline, SURVEY §5 #4) — the same
+aggregation over the same rows must agree batch vs stream."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.streaming import events as ev
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Split events.parquet into 3 files so availableNow sees multiple
+    input files (micro-batch boundaries don't affect results)."""
+    d = str(tmp_path_factory.mktemp("eventstream"))
+    from amadeus_spark.tables import load_events
+
+    src = load_events(spark, SF_SMOKE).cache()
+    # time-range file splits (like rotated logs): cross-file disorder
+    # stays within the watermark, so append mode loses nothing
+    lo, hi = src.agg(F.min("ts"), F.max("ts")).first()
+    bounds = [lo, lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3, hi]
+    for i in range(3):
+        part = src.filter(
+            (F.col("ts") >= bounds[i])
+            & (F.col("ts") <= bounds[i + 1] if i == 2 else F.col("ts") < bounds[i + 1])
+        )
+        part.coalesce(1).write.mode("append").parquet(d)
+    return d
+
+
+def test_windowed_counts_parity(spark, event_stream_dir):
+    stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    ev.run_to_memory_sink(ev.windowed_counts(stream), "wc_sink")
+    got = {
+        (r.win_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in spark.sql("select * from wc_sink").collect()
+    }
+    batch = spark.read.parquet(event_stream_dir)
+    want = {
+        (r.win_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in (
+            batch.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    # append mode: only watermark-closed windows are emitted — the final
+    # in-flight window may be withheld. Every emitted window must match
+    # the batch answer exactly, and coverage must be ~total.
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v, (k, v, want[k])
+    missing = set(want) - set(got)
+    assert sum(want[k][0] for k in missing) <= 5, f"too much held back: {missing}"
+
+
+def test_windowed_distinct_users_runs(spark, event_stream_dir):
+    stream = ev.read_event_stream(spark, event_stream_dir)
+    ev.run_to_memory_sink(ev.windowed_distinct_users(stream), "du_sink")
+    rows = spark.sql("select * from du_sink").collect()
+    assert rows
+    assert all(r.approx_users > 0 for r in rows)
+
+
+def test_session_windows(spark, event_stream_dir):
+    stream = ev.read_event_stream(spark, event_stream_dir)
+    ev.run_to_memory_sink(ev.session_windows(stream), "sess_sink")
+    rows = spark.sql("select * from sess_sink").collect()
+    assert rows
+    assert all(r.sess_end > r.sess_start for r in rows)
+
+
+def test_streaming_topk_matches_batch(spark, event_stream_dir):
+    stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    ev.run_to_memory_sink(ev.streaming_topk_types(stream, k=3), "topk_sink", "update")
+    # last emitted micro-batch state = final counts; take the last k rows
+    # per event_type (update mode appends each batch's emission)
+    all_rows = spark.sql("select * from topk_sink").collect()
+    final = {}
+    for r in all_rows:  # later rows overwrite earlier emissions
+        final[r.event_type] = r.freq
+    batch = spark.read.parquet(event_stream_dir)
+    want_top = {
+        r.event_type: r.cnt
+        for r in batch.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+        .limit(3)
+        .collect()
+    }
+    got_top = dict(sorted(final.items(), key=lambda kv: -kv[1])[:3])
+    assert got_top == want_top
