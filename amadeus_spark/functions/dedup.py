@@ -121,16 +121,28 @@ def band_hashes_frag(sig_col: str = "sig") -> tuple[list[str], list[str]]:
 
 
 def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """id, sh (distinct shingles), sig (minhash signature array) — all
-    map-side projection, zero shuffle."""
+    """id, sh (distinct shingles), sig (minhash signature array).
+
+    Physical strategy: explode distinct shingles → one codegen'd
+    HashAggregate computing all 64 ``min((h*a+b) % p)`` partial+final
+    aggregates (plus collect_list to rebuild the shingle set for exact
+    verification). Catalyst's array HOFs (transform/array_min) are
+    interpreted per-row — keeping the signature in HOF form measured
+    ~2× slower than the explode+agg plan even though explode adds a
+    shuffle; min() partials also combine map-side so the shuffle carries
+    one 64-int row per doc."""
     shs, _ = shingles_frag(text_col)
     hs, _ = hash32_frag("s", "s")
-    sig_s, _ = minhash_sig_frag("hs")
-    return (
-        df.select(id_col, F.expr(shs).alias("sh"))
-        .withColumn("hs", F.expr(f"transform(sh, s -> {hs})"))
-        .withColumn("sig", F.expr("array(" + ", ".join(sig_s) + ")"))
-        .drop("hs")
+    ex = df.select(F.col(id_col).alias("__id"), F.explode(F.expr(shs)).alias("s"))
+    hashed = ex.withColumn("h", F.expr(hs))
+    aggs = [
+        F.min(F.expr(f"(h * {a} + {b}) % {MERSENNE_P}")).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(zip(HASH_A, HASH_B))
+    ]
+    grouped = hashed.groupBy("__id").agg(*aggs, F.collect_list("s").alias("sh"))
+    sig_cols = ", ".join(f"sig_{i}" for i in range(NUM_HASHES))
+    return grouped.select(
+        F.col("__id").alias(id_col), "sh", F.expr(f"array({sig_cols})").alias("sig")
     )
 
 
@@ -221,27 +233,32 @@ ORDER BY doc_a, doc_b
 # ---- SimHash --------------------------------------------------------------
 
 
-def simhash_frag(col: str) -> tuple[str, str]:
-    """32-bit SimHash over (non-distinct) token hashes: bit b is set when
-    more than half the tokens have bit b set."""
+def token_hashes_frag(col: str) -> tuple[str, str]:
+    """Non-distinct token hash array (SimHash weights by frequency)."""
     ts, td = toks_frag(col)
     hs, hd = hash32_frag("t", "t")
-    th_s = f"transform({ts}, t -> {hs})"
-    th_d = f"list_transform({td}, t -> {hd})"
+    return f"transform({ts}, t -> {hs})", f"list_transform({td}, t -> {hd})"
+
+
+def simhash_from_hashes_frag(th_col: str = "th") -> tuple[str, str]:
+    """32-bit SimHash over a pre-computed hash-array column: bit b is set
+    when more than half the tokens have bit b set.
+
+    Takes a *column* (not an inline expression) on purpose: with the md5
+    array inlined, neither engine CSEs it and the md5 work runs 32× —
+    measured 6× slower at sf0.1."""
     bits_s, bits_d = [], []
     for b in range(SIMHASH_BITS):
         w = 1 << b
         bits_s.append(
-            f"(case when 2 * size(filter(__th, h -> (shiftright(h, {b}) & 1) = 1))"
-            f" > size(__th) then {w}L else 0L end)"
+            f"(case when 2 * size(filter({th_col}, h -> (shiftright(h, {b}) & 1) = 1))"
+            f" > size({th_col}) then {w}L else 0L end)"
         )
         bits_d.append(
-            f"(case when 2 * len(list_filter(__th, h -> ((h >> {b}) & 1) = 1))"
-            f" > len(__th) then {w} else 0 end)"
+            f"(case when 2 * len(list_filter({th_col}, h -> ((h >> {b}) & 1) = 1))"
+            f" > len({th_col}) then {w} else 0 end)"
         )
-    spark = "(" + " + ".join(bits_s) + ")"
-    duck = "(" + " + ".join(bits_d) + ")"
-    return spark.replace("__th", th_s), duck.replace("__th", th_d)
+    return "(" + " + ".join(bits_s) + ")", "(" + " + ".join(bits_d) + ")"
 
 
 def simhash_pairs(
@@ -254,8 +271,20 @@ def simhash_pairs(
     bit_count(simhash_a XOR simhash_b) ≤ max_hamming, top ``limit`` by
     (hamming, doc_a, doc_b). Banding keeps it one shuffle keyed by byte
     value — no O(n²) at scale."""
-    sh_s, _ = simhash_frag(text_col)
-    docs = df.select(F.col(id_col).alias("doc"), F.expr(sh_s).alias("sh32"))
+    th_s, _ = token_hashes_frag(text_col)
+    # explode + codegen'd sums (same rationale as with_minhash): per bit,
+    # majority test 2*sum(bit) > n; HOF filter×32 measured ~4× slower
+    ex = df.select(F.col(id_col).alias("doc"), F.explode(F.expr(th_s)).alias("h"))
+    bit_aggs = [
+        F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"c_{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    counted = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_aggs)
+    sh32 = " + ".join(
+        f"(case when 2 * c_{b} > n then {1 << b}L else 0L end)"
+        for b in range(SIMHASH_BITS)
+    )
+    docs = counted.select("doc", F.expr(f"({sh32})").alias("sh32"))
     bands = docs.select(
         "doc",
         "sh32",
@@ -299,11 +328,14 @@ def simhash_pairs(
 def simhash_oracle(
     table: str, id_col: str, text_col: str, max_hamming: int = 8, limit: int = 20
 ) -> str:
-    _, sh_d = simhash_frag(text_col)
+    _, th_d = token_hashes_frag(text_col)
+    _, sh_d = simhash_from_hashes_frag("th")
     bytes_d = ", ".join(f"((sh32 >> {8 * j}) & 255)" for j in range(SIMHASH_BYTES))
     return f"""
-WITH docs AS (
-  SELECT {id_col} AS doc, {sh_d} AS sh32 FROM {table}
+WITH hashed AS MATERIALIZED (
+  SELECT {id_col} AS doc, {th_d} AS th FROM {table}
+), docs AS MATERIALIZED (
+  SELECT doc, {sh_d} AS sh32 FROM hashed
 ), bands AS (
   SELECT doc, sh32, g.byte_id, [{bytes_d}][g.byte_id + 1] AS byte_val
   FROM docs, (SELECT unnest(range(0, {SIMHASH_BYTES})) AS byte_id) g
