@@ -252,6 +252,89 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- grouping sets / pivot / dynamic-JSON / UDAF ---------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup (SURVEY §2.6, absent in reference — Spark-native): subtotals
+    per (returnflag, linestatus), per returnflag, and grand total.
+    NULL group markers coalesced to 'ALL' for engine-portable output."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot: order counts + money sums by status columns per priority."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Value/JSON cells (SURVEY §1.2: Value::Json → string +
+    extraction on use): pull props.k out of the events JSON column and
+    aggregate — schema-on-read over a dynamic column."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_fold_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fold/CombinerSync as pandas UDAF (operators/udaf.py): per-flag
+    custom sum + mean over integral-valued quantities (exact, so the SQL
+    oracle matches digit-for-digit)."""
+    from amadeus_spark.operators import udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    return udaf.grouped_custom_agg(li, "l_returnflag", "l_quantity")
+
+
+# --- approximate variants (no SQL oracle — sketch estimates; the driver
+# records rows-only checks for these, per the contract) ---------------------
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_distinct approx mode: HLL++ rsd=0.05 (reference HLL ε→p,
+    distinct.rs:152-166). Estimates differ engine-to-engine by design."""
+    return sketches.most_distinct(
+        _t(spark, sf_dir, "lineitem"), "l_suppkey", "l_partkey", 10, error_rate=0.05
+    )
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_unstable(k) (sample.rs:125-185): exact-k uniform reservoir;
+    seeded rand is Spark-internal so no cross-engine oracle."""
+    od = _t(spark, sf_dir, "orders")
+    return sampling.reservoir_sample(od.select("o_orderkey"), 50, seed=42)
+
+
 # --- event-time / window operators (events table) -------------------------
 
 
@@ -439,6 +522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "all_any": q_all_any,
         "distinct_count": q_distinct_count,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "json_props": q_json_props,
+        "fold_udaf": q_fold_udaf,
+        "approx_distinct": q_approx_distinct,
+        "reservoir_sample": q_reservoir_sample,
         "hourly_events": q_hourly_events,
         "window_functions": q_window_functions,
         "sessionization": q_sessionization,
@@ -550,6 +639,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_distinct_pairs FROM (
                 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
             )
+        """,
+        "rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS cnt,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY rf, ls
+        """,
+        "pivot": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "json_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "fold_udaf": """
+            SELECT l_returnflag, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS udaf_sum,
+                   CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS udaf_mean
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "hourly_events": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
