@@ -1,0 +1,154 @@
+"""Mergeable sketch library: Count-Min (conservative update) + Top-k —
+sketch-parity with the reference's ``most_frequent``.
+
+Reference spec (re-implemented from its documented behavior, no code
+copied): ``Top<Item, usize>`` keeps the current top-n in an ordered map
+backed by a Count-Min sketch for the tail, with *conservative update*
+(only counters that equal the current minimum are incremented —
+amadeus-streaming/src/top.rs:18-35 documents the algorithm; CMS sizing
+width=ceil(e/tolerance), depth=ceil(ln(1-probability)/ln(0.5)),
+count_min.rs:58-96). Both structures are mergeable (UnionAssign), which
+is what makes them distributed-safe partial aggregates.
+
+Spark integration: one sketch per partition via ``applyInPandas`` over a
+partition-id group (zero shuffle of raw rows beyond partition locality),
+partials serialized as JSON state rows, merged to a final sketch. At
+100 TB this is the standard two-level sketch topology: executors build
+partials over their partitions; the driver (or a tree-reduce stage)
+unions ~num_partitions fixed-size states — exactly the reference's
+ReduceA→ReduceC folding (par_sink/folder.rs:17-35).
+
+When to prefer this over exact groupBy-count-orderBy-limit: key
+cardinality too high to shuffle (the exact plan shuffles every distinct
+key; the sketch shuffles width×depth integers per partition).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cms_params(probability: float, tolerance: float) -> tuple[int, int]:
+    """width, depth from the reference's sizing (count_min.rs:58-77)."""
+    width = int(math.ceil(math.e / tolerance))
+    depth = int(math.ceil(math.log(1.0 - probability) / math.log(0.5)))
+    return width, depth
+
+
+def _bucket(key: str, row: int, width: int) -> int:
+    h = hashlib.md5(f"{row}:{key}".encode()).digest()
+    return int.from_bytes(h[:8], "big") % width
+
+
+class CountMinTopK:
+    """Count-Min sketch with conservative update + exact top-k heap.
+
+    Mergeable: ``merge`` takes element-wise max-free union (counters add;
+    top candidates re-estimated). Estimates are upper bounds; with
+    conservative update the overestimate is minimized."""
+
+    def __init__(self, k: int, probability: float = 0.99, tolerance: float = 0.001):
+        self.k = k
+        self.width, self.depth = cms_params(probability, tolerance)
+        self.table = [[0] * self.width for _ in range(self.depth)]
+        self.candidates: dict[str, int] = {}  # key -> estimated count
+
+    def _rows(self, key: str) -> list[int]:
+        return [_bucket(key, r, self.width) for r in range(self.depth)]
+
+    def estimate(self, key: str) -> int:
+        return min(self.table[r][b] for r, b in enumerate(self._rows(key)))
+
+    def push(self, key: str, count: int = 1) -> None:
+        rows = self._rows(key)
+        est = min(self.table[r][b] for r, b in enumerate(rows))
+        new = est + count
+        for r, b in enumerate(rows):
+            # conservative update: only raise counters below the new est
+            if self.table[r][b] < new:
+                self.table[r][b] = new
+        self._offer(key, new)
+
+    def _offer(self, key: str, est: int) -> None:
+        self.candidates[key] = est
+        if len(self.candidates) > 4 * self.k:
+            keep = sorted(self.candidates.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : 2 * self.k
+            ]
+            self.candidates = dict(keep)
+
+    def merge(self, other: "CountMinTopK") -> "CountMinTopK":
+        assert (self.width, self.depth) == (other.width, other.depth)
+        for r in range(self.depth):
+            mine, theirs = self.table[r], other.table[r]
+            for b in range(self.width):
+                mine[b] += theirs[b]
+        for key in set(self.candidates) | set(other.candidates):
+            self.candidates[key] = self.estimate(key)
+        self._offer_trim()
+        return self
+
+    def _offer_trim(self) -> None:
+        if len(self.candidates) > 4 * self.k:
+            keep = sorted(self.candidates.items(), key=lambda kv: (-kv[1], kv[0]))[
+                : 2 * self.k
+            ]
+            self.candidates = dict(keep)
+
+    def top(self) -> list[tuple[str, int]]:
+        return sorted(self.candidates.items(), key=lambda kv: (-kv[1], kv[0]))[: self.k]
+
+    # -- serialization (partial-aggregate state) --
+    def dumps(self) -> str:
+        return json.dumps(
+            {"k": self.k, "w": self.width, "d": self.depth, "t": self.table, "c": self.candidates}
+        )
+
+    @classmethod
+    def loads(cls, s: str) -> "CountMinTopK":
+        o = json.loads(s)
+        sk = cls.__new__(cls)
+        sk.k, sk.width, sk.depth = o["k"], o["w"], o["d"]
+        sk.table, sk.candidates = o["t"], o["c"]
+        return sk
+
+
+def most_frequent_sketch(
+    df: DataFrame,
+    col: str,
+    k: int,
+    probability: float = 0.99,
+    tolerance: float = 0.001,
+) -> list[tuple[str, int]]:
+    """Distributed most_frequent via CMS+TopK: per-partition partial
+    sketches (applyInPandas over spark_partition_id), driver-side union.
+    Returns [(key, estimated_count)] — estimates are CMS upper bounds.
+
+    The per-partition group keys mean NO shuffle of data rows — only the
+    serialized sketches (width*depth ints each) cross the wire.
+    """
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = CountMinTopK(k, probability, tolerance)
+        for key, cnt in pdf[col].value_counts().items():
+            sk.push(str(key), int(cnt))
+        return pd.DataFrame({"state": [sk.dumps()]})
+
+    partials = (
+        df.select(F.col(col), F.spark_partition_id().alias("__pid"))
+        .groupBy("__pid")
+        .applyInPandas(build, schema="state string")
+        .collect()
+    )
+    if not partials:
+        return []
+    merged = CountMinTopK.loads(partials[0].state)
+    for row in partials[1:]:
+        merged.merge(CountMinTopK.loads(row.state))
+    return merged.top()

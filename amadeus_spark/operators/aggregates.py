@@ -68,6 +68,25 @@ def group_agg(
     return df.groupBy(*keys).agg(*exprs)
 
 
+def fork(df: DataFrame, sink_a, sink_b):
+    """One pass, two sinks (par_stream.rs:521-547, par_sink/fork.rs:24-121;
+    flagship use: examples/cloudfront_logs.rs:33-40 — reservoir sample +
+    hourly histogram over one S3 read).
+
+    When both sinks are aggregations, express them as one ``df.agg(...)``
+    instead — single scan, no materialization. This helper covers the
+    mixed case (collect-like + aggregate): persist once so the source is
+    read once, run both actions, unpersist. At 100 TB choose
+    StorageLevel/checkpoint consciously; the documented divergence
+    (SURVEY §7 hard part #3) is that Spark materializes where the
+    reference streamed both sinks in one pull."""
+    df = df.persist()
+    try:
+        return sink_a(df), sink_b(df)
+    finally:
+        df.unpersist()
+
+
 def all_match(df: DataFrame, predicate: Column) -> bool:
     """Short-circuiting ∀ (par_sink/all.rs:18-80): no row violates the
     predicate. Spark short-circuits via isEmpty's limit-1 scan."""

@@ -1,0 +1,87 @@
+"""Sketch-parity tests: CMS+TopK (reference most_frequent semantics) and
+the exact/approx operator variants. Acceptance bands per SURVEY §7 hard
+part #1 — sketches are checked against exact answers within ε·N, not by
+hash equality."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from amadeus_spark.functions.sketch_lib import CountMinTopK, cms_params, most_frequent_sketch
+from amadeus_spark.operators import sketches
+
+
+def test_cms_params_reference_sizing():
+    # count_min.rs:58-77: width=ceil(e/tol), depth=ceil(ln(1-p)/ln(0.5))
+    w, d = cms_params(0.99, 0.001)
+    assert w == 2719 and d == 7
+    w, d = cms_params(0.9, 0.01)
+    assert w == 272 and d == 4
+
+
+def test_cms_topk_local_exactish():
+    rng = random.Random(1)
+    # zipf-ish: key_i appears ~ 10000/i times
+    sk = CountMinTopK(5, 0.99, 0.001)
+    truth = {}
+    for i in range(1, 60):
+        n = 10000 // i
+        truth[f"k{i}"] = n
+    items = [(k, n) for k, n in truth.items()]
+    rng.shuffle(items)
+    for k, n in items:
+        sk.push(k, n)
+    top = sk.top()
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [k for k, _ in top] == [k for k, _ in want]
+    total = sum(truth.values())
+    for (k, est), (_, exact) in zip(top, want):
+        assert exact <= est <= exact + 0.001 * total  # CMS upper bound band
+
+
+def test_cms_merge_equals_single_pass():
+    a, b = CountMinTopK(3, 0.99, 0.001), CountMinTopK(3, 0.99, 0.001)
+    one = CountMinTopK(3, 0.99, 0.001)
+    for i, (sk_half, key, n) in enumerate(
+        [(a, "x", 50), (a, "y", 30), (b, "x", 25), (b, "z", 40), (b, "y", 5)]
+    ):
+        sk_half.push(key, n)
+    for key, n in [("x", 75), ("y", 35), ("z", 40)]:
+        one.push(key, n)
+    merged = a.merge(b)
+    assert [k for k, _ in merged.top()] == [k for k, _ in one.top()] == ["x", "z", "y"]
+    # serialization round-trip preserves state
+    rt = CountMinTopK.loads(merged.dumps())
+    assert rt.top() == merged.top()
+
+
+def test_most_frequent_sketch_distributed(spark):
+    """Distributed sketch top-k == exact top-k on skewed synthetic data."""
+    rows = []
+    for i in range(1, 40):
+        rows += [(f"key{i:02d}",)] * (4000 // i)
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = most_frequent_sketch(df, "k", 5, probability=0.99, tolerance=0.001)
+    exact = {
+        r.k: r.cnt
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [k for k, _ in got] == [k for k, _ in want]
+    n = sum(exact.values())
+    for (k, est), (_, ex) in zip(got, want):
+        assert ex <= est <= ex + 0.001 * n
+
+
+def test_exact_vs_approx_distinct_band(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    exact = sketches.most_distinct(li, "l_suppkey", "l_partkey", 100).collect()
+    approx = sketches.most_distinct(
+        li, "l_suppkey", "l_partkey", 100, error_rate=0.02
+    ).collect()
+    em = {r.l_suppkey: r.distinct_vals for r in exact}
+    for r in approx:
+        rel = abs(r.distinct_vals - em[r.l_suppkey]) / em[r.l_suppkey]
+        assert rel < 0.1, (r.l_suppkey, r.distinct_vals, em[r.l_suppkey])
