@@ -23,9 +23,20 @@ from amadeus_spark.functions import dedup, similarity, text
 from amadeus_spark.operators import aggregates, joins, sampling, sketches
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime confs safe to set on the driver's session: size shuffles
+    to the actual core count (the 200 default is wrong for local[N]) and
+    enable AQE coalescing. All are runtime-settable SQL confs."""
+    par = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(par))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     import os
 
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -445,11 +456,21 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring per language (functions/text.py):
     whole corpus in one projection + one groupBy."""
     docs = _t(spark, sf_dir, "documents")
-    qe = text.quality_exprs("text")
+    # staged: tokenize/count once per row as columns (the inlined
+    # composite recomputes the split per sub-expression — measured ~2×)
     per_doc = docs.select(
         "lang",
-        qe["n_tokens"].alias("n_tokens"),
-        qe["quality_score"].alias("q"),
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").alias("n_tokens"),
+        text.stopword_count("text").alias("__stop"),
+        text.punct_count("text").alias("__punct"),
+        F.length("text").alias("__nchar"),
+    ).withColumn(
+        "q",
+        F.expr(
+            "cast(__stop as double) / cast(n_tokens as double) * 0.5"
+            " + least(cast(n_tokens as double) / 100.0, 1.0) * 0.3"
+            " + (1.0 - cast(__punct as double) / cast(__nchar as double)) * 0.2"
+        ),
     )
     return (
         per_doc.groupBy("lang")
@@ -504,6 +525,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, _SIM_QUERY_IDS, k=5)
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted shingle index (no O(n²))."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact verifier of the dedup
+    family; LSH/IVF prune feeds this at scale)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.3, id_mod=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "most_distinct": q_most_distinct,
@@ -537,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
     }
@@ -731,6 +767,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
+        "ngram_jaccard": dedup.ngram_jaccard_oracle("documents", "doc_id", "text", 0.5),
+        "embedding_neardup": similarity.embedding_neardup_oracle("embeddings", 0.3, 10),
         "cosine_topk": similarity.cosine_topk_oracle("embeddings", _SIM_QUERY_IDS, 5),
         "ann_lsh": similarity.ann_lsh_oracle("embeddings", _SIM_QUERY_IDS, 5),
     }

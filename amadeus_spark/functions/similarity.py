@@ -181,6 +181,64 @@ def ann_lsh_topk(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): all pairs
+    with cosine ≥ threshold over an id-sampled subset (vec_id % id_mod
+    == 0 keeps the demo exact and the oracle cheap).
+
+    Scale path: for real corpora the pair space is pruned by LSH buckets
+    (ann_lsh_topk's bucket join) or IVF cells (cluster ids as join key) —
+    this function is the exact verifier those candidates feed into, the
+    same two-stage shape as minhash_lsh_pairs."""
+    base = with_norm(
+        df.filter(F.col(id_col) % id_mod == 0).select(id_col, vec_col), vec_col
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("norm").alias("nb")
+    )
+    ds, _ = dot_frag("va", "vb")
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(f"{ds} / (na * nb)"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_neardup_oracle(
+    table: str,
+    threshold: float = 0.45,
+    id_mod: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    _, dd_self = dot_frag(vec_col, vec_col)
+    _, dd = dot_frag("va", "vb")
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS id, {vec_col} AS vec, sqrt({dd_self}) AS norm
+  FROM {table} WHERE {id_col} % {id_mod} = 0
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.vec AS va, b.vec AS vb,
+         a.norm AS na, b.norm AS nb
+  FROM base a JOIN base b ON a.id < b.id
+)
+SELECT id_a, id_b, {dd} / (na * nb) AS cosine
+FROM pairs WHERE {dd} / (na * nb) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
 def ann_lsh_oracle(
     table: str, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:
