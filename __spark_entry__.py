@@ -263,6 +263,66 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H-shape analytical queries (multi-join planning evidence) ---------
+
+
+def q_tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: customer⋈orders⋈lineitem, filter both sides of the
+    join, revenue per order, top-10. Exercises join ordering + pushdown
+    through a 3-way join with a post-agg top-n."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("l_orderkey")
+        .agg(_money_sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the query whose whole
+    cost is the scan; pushdown + pruning must leave nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+def q_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way join with two broadcast dims: revenue share per supplier
+    nation restricted to large parts — Q8-lite market-share shape."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    j = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("n_name")
+        .agg(
+            _money_sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # --- grouping sets / pivot / dynamic-JSON / UDAF ---------------------------
 
 
@@ -556,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "all_any": q_all_any,
         "distinct_count": q_distinct_count,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
         "pivot": q_pivot,
         "json_props": q_json_props,
@@ -675,6 +738,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_distinct_pairs FROM (
                 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
             )
+        """,
+        "tpch_q3_shipping": """
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q6_forecast": """
+            SELECT CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+        """,
+        "supplier_part_share": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_size >= 25
+            GROUP BY n_name ORDER BY n_name
         """,
         "rollup": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,

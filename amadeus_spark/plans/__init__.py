@@ -1,0 +1,17 @@
+from amadeus_spark.plans.inspect import (
+    assert_broadcast_join,
+    assert_no_python_udf,
+    assert_pushed_filters,
+    assert_read_schema,
+    plan_text,
+    shuffle_count,
+)
+
+__all__ = [
+    "plan_text",
+    "shuffle_count",
+    "assert_pushed_filters",
+    "assert_read_schema",
+    "assert_broadcast_join",
+    "assert_no_python_udf",
+]

@@ -1,0 +1,57 @@
+"""Plan-quality regression tests (amadeus_spark.plans): the physical
+plan properties that make queries scale are asserted, not assumed."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from amadeus_spark import plans
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def test_q6_is_pure_scan_agg(spark):
+    df = entrymod.q_tpch_q6_forecast(spark, SF_ORACLE)
+    plans.assert_pushed_filters(
+        df, "GreaterThanOrEqual(l_discount,0.05)", "LessThan(l_quantity,24.0)"
+    )
+    plans.assert_read_schema(
+        df,
+        must_have=["l_extendedprice", "l_discount", "l_quantity"],
+        must_not_have=["l_orderkey", "l_shipdate"],
+    )
+    assert plans.shuffle_count(df) <= 1  # single final-agg exchange
+
+
+def test_q3_broadcasts_customer(spark):
+    df = entrymod.q_tpch_q3_shipping(spark, SF_ORACLE)
+    plans.assert_broadcast_join(df, expected=1)
+    plans.assert_no_python_udf(df)
+
+
+def test_share_broadcasts_all_dims(spark):
+    df = entrymod.q_supplier_part_share(spark, SF_ORACLE)
+    plans.assert_broadcast_join(df, expected=3)
+    plans.assert_no_python_udf(df)
+
+
+def test_hot_queries_have_no_row_python(spark):
+    """No registered query may plan a row-at-a-time Python UDF."""
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_SMOKE)
+        plans.assert_no_python_udf(df)
+
+
+def test_top_n_avoids_global_sort(spark):
+    df = entrymod.q_sort_n_by(spark, SF_ORACLE)
+    assert "TakeOrderedAndProject" in plans.plan_text(df)
+
+
+def test_projection_prunes_unused_columns(spark):
+    li = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    df = li.filter(F.col("l_quantity") > 10).select("l_orderkey")
+    plans.assert_read_schema(
+        df, must_have=["l_orderkey", "l_quantity"], must_not_have=["l_extendedprice"]
+    )
