@@ -323,6 +323,18 @@ def q_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (beyond the reference; linear interpolation —
+    same formula as SQL quantile_cont so the oracle matches exactly).
+    percentile_approx is the t-digest scale path, bench-only."""
+    od = _t(spark, sf_dir, "orders")
+    return od.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+
+
 # --- grouping sets / pivot / dynamic-JSON / UDAF ---------------------------
 
 
@@ -616,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "all_any": q_all_any,
         "distinct_count": q_distinct_count,
+        "percentiles": q_percentiles,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "supplier_part_share": q_supplier_part_share,
@@ -738,6 +751,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_distinct_pairs FROM (
                 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
             )
+        """,
+        "percentiles": """
+            SELECT quantile_cont(o_totalprice, 0.5) AS p50,
+                   quantile_cont(o_totalprice, 0.9) AS p90,
+                   quantile_cont(o_totalprice, 0.99) AS p99
+            FROM orders
         """,
         "tpch_q3_shipping": """
             SELECT l_orderkey,

@@ -43,6 +43,16 @@ def chain(*dfs: DataFrame) -> DataFrame:
     return out
 
 
+def inspect(df: DataFrame, observation, *metrics: Column) -> DataFrame:
+    """Side-effecting peek (reference ``inspect``, par_stream.rs:61-67):
+    ``df.observe`` attaches named metrics evaluated during the next
+    action without altering the stream — the scalable analog of the
+    reference's &item closure (no driver round-trip, no extra pass).
+    ``observation``: a pyspark Observation (read back via ``.get``) or a
+    string name (read back via QueryExecutionListener)."""
+    return df.observe(observation, *metrics)
+
+
 def map_partitions_pandas(
     df: DataFrame, fn: Callable[[Iterable[pd.DataFrame]], Iterable[pd.DataFrame]], schema
 ) -> DataFrame:

@@ -147,6 +147,17 @@ def streaming_topk_types(events: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    dedup.exact_dedup_stats: drop duplicate keys arriving within the
+    watermark horizon (state per key is bounded by the watermark; an
+    unbounded dropDuplicates would grow state forever on an infinite
+    stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

@@ -76,6 +76,37 @@ def test_session_windows(spark, event_stream_dir):
     assert all(r.sess_end > r.sess_start for r in rows)
 
 
+def test_streaming_dedup_within_watermark(spark, event_stream_dir):
+    """Streaming dedup drops re-arrivals of the same key; with unique
+    event_ids input==output, and with a constant key one row survives
+    per watermark horizon."""
+    stream = ev.read_event_stream(spark, event_stream_dir)
+    ev.run_to_memory_sink(ev.streaming_dedup(stream, ["event_id"]), "dd_sink")
+    n_unique = spark.sql("select count(*) c from dd_sink").first().c
+    total = spark.read.parquet(event_stream_dir).count()
+    assert n_unique == total  # all ids unique → nothing dropped
+
+    dup = ev.read_event_stream(spark, event_stream_dir).withColumn(
+        "event_type", F.lit("same")
+    )
+    ev.run_to_memory_sink(ev.streaming_dedup(dup, ["event_type"]), "dd2_sink")
+    n_dedup = spark.sql("select count(*) c from dd2_sink").first().c
+    assert n_dedup < total / 100  # collapses to ~one per horizon
+
+
+def test_inspect_observe(spark, event_stream_dir):
+    from pyspark.sql import Observation
+
+    from amadeus_spark.operators import transforms
+
+    df = spark.read.parquet(event_stream_dir)
+    obs = Observation("peek")
+    watched = transforms.inspect(df, obs, F.count(F.lit(1)).alias("rows"), F.max("value").alias("mx"))
+    n = watched.count()
+    assert obs.get["rows"] == n
+    assert obs.get["mx"] > 0
+
+
 def test_streaming_topk_matches_batch(spark, event_stream_dir):
     stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
     ev.run_to_memory_sink(ev.streaming_topk_types(stream, k=3), "topk_sink", "update")
