@@ -383,9 +383,20 @@ def ngram_jaccard_pairs(
         .persist()  # consumed 3× (sizes + both join sides)
     )
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    # only hashes present in ≥2 docs can produce a pair — pre-filtering
+    # shrinks the self-join input from |all shingles| to |shared shingles|
+    # (usually a tiny fraction), turning the expensive stage into one
+    # count-shuffle + a small join. Measured ~2× at sf0.1.
+    shared = (
+        ex.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("h")
+    )
+    ex2 = ex.join(shared, "h")
     inter = (
-        ex.alias("a")
-        .join(ex.alias("b"), on=[F.col("a.h") == F.col("b.h"), F.col("a.doc") < F.col("b.doc")])
+        ex2.alias("a")
+        .join(ex2.alias("b"), on=[F.col("a.h") == F.col("b.h"), F.col("a.doc") < F.col("b.doc")])
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )

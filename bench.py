@@ -35,6 +35,8 @@ def main() -> None:
     queries = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in queries.items():
+        spark.catalog.clearCache()  # dedup queries persist signature
+        # frames; clear between queries so timings are independent
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.collect()  # every registered query returns a small result set
