@@ -1,0 +1,90 @@
+"""Execution-mode parity — the reference's discipline of running every
+test on a thread pool AND a process pool with identical assertions
+(tests/*_dist.rs twins, SURVEY §5 #4). Spark's analog: the same operator
+must produce identical results regardless of input partitioning — that's
+what makes local[32] results transfer to a 1000-executor cluster."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.functions import dedup, similarity, text
+from amadeus_spark.operators import sketches
+from tests.conftest import SF_ORACLE
+
+
+def _rows(df):
+    return sorted(
+        tuple(str(v) for _, v in sorted(r.asDict().items())) for r in df.collect()
+    )
+
+
+def _docs(spark, nparts):
+    return spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet")).repartition(
+        nparts
+    )
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_minhash_partitioning_invariance(spark, nparts):
+    base = _rows(dedup.minhash_lsh_pairs(_docs(spark, 32), "doc_id", "text"))
+    other = _rows(dedup.minhash_lsh_pairs(_docs(spark, nparts), "doc_id", "text"))
+    assert base == other
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_sketch_ops_partitioning_invariance(spark, nparts):
+    li32 = spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet")).repartition(32)
+    lin = spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet")).repartition(nparts)
+    assert _rows(sketches.most_distinct(li32, "l_suppkey", "l_partkey", 10)) == _rows(
+        sketches.most_distinct(lin, "l_suppkey", "l_partkey", 10)
+    )
+    assert _rows(sketches.most_frequent(li32, "l_partkey", 10)) == _rows(
+        sketches.most_frequent(lin, "l_partkey", 10)
+    )
+
+
+def test_grouped_money_sum_partitioning_invariance(spark):
+    """The decimal-cast discipline makes grouped money sums bit-identical
+    under any partitioning (double sums would drift in the last ulps)."""
+    paths = os.path.join(SF_ORACLE, "lineitem.parquet")
+    out = []
+    for nparts in (1, 5, 32):
+        li = spark.read.parquet(paths).repartition(nparts)
+        out.append(
+            _rows(
+                li.groupBy("l_returnflag").agg(
+                    F.sum(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                            "decimal(18,6)"
+                        )
+                    )
+                    .cast("double")
+                    .alias("rev")
+                )
+            )
+        )
+    assert out[0] == out[1] == out[2]
+
+
+def test_simhash_and_text_partitioning_invariance(spark):
+    a = _rows(dedup.simhash_pairs(_docs(spark, 1), "doc_id", "text"))
+    b = _rows(dedup.simhash_pairs(_docs(spark, 13), "doc_id", "text"))
+    assert a == b
+    qa = _rows(
+        _docs(spark, 1).select(text.lang_id("text").alias("l")).groupBy("l").count()
+    )
+    qb = _rows(
+        _docs(spark, 13).select(text.lang_id("text").alias("l")).groupBy("l").count()
+    )
+    assert qa == qb
+
+
+def test_cosine_topk_partitioning_invariance(spark):
+    emb = os.path.join(SF_ORACLE, "embeddings.parquet")
+    a = _rows(similarity.cosine_topk(spark.read.parquet(emb).repartition(1), [0, 1], 5))
+    b = _rows(similarity.cosine_topk(spark.read.parquet(emb).repartition(9), [0, 1], 5))
+    assert a == b
