@@ -418,6 +418,34 @@ def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.reservoir_sample(od.select("o_orderkey"), 50, seed=42)
 
 
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline in one declarative plan:
+    quality-filter documents → remove MinHash-LSH near-duplicates (keep
+    the lower doc_id of each pair) → per-language corpus stats. The
+    composition every stage was built for; each stage is the operator
+    verified individually elsewhere."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = F.expr(
+        "cast(" + text.stopword_count_sql("text") + " as double)"
+        " / cast(size(filter(split(text, ' '), x -> x != '')) as double)"
+    )
+    kept = docs.withColumn("__q", quality).filter(F.col("__q") >= 0.05)
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    surviving = kept.join(F.broadcast(drop), "doc_id", "left_anti")
+    return (
+        surviving.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))")).alias(
+                "total_tokens"
+            ),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 # --- event-time / window operators (events table) -------------------------
 
 
@@ -642,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions": q_window_functions,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
+        "training_pipeline": q_training_pipeline,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -856,6 +885,21 @@ def oracle_sql() -> dict[str, str]:
                          AND c.ts <= p.ts) AS last_click
               FROM events p WHERE p.event_type = 'purchase'
             ) t
+        """,
+        "training_pipeline": f"""
+            WITH pairs AS (
+              SELECT * FROM ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)}) mh
+            ),
+            kept AS (
+              SELECT * FROM documents
+              WHERE cast({text.stopword_count_sql("text")} as double)
+                    / cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as double) >= 0.05
+                AND doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM kept GROUP BY lang ORDER BY lang
         """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,
