@@ -254,6 +254,20 @@ def q_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except (SURVEY §2.6 — absent in the reference, Spark-
+    native): customers appearing in both high- and low-value order sets,
+    and only-high."""
+    od = _t(spark, sf_dir, "orders")
+    hi = od.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    lo = od.filter(F.col("o_totalprice") <= 150000).select("o_custkey")
+    both = hi.intersect(lo).count()
+    only_hi = hi.subtract(lo).count()  # EXCEPT DISTINCT
+    return spark.createDataFrame(
+        [(both, only_hi)], "in_both bigint, only_high bigint"
+    )
+
+
 def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct + count (Spark-native set op; reference lacks distinct —
     SURVEY §2.6): distinct (custkey, orderstatus) pairs."""
@@ -655,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_n_by": q_sort_n_by,
         "sample_deterministic": q_sample_deterministic,
         "all_any": q_all_any,
+        "set_ops": q_set_ops,
         "distinct_count": q_distinct_count,
         "percentiles": q_percentiles,
         "tpch_q3_shipping": q_tpch_q3_shipping,
@@ -775,6 +790,13 @@ def oracle_sql() -> dict[str, str]:
         "all_any": """
             SELECT (SELECT COUNT(*) FROM lineitem WHERE NOT (l_quantity > 0)) = 0 AS all_qty_positive,
                    (SELECT COUNT(*) FROM lineitem WHERE l_quantity > 1000) > 0 AS any_qty_over_1000
+        """,
+        "set_ops": """
+            WITH hi AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+                 lo AS (SELECT o_custkey FROM orders WHERE o_totalprice <= 150000)
+            SELECT (SELECT COUNT(*) FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo) t) AS in_both,
+                   (SELECT COUNT(DISTINCT o_custkey) FROM hi
+                     WHERE o_custkey NOT IN (SELECT o_custkey FROM lo)) AS only_high
         """,
         "distinct_count": """
             SELECT COUNT(*) AS n_distinct_pairs FROM (

@@ -1,0 +1,46 @@
+"""The reference's flagship example re-expressed Spark-first.
+
+Reference (examples/cloudfront_logs.rs:31-45): read CloudFront access
+logs from S3, then in ONE pass take a 10-row reservoir sample AND a
+per-hour request histogram via ``fork``.
+
+Here: spark.read.text over s3a:// (or a local dir), the W3C parse as
+column expressions, and fork = persist + two actions (or a single
+``agg`` when both sinks aggregate). Run against any CloudFront log dir:
+
+    python examples/cloudfront_logs.py /path/to/logs
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from amadeus_spark import get_spark
+from amadeus_spark.operators import aggregates, sampling
+from amadeus_spark.sources import cloudfront
+
+
+def main(path: str) -> None:
+    spark = get_spark("cloudfront_logs_example")
+    rows = cloudfront.read_cloudfront(spark, path)
+
+    sample, histogram = aggregates.fork(
+        rows,
+        lambda df: sampling.reservoir_sample(df, 10, seed=42).collect(),
+        lambda df: cloudfront.hourly_histogram(df).collect(),
+    )
+
+    print(f"sample ({len(sample)} rows):")
+    for r in sample[:3]:
+        print("  ", r.time, r.remote_ip, r.url)
+    print("hourly histogram:")
+    for r in histogram:
+        print("  ", r.hour, r.requests)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/cloudfront_logs")
