@@ -1,0 +1,105 @@
+"""Postgres source via COPY TO STDOUT — the reference's exact transfer
+mechanism (amadeus-postgres/src/lib.rs:245 issues
+``COPY (SELECT <cols> FROM <tbl>) TO STDOUT (FORMAT BINARY)`` and decodes
+the stream; one task per (url, table) pair).
+
+Spark-first translation with *better* parallelism: the read is split
+into ``num_partitions`` key ranges (like JDBC's partitionColumn), each
+executor task COPYs only its range via ``psql`` (CSV form — the text
+protocol is engine-portable and needs no client library), parsed with
+pandas inside ``mapInPandas``. Column pruning = the SELECT list;
+predicate pushdown = the WHERE clause — both reach Postgres verbatim,
+matching the reference's projection-pushdown behavior (SURVEY §4 row 3).
+
+Prefer the JDBC reader (sources/readers.py:read_postgres) when the
+driver jar is available; this COPY path exists because COPY is
+measurably faster than cursor-based JDBC for bulk export and because it
+matches the reference's semantics exactly.
+
+Scale note: ranges must cover the key domain evenly (skewed bounds →
+straggler tasks). At 100 TB use a stats query for quantile-based bounds.
+"""
+
+from __future__ import annotations
+
+import io
+import subprocess
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def _copy_csv(dsn: str, query: str) -> bytes:
+    """Run COPY (query) TO STDOUT (FORMAT CSV, HEADER) through psql."""
+    sql = f"COPY ({query}) TO STDOUT (FORMAT CSV, HEADER)"
+    proc = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", sql],
+        capture_output=True,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"psql COPY failed: {proc.stderr.decode(errors='replace')}")
+    return proc.stdout
+
+
+def read_postgres_copy(
+    spark: SparkSession,
+    dsn: str,
+    table_or_query: str,
+    schema: T.StructType,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 4,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """Parallel COPY-based Postgres read.
+
+    ``table_or_query``: a table name or a parenthesizable SELECT.
+    Without ``partition_column`` the read is a single task (the
+    reference's per-table granularity); with it, ``num_partitions``
+    half-open ranges [lo, hi) split the work across executors.
+    """
+    cols = ", ".join(columns) if columns else "*"
+    src = f"({table_or_query}) q" if " " in table_or_query.strip() else table_or_query
+    base = f"SELECT {cols} FROM {src}"
+    where_extra = f" AND ({predicate})" if predicate else ""
+
+    if partition_column is None:
+        queries = [base + (f" WHERE {predicate}" if predicate else "")]
+    else:
+        assert lower_bound is not None and upper_bound is not None
+        span = max(upper_bound - lower_bound + 1, 1)
+        step = (span + num_partitions - 1) // num_partitions
+        queries = []
+        for i in range(num_partitions):
+            lo = lower_bound + i * step
+            hi = lower_bound + (i + 1) * step
+            rng = (
+                f"{partition_column} >= {lo} AND {partition_column} < {hi}"
+                if i < num_partitions - 1
+                else f"{partition_column} >= {lo}"
+            )
+            queries.append(f"{base} WHERE {rng}{where_extra}")
+
+    plan = spark.createDataFrame([(q,) for q in queries], "copy_query string").repartition(
+        len(queries)
+    )
+    names = [f.name for f in schema.fields]
+    pd_dtypes = {
+        f.name: "Int64"
+        for f in schema.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
+    }
+
+    def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for q in pdf["copy_query"]:
+                raw = _copy_csv(dsn, q)
+                out = pd.read_csv(io.BytesIO(raw), dtype=pd_dtypes)
+                yield out[names] if len(out) else pd.DataFrame(columns=names)
+
+    return plan.mapInPandas(fetch, schema=schema)

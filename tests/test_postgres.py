@@ -1,0 +1,147 @@
+"""End-to-end Postgres COPY-source test against a real local server
+(reference parity: tests/postgres.rs reads typed rows from a live
+Postgres; here we initdb a throwaway cluster, load orders from parquet,
+and read it back through the distributed COPY source)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from amadeus_spark.sources.postgres_copy import read_postgres_copy
+from tests.conftest import SF_SMOKE
+
+PGBIN = "/usr/local/bin"
+
+
+@pytest.fixture(scope="module")
+def pg_dsn(tmp_path_factory):
+    if not os.path.exists(f"{PGBIN}/initdb"):
+        pytest.skip("postgres binaries not available")
+    import tempfile
+
+    # NOT pytest's tmp tree: that lives under a mode-700 root-owned dir
+    # the postgres user can't traverse
+    d = tempfile.mkdtemp(prefix="amadeus_pg_", dir="/tmp")
+    data = os.path.join(d, "data")
+    sock = os.path.join(d, "sock")
+    os.makedirs(sock, exist_ok=True)
+    # the server must run unprivileged; tests may run as root, so hand
+    # the cluster dir to the postgres system user (present in this image)
+    run_as = "postgres"
+    subprocess.run(["chown", "-R", run_as, d], check=True)
+
+    def as_pg(cmd: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["su", run_as, "-s", "/bin/sh", "-c", cmd], check=True, capture_output=True
+        )
+
+    as_pg(f"{PGBIN}/initdb -D {data} -U amadeus -A trust")
+    # -l is load-bearing: without it the daemonized postmaster keeps the
+    # captured stderr pipe open and subprocess.run blocks forever
+    as_pg(
+        f"{PGBIN}/pg_ctl -D {data} -o \"-k {sock} -h '' -c listen_addresses=\" "
+        f"-w -l {d}/pg.log start"
+    )
+    dsn = f"host={sock} user=amadeus dbname=postgres"
+    yield dsn
+    subprocess.run(
+        ["su", run_as, "-s", "/bin/sh", "-c", f"{PGBIN}/pg_ctl -D {data} -m immediate stop"],
+        check=False,
+        capture_output=True,
+    )
+    shutil.rmtree(d, ignore_errors=True)
+
+
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def pg_orders(pg_dsn, spark):
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    rows = src.collect()
+    ddl = (
+        "CREATE TABLE orders (o_orderkey bigint, o_custkey bigint, "
+        "o_orderstatus text, o_totalprice double precision)"
+    )
+    subprocess.run(["psql", pg_dsn, "-X", "-q", "-c", ddl], check=True, capture_output=True)
+    csv = "\n".join(
+        f"{r.o_orderkey},{r.o_custkey},{r.o_orderstatus},{r.o_totalprice}" for r in rows
+    )
+    subprocess.run(
+        ["psql", pg_dsn, "-X", "-q", "-c", "COPY orders FROM STDIN (FORMAT CSV)"],
+        input=csv.encode(),
+        check=True,
+        capture_output=True,
+    )
+    return src
+
+
+def test_copy_read_full_table(spark, pg_dsn, pg_orders):
+    got = read_postgres_copy(
+        spark,
+        pg_dsn,
+        "orders",
+        ORDERS_SCHEMA,
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=10000,
+        num_partitions=4,
+    )
+    assert got.count() == pg_orders.count()
+    a = {r.o_orderkey: r.o_totalprice for r in got.collect()}
+    b = {r.o_orderkey: r.o_totalprice for r in pg_orders.collect()}
+    assert a == b
+
+
+def test_copy_read_pushdown(spark, pg_dsn, pg_orders):
+    """Column pruning + predicate reach Postgres verbatim (reference
+    projection-pushdown parity, amadeus-postgres lib.rs:245)."""
+    got = read_postgres_copy(
+        spark,
+        pg_dsn,
+        "orders",
+        T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+            ]
+        ),
+        columns=["o_orderkey", "o_orderstatus"],
+        predicate="o_orderstatus = 'F'",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=10000,
+        num_partitions=3,
+    )
+    want = pg_orders.filter(F.col("o_orderstatus") == "F").count()
+    rows = got.collect()
+    assert len(rows) == want
+    assert set(rows[0].asDict().keys()) == {"o_orderkey", "o_orderstatus"}
+
+
+def test_copy_read_query_source(spark, pg_dsn, pg_orders):
+    got = read_postgres_copy(
+        spark,
+        pg_dsn,
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey",
+        T.StructType(
+            [T.StructField("o_custkey", T.LongType()), T.StructField("n", T.LongType())]
+        ),
+    )
+    want = pg_orders.groupBy("o_custkey").count().count()
+    assert got.count() == want
