@@ -373,6 +373,42 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube: all grouping-set combinations over (status, priority)."""
+    od = _t(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (functions/multimodal.py): deterministic fake
+    media table → Arrow-batched distributed feature extraction →
+    per-kind digest stats. Rows-only check (payloads are synthetic;
+    the decode kernel is stubbed — the Spark plumbing is what's real)."""
+    from amadeus_spark.functions import multimodal
+
+    media = multimodal.make_fake_media(spark, 64)
+    feats = multimodal.extract_features(media, fake=True)
+    j = feats.join(media.select("media_id", "kind"), "media_id")
+    return (
+        j.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("sha256").alias("min_sha"),
+        )
+        .orderBy("kind")
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot: order counts + money sums by status columns per priority."""
     od = _t(spark, sf_dir, "orders")
@@ -676,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast": q_tpch_q6_forecast,
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
+        "cube": q_cube,
+        "multimodal_features": q_multimodal_features,
         "pivot": q_pivot,
         "json_props": q_json_props,
         "fold_udaf": q_fold_udaf,
@@ -842,6 +880,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
             ORDER BY rf, ls
+        """,
+        "cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS cnt
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
         """,
         "pivot": """
             SELECT o_orderpriority,

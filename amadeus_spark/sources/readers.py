@@ -108,6 +108,16 @@ def read_parquet(
     return df.select(*columns) if columns else df
 
 
+def read_parquet_filtered(
+    spark: SparkSession, path: str, path_glob: str
+) -> DataFrame:
+    """Path-based partition selection — the reference's
+    ``Directory::partitions_filter(|path| ...)`` (amadeus-core/src/
+    file.rs:186-193): only files matching the glob are listed, so the
+    filter prunes at *listing* time, before any read."""
+    return spark.read.option("pathGlobFilter", path_glob).parquet(path)
+
+
 def read_postgres(
     spark: SparkSession,
     url: str,

@@ -154,6 +154,22 @@ def test_frame_sample_plan(spark):
     assert [v.frame_idx for v in vids] == [0, 30, 60, 90]
 
 
+def test_path_glob_partition_filter(spark, tmpdir_data):
+    """Reference Directory::partitions_filter parity (file.rs:186-193):
+    select partitions by path pattern at listing time."""
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    path = os.path.join(tmpdir_data, "orders_glob")
+    readers.write_parquet(src, path, partition_by=["o_orderstatus"])
+    only_f = readers.read_parquet_filtered(spark, path, "*.parquet")
+    assert only_f.count() == src.count()
+    # basePath keeps the partition column while globbing one partition dir
+    one = (
+        spark.read.option("basePath", path)
+        .parquet(os.path.join(path, "o_orderstatus=F"))
+    )
+    assert one.count() == src.filter(F.col("o_orderstatus") == "F").count()
+
+
 def test_write_parquet_partitioned(spark, tmpdir_data):
     src = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
     path = os.path.join(tmpdir_data, "orders_part")
