@@ -1,0 +1,70 @@
+"""Physical-layout tests: bucketed joins plan without Exchange; salted
+joins return exactly the plain-join result while spreading hot keys."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark import plans
+from amadeus_spark.operators import storage
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketing_test")
+    spark.catalog.setCurrentDatabase("bucketing_test")
+    yield
+    spark.sql("DROP DATABASE IF EXISTS bucketing_test CASCADE")
+    spark.catalog.setCurrentDatabase("default")
+
+
+def test_bucketed_join_is_shuffle_free(spark, warehouse):
+    orders = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+    lineitem = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+    storage.write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "okey"), "orders_b", ["okey"], 8
+    )
+    storage.write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "okey"), "lineitem_b", ["okey"], 8
+    )
+    j = storage.bucketed_join(spark, "lineitem_b", "orders_b", on="okey")
+    agg = j.groupBy("okey").agg(F.count(F.lit(1)).alias("n"))
+    # disable auto-broadcast so the join itself is SMJ/shuffle-hash shaped
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_shuffles_join = plans.shuffle_count(j)
+        assert n_shuffles_join == 0, plans.plan_text(j)
+        # the groupBy on the bucket key also reuses the bucketing
+        assert plans.shuffle_count(agg) == 0, plans.plan_text(agg)
+        assert j.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.range(0, 20000).select(
+        # pathological skew: 50% of rows share key 0
+        F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "k int, tag string"
+    )
+    plain = left.join(right, "k").groupBy("tag").count()
+    salted = storage.salted_join(left, right, "k", n_salts=8).groupBy("tag").count()
+    assert sorted((r.tag, r["count"]) for r in plain.collect()) == sorted(
+        (r.tag, r["count"]) for r in salted.collect()
+    )
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "zz")], "k int, v string")
+    right = spark.createDataFrame([(1, "r1"), (2, "r2")], "k int, tag string")
+    out = storage.salted_join(left, right, "k", n_salts=4, how="left").collect()
+    by_key = {r.k: r.tag for r in out}
+    assert by_key == {1: "r1", 2: "r2", 99: None}
+    assert len(out) == 3  # no row duplication from salting
