@@ -158,6 +158,39 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_stream_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    max_gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joins clicks by the same user within [ts - max_gap, ts]. Both sides
+    are watermarked so the join state (buffered unmatched rows) is
+    bounded — the time-range predicate is what lets Spark drop state,
+    otherwise both sides buffer forever.
+
+    The batch twin is operators/joins.asof_join restricted to the gap;
+    this is the streaming member of that family."""
+    p = purchases.withWatermark("ts", watermark).alias("p")
+    c = clicks.withWatermark("ts", watermark).alias("c")
+    gap = F.expr(f"INTERVAL {max_gap}")
+    return p.join(
+        c,
+        on=[
+            F.col("p.user_id") == F.col("c.user_id"),
+            F.col("c.ts") <= F.col("p.ts"),
+            F.col("c.ts") >= F.col("p.ts") - gap,
+        ],
+        how="inner",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.ts").alias("purchase_ts"),
+        F.col("c.ts").alias("click_ts"),
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

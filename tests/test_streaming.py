@@ -107,6 +107,37 @@ def test_inspect_observe(spark, event_stream_dir):
     assert obs.get["mx"] > 0
 
 
+def test_stream_stream_join_matches_batch(spark, event_stream_dir):
+    """Stream-stream time-bounded join == the same join in batch."""
+    stream = ev.read_event_stream(spark, event_stream_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    clicks = stream.filter(F.col("event_type") == "click")
+    ev.run_to_memory_sink(
+        ev.stream_stream_join(purchases, clicks), "ssj_sink"
+    )
+    got = {
+        (r.purchase_id, r.click_ts)
+        for r in spark.sql("select * from ssj_sink").collect()
+    }
+    batch = spark.read.parquet(event_stream_dir)
+    bp = batch.filter(F.col("event_type") == "purchase").alias("p")
+    bc = batch.filter(F.col("event_type") == "click").alias("c")
+    want = {
+        (r.purchase_id, r.click_ts)
+        for r in bp.join(
+            bc,
+            on=[
+                F.col("p.user_id") == F.col("c.user_id"),
+                F.col("c.ts") <= F.col("p.ts"),
+                F.col("c.ts") >= F.col("p.ts") - F.expr("INTERVAL 30 minutes"),
+            ],
+        )
+        .select(F.col("p.event_id").alias("purchase_id"), F.col("c.ts").alias("click_ts"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_topk_matches_batch(spark, event_stream_dir):
     stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
     ev.run_to_memory_sink(ev.streaming_topk_types(stream, k=3), "topk_sink", "update")
