@@ -342,10 +342,13 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same formula as SQL quantile_cont so the oracle matches exactly).
     percentile_approx is the t-digest scale path, bench-only."""
     od = _t(spark, sf_dir, "orders")
+    # round(4): Spark interpolates lower*(1-d)+higher*d, DuckDB
+    # lower+d*(higher-lower) — algebraically equal but can differ in the
+    # last ulp; rounding removes the engine-dependent digit.
     return od.agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -842,9 +845,9 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "percentiles": """
-            SELECT quantile_cont(o_totalprice, 0.5) AS p50,
-                   quantile_cont(o_totalprice, 0.9) AS p90,
-                   quantile_cont(o_totalprice, 0.99) AS p99
+            SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
             FROM orders
         """,
         "tpch_q3_shipping": """

@@ -80,26 +80,16 @@ def hash32_frag(s_spark: str, s_duck: str) -> tuple[str, str]:
     )
 
 
-def shingle_hashes_frag(col: str, k: int = SHINGLE_K) -> tuple[str, str]:
-    shs, shd = shingles_frag(col, k)
-    hs, hd = hash32_frag("s", "s")
-    return (
-        f"transform({shs}, s -> {hs})",
-        f"list_transform({shd}, s -> {hd})",
-    )
-
-
-def minhash_sig_frag(hashes_col: str = "hs") -> tuple[list[str], list[str]]:
-    """NUM_HASHES signature components over a pre-computed hash array."""
-    spark = [
-        f"array_min(transform({hashes_col}, h -> (h * {a} + {b}) % {MERSENNE_P}))"
-        for a, b in zip(HASH_A, HASH_B)
-    ]
-    duck = [
+def minhash_sig_frag_duck(hashes_col: str = "hs") -> list[str]:
+    """NUM_HASHES signature components over a pre-computed hash array —
+    DuckDB dialect only: the live Spark path computes signatures via
+    explode + codegen'd min-aggregates in with_minhash (same constants,
+    same values), so a Spark-dialect twin here would be dead code that
+    could silently drift."""
+    return [
         f"list_min(list_transform({hashes_col}, h -> (h * {a} + {b}) % {MERSENNE_P}))"
         for a, b in zip(HASH_A, HASH_B)
     ]
-    return spark, duck
 
 
 def band_hashes_frag(sig_col: str = "sig") -> tuple[list[str], list[str]]:
@@ -206,7 +196,7 @@ def minhash_lsh_oracle(table: str, id_col: str, text_col: str, threshold: float 
     """DuckDB twin of minhash_lsh_pairs — same constants, same algorithm."""
     _, shd = shingles_frag(text_col)
     _, hd = hash32_frag("s", "s")
-    _, sig_d = minhash_sig_frag("hs")
+    sig_d = minhash_sig_frag_duck("hs")
     _, band_d = band_hashes_frag("sig")
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc, {j} AS band_id, {frag} AS bh FROM sigs" for j, frag in enumerate(band_d)
@@ -289,7 +279,16 @@ def simhash_pairs(
         f"(case when 2 * c_{b} > n then {1 << b}L else 0L end)"
         for b in range(SIMHASH_BITS)
     )
-    docs = counted.select("doc", F.expr(f"({sh32})").alias("sh32")).persist()
+    sigs = counted.select("doc", F.expr(f"({sh32})").alias("sh32"))
+    # empty/whitespace-only docs explode to zero rows and would vanish
+    # from the groupBy; the oracle assigns them sh32=0 (no bit has a
+    # majority over zero tokens) — re-attach them so parity holds.
+    all_ids = df.select(F.col(id_col).alias("doc"))
+    docs = (
+        all_ids.join(sigs, "doc", "left")
+        .withColumn("sh32", F.coalesce("sh32", F.lit(0)))
+        .persist()
+    )
     bands = docs.select(
         "doc",
         "sh32",

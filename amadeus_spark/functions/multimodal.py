@@ -90,13 +90,13 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     frames to decode (frame indices from duration/fps metadata), so the
     expensive decode only touches selected offsets. Returns
     (media_id, frame_idx) pairs via sequence+explode — pure exprs."""
-    frames = F.sequence(
-        F.lit(0),
-        F.coalesce(F.element_at("meta", "n_frames").cast("int"), F.lit(0)) - 1,
-        F.lit(every_n),
-    )
+    n_frames = F.coalesce(F.element_at("meta", "n_frames").cast("int"), F.lit(0))
+    frames = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return (
         df.filter(F.col("kind") == "video")
+        # missing/zero n_frames → no frames to sample, not a crashed job
+        # (sequence(0,-1,30) is illegal and would abort the query)
+        .filter(n_frames >= 1)
         .select("media_id", F.explode(frames).alias("frame_idx"))
     )
 

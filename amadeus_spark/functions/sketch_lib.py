@@ -134,18 +134,22 @@ def most_frequent_sketch(
     serialized sketches (width*depth ints each) cross the wire.
     """
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+    def build(batches):
+        # one sketch per INPUT partition: mapInPandas receives this
+        # partition's Arrow batches as an iterator — accumulate, emit one
+        # state row. (groupBy(spark_partition_id) would plan an Exchange
+        # funnelling every partition's rows through one reducer — the
+        # opposite of the zero-shuffle topology this function promises.)
         sk = CountMinTopK(k, probability, tolerance)
-        for key, cnt in pdf[col].value_counts().items():
-            sk.push(str(key), int(cnt))
-        return pd.DataFrame({"state": [sk.dumps()]})
+        saw = False
+        for pdf in batches:
+            saw = True
+            for key, cnt in pdf[col].value_counts().items():
+                sk.push(str(key), int(cnt))
+        if saw:
+            yield pd.DataFrame({"state": [sk.dumps()]})
 
-    partials = (
-        df.select(F.col(col), F.spark_partition_id().alias("__pid"))
-        .groupBy("__pid")
-        .applyInPandas(build, schema="state string")
-        .collect()
-    )
+    partials = df.select(F.col(col)).mapInPandas(build, schema="state string").collect()
     if not partials:
         return []
     merged = CountMinTopK.loads(partials[0].state)

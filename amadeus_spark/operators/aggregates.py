@@ -79,7 +79,12 @@ def fork(df: DataFrame, sink_a, sink_b):
     read once, run both actions, unpersist. At 100 TB choose
     StorageLevel/checkpoint consciously; the documented divergence
     (SURVEY §7 hard part #3) is that Spark materializes where the
-    reference streamed both sinks in one pull."""
+    reference streamed both sinks in one pull.
+
+    Each sink callable MUST trigger its action (collect/count/write)
+    before returning — the persist is released when this function exits,
+    so a lazily-returned DataFrame would re-scan the source when finally
+    evaluated."""
     df = df.persist()
     try:
         return sink_a(df), sink_b(df)

@@ -74,11 +74,19 @@ def asof_join(
     cond = rt <= lt if direction == "backward" else rt >= lt
     for k in on_keys:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
-    l, r = left.alias("l"), right.alias("r")
+    # a synthetic row id guarantees 1:1 output with left input even when
+    # the left side contains fully-duplicate rows (partitioning on all
+    # left columns would collapse them to one output row)
+    if left_id_cols:
+        left_keyed = left
+        part_cols = list(left_id_cols)
+    else:
+        left_keyed = left.withColumn("__lid", F.monotonically_increasing_id())
+        part_cols = ["__lid"]
+    l, r = left_keyed.alias("l"), right.alias("r")
     joined = l.join(r, on=cond, how="left")
     order = rt.desc() if direction == "backward" else rt.asc()
-    part = list(left_id_cols) if left_id_cols else list(left.columns)
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in part]).orderBy(order)
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in part_cols]).orderBy(order)
     ranked = joined.withColumn("__rn", F.row_number().over(w))
     keep = [F.col(f"l.{c}").alias(c) for c in left.columns] + [
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns

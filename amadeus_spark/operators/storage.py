@@ -59,7 +59,16 @@ def salted_join(
     equal the plain join — only the shuffle distribution differs.
 
     Cost: right side inflated ×n_salts — use for joins where the right
-    side is modest but too big to broadcast and the left is skewed."""
+    side is modest but too big to broadcast and the left is skewed.
+
+    Only inner/left/left_semi preserve multiplicity under salting: a
+    right/full outer join would emit each unmatched right row once per
+    replica, so those types are rejected."""
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: outer "
+            "joins would duplicate unmatched right rows per salt replica"
+        )
     salted_left = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
     salted_right = right.select("*", salts)

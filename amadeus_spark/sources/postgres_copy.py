@@ -78,11 +78,17 @@ def read_postgres_copy(
         for i in range(num_partitions):
             lo = lower_bound + i * step
             hi = lower_bound + (i + 1) * step
-            rng = (
-                f"{partition_column} >= {lo} AND {partition_column} < {hi}"
-                if i < num_partitions - 1
-                else f"{partition_column} >= {lo}"
-            )
+            # JDBC-parity strides: the FIRST range is unbounded below and
+            # owns NULL keys, the LAST is unbounded above — keys outside
+            # [lower_bound, upper_bound] are never silently dropped.
+            if num_partitions == 1:
+                rng = "TRUE"
+            elif i == 0:
+                rng = f"({partition_column} < {hi} OR {partition_column} IS NULL)"
+            elif i < num_partitions - 1:
+                rng = f"{partition_column} >= {lo} AND {partition_column} < {hi}"
+            else:
+                rng = f"{partition_column} >= {lo}"
             queries.append(f"{base} WHERE {rng}{where_extra}")
 
     plan = spark.createDataFrame([(q,) for q in queries], "copy_query string").repartition(

@@ -134,6 +134,44 @@ def test_copy_read_pushdown(spark, pg_dsn, pg_orders):
     assert set(rows[0].asDict().keys()) == {"o_orderkey", "o_orderstatus"}
 
 
+def test_copy_read_keys_outside_bounds_not_dropped(spark, pg_dsn, pg_orders):
+    """Regression (code-review finding): rows with keys below lower_bound
+    or NULL keys must land in the first stride, not vanish."""
+    subprocess.run(
+        [
+            "psql",
+            pg_dsn,
+            "-X",
+            "-q",
+            "-c",
+            "INSERT INTO orders VALUES (-5, 1, 'X', 1.0), (NULL, 2, 'X', 2.0)",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        got = read_postgres_copy(
+            spark,
+            pg_dsn,
+            "orders",
+            ORDERS_SCHEMA,
+            partition_column="o_orderkey",
+            lower_bound=0,
+            upper_bound=10000,
+            num_partitions=4,
+        )
+        rows = got.collect()
+        assert len(rows) == pg_orders.count() + 2
+        keys = {r.o_orderkey for r in rows}
+        assert -5 in keys and None in keys
+    finally:
+        subprocess.run(
+            ["psql", pg_dsn, "-X", "-q", "-c", "DELETE FROM orders WHERE o_orderstatus = 'X'"],
+            check=True,
+            capture_output=True,
+        )
+
+
 def test_copy_read_query_source(spark, pg_dsn, pg_orders):
     got = read_postgres_copy(
         spark,

@@ -1,0 +1,74 @@
+"""Regression tests for the round-1 code-review findings — each test
+reproduces the original failure scenario."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.functions import dedup, multimodal
+from amadeus_spark.functions.sketch_lib import most_frequent_sketch
+from amadeus_spark.operators import joins, storage
+
+
+def test_frame_sample_missing_n_frames_yields_no_frames(spark):
+    """Video row without n_frames metadata must not abort the job."""
+    rows = [(1, "video", "mp4", {}, b"x"), (2, "video", "mp4", {"n_frames": "61"}, b"y")]
+    media = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    plan = multimodal.frame_sample_plan(media, every_n=30).collect()
+    got = sorted((r.media_id, r.frame_idx) for r in plan)
+    assert got == [(2, 0), (2, 30), (2, 60)]  # id 1 contributes nothing
+
+
+def test_simhash_empty_doc_parity(spark, duck):
+    """Blank documents must get sh32=0 on BOTH engines, not vanish from
+    the Spark side (original bug: explode dropped them pre-groupBy)."""
+    rows = [(1, "alpha beta gamma"), (2, ""), (3, "   "), (4, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", max_hamming=8, limit=20)
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in pairs.collect()}
+    # identical docs 1/4 at hamming 0; blank docs 2/3 both sh32=0 →
+    # hamming 0 against each other
+    assert (1, 4, 0) in got
+    assert (2, 3, 0) in got
+
+    duck.execute("CREATE OR REPLACE TABLE __sim_docs AS SELECT * FROM (VALUES (1, 'alpha beta gamma'), (2, ''), (3, '   '), (4, 'alpha beta gamma')) t(doc_id, text)")
+    orows = duck.sql(
+        dedup.simhash_oracle("__sim_docs", "doc_id", "text", 8, 20)
+    ).fetchall()
+    assert {(a, b, h) for a, b, h in orows} == got
+
+
+def test_salted_join_rejects_outer(spark):
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, "r")], "k int, tag string")
+    with pytest.raises(ValueError, match="outer"):
+        storage.salted_join(left, right, "k", how="right")
+    with pytest.raises(ValueError, match="outer"):
+        storage.salted_join(left, right, "k", how="full")
+
+
+def test_asof_join_duplicate_left_rows(spark):
+    """Fully-duplicate left rows must each produce an output row."""
+    left = spark.createDataFrame([("u", 100), ("u", 100)], "k string, t long")
+    right = spark.createDataFrame([("u", 90, "m")], "k string, t long, tag string")
+    out = joins.asof_join(left, right, ["k"], "t", "t", "backward").collect()
+    assert len(out) == 2
+    assert all(r.r_tag == "m" for r in out)
+
+
+def test_sketch_correct_after_mapinpandas_rewrite(spark):
+    """most_frequent_sketch (now one sketch per input partition via
+    mapInPandas, no groupBy exchange) still ranks correctly, including
+    with a partition that holds no rows."""
+    df = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(1000)], "k string"
+    ).repartition(16)  # more partitions than distinct keys → empty ones
+    got = most_frequent_sketch(df, "k", 3)
+    exact = {
+        r.k: r.cnt
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [k for k, _ in got] == [k for k, _ in want]
+    assert [c for _, c in got] == [c for _, c in want]  # exact at this scale
