@@ -158,6 +158,45 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
+_SKETCH_STATE_SCHEMA = "state string"
+_SKETCH_OUT_SCHEMA = "event_type string, est_freq bigint"
+
+
+def streaming_topk_sketch(events: DataFrame, k: int = 5, tolerance: float = 0.001) -> DataFrame:
+    """Streaming top-k backed by the CMS+TopK sketch (functions/
+    sketch_lib.py) as explicit state — the reference's mergeable-sketch
+    streaming architecture (UnionAssign state, SURVEY §7 hard part #5):
+    state = one serialized sketch per shard, bounded memory regardless of
+    key cardinality (unlike streaming_topk_types' exact counts map)."""
+    from amadeus_spark.functions.sketch_lib import CountMinTopK
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            sk = CountMinTopK.loads(state.get[0])
+        else:
+            sk = CountMinTopK(k, 0.99, tolerance)
+        for pdf in pdfs:
+            for et, n in pdf.groupby("event_type").size().items():
+                sk.push(str(et), int(n))
+        state.update((sk.dumps(),))
+        top = sk.top()
+        yield pd.DataFrame(top, columns=["event_type", "est_freq"])
+
+    return (
+        events.withColumn("bucket", F.lit(0))
+        .groupBy("bucket")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_SKETCH_OUT_SCHEMA,
+            stateStructType=_SKETCH_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     purchases: DataFrame,
     clicks: DataFrame,

@@ -107,6 +107,27 @@ def test_inspect_observe(spark, event_stream_dir):
     assert obs.get["mx"] > 0
 
 
+def test_streaming_topk_sketch(spark, event_stream_dir):
+    """CMS-backed streaming top-k: final emission ranks match exact batch
+    counts (estimates within the sketch band at this scale)."""
+    stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    ev.run_to_memory_sink(ev.streaming_topk_sketch(stream, k=3, tolerance=0.0001), "tks_sink", "update")
+    final = {}
+    for r in spark.sql("select * from tks_sink").collect():
+        final[r.event_type] = r.est_freq  # later emissions overwrite
+    batch = spark.read.parquet(event_stream_dir)
+    exact = {
+        r.event_type: r.cnt
+        for r in batch.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = sorted(final.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [k for k, _ in got] == [k for k, _ in want]
+    n = sum(exact.values())
+    for (k_, est), (_, ex) in zip(got, want):
+        assert ex <= est <= ex + 0.0001 * n + 1
+
+
 def test_stream_stream_join_matches_batch(spark, event_stream_dir):
     """Stream-stream time-bounded join == the same join in batch."""
     stream = ev.read_event_stream(spark, event_stream_dir)
