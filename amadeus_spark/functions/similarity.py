@@ -239,6 +239,72 @@ ORDER BY id_a, id_b
 """
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means cells replace random hyperplanes.
+
+    Index build = KMeans over the corpus (seeded, pyspark.ml) + one cell
+    id per vector — at 100 TB this is the standard two-stage layout:
+    train on a sample, assign map-side, store cell as a partition column.
+    Search = nearest ``n_probe`` cells per query (centroid distances on
+    the driver — centroids are model state, n_cells×dim floats), then
+    exact cosine top-k within the probed cells only.
+
+    vs ann_lsh_topk: cells adapt to the data distribution (higher recall
+    at the same candidate budget); cost is the training pass. No DuckDB
+    oracle (KMeans isn't SQL) — checked by recall tests instead."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(base)
+    assigned = model.transform(base).drop("features")
+
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    q_rows = assigned.filter(F.col(id_col).isin(query_ids)).collect()
+    probe_pairs = []  # (q_id, cell) for the n_probe nearest cells
+    for r in q_rows:
+        v = np.array(r[vec_col], dtype=float)
+        d = ((centroids - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_pairs.append((int(r[id_col]), int(cell)))
+    probes = df.sparkSession.createDataFrame(probe_pairs, "q_id long, cell int")
+
+    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select("q_id", F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col("norm").alias("n_norm"))
+    )
+    ds, _ = dot_frag("q_vec", "n_vec")
+    scored = cand.join(F.broadcast(q), "q_id").withColumn(
+        "cosine", F.expr(f"{ds} / (q_norm * n_norm)")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine")
+        .orderBy("q_id", F.desc("cosine"), "n_id")
+    )
+
+
 def ann_lsh_oracle(
     table: str, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

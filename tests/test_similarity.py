@@ -1,0 +1,55 @@
+"""Similarity-search quality tests: ANN variants measured by recall
+against the exact brute-force top-k (the acceptance-band discipline for
+non-oracle operators)."""
+
+from __future__ import annotations
+
+import os
+
+from amadeus_spark.functions import similarity
+from tests.conftest import SF_ORACLE
+
+QUERIES = [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.q_id, set()).add(r.n_id)
+    return out
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    exact = _topk_sets(similarity.cosine_topk(emb, QUERIES, k=5).collect())
+    ivf = _topk_sets(
+        similarity.ivf_topk(emb, QUERIES, k=5, n_cells=16, n_probe=4).collect()
+    )
+    recalls = [
+        len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # embeddings are near-random (max cos ~0.5) — the hardest case for
+    # ANN; probing 4/16 cells must still recover a solid fraction
+    assert mean_recall >= 0.4, recalls
+
+
+def test_ivf_deterministic(spark):
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    a = similarity.ivf_topk(emb, [0, 1], k=3).collect()
+    b = similarity.ivf_topk(emb, [0, 1], k=3).collect()
+    assert [(r.q_id, r.n_id) for r in a] == [(r.q_id, r.n_id) for r in b]
+
+
+def test_lsh_ann_subset_of_bruteforce_scores(spark):
+    """Every LSH-ANN neighbor's cosine must equal the brute-force cosine
+    for the same pair (the bucketing prunes candidates, never rescores)."""
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    bf = {
+        (r.q_id, r.n_id): r.cosine
+        for r in similarity.cosine_topk(emb, QUERIES, k=50).collect()
+    }
+    ann = similarity.ann_lsh_topk(emb, QUERIES, k=5).collect()
+    for r in ann:
+        if (r.q_id, r.n_id) in bf:
+            assert abs(bf[(r.q_id, r.n_id)] - r.cosine) == 0.0
