@@ -464,6 +464,18 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_most_frequent_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """most_frequent in true sketch form (functions/sketch_lib.py):
+    per-partition CMS+TopK partials, driver union — the reference's
+    algorithm (top.rs spec, conservative update). Rows-only check:
+    estimates are CMS upper bounds, not SQL-reproducible."""
+    from amadeus_spark.functions.sketch_lib import most_frequent_sketch
+
+    ev = _ev(spark, sf_dir)
+    top = most_frequent_sketch(ev, "event_type", 5, probability=0.99, tolerance=0.0001)
+    return spark.createDataFrame(top or [("<empty>", 0)], "event_type string, est_freq bigint")
+
+
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sample_unstable(k) (sample.rs:125-185): exact-k uniform reservoir;
     seeded rand is Spark-internal so no cross-engine oracle."""
@@ -721,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "fold_udaf": q_fold_udaf,
         "approx_distinct": q_approx_distinct,
+        "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,
         "hourly_events": q_hourly_events,
         "window_functions": q_window_functions,

@@ -1,3 +1,3 @@
-from amadeus_spark.functions import dedup, similarity, text
+from amadeus_spark.functions import dedup, multimodal, similarity, sketch_lib, text
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "sketch_lib", "text"]
