@@ -37,6 +37,8 @@ def main() -> None:
     for name, fn in queries.items():
         spark.catalog.clearCache()  # dedup queries persist signature
         # frames; clear between queries so timings are independent
+        spark._jvm.System.gc()  # and settle accumulated JVM garbage so
+        # late queries aren't taxed by the first 40's allocations
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.collect()  # every registered query returns a small result set
