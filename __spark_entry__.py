@@ -496,7 +496,9 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / cast(size(filter(split(text, ' '), x -> x != '')) as double)"
     )
     kept = docs.withColumn("__q", quality).filter(F.col("__q") >= 0.05)
-    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+    # dedup AFTER the quality filter (standard pipeline order): the
+    # MinHash stage — the expensive one — only sees surviving docs
+    pairs = dedup.minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.8)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     surviving = kept.join(F.broadcast(drop), "doc_id", "left_anti")
     return (
@@ -971,14 +973,17 @@ def oracle_sql() -> dict[str, str]:
             ) t
         """,
         "training_pipeline": f"""
-            WITH pairs AS (
-              SELECT * FROM ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)}) mh
-            ),
-            kept AS (
+            WITH qkept AS MATERIALIZED (
               SELECT * FROM documents
               WHERE cast({text.stopword_count_sql("text")} as double)
                     / cast(len(list_filter(string_split(text, ' '), x -> x <> '')) as double) >= 0.05
-                AND doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
+            ),
+            pairs AS (
+              SELECT * FROM ({dedup.minhash_lsh_oracle("qkept", "doc_id", "text", 0.8)}) mh
+            ),
+            kept AS (
+              SELECT * FROM qkept
+              WHERE doc_id NOT IN (SELECT DISTINCT doc_b FROM pairs)
             )
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
