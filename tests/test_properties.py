@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels — the
+parts with algorithmic invariants that example tests undersample:
+CMS bounds/mergeability, WARC round-trip, sketch serialization."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amadeus_spark.functions.sketch_lib import CountMinTopK, cms_params
+from amadeus_spark.sources.warc import parse_warc_bytes
+
+keys = st.lists(
+    st.tuples(st.text(alphabet="abcdefg", min_size=1, max_size=4), st.integers(1, 50)),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(keys)
+def test_cms_estimates_are_upper_bounds(items):
+    """CMS estimate(k) >= true count(k), always (one-sided error)."""
+    sk = CountMinTopK(5, 0.99, 0.01)
+    truth: dict[str, int] = {}
+    for k, n in items:
+        sk.push(k, n)
+        truth[k] = truth.get(k, 0) + n
+    for k, true_n in truth.items():
+        assert sk.estimate(k) >= true_n
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys, keys)
+def test_cms_merge_never_underestimates_either_half(a_items, b_items):
+    """merge(a, b) estimates >= the sum of true counts from both halves."""
+    a, b = CountMinTopK(5, 0.99, 0.01), CountMinTopK(5, 0.99, 0.01)
+    truth: dict[str, int] = {}
+    for k, n in a_items:
+        a.push(k, n)
+        truth[k] = truth.get(k, 0) + n
+    for k, n in b_items:
+        b.push(k, n)
+        truth[k] = truth.get(k, 0) + n
+    merged = a.merge(b)
+    for k, true_n in truth.items():
+        assert merged.estimate(k) >= true_n
+
+
+@settings(max_examples=40, deadline=None)
+@given(keys)
+def test_cms_serialization_roundtrip_preserves_everything(items):
+    sk = CountMinTopK(4, 0.95, 0.02)
+    for k, n in items:
+        sk.push(k, n)
+    rt = CountMinTopK.loads(sk.dumps())
+    assert rt.top() == sk.top()
+    assert rt.table == sk.table
+    for k, _ in items:
+        assert rt.estimate(k) == sk.estimate(k)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.floats(0.5, 0.9999),
+    st.floats(0.0001, 0.5),
+)
+def test_cms_params_monotone(p, tol):
+    """Reference sizing: tighter tolerance → wider table; higher
+    probability → deeper table (count_min.rs:58-77)."""
+    w, d = cms_params(p, tol)
+    w2, _ = cms_params(p, tol / 2)
+    _, d2 = cms_params(1 - (1 - p) / 2, tol)
+    assert w >= 1 and d >= 1
+    assert w2 >= w
+    assert d2 >= d
+
+
+wbody = st.binary(min_size=0, max_size=200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abcxyz:/._", min_size=1, max_size=30), wbody), max_size=5))
+def test_warc_roundtrip(records):
+    """Serialize records in WARC/1.0 grammar → parse → identical bodies
+    and URIs, regardless of body bytes (incl. CRLFs inside bodies)."""
+    blob = b""
+    for uri, body in records:
+        blob += (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {uri}\r\n"
+            f"WARC-IP-Address: 1.2.3.4\r\nContent-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+    parsed = list(parse_warc_bytes(blob))
+    assert len(parsed) == len(records)
+    for (uri, body), rec in zip(records, parsed):
+        assert rec["contents"] == body
+        assert rec["url"] == uri.strip()
