@@ -129,7 +129,14 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.min(F.expr(f"(h * {a} + {b}) % {MERSENNE_P}")).alias(f"sig_{i}")
         for i, (a, b) in enumerate(zip(HASH_A, HASH_B))
     ]
-    grouped = hashed.groupBy("__id").agg(*aggs, F.collect_list("s").alias("sh"))
+    # carry HASHES for verification, not shingle strings: the shuffle
+    # payload per doc drops ~2.5× and Jaccard over distinct hash sets
+    # equals Jaccard over shingle sets (collisions ~n²/2³³, and the
+    # oracle hashes identically so even those agree). array_distinct:
+    # rare cross-shingle collisions would otherwise leave duplicates.
+    grouped = hashed.groupBy("__id").agg(
+        *aggs, F.array_distinct(F.collect_list("h")).alias("sh")
+    )
     sig_cols = ", ".join(f"sig_{i}" for i in range(NUM_HASHES))
     # persist: the signature frame feeds both sides of the LSH band
     # self-join AND the verification joins (4 consumers) — without it
@@ -203,11 +210,11 @@ def minhash_lsh_oracle(table: str, id_col: str, text_col: str, threshold: float 
     )
     return f"""
 WITH docs AS MATERIALIZED (
-  SELECT {id_col} AS doc, {shd} AS sh FROM {table}
+  SELECT {id_col} AS doc, {shd} AS shingles FROM {table}
 ), hashed AS MATERIALIZED (
-  SELECT doc, sh, list_transform(sh, s -> {hd}) AS hs FROM docs
+  SELECT doc, list_transform(shingles, s -> {hd}) AS hs FROM docs
 ), sigs AS MATERIALIZED (
-  SELECT doc, sh, [{', '.join(sig_d)}] AS sig FROM hashed
+  SELECT doc, list_distinct(hs) AS sh, [{', '.join(sig_d)}] AS sig FROM hashed
 ), bands AS (
   {band_selects}
 ), cand AS (
