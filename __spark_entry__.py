@@ -500,7 +500,10 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash stage — the expensive one — only sees surviving docs
     pairs = dedup.minhash_lsh_pairs(kept, "doc_id", "text", threshold=0.8)
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    surviving = kept.join(F.broadcast(drop), "doc_id", "left_anti")
+    # no broadcast hint: the drop list is O(corpus duplicates) — unbounded
+    # at scale (billions of ids at realistic dup rates). AQE picks
+    # broadcast at runtime when it happens to be small.
+    surviving = kept.join(drop, "doc_id", "left_anti")
     return (
         surviving.groupBy("lang")
         .agg(
@@ -755,6 +758,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+#: events.parquet is TIMESTAMP(NANOS); Spark reads it truncated to µs
+#: (tables.load_events). The oracle must compare at the SAME precision —
+#: DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates sub-µs — or any
+#: future sub-µs data silently diverges ordering ties and epoch sums.
+_EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "most_distinct": """
@@ -926,13 +936,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*) AS udaf_mean
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
-        "hourly_events": """
+        "hourly_events": f"""
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
-            FROM events GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 100
+            FROM {_EVENTS_US} ev GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 100
         """,
-        "window_functions": """
+        "window_functions": f"""
             SELECT user_id, event_id, rn, prev_value, running_value
             FROM (
                 SELECT user_id, event_id,
@@ -940,16 +950,16 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(lag(value) OVER w, cast(-1 as double)) AS prev_value,
                        sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                         ROWS UNBOUNDED PRECEDING) AS running_value
-                FROM events
+                FROM {_EVENTS_US} ev
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) t WHERE user_id < 5 AND rn <= 3
             ORDER BY user_id, rn
         """,
-        "sessionization": """
+        "sessionization": f"""
             WITH e AS (
               SELECT user_id, ts,
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-              FROM events
+              FROM {_EVENTS_US} ev
             ), f AS (
               SELECT user_id, ts,
                      CASE WHEN prev_ts IS NULL
@@ -960,16 +970,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
             FROM f GROUP BY user_id ORDER BY user_id
         """,
-        "asof_join": """
+        "asof_join": f"""
             SELECT COUNT(*) AS n_purchases,
                    COUNT(last_click) AS n_matched,
                    CAST(SUM(epoch_us(ts) - epoch_us(last_click)) AS BIGINT) AS total_gap_us
             FROM (
               SELECT p.ts,
-                     (SELECT max(c.ts) FROM events c
+                     (SELECT max(c.ts) FROM {_EVENTS_US} c
                        WHERE c.user_id = p.user_id AND c.event_type = 'click'
                          AND c.ts <= p.ts) AS last_click
-              FROM events p WHERE p.event_type = 'purchase'
+              FROM {_EVENTS_US} p WHERE p.event_type = 'purchase'
             ) t
         """,
         "training_pipeline": f"""

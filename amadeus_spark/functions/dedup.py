@@ -10,9 +10,15 @@ Scale design (the point of this module):
   candidate verification joins only within buckets. This is the textbook
   shingle→minhash→band→bucket-join plan (Broder; Leskovec et al. MMDS
   ch.3) and the standard 100 TB dedup path.
-- **SimHash**: 32-bit signature per doc (map-side), byte-banding for
-  candidates (a hamming-≤k pair must share one of 4 bytes for k ≤ 3 by
+- **SimHash**: 60-bit signature per doc (map-side), 4×15-bit banding for
+  candidates (a hamming-≤k pair must share one of 4 bands for k ≤ 3 by
   pigeonhole; wider k trades recall), bit_count(xor) verification.
+  60 bits (not 64) because the signature must live in a *signed* 64-bit
+  int in both engines (Spark LongType; DuckDB BIGINT errors on unsigned
+  overflow where Spark wraps) — 15 hex chars of md5 is the widest
+  portable hash. The 15-bit band keyspace (32,768 values) keeps buckets
+  at ~N/32768 so the within-bucket self-join stays near-linear; the old
+  32-bit/4×8-bit layout (256-value keyspace) was quadratic at scale.
 - **n-gram Jaccard**: exact verification metric used by both LSH paths.
 
 Every operator is pure Catalyst SQL expressions — no Python UDF in any
@@ -43,8 +49,10 @@ _rng = random.Random(20240813)
 HASH_A = [_rng.randrange(1, 1 << 20) for _ in range(NUM_HASHES)]
 HASH_B = [_rng.randrange(0, 1 << 20) for _ in range(NUM_HASHES)]
 
-SIMHASH_BITS = 32
-SIMHASH_BYTES = 4
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1  # 32767
 
 
 # ---- dual-dialect fragment builders ---------------------------------------
@@ -235,15 +243,25 @@ ORDER BY doc_a, doc_b
 # ---- SimHash --------------------------------------------------------------
 
 
+def hash60_frag(s_spark: str, s_duck: str) -> tuple[str, str]:
+    """Portable 60-bit string hash: first 15 hex chars of md5. 60 bits is
+    the widest md5 prefix that fits a signed 64-bit int in both engines
+    (16 chars can exceed 2^63: Spark's cast would null, DuckDB's error)."""
+    return (
+        f"cast(conv(substring(md5({s_spark}), 1, 15), 16, 10) as bigint)",
+        f"cast(cast('0x' || substr(md5({s_duck}), 1, 15) as ubigint) as bigint)",
+    )
+
+
 def token_hashes_frag(col: str) -> tuple[str, str]:
     """Non-distinct token hash array (SimHash weights by frequency)."""
     ts, td = toks_frag(col)
-    hs, hd = hash32_frag("t", "t")
+    hs, hd = hash60_frag("t", "t")
     return f"transform({ts}, t -> {hs})", f"list_transform({td}, t -> {hd})"
 
 
 def simhash_from_hashes_frag(th_col: str = "th") -> tuple[str, str]:
-    """32-bit SimHash over a pre-computed hash-array column: bit b is set
+    """60-bit SimHash over a pre-computed hash-array column: bit b is set
     when more than half the tokens have bit b set.
 
     Takes a *column* (not an inline expression) on purpose: with the md5
@@ -266,64 +284,67 @@ def simhash_from_hashes_frag(th_col: str = "th") -> tuple[str, str]:
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, limit: int = 20
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash byte-banding + hamming verify.
+    """Near-dup candidate pairs by SimHash 15-bit banding + hamming verify.
 
-    Candidates = pairs sharing ≥1 of the 4 signature bytes (pigeonhole:
+    Candidates = pairs sharing ≥1 of the 4 signature bands (pigeonhole:
     guarantees recall for hamming ≤ 3; documented trade for ≤ 8), then
     bit_count(simhash_a XOR simhash_b) ≤ max_hamming, top ``limit`` by
-    (hamming, doc_a, doc_b). Banding keeps it one shuffle keyed by byte
-    value — no O(n²) at scale."""
+    (hamming, doc_a, doc_b). Banding keeps it one shuffle keyed by band
+    value; the 32,768-value band keyspace holds buckets to ~N/32768 so
+    the within-bucket self-join stays near-linear in N (the candidate-
+    linearity property test pins this)."""
     th_s, _ = token_hashes_frag(text_col)
     # explode + codegen'd sums (same rationale as with_minhash): per bit,
-    # majority test 2*sum(bit) > n; HOF filter×32 measured ~4× slower
+    # majority test 2*sum(bit) > n; HOF filter×60 measured ~4× slower
     ex = df.select(F.col(id_col).alias("doc"), F.explode(F.expr(th_s)).alias("h"))
     bit_aggs = [
         F.sum(F.expr(f"shiftright(h, {b}) & 1")).alias(f"c_{b}")
         for b in range(SIMHASH_BITS)
     ]
     counted = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_aggs)
-    sh32 = " + ".join(
+    sh_expr = " + ".join(
         f"(case when 2 * c_{b} > n then {1 << b}L else 0L end)"
         for b in range(SIMHASH_BITS)
     )
-    sigs = counted.select("doc", F.expr(f"({sh32})").alias("sh32"))
+    sigs = counted.select("doc", F.expr(f"({sh_expr})").alias("sh"))
     # empty/whitespace-only docs explode to zero rows and would vanish
-    # from the groupBy; the oracle assigns them sh32=0 (no bit has a
+    # from the groupBy; the oracle assigns them sh=0 (no bit has a
     # majority over zero tokens) — re-attach them so parity holds.
     all_ids = df.select(F.col(id_col).alias("doc"))
     docs = (
         all_ids.join(sigs, "doc", "left")
-        .withColumn("sh32", F.coalesce("sh32", F.lit(0)))
+        .withColumn("sh", F.coalesce("sh", F.lit(0)))
         .persist()
     )
     bands = docs.select(
         "doc",
-        "sh32",
+        "sh",
         F.posexplode(
             F.expr(
                 "array("
                 + ", ".join(
-                    f"(shiftright(sh32, {8 * j}) & 255)" for j in range(SIMHASH_BYTES)
+                    f"(shiftright(sh, {SIMHASH_BAND_BITS * j}) & {SIMHASH_BAND_MASK})"
+                    for j in range(SIMHASH_BANDS)
                 )
                 + ")"
             )
-        ).alias("byte_id", "byte_val"),
+        ).alias("band_id", "band_val"),
     )
     cand = (
         bands.alias("a")
         .join(
             bands.alias("b"),
             on=[
-                F.col("a.byte_id") == F.col("b.byte_id"),
-                F.col("a.byte_val") == F.col("b.byte_val"),
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_val") == F.col("b.band_val"),
                 F.col("a.doc") < F.col("b.doc"),
             ],
         )
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.sh32").alias("sa"),
-            F.col("b.sh32").alias("sb"),
+            F.col("a.sh").alias("sa"),
+            F.col("b.sh").alias("sb"),
         )
         .distinct()
     )
@@ -341,19 +362,22 @@ def simhash_oracle(
 ) -> str:
     _, th_d = token_hashes_frag(text_col)
     _, sh_d = simhash_from_hashes_frag("th")
-    bytes_d = ", ".join(f"((sh32 >> {8 * j}) & 255)" for j in range(SIMHASH_BYTES))
+    bands_d = ", ".join(
+        f"((sh >> {SIMHASH_BAND_BITS * j}) & {SIMHASH_BAND_MASK})"
+        for j in range(SIMHASH_BANDS)
+    )
     return f"""
 WITH hashed AS MATERIALIZED (
   SELECT {id_col} AS doc, {th_d} AS th FROM {table}
 ), docs AS MATERIALIZED (
-  SELECT doc, {sh_d} AS sh32 FROM hashed
+  SELECT doc, {sh_d} AS sh FROM hashed
 ), bands AS (
-  SELECT doc, sh32, g.byte_id, [{bytes_d}][g.byte_id + 1] AS byte_val
-  FROM docs, (SELECT unnest(range(0, {SIMHASH_BYTES})) AS byte_id) g
+  SELECT doc, sh, g.band_id, [{bands_d}][g.band_id + 1] AS band_val
+  FROM docs, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS band_id) g
 ), cand AS (
-  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh32 AS sa, b.sh32 AS sb
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b, a.sh AS sa, b.sh AS sb
   FROM bands a JOIN bands b
-    ON a.byte_id = b.byte_id AND a.byte_val = b.byte_val AND a.doc < b.doc
+    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc < b.doc
 )
 SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
@@ -365,17 +389,27 @@ ORDER BY hamming, doc_a, doc_b LIMIT {limit}
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df_frac: float = 1.0,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Plan: explode distinct shingles → self-join on shingle (shuffle keyed
     by shingle = inverted index) → per-pair intersection counts → join
     set sizes → Jaccard. Never materializes the O(n²) pair space; pairs
-    with zero shared shingles never exist. Skew note: stop-shingles
-    (very common trigrams) blow up buckets — at scale add a document-
-    frequency cap on shingles before the join (drop shingles appearing
-    in > f% of docs), standard practice."""
+    with zero shared shingles never exist.
+
+    ``max_df_frac`` is the stop-shingle cap (standard skew control):
+    shingle hashes appearing in more than ``max_df_frac`` of all docs are
+    dropped *before* the self-join — a shingle in d docs contributes
+    O(d²) join pairs, so boilerplate trigrams dominate the stage at
+    scale. The cap changes intersection counts (Jaccard becomes a
+    restricted-universe estimate), so the DuckDB oracle applies the
+    identical cap from the same constant; 1.0 = exact (no cap, no extra
+    count job)."""
     shs, _ = shingles_frag(text_col)
     hs, _ = hash32_frag("s", "s")
     # join on 32-bit shingle hashes, not strings: the inverted-index
@@ -393,10 +427,17 @@ def ngram_jaccard_pairs(
     # shrinks the self-join input from |all shingles| to |shared shingles|
     # (usually a tiny fraction), turning the expensive stage into one
     # count-shuffle + a small join. Measured ~2× at sf0.1.
+    df_filter = F.col("df") >= 2
+    if max_df_frac < 1.0:
+        # one scalar count job; ceil matches the oracle's CEIL exactly
+        import math as _math
+
+        max_df = int(_math.ceil(max_df_frac * df.count()))
+        df_filter = df_filter & (F.col("df") <= max_df)
     shared = (
         ex.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
+        .filter(df_filter)
         .select("h")
     )
     ex2 = ex.join(shared, "h")
@@ -417,10 +458,17 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_oracle(
-    table: str, id_col: str, text_col: str, threshold: float = 0.5
+    table: str, id_col: str, text_col: str, threshold: float = 0.5, max_df_frac: float = 1.0
 ) -> str:
     _, shd = shingles_frag(text_col)
     _, hd = hash32_frag("s", "s")
+    if max_df_frac < 1.0:
+        cap_join = f"""JOIN (
+    SELECT h FROM ex GROUP BY h
+    HAVING COUNT(*) <= CEIL({max_df_frac} * (SELECT COUNT(*) FROM {table}))
+  ) cap ON cap.h = a.h"""
+    else:
+        cap_join = ""
     return f"""
 WITH exs AS (
   SELECT {id_col} AS doc, unnest({shd}) AS s FROM {table}
@@ -431,6 +479,7 @@ WITH exs AS (
 ), inter AS (
   SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS c
   FROM ex a JOIN ex b ON a.h = b.h AND a.doc < b.doc
+  {cap_join}
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,

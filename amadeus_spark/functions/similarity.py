@@ -248,19 +248,23 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    train_fraction: float = 0.25,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells replace random hyperplanes.
 
-    Index build = KMeans over the corpus (seeded, pyspark.ml) + one cell
-    id per vector — at 100 TB this is the standard two-stage layout:
-    train on a sample, assign map-side, store cell as a partition column.
+    Index build = KMeans fit on a seeded Bernoulli **sample** of the
+    corpus (``train_fraction``; centroids converge on a sample — fitting
+    the full corpus is a multi-pass job that would dwarf the search at
+    100 TB), then every vector is assigned a cell **map-side** by
+    ``model.transform`` (one scan, no extra shuffle) — the standard
+    two-stage layout; at scale store the cell as a partition column.
     Search = nearest ``n_probe`` cells per query (centroid distances on
     the driver — centroids are model state, n_cells×dim floats), then
     exact cosine top-k within the probed cells only.
 
     vs ann_lsh_topk: cells adapt to the data distribution (higher recall
-    at the same candidate budget); cost is the training pass. No DuckDB
-    oracle (KMeans isn't SQL) — checked by recall tests instead."""
+    at the same candidate budget); cost is the (sampled) training pass.
+    No DuckDB oracle (KMeans isn't SQL) — checked by recall tests."""
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -269,7 +273,12 @@ def ivf_topk(
         "features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     km = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell")
-    model = km.fit(base)
+    train = base.sample(fraction=train_fraction, seed=seed)
+    # tiny-corpus guard: KMeans needs >= n_cells points; the limit(k)
+    # probe reads at most k rows, so the check costs ~nothing
+    if train.limit(n_cells).count() < n_cells:
+        train = base
+    model = km.fit(train)
     assigned = model.transform(base).drop("features")
 
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])

@@ -61,13 +61,86 @@ def asof_join(
     right_time >= left_time), per key. Not in the reference; standard in
     timeseries engines.
 
-    Implementation: range join + window dedup. Catalyst plans the
-    inequality as a broadcast-nested-loop unless the equi-keys dominate —
-    with equi-keys present it is a SortMergeJoin on the keys with the time
-    predicate as a post-join filter, then one window per left row keeps the
-    closest match. Scales as O(matches) through the shuffle; for dense
-    timeseries prefer bucketing both sides by key.
+    Implementation: the **union-merge plan** — tag both sides, union
+    them, and run ONE window per key ordered by (time, side) carrying
+    ``last(right_row, ignorenulls=True)``; each left row then reads the
+    most recent right row directly off the running carry. Right rows
+    sort *before* left rows at equal timestamps so the inclusive bound
+    (<= / >=) holds. Cost is O(L+R) rows through a single shuffle (the
+    window's partitionBy) — no join node at all. The previous
+    conditional-join formulation (kept as ``asof_join_conditional`` for
+    small right sides) materialized every left×earlier-right pair per
+    key before rank-1 pruning: O(L×R) per key.
+
+    ``left_id_cols`` is accepted for API compatibility but unused — the
+    union-merge never collapses duplicate left rows (each flows through
+    the window as its own row).
     """
+    from pyspark.sql import Window
+
+    del left_id_cols  # not needed: no dedup risk in the union-merge plan
+    keys = list(on_keys)
+    asc = direction == "backward"
+    lpay = [c for c in left.columns if c not in keys]
+    lu = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in lpay]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(f"{c}: {right.schema[c].dataType.simpleString()}" for c in right.columns) + ">"
+        ).alias("__r"),
+    )
+    ru = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            "struct<" + ", ".join(f"{c}: {left.schema[c].dataType.simpleString()}" for c in lpay) + ">"
+        ).alias("__l"),
+        F.struct(*[F.col(c) for c in right.columns]).alias("__r"),
+    )
+    both = lu.unionByName(ru)
+    # backward: ascending time, right(0) before left(1) at equal t so the
+    # carry includes right rows AT the left timestamp (inclusive bound).
+    # forward: descending time, same tie order — carry = earliest >= t.
+    order = [F.col("__t").asc(), F.col("__is_left").asc()] if asc else [
+        F.col("__t").desc(),
+        F.col("__is_left").asc(),
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = both.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    keep = (
+        [F.col(k) for k in keys if k in left.columns]
+        + [F.col(f"__l.{c}").alias(c) for c in lpay]
+        + [F.col(f"__m.{c}").alias(f"r_{c}") for c in right.columns]
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(*keep)
+    # restore left's column order (keys may appear anywhere in it)
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"r_{c}") for c in right.columns],
+    )
+
+
+def asof_join_conditional(
+    left: DataFrame,
+    right: DataFrame,
+    on_keys: Sequence[str],
+    left_time: str,
+    right_time: str,
+    direction: str = "backward",
+    left_id_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Conditional-join as-of (the small-right-side fallback): SMJ on the
+    keys with the time predicate as a post-join filter, then one window
+    per left row keeps the closest match. O(L×R_key) pre-rank — fine when
+    the right side is small or sparse per key; use ``asof_join`` (union-
+    merge, O(L+R)) otherwise."""
     from pyspark.sql import Window
 
     lt, rt = F.col(f"l.{left_time}"), F.col(f"r.{right_time}")

@@ -1,0 +1,113 @@
+"""Round-2 scale-fix regression tests (VERDICT.md "Next round" items):
+the fixes are asserted as *plan/behavior properties*, not just green
+output — SimHash candidate linearity, as-of union-merge plan shape,
+no forced broadcast on the dedup anti-join, capped-ngram oracle parity.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+import __spark_entry__ as entrymod
+from amadeus_spark import plans
+from amadeus_spark.functions import dedup
+from amadeus_spark.operators import joins
+from tests.conftest import SF_SMOKE
+from tests.oracle_utils import assert_matches
+
+
+def _random_docs(spark, n: int, seed: int = 99):
+    """n docs of 30 random tokens each — signatures ~uniform over the
+    band keyspace, so candidate counts measure the banding, not data."""
+    rng = random.Random(seed)
+    rows = [
+        (i, " ".join(f"tok{rng.randrange(100000)}" for _ in range(30)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_simhash_candidate_count_near_linear(spark):
+    """The 4×15-bit banding keyspace (32,768 values/band) keeps expected
+    random-pair collisions at ~4·C(n,2)/32768. With max_hamming=60 every
+    candidate survives verification, so the output *is* the candidate
+    set. n=512 → expectation ≈ 16; the old 4×8-bit layout (256-value
+    keyspace) would produce ≈ 2,000 — the bound discriminates sharply."""
+    docs = _random_docs(spark, 512)
+    cands = dedup.simhash_pairs(
+        docs, "doc_id", "text", max_hamming=dedup.SIMHASH_BITS, limit=10**6
+    ).count()
+    assert cands < 300, f"banding keyspace degraded: {cands} candidates for 512 docs"
+
+
+def test_simhash_band_constants_consistent():
+    assert dedup.SIMHASH_BANDS * dedup.SIMHASH_BAND_BITS == dedup.SIMHASH_BITS
+    assert dedup.SIMHASH_BAND_MASK == (1 << dedup.SIMHASH_BAND_BITS) - 1
+    # signature must fit a signed 64-bit int in BOTH engines
+    assert dedup.SIMHASH_BITS <= 63
+
+
+def test_asof_union_merge_plan_one_shuffle_no_join(spark):
+    """asof_join is the union-merge plan: O(L+R) through ONE shuffle
+    (the window's partitionBy) and no join node at all."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")], "k int, t int, pay string"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 1.0), (1, 12, 2.0), (2, 15, 3.0)], "k int, t int, v double"
+    )
+    out = joins.asof_join(left, right, ["k"], "t", "t", "backward")
+    txt = plans.plan_text(out)
+    assert "Join" not in txt, txt
+    assert plans.shuffle_count(out) == 1, txt
+    rows = {(r.k, r.t): (r.r_t, r.r_v) for r in out.collect()}
+    assert rows[(1, 10)] == (5, 1.0)
+    assert rows[(1, 20)] == (12, 2.0)
+    assert rows[(2, 15)] == (15, 3.0)  # inclusive bound at equal ts
+
+
+def test_asof_forward_union_merge(spark):
+    left = spark.createDataFrame([(1, 10), (1, 20), (3, 7)], "k int, t int")
+    right = spark.createDataFrame([(1, 12), (1, 25), (1, 9)], "k int, t int")
+    out = {
+        (r.k, r.t): r.r_t
+        for r in joins.asof_join(left, right, ["k"], "t", "t", "forward").collect()
+    }
+    assert out[(1, 10)] == 12  # earliest right >= 10
+    assert out[(1, 20)] == 25
+    assert out[(3, 7)] is None  # unmatched key → left join semantics
+
+
+def test_training_pipeline_no_forced_broadcast(spark):
+    """The near-dup drop list is O(corpus duplicates) — the anti-join must
+    not carry a mandatory broadcast hint (AQE may still *choose* one at
+    runtime from observed sizes, which is the point)."""
+    df = entrymod.q_training_pipeline(spark, SF_SMOKE)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+
+
+def test_ngram_df_cap_parity(spark, duck):
+    """max_df_frac < 1.0 drops stop-shingles before the self-join in BOTH
+    dialects; parity must hold on a corpus where the cap actually bites
+    (a boilerplate prefix shared by most docs)."""
+    rng = random.Random(7)
+    rows = []
+    for i in range(12):
+        boiler = "terms of service apply to all" if i < 10 else "unique preamble here now"
+        body = " ".join(f"w{rng.randrange(50)}" for _ in range(12))
+        rows.append((i, f"{boiler} {body}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    duck.execute("DROP TABLE IF EXISTS __ngram_cap")
+    duck.execute("CREATE TABLE __ngram_cap (doc_id bigint, text varchar)")
+    duck.executemany("INSERT INTO __ngram_cap VALUES (?, ?)", rows)
+    got = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df_frac=0.5)
+    oracle = duck.sql(
+        dedup.ngram_jaccard_oracle("__ngram_cap", "doc_id", "text", 0.1, 0.5)
+    )
+    assert_matches("ngram_df_cap", got, oracle)
+    # and the cap genuinely bit: uncapped finds more/equal pairs
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1).count()
+    assert uncapped >= got.count()
