@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from amadeus_spark.functions import dedup, similarity, text
 from amadeus_spark.operators import aggregates, joins, sampling, sketches
+from amadeus_spark.operators import nested as _nested
 
 
 def _tune(spark: SparkSession) -> None:
@@ -413,6 +414,24 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested List data round-trip (SURVEY §1.2, value.rs:148-153;
+    reference nested fixtures tests/parquet.rs:113-290): collect_list →
+    array HOFs (element_at/aggregate/filter) → posexplode back → flat
+    stats (operators/nested.py)."""
+    from amadeus_spark.operators import nested
+
+    return nested.nested_array_ops(_t(spark, sf_dir, "lineitem"))
+
+
+def q_nested_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested Map/Group data (value.rs:148-153): struct → map_from_entries
+    → map_keys/map_values/element_at → flat stats (operators/nested.py)."""
+    from amadeus_spark.operators import nested
+
+    return nested.nested_struct_map(_t(spark, sf_dir, "lineitem"))
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pivot: order counts + money sums by status columns per priority."""
     od = _t(spark, sf_dir, "orders")
@@ -735,6 +754,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "multimodal_features": q_multimodal_features,
+        "nested_array_ops": q_nested_array_ops,
+        "nested_struct_map": q_nested_struct_map,
         "pivot": q_pivot,
         "json_props": q_json_props,
         "fold_udaf": q_fold_udaf,
@@ -1016,6 +1037,8 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT {text.fingerprint_sql('text')} AS fp, COUNT(*) AS copies
                   FROM documents GROUP BY 1)
         """,
+        "nested_array_ops": _nested.nested_array_ops_oracle("lineitem"),
+        "nested_struct_map": _nested.nested_struct_map_oracle("lineitem"),
         "minhash_lsh": dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle("documents", "doc_id", "text", 0.5),
