@@ -40,6 +40,72 @@ _DEFAULTS = {
 }
 
 
+def s3_configs(
+    region: str | None = None,
+    endpoint: str | None = None,
+    anonymous: bool = False,
+    role_arn: str | None = None,
+) -> dict[str, str]:
+    """fs.s3a.* confs for reading/writing S3 (and S3-compatible stores) —
+    the reference's S3 source posture (amadeus-aws/src/file.rs:18,125,227:
+    region + credentials-or-anonymous per source). Pass the result as
+    ``get_spark(**s3_configs(...))`` or apply to any builder.
+
+    Choices, and why they matter at 100 TB:
+    - **credentials**: default is the standard provider chain (env →
+      profile → instance role); ``anonymous=True`` switches to
+      AnonymousAWSCredentialsProvider (public buckets like Common Crawl —
+      the reference's AwsCredentials::Anonymous); ``role_arn`` assumes a
+      role via STS.
+    - **magic committer**: S3 has no atomic rename; the classic
+      FileOutputCommitter does O(files) copies in job commit. The magic
+      committer writes directly to the final location via multipart
+      uploads held open until commit — mandatory for big writes.
+    - **connection/thread pool sized up**: 1000-executor clusters hammer
+      S3; the 15-connection default throttles scans.
+    - **directory markers kept**: avoids delete storms on deep prefixes
+      (safe on Hadoop 3.3+ everywhere in this stack).
+
+    Requires the hadoop-aws + aws-sdk jars on the cluster classpath
+    (`spark.jars.packages=org.apache.hadoop:hadoop-aws:<hadoop version>`);
+    in this sandbox the jar is absent, so tests assert the failure path
+    (the s3a scheme must at least *route* to the S3A filesystem class).
+    """
+    conf: dict[str, str] = {
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.hadoop.fs.s3a.connection.maximum": "200",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.block.size": "128M",
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+        # parquet reads are ranged; vectored IO (Hadoop 3.3.5+) merges them
+        "spark.hadoop.fs.s3a.vectored.read.min.seek.size": "128K",
+    }
+    if region:
+        conf["spark.hadoop.fs.s3a.endpoint.region"] = region
+    if endpoint:  # S3-compatible stores (MinIO etc.)
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if anonymous:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+        )
+    elif role_arn:
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.auth.AssumedRoleCredentialProvider"
+        )
+        conf["spark.hadoop.fs.s3a.assumed.role.arn"] = role_arn
+    return conf
+
+
 def get_spark(app_name: str = "amadeus_spark", **overrides: str) -> SparkSession:
     """Build (or reuse) a SparkSession.
 

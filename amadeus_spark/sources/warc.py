@@ -90,9 +90,63 @@ def _warc_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=["ip", "url", "warc_type", "contents"])
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(spark: SparkSession, path: str | list[str]) -> DataFrame:
     """WARC files → Webpage rows (reference Source impl lib.rs:113-131).
-    Filter to warc_type='response' for page bodies, as the reference's
-    parser emits only crawled pages (parser.rs)."""
-    binary = spark.read.format("binaryFile").load(path).select("content")
+    ``path`` may be a directory, a single file, or an explicit path list
+    (the manifest-expansion case). Filter to warc_type='response' for
+    page bodies, as the reference's parser emits only crawled pages
+    (parser.rs)."""
+    paths = path if isinstance(path, list) else [path]
+    binary = spark.read.format("binaryFile").load(paths).select("content")
     return binary.mapInPandas(_warc_map, schema=WEBPAGE_SCHEMA)
+
+
+# ---- Common Crawl crawl-id → manifest → per-file tasks --------------------
+
+#: Public Common Crawl HTTP front door (also an s3://commoncrawl bucket —
+#: use session.s3_configs + the s3a base for cluster-local reads).
+COMMONCRAWL_BASE = "https://data.commoncrawl.org"
+
+
+def _fetch_bytes(url: str) -> bytes:
+    """Tiny scheme-dispatching fetch for manifest files: http(s) via
+    urllib, file:// or bare paths via local open. The manifest is a few
+    hundred KB — driver-side fetch is the right place for it."""
+    if url.startswith(("http://", "https://")):
+        from urllib.request import urlopen
+
+        with urlopen(url) as r:  # noqa: S310 — public CC manifest URL
+            return r.read()
+    if url.startswith("file://"):
+        url = url[len("file://") :]
+    with open(url, "rb") as f:
+        return f.read()
+
+
+def crawl_manifest_paths(
+    crawl_id: str, base_url: str = COMMONCRAWL_BASE, limit: int | None = None
+) -> list[str]:
+    """Expand a crawl id ("CC-MAIN-2018-43") to its WARC file URLs — the
+    reference's manifest step (amadeus-commoncrawl/src/lib.rs:50-84:
+    fetch crawl-data/{id}/warc.paths.gz, gunzip, one task per line).
+
+    ``base_url`` doubles as the path prefix for the (relative) manifest
+    lines; point it at a file:// mirror for offline/testing use.
+    ``limit`` caps the expansion (a full crawl is ~80k files / ~100 TB —
+    sample before committing a cluster to it)."""
+    manifest_url = f"{base_url}/crawl-data/{crawl_id}/warc.paths.gz"
+    lines = gzip.decompress(_fetch_bytes(manifest_url)).decode().splitlines()
+    paths = [f"{base_url}/{p.strip()}" for p in lines if p.strip()]
+    return paths[:limit] if limit is not None else paths
+
+
+def read_commoncrawl(
+    spark: SparkSession,
+    crawl_id: str,
+    base_url: str = COMMONCRAWL_BASE,
+    limit: int | None = None,
+) -> DataFrame:
+    """Common Crawl source end-to-end (lib.rs:50-131): crawl id →
+    manifest → per-file WARC tasks → Webpage rows. One Spark task per
+    .warc.gz file, exactly the reference's one-task-per-object layout."""
+    return read_warc(spark, crawl_manifest_paths(crawl_id, base_url, limit))

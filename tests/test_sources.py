@@ -179,3 +179,71 @@ def test_write_parquet_partitioned(spark, tmpdir_data):
     # partition pruning: filtering on the partition col reads a subset dir
     pruned = back.filter(F.col("o_orderstatus") == "F")
     assert pruned.count() == src.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_commoncrawl_manifest_expansion(spark, tmpdir_data):
+    """Reference lib.rs:50-84: crawl id → warc.paths.gz manifest → one
+    task per WARC file. Mocked with a file:// base; rows must equal the
+    sum of per-file parses."""
+    base = os.path.join(tmpdir_data, "ccmock")
+    crawl = "CC-MAIN-TEST"
+    seg = os.path.join(base, "crawl-data", crawl, "segments", "s1", "warc")
+    os.makedirs(seg, exist_ok=True)
+    f1 = _make_warc([("http://a.example/", "192.0.2.1", b"pageA")])
+    f2 = _make_warc(
+        [
+            ("http://b.example/", "192.0.2.2", b"pageB"),
+            ("http://c.example/", "192.0.2.3", b"pageC"),
+        ]
+    )
+    rel1 = f"crawl-data/{crawl}/segments/s1/warc/f1.warc.gz"
+    rel2 = f"crawl-data/{crawl}/segments/s1/warc/f2.warc.gz"
+    with open(os.path.join(base, rel1), "wb") as f:
+        f.write(gzip.compress(f1))
+    with open(os.path.join(base, rel2), "wb") as f:
+        f.write(gzip.compress(f2))
+    manifest_dir = os.path.join(base, "crawl-data", crawl)
+    with open(os.path.join(manifest_dir, "warc.paths.gz"), "wb") as f:
+        f.write(gzip.compress(f"{rel1}\n{rel2}\n".encode()))
+
+    paths = warc.crawl_manifest_paths(crawl, base_url=f"file://{base}")
+    assert paths == [f"file://{base}/{rel1}", f"file://{base}/{rel2}"]
+    df = warc.read_commoncrawl(spark, crawl, base_url=f"file://{base}")
+    rows = sorted(df.collect(), key=lambda r: r.url)
+    assert [r.url for r in rows] == [
+        "http://a.example/",
+        "http://b.example/",
+        "http://c.example/",
+    ]
+    assert bytes(rows[0].contents) == b"pageA"
+    # limit caps the expansion (sampling a crawl before a full run)
+    assert warc.read_commoncrawl(spark, crawl, f"file://{base}", limit=1).count() == 1
+
+
+def test_s3a_scheme_routes_to_s3a_filesystem(spark):
+    """Sandbox has no hadoop-aws jar, so an s3a:// read must fail BY
+    REACHING the S3A filesystem class — proof the scheme routing and
+    config surface are wired (reference amadeus-aws/src/file.rs)."""
+    from amadeus_spark.session import s3_configs
+
+    for k, v in s3_configs(region="us-east-1", anonymous=True).items():
+        if k.startswith("spark.hadoop."):
+            spark.conf.set(k, v)
+    with pytest.raises(Exception) as ei:
+        spark.read.parquet("s3a://commoncrawl/does-not-matter").collect()
+    msg = str(ei.value)
+    assert "s3a" in msg.lower() or "S3AFileSystem" in msg
+
+
+def test_s3_configs_profiles():
+    from amadeus_spark.session import s3_configs
+
+    anon = s3_configs(anonymous=True)
+    assert anon["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "AnonymousAWSCredentialsProvider"
+    )
+    assert anon["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    role = s3_configs(role_arn="arn:aws:iam::123:role/r")
+    assert role["spark.hadoop.fs.s3a.assumed.role.arn"] == "arn:aws:iam::123:role/r"
+    minio = s3_configs(endpoint="http://localhost:9000")
+    assert minio["spark.hadoop.fs.s3a.path.style.access"] == "true"
