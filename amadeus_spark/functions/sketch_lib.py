@@ -125,13 +125,21 @@ def most_frequent_sketch(
     k: int,
     probability: float = 0.99,
     tolerance: float = 0.001,
+    fan_in: int = 64,
 ) -> list[tuple[str, int]]:
     """Distributed most_frequent via CMS+TopK: per-partition partial
-    sketches (applyInPandas over spark_partition_id), driver-side union.
-    Returns [(key, estimated_count)] — estimates are CMS upper bounds.
+    sketches, **tree-merged** — an executor-side partial-merge level
+    collapses every ``fan_in`` partials into one before the driver sees
+    them, so the driver union is O(P / fan_in) instead of O(P). At 100 TB
+    (~10⁵-10⁶ partitions) a flat driver loop serializes the job; the
+    tree keeps it flat. Returns [(key, estimated_count)] — estimates are
+    CMS upper bounds. Merging is order-independent for the counter table
+    (sums); candidate-set trims only depend on order in deep-tie corner
+    cases (same property as the reference's ReduceA→ReduceC fold tree).
 
-    The per-partition group keys mean NO shuffle of data rows — only the
-    serialized sketches (width*depth ints each) cross the wire.
+    Topology: mapInPandas builds one sketch per INPUT partition with NO
+    shuffle of raw rows; the only Exchange moves serialized sketches
+    (width×depth ints each), grouped ``fan_in``-to-1.
     """
 
     def build(batches):
@@ -149,10 +157,28 @@ def most_frequent_sketch(
         if saw:
             yield pd.DataFrame({"state": [sk.dumps()]})
 
-    partials = df.select(F.col(col)).mapInPandas(build, schema="state string").collect()
+    def _merge_states(states: list[str]) -> CountMinTopK:
+        merged = CountMinTopK.loads(states[0])
+        for s in states[1:]:
+            merged.merge(CountMinTopK.loads(s))
+        return merged
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"state": [_merge_states(list(pdf["state"])).dumps()]})
+
+    states = df.select(F.col(col)).mapInPandas(build, schema="state string")
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts > fan_in:
+        # executor-side level: fan_in partials per reducer. spark_partition_id
+        # of the states frame is the source partition (mapInPandas is 1:1),
+        # so the grouping is deterministic and evenly spread.
+        n_groups = math.ceil(n_parts / fan_in)
+        states = (
+            states.withColumn("g", F.spark_partition_id() % n_groups)
+            .groupBy("g")
+            .applyInPandas(merge_group, schema="state string")
+        )
+    partials = states.collect()
     if not partials:
         return []
-    merged = CountMinTopK.loads(partials[0].state)
-    for row in partials[1:]:
-        merged.merge(CountMinTopK.loads(row.state))
-    return merged.top()
+    return _merge_states([row.state for row in partials]).top()

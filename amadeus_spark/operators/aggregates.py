@@ -28,6 +28,28 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+#: IEEE-754 double unit roundoff (2⁻⁵³).
+MACHINE_EPS = 2.0**-53
+
+
+def mean_error_bound(n: int, sum_abs: float) -> float:
+    """The quantified "documented tolerance" for the un-ported Kahan
+    compensation (reference mean.rs:47-97 / Welford stddev.rs:46-98):
+    Spark's avg is plain recursive double summation (partials per
+    partition, then a merge), whose forward error is bounded by
+    |ŝ − s| ≤ (n−1)·u·Σ|xᵢ| to first order (Higham, *Accuracy and
+    Stability of Numerical Algorithms*, §4.2 — standard public result);
+    the partitioned merge is a re-bracketing of the same sum, so the
+    bound holds for any partitioning. For the MEAN, divide by n and add
+    two more u·|mean| ≤ u·Σ|x|/n terms for the final division's roundoff
+    on each side of a comparison — (n+1)·u·Σ|x|/n total. Kahan would
+    tighten (n−1)·u to 2u; we accept the looser bound and *test* it
+    (tests/test_float_tolerance.py) instead of porting compensation into
+    the JVM hot path."""
+    if n <= 1:
+        return 0.0
+    return (n + 1) * MACHINE_EPS * sum_abs / n
+
 
 def summary_agg(df: DataFrame, col: str) -> DataFrame:
     """One-pass multi-aggregate (reference: tuple sinks / ``fork``,

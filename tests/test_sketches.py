@@ -85,3 +85,16 @@ def test_exact_vs_approx_distinct_band(spark):
     for r in approx:
         rel = abs(r.distinct_vals - em[r.l_suppkey]) / em[r.l_suppkey]
         assert rel < 0.1, (r.l_suppkey, r.distinct_vals, em[r.l_suppkey])
+
+
+def test_cms_tree_merge_matches_flat(spark):
+    """The executor-side tree level (fan_in exceeded) must produce the
+    same top-k as the flat driver merge — merging is associative on the
+    counter table."""
+    rows = []
+    for i in range(1, 30):
+        rows += [(f"key{i:02d}",)] * (3000 // i)
+    df = spark.createDataFrame(rows, "k string").repartition(16)
+    flat = most_frequent_sketch(df, "k", 5, fan_in=1000)  # 16 <= 1000: flat
+    tree = most_frequent_sketch(df, "k", 5, fan_in=2)  # 16 > 2: 8 groups
+    assert flat == tree
