@@ -147,6 +147,29 @@ def streaming_topk_types(events: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def streaming_top_distinct(events: DataFrame, k: int = 5, rsd: float = 0.02) -> DataFrame:
+    """The reference's signature composed sketch ``Top<A, HLL<B>>``
+    (par_sink/sample.rs:159-200 via most_distinct, par_stream.rs:351-372):
+    top-k keys A ranked by *approximate distinct count* of B — here
+    event_types by distinct users — wired end-to-end as a stream.
+
+    Spark-first shape: ``approx_count_distinct`` IS the HLL++ sketch held
+    as incremental streaming state (one sketch per event_type, mergeable
+    across micro-batches exactly like the reference's UnionAssign), and
+    the post-aggregation sort+limit is legal in **complete** output mode,
+    which is the right mode for a running top-k. Run with
+    ``run_to_memory_sink(..., output_mode="complete")``.
+
+    State: one HLL (fixed size, ~1.5 KB at rsd=0.02) per distinct A —
+    bounded by |A|, not by the stream length."""
+    return (
+        events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=rsd).alias("distinct_users"))
+        .orderBy(F.desc("distinct_users"), F.asc("event_type"))
+        .limit(k)
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str], watermark: str = "30 minutes"
 ) -> DataFrame:

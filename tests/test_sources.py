@@ -247,3 +247,35 @@ def test_s3_configs_profiles():
     assert role["spark.hadoop.fs.s3a.assumed.role.arn"] == "arn:aws:iam::123:role/r"
     minio = s3_configs(endpoint="http://localhost:9000")
     assert minio["spark.hadoop.fs.s3a.path.style.access"] == "true"
+
+
+def test_cloudfront_e2e_compressed_prefix(spark, tmpdir_data):
+    """The reference's flagship shape (examples/cloudfront_logs.rs:31-45):
+    list a log prefix of MANY rotated .gz files → gunzip → parse →
+    hour-bucketed histogram — all one declarative plan (spark.read.text
+    does listing + decompression; one task per .gz, like the reference's
+    one-task-per-object)."""
+    p = os.path.join(tmpdir_data, "cf_prefix")
+    os.makedirs(p, exist_ok=True)
+    n_files, rows_per_file = 6, 40
+    for fi in range(n_files):
+        lines = ["#Version: 1.0", "#Fields: date time ..."]
+        for i in range(rows_per_file):
+            hh = (fi * 3) % 24
+            lines.append(
+                f"2019-12-04\t{hh:02d}:{i % 60:02d}:{i % 60:02d}\tLAX{fi}\t{100 + i}\t"
+                f"192.0.2.{i}\tGET\texample.cloudfront.net\t/p{i}\t200\t-\tUA\t-\t-\tHit\t"
+                f"REQ{fi}_{i}==\texample.cloudfront.net\thttps\t23\t0.001\t-\tTLSv1.2\t"
+                f"CIPHER\tHit\tHTTP/2.0\t-\t-"
+            )
+        with gzip.open(os.path.join(p, f"E{fi}.2019-12-04-{fi:02d}.gz"), "wt") as f:
+            f.write("\n".join(lines) + "\n")
+    df = cloudfront.read_cloudfront(spark, p)
+    assert df.count() == n_files * rows_per_file  # comments dropped per file
+    hist = {r.hour.hour: r.requests for r in cloudfront.hourly_histogram(df).collect()}
+    # files 0..5 at hours 0,3,6,9,12,15 → 40 requests each
+    assert hist == {h: rows_per_file for h in (0, 3, 6, 9, 12, 15)}
+    # plan sanity: the parse is pure column exprs — no Python in the scan
+    from amadeus_spark import plans
+
+    plans.assert_no_python_udf(df)

@@ -179,3 +179,40 @@ def test_streaming_topk_matches_batch(spark, event_stream_dir):
     }
     got_top = dict(sorted(final.items(), key=lambda kv: -kv[1])[:3])
     assert got_top == want_top
+
+
+def test_streaming_top_distinct_parity(spark, event_stream_dir):
+    """Top<A, HLL<B>> end-to-end (sample.rs:159-200): streaming top-k
+    event_types by approx-distinct users == the same sketch run in
+    batch over the same rows (HLL++ is deterministic on a multiset, and
+    micro-batch merges are the sketch's own UnionAssign)."""
+    stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    ev.run_to_memory_sink(
+        ev.streaming_top_distinct(stream, k=3), "td_sink", output_mode="complete"
+    )
+    got = [
+        (r.event_type, r.distinct_users)
+        for r in spark.sql("select * from td_sink order by distinct_users desc, event_type").collect()
+    ]
+    batch = spark.read.parquet(event_stream_dir)
+    want = [
+        (r.event_type, r.distinct_users)
+        for r in (
+            batch.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("distinct_users"))
+            .orderBy(F.desc("distinct_users"), F.asc("event_type"))
+            .limit(3)
+        ).collect()
+    ]
+    assert got == want
+    # ranking sanity vs exact distinct counts: same key order
+    exact = [
+        r.event_type
+        for r in (
+            batch.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("d"))
+            .orderBy(F.desc("d"), F.asc("event_type"))
+            .limit(3)
+        ).collect()
+    ]
+    assert [k for k, _ in got] == exact
