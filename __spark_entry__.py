@@ -394,14 +394,16 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (functions/multimodal.py): deterministic fake
-    media table → Arrow-batched distributed feature extraction →
-    per-kind digest stats. Rows-only check (payloads are synthetic;
-    the decode kernel is stubbed — the Spark plumbing is what's real)."""
+    """Multimodal features with REAL decode (functions/multimodal.py):
+    deterministic PPM/WAV/RAWV payloads → Arrow-batched distributed
+    decode + feature extraction → per-kind stats. Rows-only check (the
+    feature math is numpy, not SQL-expressible); the decode kernels
+    actually execute — only compressed formats (PNG/JPEG/MP4) remain
+    stubbed for lack of codec libs in this container."""
     from amadeus_spark.functions import multimodal
 
-    media = multimodal.make_fake_media(spark, 64)
-    feats = multimodal.extract_features(media, fake=True)
+    media = multimodal.make_real_media(spark, 64)
+    feats = multimodal.extract_features(media, fake=False)
     j = feats.join(media.select("media_id", "kind"), "media_id")
     return (
         j.groupBy("kind")
@@ -411,6 +413,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("sha256").alias("min_sha"),
         )
         .orderBy("kind")
+    )
+
+
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling end-to-end (functions/multimodal.py):
+    metadata-only frame-index plan (no payload read) joined back to
+    payloads, per-selected-frame RAWV decode in mapInPandas — only the
+    chosen frames' rasters materialize. Rows-only check (frame features
+    are numpy math)."""
+    from amadeus_spark.functions import multimodal
+
+    media = multimodal.make_real_media(spark, 64)
+    vids = media.filter(F.col("kind") == "video")
+    frames = multimodal.sample_frames(vids, every_n=2)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg(F.element_at("feature", 3).cast("double")), 4).alias(
+                "avg_r_mean"
+            ),
+        )
+        .orderBy("media_id")
     )
 
 
@@ -754,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "cube": q_cube,
         "multimodal_features": q_multimodal_features,
+        "media_frame_sample": q_media_frame_sample,
         "nested_array_ops": q_nested_array_ops,
         "nested_struct_map": q_nested_struct_map,
         "pivot": q_pivot,

@@ -11,18 +11,33 @@ governing knobs are ``spark.sql.files.maxPartitionBytes`` (split size) and
 keeping metadata-only queries from reading the binary column (columnar
 Parquet prunes it automatically — verified in tests via ReadSchema).
 
-The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so the
-decode kernels are STUBBED: ``decode_image`` raises NotImplementedError
-unless ``fake=True``, which produces a deterministic fake decode (size
-parsed from a tiny header contract) — the Spark-side plumbing (schema,
-batching, partitioning, UDF signature) is real and tested either way.
+Decode kernels are REAL for formats that need no external codec library:
+
+- **PPM (P6)** images — pure numpy parse of the public netpbm format,
+  nearest-neighbor resize, per-channel mean/std features.
+- **WAV (RIFF PCM)** audio — stdlib ``wave`` + numpy; RMS / zero-crossing
+  / peak features.
+- **RAWV** video — a trivial length-prefixed container of PPM frames
+  (public formats composed; defined below) so frame *sampling* decode
+  is exercised for real: the metadata-only plan picks frame indices,
+  then only those offsets are decoded executor-side.
+
+Compressed formats (PNG/JPEG/MP4/MP3) genuinely require PIL/ffmpeg,
+which are NOT in this container — those raise ``NotImplementedError``
+unless ``fake=True`` supplies the deterministic digest fallback. The
+Spark-side plumbing (schema, batching, partitioning, UDF signature) is
+identical either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +47,7 @@ MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),  # image|audio|video
-        T.StructField("format", T.StringType(), True),  # png|wav|mp4|...
+        T.StructField("format", T.StringType(), True),  # ppm|wav|rawv|png|...
         T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
         T.StructField("payload", T.BinaryType(), True),
     ]
@@ -47,25 +62,184 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+# ---------------------------------------------------------------- codecs
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 H×W×3 array → binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM is RGB; expected H×W×3")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → uint8 H×W×3. Pure-numpy parse of the public
+    netpbm grammar: magic, whitespace/comment-separated w h maxval,
+    single whitespace, raw RGB."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: three ints after the magic, skipping comments
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    pos += 1  # the single whitespace byte after maxval
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM → (float32 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+        width = wf.getsampwidth()
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM supported")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    return x, sr
+
+
+RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    """Trivial video container: magic, uint32 frame count, then
+    length-prefixed PPM frames. Exists so frame-sample *decode* has a
+    real format to seek into without ffmpeg."""
+    parts = [RAWV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        ppm = encode_ppm(f)
+        parts.append(struct.pack("<I", len(ppm)))
+        parts.append(ppm)
+    return b"".join(parts)
+
+
+def decode_rawv_frame(payload: bytes, frame_idx: int) -> np.ndarray:
+    """Decode one frame from a RAWV payload by walking the length
+    prefixes — only the requested frame's raster is materialized."""
+    if payload[:4] != RAWV_MAGIC:
+        raise ValueError("not a RAWV payload")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    if not 0 <= frame_idx < n:
+        raise IndexError(f"frame {frame_idx} out of range ({n} frames)")
+    pos = 8
+    for i in range(frame_idx):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4 + ln
+    (ln,) = struct.unpack_from("<I", payload, pos)
+    return decode_ppm(payload[pos + 4 : pos + 4 + ln])
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index gather (no interpolation libs)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows][:, cols]
+
+
+# ------------------------------------------------------------- features
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """8-dim: h, w, per-channel means, overall std, min, max (float32)."""
+    f = img.astype(np.float32)
+    return [
+        float(img.shape[0]),
+        float(img.shape[1]),
+        float(f[..., 0].mean()),
+        float(f[..., 1].mean()),
+        float(f[..., 2].mean()),
+        float(f.std()),
+        float(f.min()),
+        float(f.max()),
+    ]
+
+
+def audio_features(x: np.ndarray, sr: int) -> list[float]:
+    """8-dim: n, sr, duration, mean, rms, peak, zero-crossing rate, std."""
+    n = len(x)
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if n > 1 else 0.0
+    return [
+        float(n),
+        float(sr),
+        float(n / sr) if sr else 0.0,
+        float(x.mean()) if n else 0.0,
+        float(np.sqrt(np.mean(x * x))) if n else 0.0,
+        float(np.abs(x).max()) if n else 0.0,
+        zcr,
+        float(x.std()) if n else 0.0,
+    ]
+
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload to a feature vector.
 
-    Real implementation needs PIL/torchvision (not in this container).
-    ``fake=True`` gives a deterministic 8-dim digest-based vector so the
-    distributed plumbing is testable end-to-end."""
+    PPM (P6) decodes for real (pure numpy). Compressed formats need
+    PIL/torchvision (not in this container): ``fake=True`` gives a
+    deterministic 8-dim digest-based vector so the distributed plumbing
+    stays testable end-to-end for them too."""
+    if payload[:2] == b"P6":
+        return image_features(decode_ppm(payload))
     if not fake:
         raise NotImplementedError(
-            "image decode requires PIL/torchvision; not available in this "
-            "environment — run with fake=True for plumbing tests"
+            "compressed-image decode requires PIL/torchvision; not available "
+            "in this environment — run with fake=True for plumbing tests"
         )
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:8]]
 
 
+def decode_media(payload: bytes, fake: bool = False) -> list[float]:
+    """Magic-sniffing dispatch: P6 → image features, RIFF/WAVE → audio
+    features, RAWV → first-frame image features; anything else follows
+    the ``decode_image`` stub contract."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return audio_features(*decode_wav(payload))
+    if payload[:4] == RAWV_MAGIC:
+        return image_features(decode_rawv_frame(payload, 0))
+    return decode_image(payload, fake=fake)
+
+
+# ------------------------------------------------------- distributed ops
+
+
 def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
     """Distributed feature extraction over media payloads (mapInPandas,
-    Arrow batches; bytes stay on executors)."""
+    Arrow batches; bytes stay on executors). Real decode for PPM/WAV/RAWV
+    payloads; ``fake`` governs the digest fallback for compressed ones."""
 
     def _extract(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,7 +251,7 @@ def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
                         "media_id": int(mid),
                         "n_bytes": len(b),
                         "sha256": hashlib.sha256(b).hexdigest(),
-                        "feature": decode_image(b, fake=fake),
+                        "feature": decode_media(b, fake=fake) if b else None,
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA])
@@ -101,8 +275,46 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     )
 
 
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame sampling end-to-end: metadata-only index plan joined back to
+    payloads, then per-selected-frame RAWV decode in mapInPandas. Only
+    the chosen frames' rasters are materialized (the container is walked
+    by length prefix); at scale the join keeps payload bytes on their
+    partition — the small index side broadcasts."""
+    plan = frame_sample_plan(df, every_n)
+    # the index plan is (long, long) pairs — tiny relative to payloads;
+    # broadcasting keeps payload bytes on their partitions (no shuffle
+    # of the binary column). A huge video corpus would drop the hint
+    # and let AQE pick.
+    sel = df.select("media_id", "payload").join(F.broadcast(plan), "media_id")
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, idx in zip(
+                pdf["media_id"], pdf["payload"], pdf["frame_idx"]
+            ):
+                frame = decode_rawv_frame(bytes(payload), int(idx))
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "frame_idx": int(idx),
+                        "feature": image_features(frame),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_FEATURE_SCHEMA]
+            )
+
+    return sel.mapInPandas(_decode, schema=FRAME_FEATURE_SCHEMA)
+
+
+# --------------------------------------------------------------- testdata
+
+
 def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic synthetic media table for plumbing tests."""
+    """Deterministic synthetic media table for plumbing tests (opaque
+    payloads — exercises the digest fallback path)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -116,4 +328,35 @@ def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 payload,
             )
         )
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media table with REAL decodable payloads: PPM
+    gradient images, WAV sine tones, RAWV frame stacks."""
+    rows = []
+    for i in range(n):
+        kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            h, w = 8 + i % 5, 6 + i % 7
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack(
+                [(y * 7 + i) % 256, (x * 11 + i) % 256, (y + x + i) % 256], axis=-1
+            ).astype(np.uint8)
+            payload, fmt, meta = encode_ppm(img), "ppm", {"h": str(h), "w": str(w)}
+        elif kind == "audio":
+            sr, dur = 8000, 0.05 + (i % 4) * 0.01
+            t = np.arange(int(sr * dur))
+            tone = (np.sin(2 * np.pi * (220 + 10 * i) * t / sr) * 12000).astype(
+                np.int16
+            )
+            payload, fmt, meta = encode_wav(tone, sr), "wav", {"sr": str(sr)}
+        else:
+            nf = 4 + i % 5
+            frames = [
+                np.full((4, 4, 3), (i + 13 * f) % 256, dtype=np.uint8)
+                for f in range(nf)
+            ]
+            payload, fmt, meta = encode_rawv(frames), "rawv", {"n_frames": str(nf)}
+        rows.append((i, kind, fmt, meta, payload))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
