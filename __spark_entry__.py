@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amadeus_spark.functions import dedup, similarity, text
-from amadeus_spark.operators import aggregates, joins, sampling, sketches
+from amadeus_spark.operators import aggregates, joins, sampling, sketches, storage
 from amadeus_spark.operators import nested as _nested
 
 
@@ -662,6 +662,59 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned range join (beyond the reference; standard in timeseries
+    engines): count/revenue of lineitems shipped within 30 days after
+    each sampled order's date — a pure interval join with NO equi key,
+    which OSS Spark would otherwise plan as BroadcastNestedLoopJoin.
+    The binned plan (joins.range_join) explodes intervals to ~2-3
+    16-day bins and equi-joins on the bin, staying shuffle-based at any
+    scale."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    od = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    ivals = orders.filter(F.col("o_orderkey") % 997 == 0).select(
+        F.col("o_orderkey").alias("ival_id"),
+        od.alias("lo"),
+        (od + F.lit(30)).alias("hi"),
+    )
+    pts = li.select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01")).alias("pt"),
+        F.col("l_extendedprice"),
+    )
+    j = joins.range_join(pts, ivals, "pt", "lo", "hi", bin_width=16)
+    return (
+        j.groupBy("ival_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_price"),
+        )
+        .orderBy("ival_id")
+    )
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join (operators/storage.py): lineitem x
+    supplier revenue by nation through an explicit 8-way salt. The salt
+    spreads any hot supplier key over 8 reducers; multiplicity is exact
+    (each left row meets exactly its salt's replica) so the aggregate is
+    hash-identical to the plain join the oracle runs."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+    )
+    j = storage.salted_join(li, supp, "l_suppkey", n_salts=8)
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _money_sum(F.col("l_extendedprice")).alias("revenue"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 # --- LLM-pipeline: text analysis ------------------------------------------
 
 _SIM_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -792,6 +845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions": q_window_functions,
         "sessionization": q_sessionization,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "salted_skew_join": q_salted_skew_join,
         "training_pipeline": q_training_pipeline,
         "token_stats": q_token_stats,
         "lang_id": q_lang_id,
@@ -1028,6 +1083,26 @@ def oracle_sql() -> dict[str, str]:
                          AND c.ts <= p.ts) AS last_click
               FROM {_EVENTS_US} p WHERE p.event_type = 'purchase'
             ) t
+        """,
+        "range_join": """
+            WITH ivals AS (
+              SELECT o_orderkey AS ival_id,
+                     (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS lo,
+                     (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 30 AS hi
+              FROM orders WHERE o_orderkey % 997 = 0
+            )
+            SELECT ival_id, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_price
+            FROM lineitem JOIN ivals
+              ON (CAST(l_shipdate AS DATE) - DATE '1970-01-01') >= lo
+             AND (CAST(l_shipdate AS DATE) - DATE '1970-01-01') <= hi
+            GROUP BY ival_id ORDER BY ival_id
+        """,
+        "salted_skew_join": """
+            SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n_items,
+                   CAST(SUM(CAST(ROUND((l_extendedprice) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey
         """,
         "training_pipeline": f"""
             WITH qkept AS MATERIALIZED (

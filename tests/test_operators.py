@@ -87,6 +87,35 @@ def test_asof_forward_and_backward(spark):
     assert fwd == {1: "b", 2: "c", 3: "d"}  # earliest at-or-after
 
 
+def test_range_join_matches_naive(spark):
+    """Binned plan is exact: same pairs as the naive cross+filter, bounds
+    inclusive, multi-bin intervals and negative coordinates included."""
+    pts = spark.createDataFrame(
+        [(1, -17), (2, 0), (3, 5), (4, 10), (5, 42), (6, 100)], "pid long, v long"
+    )
+    ivals = spark.createDataFrame(
+        [(10, -20, 0), (20, 0, 10), (30, 5, 5), (40, 7, 90)], "iid long, lo long, hi long"
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in joins.range_join(pts, ivals, "v", "lo", "hi", bin_width=4).collect()
+    }
+    naive = {
+        (p.pid, i.iid)
+        for p in pts.collect()
+        for i in ivals.collect()
+        if i.lo <= p.v <= i.hi
+    }
+    assert got == naive and (2, 10) in got and (2, 20) in got  # inclusive both ends
+
+
+def test_range_join_with_equi_keys(spark):
+    pts = spark.createDataFrame([("a", 5), ("b", 5)], "k string, v long")
+    ivals = spark.createDataFrame([("a", 0, 10)], "k string, lo long, hi long")
+    out = joins.range_join(pts, ivals, "v", "lo", "hi", on_keys=["k"]).collect()
+    assert [(r.k, r.v) for r in out] == [("a", 5)]
+
+
 def test_semi_anti(spark):
     cu = spark.read.parquet(os.path.join(SF_SMOKE, "customer.parquet"))
     od = spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet")).withColumnRenamed(

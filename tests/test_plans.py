@@ -44,6 +44,16 @@ def test_hot_queries_have_no_row_python(spark):
         plans.assert_no_python_udf(df)
 
 
+def test_range_join_never_nested_loop(spark):
+    """The binned range join must stay an equi-join: a non-equi interval
+    join would plan as BroadcastNestedLoopJoin (O(N*M) compares, mandatory
+    broadcast) — the exact scale-killer the operator exists to avoid."""
+    df = entrymod.q_range_join(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert "BroadcastNestedLoop" not in txt and "Cartesian" not in txt
+    plans.assert_no_python_udf(df)
+
+
 def test_top_n_avoids_global_sort(spark):
     df = entrymod.q_sort_n_by(spark, SF_ORACLE)
     assert "TakeOrderedAndProject" in plans.plan_text(df)
