@@ -141,3 +141,36 @@ def test_most_frequent_exact(spark):
     }
     want = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
     assert [(r.l_returnflag, r.freq) for r in top] == want
+
+
+def test_time_rollup_merge_is_exact(spark):
+    """The hypertable property: day resolution derived by merging hourly
+    partials must equal a direct day-level aggregation of raw events —
+    exact, because partials carry integer micro-units."""
+    ev = load_events(spark, SF_SMOKE)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("v_us"),
+    )
+    merged = {
+        (str(r.bucket), r.event_type): (r.n, r.v_us)
+        for r in hourly.groupBy(
+            F.date_trunc("day", F.col("bucket")).alias("bucket"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("v_us").alias("v_us"))
+        .collect()
+    }
+    direct = {
+        (str(r.bucket), r.event_type): (r.n, r.v_us)
+        for r in ev.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("v_us"),
+        )
+        .collect()
+    }
+    assert merged == direct
