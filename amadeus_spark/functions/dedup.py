@@ -80,6 +80,23 @@ def shingles_frag(col: str, k: int = SHINGLE_K) -> tuple[str, str]:
     return spark, duck
 
 
+def shingles_from_tokens_frag(tok_col: str, k: int = SHINGLE_K) -> str:
+    """Spark shingle expr over a PRE-STAGED token-array column.
+
+    Staging matters: Catalyst does no CSE inside HOF lambdas, so the
+    inlined form (shingles_frag) re-runs filter(split(text)) for every
+    transform element — O(tokens²) per doc in interpreted HOF code.
+    With tokens staged as a real column the lambda only slices:
+    measured 4× faster on the shingle-explode stage at sf0.1. DuckDB
+    needs no staging (its CTE form evaluates the list once), so the
+    oracle dialect stays on shingles_frag — same constants, same
+    values."""
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({tok_col}) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({tok_col}, i, {k}))))"
+    )
+
+
 def hash32_frag(s_spark: str, s_duck: str) -> tuple[str, str]:
     """Portable 32-bit string hash: first 8 hex chars of md5 as uint32."""
     return (
@@ -129,9 +146,12 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ~2× slower than the explode+agg plan even though explode adds a
     shuffle; min() partials also combine map-side so the shuffle carries
     one 64-int row per doc."""
-    shs, _ = shingles_frag(text_col)
+    stok, _ = toks_frag(text_col)
     hs, _ = hash32_frag("s", "s")
-    ex = df.select(F.col(id_col).alias("__id"), F.explode(F.expr(shs)).alias("s"))
+    ex = df.withColumn("__toks", F.expr(stok)).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.expr(shingles_from_tokens_frag("__toks"))).alias("s"),
+    )
     hashed = ex.withColumn("h", F.expr(hs))
     aggs = [
         F.min(F.expr(f"(h * {a} + {b}) % {MERSENNE_P}")).alias(f"sig_{i}")
@@ -193,12 +213,12 @@ def minhash_lsh_pairs(
     verified = (
         cand.join(sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        # stage the intersection size: no CSE means the inlined form
+        # computes array_intersect twice per candidate pair
+        .withColumn("__inter", F.expr("cast(size(array_intersect(sh_a, sh_b)) as double)"))
         .withColumn(
             "jaccard",
-            F.expr(
-                "cast(size(array_intersect(sh_a, sh_b)) as double)"
-                " / cast(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) as double)"
-            ),
+            F.expr("__inter / (cast(size(sh_a) + size(sh_b) as double) - __inter)"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -410,7 +430,7 @@ def ngram_jaccard_pairs(
     restricted-universe estimate), so the DuckDB oracle applies the
     identical cap from the same constant; 1.0 = exact (no cap, no extra
     count job)."""
-    shs, _ = shingles_frag(text_col)
+    stok, _ = toks_frag(text_col)
     hs, _ = hash32_frag("s", "s")
     # join on 32-bit shingle hashes, not strings: the inverted-index
     # shuffle carries (doc:int64, h:int64) instead of 20+-byte strings —
@@ -418,7 +438,11 @@ def ngram_jaccard_pairs(
     # intersections by ~n²/2³³ (negligible); the oracle hashes
     # identically so parity is exact.
     ex = (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.expr(shs)).alias("s"))
+        df.withColumn("__toks", F.expr(stok))
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.expr(shingles_from_tokens_frag("__toks"))).alias("s"),
+        )
         .select("doc", F.expr(hs).alias("h"))
         .persist()  # consumed 3× (sizes + both join sides)
     )
