@@ -761,6 +761,35 @@ def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIM_QUERY_IDS = [0, 1, 2, 3, 4]
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token counting + rolling-hash fingerprinting
+    (functions/text.py): per language, whitespace vs subword token
+    totals and distinct order-sensitive fingerprints — one projection,
+    one groupBy, all Catalyst (regexp_extract_all + HOF fold, no
+    Python)."""
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "lang",
+        text.bpe_token_count(F.col("text")).cast("bigint").alias("__bpe"),
+        F.expr("filter(split(text, ' '), x -> x != '')").alias("__toks"),
+    ).select(
+        "lang",
+        "__bpe",
+        F.size("__toks").cast("bigint").alias("__ws"),
+        text.rolling_fingerprint("__toks").alias("__fp"),
+    )
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").alias("ws_tokens"),
+            F.sum("__bpe").alias("bpe_tokens"),
+            F.countDistinct("__fp").alias("n_distinct_fp"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality scoring per language (functions/text.py):
     whole corpus in one projection + one groupBy."""
@@ -891,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "training_pipeline": q_training_pipeline,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -1187,6 +1217,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS total_tokens,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM kept GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_stats": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS ws_tokens,
+                   CAST(SUM({text.bpe_token_count_sql('text')}) AS BIGINT) AS bpe_tokens,
+                   COUNT(DISTINCT {text.rolling_fingerprint_sql('text')}) AS n_distinct_fp
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "token_stats": f"""
             SELECT lang, COUNT(*) AS n_docs,

@@ -152,6 +152,57 @@ def lang_id(col_sql: str = "text") -> Column:
     return F.expr(lang_id_sql(col_sql))
 
 
+# BPE-ish subword tokenizer: the GPT-2 pattern family without lookahead
+# (portable between Java regex and DuckDB's RE2) — contraction suffixes,
+# letter runs, 1-3 digit chunks (BPE number splitting), punctuation runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+# Polynomial rolling-hash fingerprint constants (Rabin-Karp over token
+# hashes). M = 2^31-1 (Mersenne prime) keeps acc*B + h inside int64 in
+# both engines (acc < 2^31, B ≈ 2^20, h < 2^32 → products ≤ 2^52).
+ROLL_B = 1_000_003
+ROLL_M = 2_147_483_647
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_PATTERN), F.lit(0)))
+
+
+def bpe_token_count_sql(col_sql: str = "text") -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all({col_sql}, '{pat}'))"
+
+
+def rolling_fingerprint(tok_col: str) -> Column:
+    """Order-sensitive document fingerprint: left fold of
+    (acc * B + hash32(token)) mod M over a PRE-STAGED token-array column
+    (stage it — no CSE inside HOF lambdas). Unlike the md5 fingerprint,
+    token order and repetition matter, and prefixes share hash state —
+    the rolling-hash construction (Rabin-Karp; winnowing's primitive)."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    hs, _ = hash32_frag("t", "t")
+    return F.expr(
+        f"aggregate(transform({tok_col}, t -> {hs}), 0L,"
+        f" (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M})"
+    )
+
+
+def rolling_fingerprint_sql(col_sql: str = "text") -> str:
+    """DuckDB twin. list_reduce seeds acc with the FIRST element (Spark's
+    aggregate seeds 0, making its first step h1 % M) — congruent mod M at
+    every later step, so one outer % M restores equality; empty token
+    lists (list_reduce errors) map to Spark's init value 0."""
+    from amadeus_spark.functions.dedup import hash32_frag, toks_frag
+
+    _, hd = hash32_frag("t", "t")
+    _, td = toks_frag(col_sql)
+    return (
+        f"CASE WHEN len({td}) = 0 THEN 0 ELSE"
+        f" list_reduce(list_transform({td}, t -> {hd}),"
+        f" (acc, h) -> (acc * {ROLL_B} + h) % {ROLL_M}) % {ROLL_M} END"
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowered
     text — stable content key for exact dedup across formatting noise."""

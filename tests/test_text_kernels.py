@@ -1,0 +1,67 @@
+"""Cross-engine parity for the BPE-ish tokenizer and rolling-hash
+fingerprint on adversarial strings — the regex must behave identically
+under Java regex (Spark) and RE2 (DuckDB), and the fold must agree
+despite the engines' different reduce seeding (list_reduce seeds with
+the first element; Spark's aggregate seeds 0)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amadeus_spark.functions import text
+
+ADVERSARIAL = [
+    "",
+    " ",
+    "   \t  ",
+    "hello",
+    "hello world",
+    "world hello",  # order flip must change the rolling fp
+    "hello hello",  # repetition must change it vs single
+    "it's don't we're I'll you've I'm he'd",
+    "12345678901234567890",
+    "a1b2c3 !!! ??? ...",
+    "CamelCase snake_case kebab-case",
+    "unicode: héllo wörld 你好",
+    "'s 't 're standalone contractions",
+    "ends with space ",
+    " starts with space",
+]
+
+
+def test_bpe_and_rolling_fp_cross_engine(spark, duck):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(ADVERSARIAL)], "id long, text string")
+    got = {
+        r.id: (r.bpe, r.fp)
+        for r in df.select(
+            "id",
+            text.bpe_token_count(F.col("text")).alias("bpe"),
+            F.expr("filter(split(text, ' '), x -> x != '')").alias("__toks"),
+        )
+        .select("id", "bpe", text.rolling_fingerprint("__toks").alias("fp"))
+        .collect()
+    }
+    for i, s in enumerate(ADVERSARIAL):
+        lit = "'" + s.replace("'", "''") + "'"
+        bpe, fp = duck.sql(
+            f"SELECT {text.bpe_token_count_sql(lit)},"
+            f" {text.rolling_fingerprint_sql(lit)}"
+        ).fetchone()
+        assert (got[i][0], got[i][1]) == (bpe, fp), (i, s, got[i], (bpe, fp))
+
+
+def test_rolling_fp_is_order_and_multiplicity_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c a b c"), (4, "")],
+        "id long, text string",
+    )
+    fps = {
+        r.id: r.fp
+        for r in df.select(
+            "id", F.expr("filter(split(text, ' '), x -> x != '')").alias("__toks")
+        )
+        .select("id", text.rolling_fingerprint("__toks").alias("fp"))
+        .collect()
+    }
+    assert len({fps[1], fps[2], fps[3]}) == 3  # order and repetition matter
+    assert fps[4] == 0  # empty doc folds to the seed
