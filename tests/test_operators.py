@@ -174,3 +174,29 @@ def test_time_rollup_merge_is_exact(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_range_join_randomized_vs_naive(spark):
+    """Fixed-seed fuzz: 300 points x 60 intervals, fractional bin width,
+    values straddling zero and bin boundaries — binned plan == naive."""
+    import random
+
+    rng = random.Random(4242)
+    pts_rows = [(i, rng.randint(-100, 100)) for i in range(300)]
+    iv_rows = []
+    for i in range(60):
+        lo = rng.randint(-110, 100)
+        iv_rows.append((i, lo, lo + rng.randint(0, 40)))
+    pts = spark.createDataFrame(pts_rows, "pid long, v long")
+    ivals = spark.createDataFrame(iv_rows, "iid long, lo long, hi long")
+    got = {
+        (r.pid, r.iid)
+        for r in joins.range_join(pts, ivals, "v", "lo", "hi", bin_width=7.5).collect()
+    }
+    naive = {
+        (pid, iid)
+        for pid, v in pts_rows
+        for iid, lo, hi in iv_rows
+        if lo <= v <= hi
+    }
+    assert got == naive
