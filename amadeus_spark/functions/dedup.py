@@ -177,7 +177,11 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH, verified with exact shingle
     Jaccard. Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
@@ -186,7 +190,13 @@ def minhash_lsh_pairs(
     → shuffle on (band_id, band_hash) → per-bucket self-join emits
     candidates → distinct → join back to shingle arrays (shuffle on id)
     → exact verify. No O(n²) stage anywhere; skewed buckets (boilerplate
-    docs) are the known hot spot — AQE skew-join splits them.
+    docs) are the known hot spot — AQE skew-join splits them, and
+    ``max_bucket_size`` is the hard cap: band buckets holding more than
+    that many docs are dropped whole before the self-join (a bucket of
+    d docs emits O(d²) candidate pairs — one boilerplate bucket can
+    dominate the stage at corpus scale). Dropping a bucket only loses
+    recall for pairs whose OTHER 15 bands also miss; the oracle applies
+    the identical cap so parity stays exact. None = off.
     """
     docs = with_minhash(df, id_col, text_col)
     band_s, _ = band_hashes_frag("sig")
@@ -196,6 +206,17 @@ def minhash_lsh_pairs(
             "band_id", "bh"
         ),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        # one count-over-window on the same (band_id, bh) shuffle key the
+        # self-join needs anyway — no extra shuffle stage
+        w = Window.partitionBy("band_id", "bh")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     cand = (
         bands.alias("a")
         .join(
@@ -227,7 +248,13 @@ def minhash_lsh_pairs(
     return verified
 
 
-def minhash_lsh_oracle(table: str, id_col: str, text_col: str, threshold: float = 0.8) -> str:
+def minhash_lsh_oracle(
+    table: str,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_bucket_size: int | None = None,
+) -> str:
     """DuckDB twin of minhash_lsh_pairs — same constants, same algorithm."""
     _, shd = shingles_frag(text_col)
     _, hd = hash32_frag("s", "s")
@@ -236,6 +263,19 @@ def minhash_lsh_oracle(table: str, id_col: str, text_col: str, threshold: float 
     band_selects = "\n  UNION ALL ".join(
         f"SELECT doc, {j} AS band_id, {frag} AS bh FROM sigs" for j, frag in enumerate(band_d)
     )
+    if max_bucket_size is not None:
+        bands_cte = f"""raw_bands AS (
+  {band_selects}
+), bands AS (
+  SELECT doc, band_id, bh FROM (
+    SELECT doc, band_id, bh, COUNT(*) OVER (PARTITION BY band_id, bh) AS bsz
+    FROM raw_bands
+  ) WHERE bsz <= {max_bucket_size}
+)"""
+    else:
+        bands_cte = f"""bands AS (
+  {band_selects}
+)"""
     return f"""
 WITH docs AS MATERIALIZED (
   SELECT {id_col} AS doc, {shd} AS shingles FROM {table}
@@ -243,9 +283,7 @@ WITH docs AS MATERIALIZED (
   SELECT doc, list_transform(shingles, s -> {hd}) AS hs FROM docs
 ), sigs AS MATERIALIZED (
   SELECT doc, list_distinct(hs) AS sh, [{', '.join(sig_d)}] AS sig FROM hashed
-), bands AS (
-  {band_selects}
-), cand AS (
+), {bands_cte}, cand AS (
   SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc < b.doc

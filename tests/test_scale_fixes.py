@@ -111,3 +111,29 @@ def test_ngram_df_cap_parity(spark, duck):
     # and the cap genuinely bit: uncapped finds more/equal pairs
     uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1).count()
     assert uncapped >= got.count()
+
+
+def test_minhash_bucket_cap_parity(spark, duck):
+    """max_bucket_size drops oversized band buckets before the self-join
+    in BOTH dialects; parity must hold on a corpus where the cap bites
+    (near-identical boilerplate docs all landing in the same buckets)."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(10):
+        if i < 6:  # boilerplate clones (one token differs)
+            rows.append((i, "terms of service apply to all users " + f"v{i}"))
+        else:
+            body = " ".join(f"w{rng.randrange(40)}" for _ in range(10))
+            rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    duck.execute("DROP TABLE IF EXISTS __mh_cap")
+    duck.execute("CREATE TABLE __mh_cap (doc_id bigint, text varchar)")
+    duck.executemany("INSERT INTO __mh_cap VALUES (?, ?)", rows)
+    got = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.1, max_bucket_size=3)
+    oracle = duck.sql(
+        dedup.minhash_lsh_oracle("__mh_cap", "doc_id", "text", 0.1, max_bucket_size=3)
+    )
+    assert_matches("minhash_bucket_cap", got, oracle)
+    # the cap genuinely bit: the uncapped run finds strictly more pairs
+    uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.1).count()
+    assert uncapped > got.count()
