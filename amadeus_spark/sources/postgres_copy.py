@@ -32,8 +32,11 @@ from pyspark.sql import types as T
 
 
 def _copy_csv(dsn: str, query: str) -> bytes:
-    """Run COPY (query) TO STDOUT (FORMAT CSV, HEADER) through psql."""
-    sql = f"COPY ({query}) TO STDOUT (FORMAT CSV, HEADER)"
+    """Run COPY (query) TO STDOUT (FORMAT CSV, HEADER) through psql.
+    NULLs travel as unquoted \\N so they never collide with quoted empty
+    strings (CSV-default NULL is the empty string, which pandas cannot
+    tell apart from '')."""
+    sql = f"COPY ({query}) TO STDOUT (FORMAT CSV, HEADER, NULL '\\N')"
     proc = subprocess.run(
         ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", sql],
         capture_output=True,
@@ -101,11 +104,120 @@ def read_postgres_copy(
         if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType))
     }
 
+    bool_cols = [
+        f.name for f in schema.fields if isinstance(f.dataType, T.BooleanType)
+    ]
+
     def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for q in pdf["copy_query"]:
                 raw = _copy_csv(dsn, q)
-                out = pd.read_csv(io.BytesIO(raw), dtype=pd_dtypes)
+                out = pd.read_csv(
+                    io.BytesIO(raw),
+                    dtype=pd_dtypes,
+                    keep_default_na=False,
+                    na_values=[r"\N"],
+                )
+                for c in bool_cols:  # postgres CSV booleans are t/f
+                    out[c] = out[c].map({"t": True, "f": False})
                 yield out[names] if len(out) else pd.DataFrame(columns=names)
 
     return plan.mapInPandas(fetch, schema=schema)
+
+
+# ---- sink -----------------------------------------------------------------
+
+_PG_TYPES = {
+    "LongType": "bigint",
+    "IntegerType": "integer",
+    "ShortType": "smallint",
+    "DoubleType": "double precision",
+    "FloatType": "real",
+    "StringType": "text",
+    "BooleanType": "boolean",
+    "DateType": "date",
+    "TimestampType": "timestamp",
+}
+
+
+def pg_ddl(schema: T.StructType, table: str) -> str:
+    """CREATE TABLE statement for a Spark schema (scalar columns only —
+    nest/binary columns have no portable CSV form; project them out)."""
+    cols = []
+    for f in schema.fields:
+        tname = type(f.dataType).__name__
+        if isinstance(f.dataType, T.DecimalType):
+            pg = f"numeric({f.dataType.precision}, {f.dataType.scale})"
+        elif tname in _PG_TYPES:
+            pg = _PG_TYPES[tname]
+        else:
+            raise ValueError(f"no portable Postgres mapping for column {f.name}: {tname}")
+        cols.append(f'"{f.name}" {pg}')
+    return f"CREATE TABLE {table} ({', '.join(cols)})"
+
+
+def run_sql(dsn: str, sql: str) -> None:
+    """Run one statement through psql (driver-side DDL helper)."""
+    proc = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", sql],
+        capture_output=True,
+        check=False,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"psql failed: {proc.stderr.decode(errors='replace')}")
+
+
+def write_postgres_copy(df: DataFrame, dsn: str, table: str, mode: str = "append") -> int:
+    """Distributed Postgres sink via ``COPY <table> FROM STDIN (FORMAT
+    CSV)`` — the reference *declares* DB sinks but never ships them
+    (README.md:60-73); this completes the surface using the same
+    transfer mechanism as the COPY source, in reverse.
+
+    Each input partition streams its Arrow batches through ONE psql
+    process (mapInPandas) — an N-partition frame loads N-way parallel
+    with bounded memory, the same shape as the reference's per-task
+    source topology. Returns total rows written (the count action is
+    what triggers the write; exactly-once per task attempt is NOT
+    guaranteed under task retries — wrap the load in a staging table +
+    atomic rename for that, as any COPY-based loader must).
+
+    NULLs travel as unquoted ``\\N`` (never confusable with quoted empty
+    strings); a *literal* string ``\\N`` would be read back as NULL —
+    the standard COPY-CSV ambiguity, documented here. mode='overwrite'
+    truncates first (driver-side, not transactional with the load).
+    """
+    if mode == "overwrite":
+        run_sql(dsn, f"TRUNCATE TABLE {table}")
+    elif mode != "append":
+        raise ValueError(f"mode must be append|overwrite, not {mode!r}")
+    collist = ", ".join(f'"{c}"' for c in df.columns)
+    copy_sql = f"COPY {table} ({collist}) FROM STDIN (FORMAT CSV, NULL '\\N')"
+
+    def sink(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = subprocess.Popen(
+            ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c", copy_sql],
+            stdin=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        n = 0
+        try:
+            for pdf in batches:
+                if len(pdf):
+                    proc.stdin.write(
+                        pdf.to_csv(index=False, header=False, na_rep="\\N").encode()
+                    )
+                    n += len(pdf)
+            proc.stdin.close()
+        finally:
+            rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(
+                f"psql COPY FROM failed: {proc.stderr.read().decode(errors='replace')}"
+            )
+        yield pd.DataFrame({"rows_written": [n]})
+
+    from pyspark.sql import functions as F
+
+    out = df.mapInPandas(sink, "rows_written bigint")
+    total = out.agg(F.sum("rows_written")).first()[0]
+    return int(total or 0)

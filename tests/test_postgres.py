@@ -183,3 +183,37 @@ def test_copy_read_query_source(spark, pg_dsn, pg_orders):
     )
     want = pg_orders.groupBy("o_custkey").count().count()
     assert got.count() == want
+
+
+def test_copy_sink_roundtrip(spark, pg_dsn):
+    """write_postgres_copy → read_postgres_copy round-trip: N-partition
+    parallel COPY load, NULLs and quoting-hostile strings preserved."""
+    from amadeus_spark.sources.postgres_copy import pg_ddl, run_sql, write_postgres_copy
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    rows = [
+        (1, "plain", 1.5, True),
+        (2, 'comma, and "quotes"', -2.25, False),
+        (3, None, None, None),
+        (4, "newline\nin value", 0.0, True),
+        (5, "", 9.75, False),  # empty string must stay non-NULL
+    ]
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    run_sql(pg_dsn, "DROP TABLE IF EXISTS sink_rt")
+    run_sql(pg_dsn, pg_ddl(schema, "sink_rt"))
+    written = write_postgres_copy(df, pg_dsn, "sink_rt")
+    assert written == 5
+    back = read_postgres_copy(spark, pg_dsn, "sink_rt", schema).collect()
+    got = sorted((r.id, r.name, r.score, r.ok) for r in back)
+    assert got == sorted(rows)
+    # overwrite truncates
+    written2 = write_postgres_copy(df.limit(2), pg_dsn, "sink_rt", mode="overwrite")
+    assert written2 == 2
+    assert read_postgres_copy(spark, pg_dsn, "sink_rt", schema).count() == 2
