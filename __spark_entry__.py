@@ -320,6 +320,74 @@ def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (two facts, four dims) with the
+    local-supplier constraint (c_nationkey = s_nationkey) folded into
+    the supplier join. nation/region/supplier broadcast (true dims);
+    the lineitem-orders-customer fact chain is left to Catalyst/AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    j = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(su),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy("n_name")
+        .agg(_money_sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery driving a
+    fact-fact join, top-100 by price. The quantity aggregate runs FIRST
+    (one shuffle on l_orderkey, map-side partials) so only qualifying
+    orders — a tiny fraction — reach the joins; the naive plan joins
+    everything then filters. LIMIT carries a total tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    sums = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    j = sums.join(od, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cu, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            # string, not DATE: pandas widens DuckDB DATE back to a
+            # midnight timestamp, so the stringified compare would differ
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
 def q_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-way join with two broadcast dims: revenue share per supplier
     nation restricted to large parts — Q8-lite market-share shape."""
@@ -902,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
         "cube": q_cube,
@@ -1063,6 +1133,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n_name,
+                   CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q18_large_orders": """
+            WITH sums AS (
+              SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, total_qty
+            FROM sums JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
         """,
         "tpch_q6_forecast": """
             SELECT CAST(SUM(CAST(ROUND((l_extendedprice*l_discount) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
