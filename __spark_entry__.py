@@ -935,6 +935,14 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, _SIM_QUERY_IDS, k=5)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cell) ANN top-5 — rows-only by nature (KMeans cell
+    assignment has no SQL oracle); recall vs exact cosine is pinned by
+    tests/test_similarity.py instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, _SIM_QUERY_IDS, k=5)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index (no O(n²))."""
     docs = _t(spark, sf_dir, "documents")
@@ -1003,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
         "ann_lsh": q_ann_lsh,
+        "ivf_topk": q_ivf_topk,
     }
 
 
