@@ -250,6 +250,15 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.deterministic_sample(od.select("o_orderkey", "o_custkey"), "o_orderkey", 25)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-5-per-language document sample (class-balance primitive):
+    one window shuffle, engine-reproducible md5 permutation."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(
+        docs.select("doc_id", "lang"), "lang", "doc_id", 5
+    ).orderBy("lang", "doc_id")
+
+
 def q_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """all/any short-circuit ∀/∃ (par_sink/all.rs, any.rs) as one row."""
     li = _t(spark, sf_dir, "lineitem")
@@ -972,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chain_union": q_chain_union,
         "sort_n_by": q_sort_n_by,
         "sample_deterministic": q_sample_deterministic,
+        "stratified_sample": q_stratified_sample,
         "all_any": q_all_any,
         "set_ops": q_set_ops,
         "distinct_count": q_distinct_count,
@@ -1110,6 +1120,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_deterministic": """
             SELECT o_orderkey, o_custkey FROM orders
             ORDER BY MD5('rs' || CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 25
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY MD5('rs' || CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 5 ORDER BY lang, doc_id
         """,
         "all_any": """
             SELECT (SELECT COUNT(*) FROM lineitem WHERE NOT (l_quantity > 0)) = 0 AS all_qty_positive,

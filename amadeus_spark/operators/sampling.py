@@ -38,6 +38,27 @@ def deterministic_sample(df: DataFrame, key: str, k: int, salt: str = "rs") -> D
     return df.orderBy(h, F.col(key)).limit(k)
 
 
+def stratified_sample(
+    df: DataFrame, stratum: str, key: str, k: int, salt: str = "rs"
+) -> DataFrame:
+    """Exact-k-per-stratum sample, engine-reproducible: within each
+    stratum, rank rows by md5(salt||key) — a fixed uniform permutation —
+    and keep the first k. One shuffle (the window's partitionBy); no
+    per-stratum driver loop, so the stratum count can be unbounded.
+    Equal-size strata sampling is the standard class-balance primitive
+    for training-data pipelines; cross-checkable in SQL (row_number over
+    the same md5 in DuckDB)."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """Streaming-friendly fraction sample (reference SampleTotal shape,
     sample.rs:7-39): no shuffle at all, each task keeps ~fraction rows."""

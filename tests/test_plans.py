@@ -54,6 +54,41 @@ def test_range_join_never_nested_loop(spark):
     plans.assert_no_python_udf(df)
 
 
+def test_q5_broadcasts_all_dims(spark):
+    """supplier/nation/region must broadcast; the fact chain must not."""
+    df = entrymod.q_tpch_q5_local_supplier(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert txt.count("BroadcastExchange") >= 3
+    plans.assert_no_python_udf(df)
+
+
+def test_q18_aggregates_before_joining(spark):
+    """The HAVING subquery must reduce lineitem BEFORE any join: the
+    aggregate's child scan is lineitem, and no join sits below it."""
+    import re
+
+    df = entrymod.q_tpch_q18_large_orders(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    # formatted-plan node ids increase child-to-parent: the aggregate's
+    # id must be smaller than every join's id (it sits below them)
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", txt)]
+    join_ids = [
+        int(m)
+        for m in re.findall(
+            r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", txt
+        )
+    ]
+    assert agg_ids and join_ids and min(agg_ids) < min(join_ids)
+
+
+def test_time_rollup_reads_raw_once(spark):
+    """Day resolution merges hourly partials — events parquet appears in
+    the plan exactly once (the continuous-aggregate property)."""
+    df = entrymod.q_time_rollup(spark, SF_SMOKE)
+    txt = plans.plan_text(df)
+    assert txt.count("events.parquet") <= 1 or "InMemory" in txt
+
+
 def test_top_n_avoids_global_sort(spark):
     df = entrymod.q_sort_n_by(spark, SF_ORACLE)
     assert "TakeOrderedAndProject" in plans.plan_text(df)
