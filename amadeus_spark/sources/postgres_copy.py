@@ -107,6 +107,11 @@ def read_postgres_copy(
     bool_cols = [
         f.name for f in schema.fields if isinstance(f.dataType, T.BooleanType)
     ]
+    dt_cols = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.TimestampType, T.DateType))
+    ]
 
     def fetch(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -120,6 +125,8 @@ def read_postgres_copy(
                 )
                 for c in bool_cols:  # postgres CSV booleans are t/f
                     out[c] = out[c].map({"t": True, "f": False})
+                for c in dt_cols:  # CSV timestamps arrive as strings
+                    out[c] = pd.to_datetime(out[c])
                 yield out[names] if len(out) else pd.DataFrame(columns=names)
 
     return plan.mapInPandas(fetch, schema=schema)

@@ -266,3 +266,35 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def run_to_postgres_sink(
+    stream_df: DataFrame,
+    dsn: str,
+    table: str,
+    output_mode: str = "append",
+) -> None:
+    """Stream → Postgres through foreachBatch + the distributed COPY
+    sink (sources/postgres_copy.write_postgres_copy): every micro-batch
+    loads N-way parallel, one COPY per partition. append mode appends
+    finalized rows (watermark-closed windows); complete mode rewrites
+    the table each batch (truncate + reload — the usual serving-table
+    pattern for small windowed aggregates). Runs with availableNow to
+    completion (deterministic for tests and backfills)."""
+    from amadeus_spark.sources.postgres_copy import write_postgres_copy
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        write_postgres_copy(
+            batch_df,
+            dsn,
+            table,
+            mode="overwrite" if output_mode == "complete" else "append",
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

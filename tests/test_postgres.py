@@ -217,3 +217,47 @@ def test_copy_sink_roundtrip(spark, pg_dsn):
     written2 = write_postgres_copy(df.limit(2), pg_dsn, "sink_rt", mode="overwrite")
     assert written2 == 2
     assert read_postgres_copy(spark, pg_dsn, "sink_rt", schema).count() == 2
+
+
+def test_streaming_to_postgres_sink(spark, pg_dsn, tmp_path):
+    """readStream(events) → windowed agg → foreachBatch COPY sink: the
+    serving-table pattern. Final Postgres state must equal the batch
+    aggregation of the same input."""
+    from amadeus_spark.sources.postgres_copy import (
+        pg_ddl,
+        read_postgres_copy,
+        run_sql,
+    )
+    from amadeus_spark.streaming import events as ev
+    from amadeus_spark.tables import load_events
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "evstream")
+    src = load_events(spark, SF_SMOKE)
+    src.coalesce(2).write.parquet(d)
+
+    agg_schema = T.StructType(
+        [
+            T.StructField("win_start", T.TimestampType()),
+            T.StructField("win_end", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    run_sql(pg_dsn, "DROP TABLE IF EXISTS ev_serving")
+    run_sql(pg_dsn, pg_ddl(agg_schema, "ev_serving"))
+
+    stream = ev.windowed_counts(ev.read_event_stream(spark, d), window="1 hour")
+    stream = stream.withColumnRenamed("total_value", "score")
+    ev.run_to_postgres_sink(stream, pg_dsn, "ev_serving", output_mode="complete")
+
+    back = read_postgres_copy(spark, pg_dsn, "ev_serving", agg_schema)
+    batch = (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events")
+    )
+    got = {(str(r.win_start), r.event_type): r.n_events for r in back.collect()}
+    want = {(str(r.win_start), r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
