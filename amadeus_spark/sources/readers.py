@@ -71,15 +71,38 @@ def schema_from_amadeus(fields: list[tuple[str, str, bool]]) -> T.StructType:
     )
 
 
+#: per-row Result semantics (amadeus-serde yields Result<T, CsvError> /
+#: Result<T, JsonError> PER ROW — csv.rs:47-65, json.rs:18-40):
+#: 'permissive' keeps bad rows with nulls + the raw line in
+#: ``_corrupt_record`` (≈ Err carried alongside Ok rows), 'drop' discards
+#: them (≈ filter_map(Result::ok)), 'fail' aborts on the first (≈ .?).
+_ERROR_MODES = {"permissive": "PERMISSIVE", "drop": "DROPMALFORMED", "fail": "FAILFAST"}
+
+
+def _with_error_mode(reader, schema: T.StructType | None, errors: str):
+    mode = _ERROR_MODES[errors]
+    reader = reader.option("mode", mode)
+    if errors == "permissive" and schema is not None:
+        # Spark populates the corrupt column only when it's in the schema
+        schema = T.StructType(
+            list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+        )
+    return reader, schema
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     schema: T.StructType | None = None,
     header: bool = False,
+    errors: str = "permissive",
 ) -> DataFrame:
     """CSV source (amadeus-serde/src/csv.rs:47-135). Typed when ``schema``
-    given, dynamic (inferSchema → positional _c0.._cN) otherwise."""
+    given, dynamic (inferSchema → positional _c0.._cN) otherwise.
+    ``errors`` maps the reference's per-row Result to Spark malformed-row
+    modes (see _ERROR_MODES)."""
     reader = spark.read.option("header", header)
+    reader, schema = _with_error_mode(reader, schema, errors)
     if schema is not None:
         reader = reader.schema(schema)
     else:
@@ -88,11 +111,15 @@ def read_csv(
 
 
 def read_json(
-    spark: SparkSession, path: str, schema: T.StructType | None = None
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    errors: str = "permissive",
 ) -> DataFrame:
     """JSON source (amadeus-serde/src/json.rs:18-120): newline-delimited;
-    dynamic mode infers a named Group ≈ inferred struct."""
-    reader = spark.read
+    dynamic mode infers a named Group ≈ inferred struct. ``errors`` maps
+    the reference's per-row Result to Spark malformed-row modes."""
+    reader, schema = _with_error_mode(spark.read, schema, errors)
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)

@@ -340,3 +340,32 @@ def test_cloudfront_e2e_compressed_prefix(spark, tmpdir_data):
     from amadeus_spark import plans
 
     plans.assert_no_python_udf(df)
+
+
+def test_per_row_result_error_modes(spark, tmpdir_data):
+    """Reference parity: amadeus sources yield Result per ROW (csv.rs:
+    47-65, json.rs:18-40) — a bad row is an Err value, not a failed job.
+    permissive ≈ Err carried alongside Ok rows, drop ≈ filter_map(ok),
+    fail ≈ propagate first error."""
+    from pyspark.sql import types as T
+
+    path = os.path.join(tmpdir_data, "mixed.json")
+    with open(path, "w") as f:
+        f.write('{"k": 1, "s": "good"}\n')
+        f.write("{not json at all\n")
+        f.write('{"k": 3, "s": "also good"}\n')
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("s", T.StringType())]
+    )
+
+    perm = readers.read_json(spark, path, schema=schema).collect()
+    assert len(perm) == 3
+    bad = [r for r in perm if r._corrupt_record is not None]
+    assert len(bad) == 1 and bad[0].k is None and "{not json" in bad[0]._corrupt_record
+    assert {r.k for r in perm if r._corrupt_record is None} == {1, 3}
+
+    dropped = readers.read_json(spark, path, schema=schema, errors="drop")
+    assert {r.k for r in dropped.collect()} == {1, 3}
+
+    with pytest.raises(Exception):
+        readers.read_json(spark, path, schema=schema, errors="fail").collect()
