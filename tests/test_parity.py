@@ -88,3 +88,46 @@ def test_cosine_topk_partitioning_invariance(spark):
     a = _rows(similarity.cosine_topk(spark.read.parquet(emb).repartition(1), [0, 1], 5))
     b = _rows(similarity.cosine_topk(spark.read.parquet(emb).repartition(9), [0, 1], 5))
     assert a == b
+
+
+def test_range_join_partitioning_invariance(spark):
+    from amadeus_spark.operators import joins
+
+    def run(nparts):
+        li = (
+            spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet"))
+            .repartition(nparts)
+            .select(
+                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01")).alias("pt"),
+                "l_orderkey",
+            )
+        )
+        od = spark.read.parquet(os.path.join(SF_ORACLE, "orders.parquet")).filter(
+            F.col("o_orderkey") % 997 == 0
+        )
+        d = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        iv = od.select(F.col("o_orderkey").alias("iid"), d.alias("lo"), (d + 30).alias("hi"))
+        j = joins.range_join(li, iv, "pt", "lo", "hi", bin_width=16)
+        return _rows(j.groupBy("iid").count())
+
+    assert run(1) == run(11) == run(32)
+
+
+def test_stratified_and_rolling_fp_partitioning_invariance(spark):
+    from amadeus_spark.operators import sampling
+
+    a = _rows(sampling.stratified_sample(_docs(spark, 1).select("doc_id", "lang"), "lang", "doc_id", 5))
+    b = _rows(sampling.stratified_sample(_docs(spark, 13).select("doc_id", "lang"), "lang", "doc_id", 5))
+    assert a == b
+
+    def fp(nparts):
+        d = _docs(spark, nparts).withColumn(
+            "__toks", F.expr("filter(split(text, ' '), x -> x != '')")
+        )
+        return _rows(
+            d.select(text.rolling_fingerprint("__toks").alias("fp"))
+            .groupBy("fp")
+            .count()
+        )
+
+    assert fp(1) == fp(9)

@@ -137,3 +137,18 @@ def test_minhash_bucket_cap_parity(spark, duck):
     # the cap genuinely bit: the uncapped run finds strictly more pairs
     uncapped = dedup.minhash_lsh_pairs(df, "doc_id", "text", threshold=0.1).count()
     assert uncapped > got.count()
+
+
+def test_minhash_candidate_count_near_linear(spark):
+    """MinHash banding: random docs have Jaccard ≈ 0, so a shared band
+    (all 4 of its minhash rows equal) is vanishingly rare — candidate
+    count must stay ~0 for uniform data, and growing n must not grow it
+    quadratically. threshold=0 turns off verification filtering, so the
+    output IS the candidate set."""
+    small = dedup.minhash_lsh_pairs(
+        _random_docs(spark, 256), "doc_id", "text", threshold=0.0
+    ).count()
+    big = dedup.minhash_lsh_pairs(
+        _random_docs(spark, 512, seed=7), "doc_id", "text", threshold=0.0
+    ).count()
+    assert small <= 10 and big <= 20, (small, big)
