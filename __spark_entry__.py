@@ -778,9 +778,9 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("r_ts").alias("n_matched"),
-        F.sum(F.unix_micros(F.col("ts")) - F.unix_micros(F.col("r_ts"))).alias(
-            "total_gap_us"
-        ),
+        # timestampdiff is wall-clock exact and works on TIMESTAMP_NTZ
+        # (unix_micros rejects NTZ); matches DuckDB epoch_us(a)-epoch_us(b).
+        F.sum(F.expr("timestampdiff(MICROSECOND, r_ts, ts)")).alias("total_gap_us"),
     )
 
 

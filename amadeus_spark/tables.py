@@ -39,16 +39,29 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_events(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark's Parquet
-    reader rejects by default; read nanos as long (legacy conf, settable
-    at runtime so it works under the driver's own session) and derive a
-    microsecond timestamp with exact integer division (ns values ~1.7e18
-    exceed double precision — never divide as float)."""
+    """Schema-adaptive events reader. The testdata's ``ts`` encoding has
+    changed across regenerations (TIMESTAMP(NANOS) in earlier drops,
+    ``timestamp[us]`` now), so branch on the dtype Spark actually sees
+    rather than hard-coding one physical type:
+
+    - TIMESTAMP(NANOS) parquet is rejected by Spark's reader unless
+      ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which case it
+      arrives as ``bigint`` nanos → derive µs with exact integer division
+      (ns values ~1.7e18 exceed double precision — never divide as float).
+    - ``timestamp`` / ``timestamp_ntz`` (µs-precision parquet) → use the
+      column as-is; Spark already reads it at µs precision.
+    """
     from pyspark.sql import functions as F
 
+    # Harmless for µs data; required to even *read* TIMESTAMP(NANOS).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(table_path(sf_dir, "events"))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type.startswith("timestamp"):
+        return raw
+    raise TypeError(f"events.ts has unsupported dtype {ts_type!r}")
 
 
 def load_tables(

@@ -369,3 +369,44 @@ def test_per_row_result_error_modes(spark, tmpdir_data):
 
     with pytest.raises(Exception):
         readers.read_json(spark, path, schema=schema, errors="fail").collect()
+
+
+def test_load_events_schema_adaptive(spark, tmpdir_data):
+    """The driver's events.parquet ts encoding has changed between data
+    drops (TIMESTAMP(NANOS) in round 1, timestamp[us] in round 2) and
+    broke 7 queries + the bench once. Pin `tables.load_events` to
+    normalize ALL plausible encodings — raw int64 nanos, parquet
+    timestamp[us], parquet timestamp[ns] — to the same µs wall-clock."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amadeus_spark.tables import load_events
+
+    wall = [
+        datetime.datetime(2024, 3, 1, 12, 0, 0, 123456),
+        datetime.datetime(2024, 3, 2, 3, 30, 45, 999999),
+    ]
+    epoch = datetime.datetime(1970, 1, 1)
+    nanos = [
+        ((w - epoch).days * 86400 + (w - epoch).seconds) * 10**9
+        + (w - epoch).microseconds * 1000
+        for w in wall
+    ]
+    ids = [1, 2]
+
+    cases = {
+        "int64_nanos": pa.table({"event_id": pa.array(ids, pa.int64()), "ts": pa.array(nanos, pa.int64())}),
+        "ts_us": pa.table({"event_id": pa.array(ids, pa.int64()), "ts": pa.array(wall, pa.timestamp("us"))}),
+        "ts_ns": pa.table({"event_id": pa.array(ids, pa.int64()), "ts": pa.array(wall, pa.timestamp("ns"))}),
+    }
+    for name, tbl in cases.items():
+        d = os.path.join(tmpdir_data, f"events_enc_{name}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        ev = load_events(spark, d)
+        ts_type = dict(ev.dtypes)["ts"]
+        assert ts_type.startswith("timestamp"), (name, ts_type)
+        got = {r.event_id: r.ts.replace(tzinfo=None) for r in ev.collect()}
+        assert got == dict(zip(ids, wall)), name
