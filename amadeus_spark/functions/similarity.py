@@ -58,10 +58,10 @@ def _plane_literal_duck(plane: list[float]) -> str:
     return "[" + ", ".join(f"cast({v} as double)" for v in plane) + "]"
 
 
-def bucket_frag(vec: str) -> tuple[str, str]:
-    """LSH bucket id: bit j set iff dot(vec, plane_j) >= 0."""
+def _bucket_exprs(vec: str, planes: list[list[float]]) -> tuple[str, str]:
+    """Sign-bit bucket id over ``planes``: bit j set iff dot(vec, plane_j) >= 0."""
     sparks, ducks = [], []
-    for j, plane in enumerate(HYPERPLANES):
+    for j, plane in enumerate(planes):
         ds_s = (
             f"aggregate(zip_with({vec}, {_plane_literal_spark(plane)},"
             f" (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, x) -> acc + x)"
@@ -74,6 +74,40 @@ def bucket_frag(vec: str) -> tuple[str, str]:
         sparks.append(f"(case when {ds_s} >= 0 then {1 << j} else 0 end)")
         ducks.append(f"(case when {dd_s} >= 0 then {1 << j} else 0 end)")
     return "(" + " + ".join(sparks) + ")", "(" + " + ".join(ducks) + ")"
+
+
+def bucket_frag(vec: str) -> tuple[str, str]:
+    """LSH bucket id over the shared N_PLANES hyperplanes (ann_lsh_topk)."""
+    return _bucket_exprs(vec, HYPERPLANES)
+
+
+#: Banded hyperplane LSH for embedding near-dup detection: ND_BANDS
+#: independent bucket tables of ND_BITS sign bits each (OR across bands,
+#: the Charikar analog of MinHash banding). Candidate probability for a
+#: pair at angle θ is 1-(1-p^ND_BITS)^ND_BANDS with p = 1-θ/π.
+#: 8×4 is tuned for the testdata's moderate-cosine regime (the synthetic
+#: embeddings contain no true near-dups; max pairwise cosine ≈ 0.51):
+#: ~70% candidate recall at cosine 0.3. At corpus scale, size
+#: ND_BITS ≈ log2(N / target_bucket_size) to bound buckets and raise
+#: ND_BANDS to keep recall at the operating threshold — the knobs move,
+#: the plan shape (ids-only equi-join, distinct, exact verify) does not.
+ND_BANDS = 8
+ND_BITS = 4
+_rng_nd = random.Random(778)
+ND_PLANES = [
+    [[round(_rng_nd.gauss(0.0, 1.0), 6) for _ in range(EMB_DIM)] for _ in range(ND_BITS)]
+    for _ in range(ND_BANDS)
+]
+
+
+def band_buckets_frag(vec: str) -> tuple[list[str], list[str]]:
+    """Per-band bucket-id expressions (one per ND_BANDS) in both dialects."""
+    sparks, ducks = [], []
+    for band in ND_PLANES:
+        s, d = _bucket_exprs(vec, band)
+        sparks.append(s)
+        ducks.append(d)
+    return sparks, ducks
 
 
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -188,26 +222,54 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (dedup family): all pairs
-    with cosine ≥ threshold over an id-sampled subset (vec_id % id_mod
-    == 0 keeps the demo exact and the oracle cheap).
+    """Embedding-cosine near-duplicate pairs (dedup family), candidate-
+    pruned by banded hyperplane LSH — the same two-stage shape as
+    minhash_lsh_pairs, never an all-pairs join.
 
-    Scale path: for real corpora the pair space is pruned by LSH buckets
-    (ann_lsh_topk's bucket join) or IVF cells (cluster ids as join key) —
-    this function is the exact verifier those candidates feed into, the
-    same two-stage shape as minhash_lsh_pairs."""
+    Physical plan at scale: project ND_BANDS bucket ids per vector →
+    posexplode to (id, band_id, bucket) — ids only, vectors never ride
+    the band shuffle → per-bucket self-join emits candidates → distinct
+    → join vectors back (shuffle on id) → exact cosine verify. The old
+    ``id_a < id_b`` non-equi join planned as BroadcastNestedLoopJoin,
+    O(n²) pairs; this is equi-joined and near-linear. A pair is missed
+    only when ALL ND_BANDS band buckets differ — probability
+    (1-p^ND_BITS)^ND_BANDS, vanishing for true near-dups. The DuckDB
+    oracle applies the identical banding so parity stays exact.
+
+    vec_id % id_mod == 0 sampling keeps the sf0.01 oracle cheap."""
     base = with_norm(
         df.filter(F.col(id_col) % id_mod == 0).select(id_col, vec_col), vec_col
+    ).persist()  # 3 consumers: band stage + both sides of the verify join
+    band_s, _ = band_buckets_frag(vec_col)
+    bands = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr("array(" + ", ".join(band_s) + ")")).alias(
+            "band_id", "bucket"
+        ),
     )
-    a = base.select(
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("norm").alias("na")
     )
-    b = base.select(
+    vb = base.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("norm").alias("nb")
     )
     ds, _ = dot_frag("va", "vb")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.expr(f"{ds} / (na * nb)"))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -222,16 +284,27 @@ def embedding_neardup_oracle(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
+    """DuckDB twin of embedding_neardup_pairs — identical banding."""
     _, dd_self = dot_frag(vec_col, vec_col)
+    _, band_d = band_buckets_frag("vec")
     _, dd = dot_frag("va", "vb")
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, {j} AS band_id, {frag} AS bucket FROM base"
+        for j, frag in enumerate(band_d)
+    )
     return f"""
 WITH base AS MATERIALIZED (
   SELECT {id_col} AS id, {vec_col} AS vec, sqrt({dd_self}) AS norm
   FROM {table} WHERE {id_col} % {id_mod} = 0
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.id < b.id
 ), pairs AS (
-  SELECT a.id AS id_a, b.id AS id_b, a.vec AS va, b.vec AS vb,
-         a.norm AS na, b.norm AS nb
-  FROM base a JOIN base b ON a.id < b.id
+  SELECT id_a, id_b, va.vec AS va, vb.vec AS vb, va.norm AS na, vb.norm AS nb
+  FROM cand JOIN base va ON va.id = cand.id_a JOIN base vb ON vb.id = cand.id_b
 )
 SELECT id_a, id_b, {dd} / (na * nb) AS cosine
 FROM pairs WHERE {dd} / (na * nb) >= {threshold}

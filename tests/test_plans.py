@@ -100,3 +100,35 @@ def test_projection_prunes_unused_columns(spark):
     plans.assert_read_schema(
         df, must_have=["l_orderkey", "l_quantity"], must_not_have=["l_extendedprice"]
     )
+
+
+def test_embedding_neardup_never_nested_loop(spark):
+    """Near-dup candidates must come from the banded LSH equi-join; the
+    pre-r3 all-pairs `id_a < id_b` join planned as
+    BroadcastNestedLoopJoin — O(n²) pairs, the one perf scale-killer the
+    round-2 verdict flagged."""
+    df = entrymod.q_embedding_neardup(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert "BroadcastNestedLoop" not in txt and "Cartesian" not in txt
+    plans.assert_no_python_udf(df)
+
+
+def test_minhash_registered_queries_cap_buckets(spark):
+    """Registered MinHash queries must run with the band-bucket cap ON
+    (count-over-window stage present): one boilerplate bucket going
+    quadratic is the known skew risk at corpus scale."""
+    for fn in (entrymod.q_minhash_lsh, entrymod.q_training_pipeline):
+        txt = plans.plan_text(fn(spark, SF_ORACLE))
+        assert "Window" in txt, fn.__name__
+
+
+def test_set_ops_single_scan(spark):
+    """set_ops is one declarative plan: a single orders scan feeding a
+    two-level aggregate — not two eager .count() jobs."""
+    import re
+
+    df = entrymod.q_set_ops(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    # node-detail headers only: formatted explain prints each node in the
+    # tree AND the detail section (same convention as plans.shuffle_count)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) == 1, txt
