@@ -13,6 +13,8 @@ carry a deterministic tie-break.
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -973,6 +975,40 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
 
 
+#: pyarrow-written nested fixture (scripts/make_nested_fixtures.py) —
+#: exercises reader-level nested semantics (nullable inner elements,
+#: null outer lists) through the driver gate, not just pytest.
+_NESTED_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "nested_lists.parquet"
+)
+
+
+def q_nested_fixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a pyarrow-written list<list<string?>?> fixture from disk and
+    flatten to per-group stats (reference discipline: file-based nested
+    fixtures, tests/parquet.rs:113-160). Null outer lists map to -1 so
+    null semantics are visible in the compared output."""
+    _tune(spark)
+    df = spark.read.parquet(_NESTED_FIXTURE)
+    per = df.select(
+        F.col("b").cast("bigint").alias("b"),
+        F.expr("coalesce(cast(size(a) as bigint), -1)").alias("n_outer"),
+        F.expr(
+            "coalesce(aggregate(a, 0L, (acc, x) -> acc +"
+            " coalesce(cast(size(filter(x, e -> e is not null)) as bigint), 0L)), -1)"
+        ).alias("n_strs"),
+    )
+    return (
+        per.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_outer").alias("total_outer"),
+            F.sum("n_strs").alias("total_strings"),
+        )
+        .orderBy("b")
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH candidate
     generation (ids-only equi-join, never BroadcastNestedLoopJoin) with
@@ -1017,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube": q_cube,
         "nested_array_ops": q_nested_array_ops,
         "nested_struct_map": q_nested_struct_map,
+        "nested_fixture_read": q_nested_fixture_read,
         "pivot": q_pivot,
         "json_props": q_json_props,
         "fold_udaf": q_fold_udaf,
@@ -1394,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nested_array_ops": _nested.nested_array_ops_oracle("lineitem"),
         "nested_struct_map": _nested.nested_struct_map_oracle("lineitem"),
+        "nested_fixture_read": f"""
+            SELECT CAST(b AS BIGINT) AS b, COUNT(*) AS n_rows,
+                   CAST(SUM(coalesce(len(a), -1)) AS BIGINT) AS total_outer,
+                   CAST(SUM(coalesce(
+                       list_reduce(list_transform(a, x ->
+                           coalesce(len(list_filter(x, e -> e IS NOT NULL)), 0)),
+                           (acc, x) -> acc + x), -1)) AS BIGINT) AS total_strings
+            FROM read_parquet('{_NESTED_FIXTURE}')
+            GROUP BY b ORDER BY b
+        """,
         "minhash_lsh": dedup.minhash_lsh_oracle(
             "documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET
         ),
