@@ -261,3 +261,38 @@ def test_streaming_to_postgres_sink(spark, pg_dsn, tmp_path):
     got = {(str(r.win_start), r.event_type): r.n_events for r in back.collect()}
     want = {(str(r.win_start), r.event_type): r.n_events for r in batch.collect()}
     assert got == want
+
+
+def test_copy_binary_matches_csv(spark, pg_dsn, pg_orders):
+    """FORMAT BINARY parity (amadeus-postgres/src/lib.rs:245 uses the
+    binary protocol): both transfer formats must yield identical rows,
+    including exact float values and NULL handling, across a typed
+    column mix (bigint/text/double/bool/date/timestamp/numeric)."""
+    subprocess.run(
+        ["psql", pg_dsn, "-X", "-q", "-c",
+         "CREATE TABLE typed AS SELECT o_orderkey, o_orderstatus, o_totalprice, "
+         "(o_orderkey % 2 = 0) AS even, DATE '2000-01-01' + (o_orderkey % 700)::int AS d, "
+         "TIMESTAMP '1999-12-31 23:59:59.123456' + (o_orderkey || ' microseconds')::interval AS ts, "
+         "(o_totalprice::numeric / 7)::numeric(18,6) AS frac "
+         "FROM orders WHERE o_orderkey IS NOT NULL "
+         "UNION ALL SELECT NULL, NULL, NULL, NULL, NULL, NULL, NULL"],
+        check=True, capture_output=True,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("even", T.BooleanType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("frac", T.DecimalType(18, 6)),
+        ]
+    )
+    kw = dict(partition_column="o_orderkey", lower_bound=0, upper_bound=10000, num_partitions=3)
+    via_csv = read_postgres_copy(spark, pg_dsn, "typed", schema, **kw)
+    via_bin = read_postgres_copy(spark, pg_dsn, "typed", schema, format="binary", **kw)
+    a = sorted(str(sorted(r.asDict().items())) for r in via_csv.collect())
+    b = sorted(str(sorted(r.asDict().items())) for r in via_bin.collect())
+    assert a == b
+    assert len(a) == pg_orders.count() + 1
