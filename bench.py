@@ -45,14 +45,20 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    # Warm-then-time PER QUERY (not one global warm-up pass): warming all
+    # 56 queries before timing any compiles ~112 distinct codegen'd plans
+    # up front, and late heavy queries then run against a JIT code cache
+    # churned by everything before them (measured: minhash_lsh 8.3 s late
+    # in a global-warm-up bench vs 4.6 s when warmed immediately before
+    # its own timed run). Per-query warm-up keeps each query's hot
+    # methods freshly compiled at its timed run; caches are still cleared
+    # so no *data* survives into the timing.
+    timings: dict[str, float] = {}
     for name, fn in queries.items():
         try:
             fn(spark, warm_dir).collect()
         except Exception:
             pass  # a warm-up failure surfaces in the timed run
-        spark.catalog.clearCache()
-    timings: dict[str, float] = {}
-    for name, fn in queries.items():
         spark.catalog.clearCache()  # dedup queries persist signature
         # frames; clear between queries so timings are independent
         spark._jvm.System.gc()  # and settle accumulated JVM garbage so
