@@ -983,6 +983,34 @@ _NESTED_FIXTURE = os.path.join(
 )
 
 
+#: committed gzip CloudFront access-log fixture (W3C extended format,
+#: scripts/make_cloudfront_fixture.py) — puts the cloudfront source
+#: (amadeus-aws/src/cloudfront.rs parity) under the hash-checked gate.
+_CF_FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "cloudfront")
+
+
+def q_cloudfront_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudFront source e2e through the gate: read the gzip'd W3C logs
+    (comment-line filtering, 26-field tab parse, '-'→NULL sentinel all
+    exercised), aggregate per (edge, status). The n_no_referer column is
+    non-trivially correct only if the NULL mapping matches the
+    reference's Option<Url> decode (cloudfront.rs:86-110)."""
+    from amadeus_spark.sources import cloudfront as _cf
+
+    _tune(spark)
+    df = _cf.read_cloudfront(spark, _CF_FIXTURE)
+    return (
+        df.groupBy("edge_location", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_requests"),
+            F.sum("response_bytes").alias("total_bytes"),
+            F.countDistinct("remote_ip").alias("n_ips"),
+            F.sum(F.col("referer").isNull().cast("bigint")).alias("n_no_referer"),
+        )
+        .orderBy("edge_location", "status")
+    )
+
+
 def q_nested_fixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read a pyarrow-written list<list<string?>?> fixture from disk and
     flatten to per-group stats (reference discipline: file-based nested
@@ -1054,6 +1082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_array_ops": q_nested_array_ops,
         "nested_struct_map": q_nested_struct_map,
         "nested_fixture_read": q_nested_fixture_read,
+        "cloudfront_logs": q_cloudfront_logs,
         "pivot": q_pivot,
         "json_props": q_json_props,
         "fold_udaf": q_fold_udaf,
@@ -1440,6 +1469,18 @@ def oracle_sql() -> dict[str, str]:
                            (acc, x) -> acc + x), -1)) AS BIGINT) AS total_strings
             FROM read_parquet('{_NESTED_FIXTURE}')
             GROUP BY b ORDER BY b
+        """,
+        "cloudfront_logs": f"""
+            SELECT c3 AS edge_location, CAST(c9 AS BIGINT) AS status,
+                   COUNT(*) AS n_requests,
+                   CAST(SUM(CAST(c4 AS BIGINT)) AS BIGINT) AS total_bytes,
+                   CAST(COUNT(DISTINCT c5) AS BIGINT) AS n_ips,
+                   CAST(SUM(CASE WHEN c10 = '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_referer
+            FROM read_csv('{_CF_FIXTURE}/*.gz', delim='\t', header=false,
+                          null_padding=true, quote='', auto_detect=false,
+                          columns={{{", ".join(f"'c{i}':'VARCHAR'" for i in range(1, 27))}}})
+            WHERE c1 NOT LIKE '#%'
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "minhash_lsh": dedup.minhash_lsh_oracle(
             "documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET
