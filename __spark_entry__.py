@@ -1011,6 +1011,42 @@ def q_cloudfront_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: committed WARC fixture (scripts/make_warc_fixture.py): one plain and
+#: one gzip'd WARC/1.0 file + a ground-truth CSV computed by the
+#: GENERATOR from its record list (independent of the Spark parser) —
+#: so the distributed WARC parse is hash-checked, not rows-only.
+_WARC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "warc")
+_WARC_FILES = [
+    os.path.join(_WARC_DIR, "cc-0001.warc"),
+    os.path.join(_WARC_DIR, "cc-0002.warc.gz"),
+]
+
+
+def q_warc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source e2e through the gate (amadeus-commoncrawl parser.rs
+    parity): binaryFile → ISO-28500 parse (plain + multi-member gzip,
+    CRLF/NUL/0xFF bytes in bodies, non-response records filtered) →
+    per-domain page/byte stats, compared against generator-side ground
+    truth."""
+    from amadeus_spark.sources import warc as _warc
+
+    _tune(spark)
+    df = _warc.read_warc(spark, _WARC_FILES)
+    return (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("url", "http://([^/]+)/", 1).alias("domain"),
+            F.length("contents").alias("blen"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum("blen").alias("total_bytes"),
+        )
+        .orderBy("domain")
+    )
+
+
 def q_nested_fixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read a pyarrow-written list<list<string?>?> fixture from disk and
     flatten to per-group stats (reference discipline: file-based nested
@@ -1043,7 +1079,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-cosine verification — minhash_lsh's two-stage shape over
     vectors. Oracle applies identical banding."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.3, id_mod=10)
+    return similarity.embedding_neardup_pairs(
+        emb, threshold=0.3, id_mod=10, max_bucket_size=LSH_MAX_BUCKET
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1083,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nested_struct_map": q_nested_struct_map,
         "nested_fixture_read": q_nested_fixture_read,
         "cloudfront_logs": q_cloudfront_logs,
+        "warc_stats": q_warc_stats,
         "pivot": q_pivot,
         "json_props": q_json_props,
         "fold_udaf": q_fold_udaf,
@@ -1482,12 +1521,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE c1 NOT LIKE '#%'
             GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "warc_stats": f"""
+            SELECT domain, n_pages, total_bytes
+            FROM read_csv('{os.path.join(_WARC_DIR, "expected_domain_stats.csv")}',
+                          header=true, auto_detect=false,
+                          columns={{'domain': 'VARCHAR', 'n_pages': 'BIGINT',
+                                    'total_bytes': 'BIGINT'}})
+            ORDER BY domain
+        """,
         "minhash_lsh": dedup.minhash_lsh_oracle(
             "documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET
         ),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle("documents", "doc_id", "text", 0.5),
-        "embedding_neardup": similarity.embedding_neardup_oracle("embeddings", 0.3, 10),
+        "embedding_neardup": similarity.embedding_neardup_oracle(
+            "embeddings", 0.3, 10, max_bucket_size=LSH_MAX_BUCKET
+        ),
         "cosine_topk": similarity.cosine_topk_oracle("embeddings", _SIM_QUERY_IDS, 5),
         "ann_lsh": similarity.ann_lsh_oracle("embeddings", _SIM_QUERY_IDS, 5),
     }

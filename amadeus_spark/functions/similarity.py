@@ -221,6 +221,7 @@ def embedding_neardup_pairs(
     id_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup family), candidate-
     pruned by banded hyperplane LSH — the same two-stage shape as
@@ -247,6 +248,17 @@ def embedding_neardup_pairs(
             "band_id", "bucket"
         ),
     )
+    if max_bucket_size is not None:
+        # same skew guard as minhash_lsh_pairs: a degenerate bucket (e.g.
+        # a zero-vector cluster all hashing to one code) emits O(d²)
+        # candidates; drop oversized buckets whole. One count-over-window
+        # on the (band_id, bucket) key the self-join shuffles on anyway.
+        w = Window.partitionBy("band_id", "bucket")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     cand = (
         bands.alias("a")
         .join(
@@ -283,8 +295,9 @@ def embedding_neardup_oracle(
     id_mod: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> str:
-    """DuckDB twin of embedding_neardup_pairs — identical banding."""
+    """DuckDB twin of embedding_neardup_pairs — identical banding/cap."""
     _, dd_self = dot_frag(vec_col, vec_col)
     _, band_d = band_buckets_frag("vec")
     _, dd = dot_frag("va", "vb")
@@ -292,13 +305,25 @@ def embedding_neardup_oracle(
         f"SELECT id, {j} AS band_id, {frag} AS bucket FROM base"
         for j, frag in enumerate(band_d)
     )
+    if max_bucket_size is not None:
+        bands_cte = f"""raw_bands AS (
+  {band_selects}
+), bands AS (
+  SELECT id, band_id, bucket FROM (
+    SELECT id, band_id, bucket,
+           COUNT(*) OVER (PARTITION BY band_id, bucket) AS bsz
+    FROM raw_bands
+  ) WHERE bsz <= {max_bucket_size}
+)"""
+    else:
+        bands_cte = f"""bands AS (
+  {band_selects}
+)"""
     return f"""
 WITH base AS MATERIALIZED (
   SELECT {id_col} AS id, {vec_col} AS vec, sqrt({dd_self}) AS norm
   FROM {table} WHERE {id_col} % {id_mod} = 0
-), bands AS (
-  {band_selects}
-), cand AS (
+), {bands_cte}, cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.id < b.id
