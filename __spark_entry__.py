@@ -1153,10 +1153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-#: events.parquet is TIMESTAMP(NANOS); Spark reads it truncated to µs
-#: (tables.load_events). The oracle must compare at the SAME precision —
-#: DuckDB's TIMESTAMP_NS → TIMESTAMP cast truncates sub-µs — or any
-#: future sub-µs data silently diverges ordering ties and epoch sums.
+#: events.ts arrives at whatever precision the testdata drop uses
+#: (TIMESTAMP(NANOS) in round 1, timestamp[us] since round 2); Spark
+#: normalizes to µs via the schema-adaptive tables.load_events. The
+#: oracle must compare at the SAME precision — DuckDB's CAST AS
+#: TIMESTAMP truncates any sub-µs input — or future sub-µs data
+#: silently diverges ordering ties and epoch sums.
 _EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
 
 

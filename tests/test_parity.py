@@ -131,3 +131,16 @@ def test_stratified_and_rolling_fp_partitioning_invariance(spark):
         )
 
     assert fp(1) == fp(9)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_embedding_neardup_partitioning_invariance(spark, nparts):
+    """The banded-LSH near-dup pairs (r3 rewrite) must be invariant to
+    input partitioning: band bucket ids are pure per-row functions and
+    the candidate join + exact verify carry no order dependence."""
+    emb32 = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet")).repartition(32)
+    embn = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet")).repartition(nparts)
+    kw = dict(threshold=0.3, id_mod=10, max_bucket_size=500)
+    assert _rows(similarity.embedding_neardup_pairs(emb32, **kw)) == _rows(
+        similarity.embedding_neardup_pairs(embn, **kw)
+    )

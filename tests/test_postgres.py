@@ -296,3 +296,55 @@ def test_copy_binary_matches_csv(spark, pg_dsn, pg_orders):
     b = sorted(str(sorted(r.asDict().items())) for r in via_bin.collect())
     assert a == b
     assert len(a) == pg_orders.count() + 1
+
+
+def test_binary_wire_decoder_pure():
+    """Decoder unit test against hand-built COPY BINARY bytes (no server
+    needed — runs even where pg binaries are absent). Covers every
+    supported type incl. negative numeric, NULL fields, and the trailer."""
+    import struct
+    from decimal import Decimal
+
+    from amadeus_spark.sources.postgres_copy import _decode_pg_binary
+
+    schema = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("d", T.DoubleType()),
+            T.StructField("b", T.BooleanType()),
+            T.StructField("dt", T.DateType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("num", T.DecimalType(18, 4)),
+        ]
+    )
+
+    def fld(b: bytes) -> bytes:
+        return struct.pack(">i", len(b)) + b
+
+    header = b"PGCOPY\n\xff\r\n\x00" + struct.pack(">ii", 0, 0)
+    # numeric -12345.6789 = digits [1,2345,6789] base-10000, weight 1,
+    # sign 0x4000 (negative), dscale 4
+    num = struct.pack(">hhhh", 3, 1, 0x4000, 4) + struct.pack(">3h", 1, 2345, 6789)
+    row1 = struct.pack(">h", 7) + b"".join(
+        [
+            fld(struct.pack(">q", -42)),
+            fld("héllo".encode()),
+            fld(struct.pack(">d", 1.5)),
+            fld(b"\x01"),
+            fld(struct.pack(">i", 31)),  # 2000-01-01 + 31d = 2000-02-01
+            fld(struct.pack(">q", 86_400_000_000 + 123456)),  # +1d 123456µs
+            fld(num),
+        ]
+    )
+    row2 = struct.pack(">h", 7) + struct.pack(">i", -1) * 7  # all NULL
+    raw = header + row1 + row2 + struct.pack(">h", -1)
+
+    out = _decode_pg_binary(raw, schema)
+    assert len(out) == 2
+    r = out.iloc[0]
+    assert r["i"] == -42 and r["s"] == "héllo" and r["d"] == 1.5 and r["b"] is True
+    assert str(r["dt"]) == "2000-02-01"
+    assert str(r["ts"]) == "2000-01-02 00:00:00.123456"
+    assert r["num"] == Decimal("-12345.6789")
+    assert out.iloc[1].isna().all() or all(v is None for v in out.iloc[1])
