@@ -943,6 +943,19 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: MinHash-LSH pairs → connected
+    components (iterative min-label propagation; DuckDB oracle runs the
+    same closure as a recursive CTE) → per-cluster keep/drop stats.
+    The missing last step of a real dedup pipeline — per-pair drops
+    under-merge chains a-b, b-c."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_bucket_size=LSH_MAX_BUCKET
+    )
+    return dedup.neardup_cluster_stats(pairs, "doc_a", "doc_b")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via byte banding + hamming verification."""
     docs = _t(spark, sf_dir, "documents")
@@ -1138,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_lsh": q_minhash_lsh,
+        "neardup_clusters": q_neardup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "embedding_neardup": q_embedding_neardup,
@@ -1533,6 +1547,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_lsh": dedup.minhash_lsh_oracle(
             "documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET
+        ),
+        "neardup_clusters": dedup.neardup_cluster_oracle(
+            dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET)
         ),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle("documents", "doc_id", "text", 0.5),

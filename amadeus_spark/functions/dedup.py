@@ -566,3 +566,114 @@ def exact_dedup_stats(df: DataFrame, id_col: str, fingerprint_col) -> DataFrame:
         F.sum(F.col("copies") - 1).alias("n_dropped"),
         F.max("copies").alias("max_copies"),
     )
+
+
+# ---- near-dup clustering (connected components) ---------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every doc in
+    a pair gets the MIN doc id reachable through any chain of pairs as
+    its cluster representative — the transitive "keep one per cluster"
+    a real dedup pipeline needs (per-pair drop of the higher id, as in
+    training_pipeline, under-merges chains a-b, b-c).
+
+    Physical strategy: iterative min-label propagation. labels(id, lab)
+    starts as id; each round joins labels across the symmetric edge list
+    and takes the per-node min of (own label, neighbor labels); stops
+    when a round changes nothing. Rounds = graph diameter, and near-dup
+    graphs are piles of tiny cliques (diameter ~2-3); each round is one
+    shuffle join + one aggregate, all Catalyst. The per-round
+    convergence count is an intentional action — iterative algorithms
+    are the documented exception to the no-eager-actions rule. At
+    larger diameters switch to alternating large-star/small-star
+    (Kiveris et al.), same join primitives.
+
+    Returns (id, cluster) — cluster is the component's min id.
+    """
+    # localCheckpoint (eager), not persist: persist caches DATA but the
+    # logical plan still carries the full upstream lineage (here: the
+    # whole MinHash subtree), so every iteration re-analyzes a plan that
+    # grows by one join+agg — measured 16 s for a 3-iteration run at
+    # sf0.01. Checkpointing truncates lineage; each round's plan is then
+    # just (checkpointed edges ⋈ checkpointed labels). On a cluster,
+    # swap for reliable checkpoint(dir) to survive executor loss.
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # min over: own label + labels of all neighbors
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "lab")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so any difference means not converged
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
+            .filter(F.col("lab") < F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lab").alias("cluster"))
+
+
+def neardup_cluster_stats(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Per-cluster stats over connected_components: one row per cluster
+    (rep = min id, size, and the kept/dropped split a dedup pass would
+    apply). Output BIGINT-only, deterministic order."""
+    comp = connected_components(pairs, a_col, b_col, max_iter)
+    return (
+        comp.groupBy(F.col("cluster").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum((F.col("id") != F.col("cluster")).cast("bigint")).alias("n_dropped"),
+        )
+        .orderBy("cluster_rep")
+    )
+
+
+def neardup_cluster_oracle(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure via recursive CTE (min reachable
+    id per node), same per-cluster stats. ``pairs_sql`` must yield
+    columns (doc_a, doc_b)."""
+    return f"""
+WITH RECURSIVE pair_list AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM ({pairs_sql})
+), edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pair_list
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pair_list
+), walk(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
+), comp AS (
+  SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id
+)
+SELECT cluster AS cluster_rep,
+       COUNT(*) AS cluster_size,
+       CAST(SUM(CASE WHEN id <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM comp GROUP BY cluster ORDER BY cluster
+"""
