@@ -200,3 +200,27 @@ def test_range_join_randomized_vs_naive(spark):
         if lo <= v <= hi
     }
     assert got == naive
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Label propagation must merge transitively (a-b, b-c, ... chains
+    deeper than one round) and keep disjoint components apart. A 7-node
+    path needs ~log-diameter rounds — exercises the convergence loop,
+    not just single-hop merges."""
+    from amadeus_spark.functions import dedup
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5-6-7 (one component, min=1), clique {10,11,12},
+        # isolated pair (20,21)
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+         (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a bigint, doc_b bigint",
+    )
+    comp = {r.id: r.cluster for r in dedup.connected_components(pairs, "doc_a", "doc_b").collect()}
+    assert all(comp[i] == 1 for i in range(1, 8))
+    assert all(comp[i] == 10 for i in (10, 11, 12))
+    assert comp[20] == 20 and comp[21] == 20
+
+    stats = dedup.neardup_cluster_stats(pairs, "doc_a", "doc_b").collect()
+    got = {r.cluster_rep: (r.cluster_size, r.n_dropped) for r in stats}
+    assert got == {1: (7, 6), 10: (3, 2), 20: (2, 1)}
