@@ -65,13 +65,12 @@ _NULLABLE = {
 _LONG_COLS = {"response_bytes", "request_bytes", "status"}
 
 
-def read_cloudfront(spark: SparkSession, path: str) -> DataFrame:
-    """Parse CloudFront logs into the CloudfrontRow shape
-    (src/data.rs:229-253): timestamp, edge location, bytes, ip, url, etc.
-
-    '-' sentinel → NULL for optional fields (matching the reference's
-    Option<...> decode in CloudfrontRow::from_line)."""
-    raw = spark.read.text(path)
+def _project_cloudfront(raw: DataFrame) -> DataFrame:
+    """The W3C parse as pure column expressions over a `value` text
+    column — shared by the batch reader and streaming ingestion (the
+    same projection applies unchanged to a readStream.text frame).
+    Comment lines (#Version/#Fields) are filtered exactly like the
+    reference (cloudfront.rs:86-93)."""
     lines = raw.filter(~F.ltrim(F.col("value")).startswith("#"))
     parts = lines.select(F.split(F.col("value"), "\t").alias("p"))
     cols = []
@@ -93,6 +92,22 @@ def read_cloudfront(spark: SparkSession, path: str) -> DataFrame:
         )
         .withColumn("url", F.concat(F.lit("https://"), F.col("host"), F.col("url_stem")))
     )
+
+
+def read_cloudfront(spark: SparkSession, path: str) -> DataFrame:
+    """Parse CloudFront logs into the CloudfrontRow shape
+    (src/data.rs:229-253): timestamp, edge location, bytes, ip, url, etc.
+
+    '-' sentinel → NULL for optional fields (matching the reference's
+    Option<...> decode in CloudfrontRow::from_line)."""
+    return _project_cloudfront(spark.read.text(path))
+
+
+def read_cloudfront_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming twin: new log files landing under ``path`` are parsed
+    incrementally with the identical projection (readStream.text handles
+    the .gz decompression and file tracking)."""
+    return _project_cloudfront(spark.readStream.format("text").load(path))
 
 
 def hourly_histogram(df: DataFrame) -> DataFrame:

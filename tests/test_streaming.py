@@ -216,3 +216,37 @@ def test_streaming_top_distinct_parity(spark, event_stream_dir):
         ).collect()
     ]
     assert [k for k, _ in got] == exact
+
+
+def test_streaming_cloudfront_ingestion_parity(spark):
+    """Log-file ingestion as a stream (the reference's CloudFront source
+    re-expressed incrementally): readStream.text over the committed gzip
+    fixture + the SAME pure-column W3C parse as batch, aggregated per
+    (edge, status) in complete mode — results must equal the batch read.
+    This is the 100 TB posture for log pipelines: new log files land in
+    the prefix, the same parse expressions run incrementally."""
+    from amadeus_spark.sources import cloudfront
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "cloudfront",
+    )
+    batch_df = cloudfront.read_cloudfront(spark, fixture)
+    parsed = cloudfront.read_cloudfront_stream(spark, fixture + "/*.gz")
+    agg = parsed.groupBy("edge_location", "status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("response_bytes").alias("b"),
+    )
+    ev.run_to_memory_sink(agg, "cf_sink", output_mode="complete")
+    got = {
+        (r.edge_location, r.status): (r.n, r.b)
+        for r in spark.sql("select * from cf_sink").collect()
+    }
+    want = {
+        (r.edge_location, r.status): (r.n, r.b)
+        for r in batch_df.groupBy("edge_location", "status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("response_bytes").alias("b"))
+        .collect()
+    }
+    assert got == want and got
