@@ -22,11 +22,13 @@ Decode kernels are REAL for formats that need no external codec library:
   is exercised for real: the metadata-only plan picks frame indices,
   then only those offsets are decoded executor-side.
 
-Compressed formats (PNG/JPEG/MP4/MP3) genuinely require PIL/ffmpeg,
-which are NOT in this container — those raise ``NotImplementedError``
-unless ``fake=True`` supplies the deterministic digest fallback. The
-Spark-side plumbing (schema, batching, partitioning, UDF signature) is
-identical either way.
+PNG (8-bit non-interlaced gray/RGB/RGBA) ALSO decodes for real via a
+pure stdlib-zlib codec (``decode_png`` — all five scanline filters).
+The remaining compressed formats (JPEG/MP4/MP3, interlaced/paletted/
+16-bit PNG) genuinely require PIL/ffmpeg, which are NOT in this
+container — those raise ``NotImplementedError`` unless ``fake=True``
+supplies the deterministic digest fallback. The Spark-side plumbing
+(schema, batching, partitioning, UDF signature) is identical either way.
 """
 
 from __future__ import annotations
@@ -106,6 +108,122 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     pos += 1  # the single whitespace byte after maxval
     raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
     return raster.reshape(h, w, 3)
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 H×W×3 (or H×W gray) → minimal PNG (filter 0 rows, one IDAT).
+    Pure stdlib: struct + zlib (spec: RFC 2083 / ISO 15948 — public)."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise ValueError("encode_png supports H×W gray or H×W×3 RGB uint8")
+    h, w = img.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Minimal PNG decode, pure stdlib (zlib) + numpy: 8-bit depth,
+    non-interlaced, gray/RGB/RGBA (alpha dropped), all five scanline
+    filters (None/Sub/Up/Average/Paeth). Interlaced, paletted and
+    16-bit PNGs still raise — that tail genuinely needs a real codec
+    library."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = b""
+    w = h = depth = color_type = interlace = None
+    while pos < len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if depth != 8 or channels is None or interlace != 0:
+        raise NotImplementedError(
+            f"decode_png: only 8-bit non-interlaced gray/RGB/RGBA "
+            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+        )
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(channels, stride):
+                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return img[:, :, 0]
+    if channels == 2:  # gray+alpha → gray
+        return img[:, :, 0]
+    if channels == 4:  # RGBA → RGB (alpha dropped)
+        return img[:, :, :3]
+    return img
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
@@ -207,16 +325,24 @@ def audio_features(x: np.ndarray, sr: int) -> list[float]:
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decode an image payload to a feature vector.
 
-    PPM (P6) decodes for real (pure numpy). Compressed formats need
-    PIL/torchvision (not in this container): ``fake=True`` gives a
-    deterministic 8-dim digest-based vector so the distributed plumbing
-    stays testable end-to-end for them too."""
+    PPM (P6) decodes for real (pure numpy) and PNG (8-bit,
+    non-interlaced) decodes for real via the stdlib-zlib codec above.
+    The remaining compressed formats (JPEG/MP4/...) need PIL/ffmpeg
+    (not in this container): ``fake=True`` gives a deterministic 8-dim
+    digest-based vector so the distributed plumbing stays testable
+    end-to-end for them too."""
     if payload[:2] == b"P6":
         return image_features(decode_ppm(payload))
+    if payload[:8] == _PNG_MAGIC:
+        img = decode_png(payload)
+        if img.ndim == 2:  # grayscale → replicate to 3 channels
+            img = np.stack([img] * 3, axis=-1)
+        return image_features(img)
     if not fake:
         raise NotImplementedError(
-            "compressed-image decode requires PIL/torchvision; not available "
-            "in this environment — run with fake=True for plumbing tests"
+            "compressed-image decode beyond PNG requires PIL/torchvision; "
+            "not available in this environment — run with fake=True for "
+            "plumbing tests"
         )
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:8]]
@@ -332,8 +458,9 @@ def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic media table with REAL decodable payloads: PPM
-    gradient images, WAV sine tones, RAWV frame stacks."""
+    """Deterministic media table with REAL decodable payloads: PPM and
+    PNG gradient images (alternating), WAV sine tones, RAWV frame
+    stacks."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -343,7 +470,11 @@ def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
             img = np.stack(
                 [(y * 7 + i) % 256, (x * 11 + i) % 256, (y + x + i) % 256], axis=-1
             ).astype(np.uint8)
-            payload, fmt, meta = encode_ppm(img), "ppm", {"h": str(h), "w": str(w)}
+            if (i // 3) % 2 == 0:
+                payload, fmt = encode_ppm(img), "ppm"
+            else:
+                payload, fmt = encode_png(img), "png"
+            meta = {"h": str(h), "w": str(w)}
         elif kind == "audio":
             sr, dur = 8000, 0.05 + (i % 4) * 0.01
             t = np.arange(int(sr * dur))

@@ -410,3 +410,77 @@ def test_load_events_schema_adaptive(spark, tmpdir_data):
         assert ts_type.startswith("timestamp"), (name, ts_type)
         got = {r.event_id: r.ts.replace(tzinfo=None) for r in ev.collect()}
         assert got == dict(zip(ids, wall)), name
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encode→decode identity (RGB + gray), PNG
+    features ≡ PPM features for the same pixels, and decode of streams
+    using every scanline filter type (hand-filtered, since our encoder
+    only emits filter 0)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (11, 9, 3), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(img)) == img).all()
+    gray = rng.randint(0, 256, (6, 13), dtype=np.uint8)
+    assert (multimodal.decode_png(multimodal.encode_png(gray)) == gray).all()
+    # feature parity with the PPM path on identical pixels
+    assert multimodal.decode_image(multimodal.encode_png(img)) == multimodal.decode_image(
+        multimodal.encode_ppm(img)
+    )
+
+    # hand-filter the raster with each filter type, then decode
+    def filt(img, ftype):
+        h, w, ch = img.shape
+        stride = w * ch
+        flat = img.reshape(h, stride).astype(np.int16)
+        raw = b""
+        prev = np.zeros(stride, dtype=np.int16)
+        for y in range(h):
+            cur = flat[y]
+            left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+            upleft = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+            if ftype == 1:
+                enc = cur - left
+            elif ftype == 2:
+                enc = cur - prev
+            elif ftype == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:  # 4: Paeth
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+                enc = cur - pred
+            raw += bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes()
+            prev = cur
+        def chunk(tag, body):
+            return struct.pack(">I", len(body)) + tag + body + struct.pack(
+                ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    for ftype in (1, 2, 3, 4):
+        assert (multimodal.decode_png(filt(img, ftype)) == img).all(), ftype
+
+    # RGBA alpha drop
+    rgba = np.dstack([img, np.full((11, 9), 128, np.uint8)])
+    h, w = 11, 9
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(h))
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+    rgba_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (multimodal.decode_png(rgba_png) == img).all()
