@@ -132,3 +132,35 @@ def test_set_ops_single_scan(spark):
     # node-detail headers only: formatted explain prints each node in the
     # tree AND the detail section (same convention as plans.shuffle_count)
     assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) == 1, txt
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """100 TB posture: a selective filter on the orders side of a
+    shuffle join injects a runtime bloom filter into the lineitem scan
+    (rows that can't join are dropped AT THE SCAN, before the shuffle).
+    Spark 4 has this on by default with size thresholds tuned for real
+    data; tiny local files miss them, so the test pins the capability by
+    forcing the thresholds — the assert is that the engine we configure
+    still injects bloom_filter_agg/might_contain when sizes warrant."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet"))
+        od = spark.read.parquet(os.path.join(SF_ORACLE, "orders.parquet")).filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderstatus").count()
+        txt = plans.plan_text(j)
+        assert "bloom_filter" in txt.lower(), txt[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
