@@ -60,3 +60,20 @@ def map_partitions_pandas(
     reference's fully-general ``map``. Arrow-batched (mapInPandas), never
     row-at-a-time."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def for_each(df: DataFrame, f: Callable, per_partition: bool = True) -> None:
+    """Terminal side-effecting sink (reference ``for_each``,
+    par_sink/for_each.rs: consume the stream, apply a closure per item,
+    return nothing).
+
+    Spark-first shape: ``foreachPartition`` by default so the closure
+    amortizes any setup (connections, buffers) across a partition — the
+    per-item variant (``per_partition=False``) is the literal reference
+    semantic but pays per-row overhead. Runs distributed; the closure
+    executes on executors, so side effects must be executor-safe
+    (idempotent under task retries)."""
+    if per_partition:
+        df.foreachPartition(lambda rows: f(rows))
+    else:
+        df.foreach(f)

@@ -224,3 +224,28 @@ def test_connected_components_chain_and_cliques(spark):
     stats = dedup.neardup_cluster_stats(pairs, "doc_a", "doc_b").collect()
     got = {r.cluster_rep: (r.cluster_size, r.n_dropped) for r in stats}
     assert got == {1: (7, 6), 10: (3, 2), 20: (2, 1)}
+
+
+def test_for_each_side_effect_via_accumulator(spark):
+    """for_each (par_sink/for_each.rs): the closure runs once per row on
+    executors; an accumulator observes exactly the row count, and the
+    per-partition variant sees every row too."""
+    from amadeus_spark.operators import transforms
+
+    df = spark.range(0, 1000).repartition(7)
+    acc = spark.sparkContext.accumulator(0)
+
+    def per_row(row):
+        acc.add(1)
+
+    transforms.for_each(df, per_row, per_partition=False)
+    assert acc.value == 1000
+
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def per_part(rows):
+        n = sum(1 for _ in rows)
+        acc2.add(n)
+
+    transforms.for_each(df, per_part)
+    assert acc2.value == 1000
