@@ -928,6 +928,14 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-context assembly: contiguous greedy packing of documents
+    into fixed token-capacity bins per language stream (window cumsum →
+    floor-divide; exactly mirrored in the DuckDB oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.sequence_packing(docs, capacity=2048)
+
+
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content fingerprint (functions/dedup.py):
     corpus-level unique/dropped stats."""
@@ -1149,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
+        "sequence_packing": q_sequence_packing,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_lsh": q_minhash_lsh,
         "neardup_clusters": q_neardup_clusters,
@@ -1507,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {text.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
+        "sequence_packing": text.sequence_packing_oracle("documents", 2048),
         "fingerprint_dedup": f"""
             SELECT COUNT(*) AS n_unique, CAST(SUM(copies - 1) AS BIGINT) AS n_dropped,
                    MAX(copies) AS max_copies

@@ -211,3 +211,79 @@ def fingerprint(col: Column) -> Column:
 
 def fingerprint_sql(col_sql: str = "text") -> str:
     return f"md5(array_to_string(list_filter(string_split(lower({col_sql}), ' '), x -> x <> ''), ' '))"
+
+
+# ---- sequence packing (training-data context assembly) --------------------
+
+
+def sequence_packing(
+    df: DataFrame,
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Contiguous greedy sequence packing: documents are laid out in
+    ``id_col`` order within each ``stream_col`` stream and cut into
+    fixed token-capacity bins (a doc lands in the bin its running
+    offset falls in) — the standard streaming packer used to assemble
+    training contexts. Output: per-(stream, bin) doc/token/fill stats.
+
+    Pure window math (cumulative sum → floor-divide), so it is exactly
+    expressible in both engines — unlike best-fit bin packing, which is
+    order-dependent on a mutable bin state. At scale the window
+    partitions by stream (shard); no global ordering is required.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stream_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per = df.select(
+        stream_col, id_col, token_count(F.col(text_col)).cast("bigint").alias("n_tok")
+    )
+    binned = per.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(capacity)
+        ).cast("bigint"),
+    )
+    return (
+        binned.groupBy(stream_col, "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / capacity).alias("fill_ratio"),
+        )
+        .orderBy(stream_col, "bin")
+    )
+
+
+def sequence_packing_oracle(
+    table: str = "documents",
+    capacity: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of sequence_packing — identical window + floor math."""
+    return f"""
+WITH per AS (
+  SELECT {stream_col}, {id_col},
+         CAST(len(list_filter(string_split({text_col}, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM {table}
+), binned AS (
+  SELECT {stream_col}, n_tok,
+         CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY {stream_col} ORDER BY {id_col}
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {capacity}) AS BIGINT) AS bin
+  FROM per
+)
+SELECT {stream_col}, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / {capacity} AS fill_ratio
+FROM binned GROUP BY {stream_col}, bin ORDER BY {stream_col}, bin
+"""
