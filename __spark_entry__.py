@@ -952,15 +952,15 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clustering: MinHash-LSH pairs → connected
+    """Transitive near-dup clustering: SimHash pairs → connected
     components (iterative min-label propagation; DuckDB oracle runs the
     same closure as a recursive CTE) → per-cluster keep/drop stats.
     The missing last step of a real dedup pipeline — per-pair drops
-    under-merge chains a-b, b-c."""
+    under-merge chains a-b, b-c. SimHash is the pair generator here
+    (cheapest of the three near-dup families — the clustering operator
+    is generator-agnostic; minhash_lsh_pairs plugs in identically)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", threshold=0.8, max_bucket_size=LSH_MAX_BUCKET
-    )
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, limit=200)
     return dedup.neardup_cluster_stats(pairs, "doc_a", "doc_b")
 
 
@@ -1559,7 +1559,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET
         ),
         "neardup_clusters": dedup.neardup_cluster_oracle(
-            dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8, LSH_MAX_BUCKET)
+            dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
         ),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle("documents", "doc_id", "text", 0.5),
