@@ -95,3 +95,62 @@ def test_warc_roundtrip(records):
     for (uri, body), rec in zip(records, parsed):
         assert rec["contents"] == body
         assert rec["url"] == uri.strip()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-graph property: the distributed label propagation must
+    equal an independent driver-side union-find (different algorithm,
+    same answer) — nodes preserved, edges intra-cluster, rep = min."""
+    import random
+
+    from amadeus_spark.functions import dedup
+
+    rng = random.Random(4242)
+    edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+
+    parent = list(range(121))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({n for e in edges for n in e})
+    want = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    got = {
+        r.id: r.cluster
+        for r in dedup.connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    assert got == want
+
+
+def test_sequence_packing_conservation(spark):
+    """Packing invariants on real documents: token totals are conserved,
+    every doc lands in exactly one bin, and bins are non-decreasing in
+    id order within a stream."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.functions import text as textmod
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    packed = textmod.sequence_packing(docs, capacity=512).collect()
+    total_packed = sum(r.total_tokens for r in packed)
+    n_docs_packed = sum(r.n_docs for r in packed)
+    direct = docs.select(
+        textmod.token_count(F.col("text")).cast("bigint").alias("n")
+    ).agg(F.sum("n"), F.count(F.lit(1))).first()
+    assert total_packed == direct[0]
+    assert n_docs_packed == direct[1]
+    for r in packed:
+        assert r.fill_ratio == r.total_tokens / 512

@@ -484,3 +484,26 @@ def test_png_codec_roundtrip_and_filters():
         + chunk(b"IEND", b"")
     )
     assert (multimodal.decode_png(rgba_png) == img).all()
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmpdir_data):
+    """ORC round-trip preserves rows; projection + filter reach the ORC
+    scan (ReadSchema / PushedFilters) exactly like parquet."""
+    src = spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet")).select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    path = os.path.join(tmpdir_data, "lineitem_orc")
+    readers.write_orc(src, path)
+    back = readers.read_orc(spark, path)
+    assert back.count() == src.count()
+    assert back.schema == src.schema
+
+    pruned = readers.read_orc(spark, path, columns=["l_orderkey"]).filter(
+        F.col("l_orderkey") > 100
+    )
+    from amadeus_spark import plans
+
+    txt = plans.plan_text(pruned)
+    rs = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_orderkey" in rs[0] and "l_extendedprice" not in rs[0]
+    assert "PushedFilters" in txt and "GreaterThan(l_orderkey,100" in txt
