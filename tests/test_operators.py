@@ -249,3 +249,26 @@ def test_for_each_side_effect_via_accumulator(spark):
 
     transforms.for_each(df, per_part)
     assert acc2.value == 1000
+
+
+def test_error_propagation_from_executor(spark):
+    """Reference parity (tests/panic.rs): a panic inside a task fails the
+    whole job and surfaces the original message at the driver — it does
+    not hang the pool or silently drop the partition. Spark analog: an
+    exception in executor-side Python propagates with its message, and
+    the session stays usable afterwards."""
+    import pytest as _pytest
+
+    df = spark.range(0, 100, numPartitions=4)
+
+    def boom(batches):
+        for pdf in batches:
+            if (pdf["id"] == 57).any():
+                raise ValueError("boom at 57")
+            yield pdf
+
+    with _pytest.raises(Exception, match="boom at 57"):
+        df.mapInPandas(boom, "id long").collect()
+
+    # the pool survives: the session runs the next job normally
+    assert spark.range(5).count() == 5
