@@ -928,6 +928,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality rules (Gopher/MassiveText
+    family, token form): per-language doc counts, flag counts for
+    boilerplate (top-2-gram coverage) and low diversity (distinct-token
+    ratio), with exact extrema — no float summation anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-context assembly: contiguous greedy packing of documents
     into fixed token-capacity bins per language stream (window cumsum →
@@ -1157,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
+        "repetition_filter": q_repetition_filter,
         "sequence_packing": q_sequence_packing,
         "fingerprint_dedup": q_fingerprint_dedup,
         "minhash_lsh": q_minhash_lsh,
@@ -1516,6 +1526,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {text.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
+        "repetition_filter": text.repetition_stats_oracle("documents"),
         "sequence_packing": text.sequence_packing_oracle("documents", 2048),
         "fingerprint_dedup": f"""
             SELECT COUNT(*) AS n_unique, CAST(SUM(copies - 1) AS BIGINT) AS n_dropped,

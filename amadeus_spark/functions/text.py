@@ -287,3 +287,131 @@ SELECT {stream_col}, bin, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS DOUBLE) / {capacity} AS fill_ratio
 FROM binned GROUP BY {stream_col}, bin ORDER BY {stream_col}, bin
 """
+
+
+# ---- within-document repetition metrics (quality filtering) ---------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    top2_frac_flag: float = 0.10,
+    diversity_flag: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Within-document repetition metrics, the published quality-filter
+    family (Gopher/MassiveText repetition rules, token-count form):
+
+    - ``top2_frac``: tokens covered by the most frequent 2-gram / total
+      tokens — boilerplate detector;
+    - ``diversity``: distinct tokens / total tokens — low values mark
+      TEMPLATE/keyword-stuffed docs.
+
+    Docs are flagged when top2_frac >= ``top2_frac_flag`` OR diversity
+    <= ``diversity_flag``. Output per stream: doc counts, flag counts,
+    and exact extrema (max/min are order-independent, so doubles stay
+    hash-comparable — no float summation anywhere).
+
+    Physical plan: stage the token array once (no-CSE rule), explode
+    2-grams → one (doc, gram) count shuffle with map-side combine →
+    per-doc max → per-stream aggregate. ~2 shuffles over gram rows that
+    shrink to one row per doc immediately."""
+    toks = tokens(F.col(text_col))
+    per = df.select(
+        stream_col,
+        F.col(id_col).alias("doc"),
+        toks.alias("t"),
+    ).select(
+        stream_col,
+        "doc",
+        F.size("t").cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0] — a <2-token
+        # doc must yield [] (matching DuckDB's exclusive range(1, 1)).
+        # Docs with <2 tokens drop out of the gram explode in BOTH
+        # engines, so n_docs counts docs with >= 2 tokens.
+        F.expr(
+            "case when size(t) >= 2 then"
+            " transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+            " else array() end"
+        ).alias("grams"),
+    )
+    gram_rows = per.select(
+        stream_col, "doc", "n_tok", "n_distinct", F.explode("grams").alias("g")
+    )
+    gram_counts = gram_rows.groupBy(stream_col, "doc", "g").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("n_tok").alias("n_tok"),
+        F.first("n_distinct").alias("n_distinct"),
+    )
+    per_doc = gram_counts.groupBy(stream_col, "doc").agg(
+        F.max("c").alias("max2"),
+        F.first("n_tok").alias("n_tok"),
+        F.first("n_distinct").alias("n_distinct"),
+    )
+    scored = per_doc.select(
+        stream_col,
+        "doc",
+        (F.col("max2") * 2 / F.col("n_tok")).alias("top2_frac"),
+        (F.col("n_distinct") / F.col("n_tok")).alias("diversity"),
+    )
+    flagged = (F.col("top2_frac") >= top2_frac_flag) | (
+        F.col("diversity") <= diversity_flag
+    )
+    return (
+        scored.groupBy(stream_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged.cast("bigint")).alias("n_flagged"),
+            F.max("top2_frac").alias("max_top2_frac"),
+            F.min("diversity").alias("min_diversity"),
+        )
+        .orderBy(stream_col)
+    )
+
+
+def repetition_stats_oracle(
+    table: str = "documents",
+    top2_frac_flag: float = 0.10,
+    diversity_flag: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of repetition_stats — identical token/2-gram math."""
+    return f"""
+WITH per AS MATERIALIZED (
+  SELECT {stream_col}, {id_col} AS doc,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS t
+  FROM {table}
+), sized AS (
+  SELECT {stream_col}, doc,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+  FROM per
+), gram_rows AS (
+  SELECT {stream_col}, doc, n_tok, n_distinct, unnest(grams) AS g FROM sized
+), gram_counts AS (
+  SELECT {stream_col}, doc, g, COUNT(*) AS c,
+         FIRST(n_tok) AS n_tok, FIRST(n_distinct) AS n_distinct
+  FROM gram_rows GROUP BY {stream_col}, doc, g
+), per_doc AS (
+  SELECT {stream_col}, doc, MAX(c) AS max2,
+         FIRST(n_tok) AS n_tok, FIRST(n_distinct) AS n_distinct
+  FROM gram_counts GROUP BY {stream_col}, doc
+), scored AS (
+  SELECT {stream_col}, doc,
+         max2 * 2 / n_tok AS top2_frac,
+         CAST(n_distinct AS DOUBLE) / n_tok AS diversity
+  FROM per_doc
+)
+SELECT {stream_col}, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top2_frac >= {top2_frac_flag}
+                       OR diversity <= {diversity_flag} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       MAX(top2_frac) AS max_top2_frac,
+       MIN(diversity) AS min_diversity
+FROM scored GROUP BY {stream_col} ORDER BY {stream_col}
+"""
