@@ -928,6 +928,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 3-token
+    shingle with the probe set (doc_id % 97 == 0 stands in for the
+    benchmark corpus) are flagged, per language. Probe hash set
+    broadcasts; corpus explodes shingle hashes through a LEFT SEMI
+    join — no corpus-side join shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.decontamination_stats(docs)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality rules (Gopher/MassiveText
     family, token form): per-language doc counts, flag counts for
@@ -1166,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
+        "decontamination": q_decontamination,
         "repetition_filter": q_repetition_filter,
         "sequence_packing": q_sequence_packing,
         "fingerprint_dedup": q_fingerprint_dedup,
@@ -1526,6 +1537,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {text.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
+        "decontamination": dedup.decontamination_oracle("documents"),
         "repetition_filter": text.repetition_stats_oracle("documents"),
         "sequence_packing": text.sequence_packing_oracle("documents", 2048),
         "fingerprint_dedup": f"""

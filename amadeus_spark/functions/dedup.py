@@ -677,3 +677,97 @@ SELECT cluster AS cluster_rep,
        CAST(SUM(CASE WHEN id <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM comp GROUP BY cluster ORDER BY cluster
 """
+
+
+# ---- benchmark decontamination --------------------------------------------
+
+
+def decontamination_stats(
+    df: DataFrame,
+    probe_mod: int = 97,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Benchmark decontamination (standard pre-training hygiene): a doc
+    is contaminated when it shares any k-token shingle with the probe
+    set (here: ``id % probe_mod == 0`` stands in for the benchmark
+    corpus). Output per stream: corpus doc count + contaminated count.
+
+    Physical plan at scale: the probe side is tiny by construction
+    (benchmarks are MBs against a 100 TB corpus), so its distinct
+    shingle-hash set broadcasts; the corpus explodes shingle hashes and
+    LEFT SEMI joins against the broadcast — one pass over the corpus,
+    no corpus-side shuffle for the join itself, then a per-doc distinct
+    and a small aggregate."""
+    stok, _ = toks_frag(text_col)
+    hs, _ = hash32_frag("s", "s")
+    staged = df.select(
+        stream_col,
+        F.col(id_col).alias("doc"),
+        F.expr(stok).alias("__toks"),
+    ).withColumn("__sh", F.expr(shingles_from_tokens_frag("__toks", k)))
+    probe_hashes = (
+        staged.filter(F.col("doc") % probe_mod == 0)
+        .select(F.explode("__sh").alias("s"))
+        .select(F.expr(hs).alias("h"))
+        .distinct()
+    )
+    corpus = staged.filter(F.col("doc") % probe_mod != 0)
+    corpus_hashes = corpus.select(
+        stream_col, "doc", F.explode("__sh").alias("s")
+    ).select(stream_col, "doc", F.expr(hs).alias("h"))
+    contaminated = (
+        corpus_hashes.join(F.broadcast(probe_hashes), "h", "left_semi")
+        .select(stream_col, "doc")
+        .distinct()
+        .groupBy(stream_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = corpus.groupBy(stream_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(contaminated, stream_col, "left")
+        .select(
+            stream_col,
+            "n_docs",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy(stream_col)
+    )
+
+
+def decontamination_oracle(
+    table: str = "documents",
+    probe_mod: int = 97,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of decontamination_stats — identical shingles/hashes."""
+    _, shd = shingles_frag(text_col, k)
+    _, hd = hash32_frag("s", "s")
+    return f"""
+WITH staged AS MATERIALIZED (
+  SELECT {stream_col}, {id_col} AS doc, {shd} AS sh FROM {table}
+), probe AS MATERIALIZED (
+  SELECT DISTINCT {hd} AS h
+  FROM (SELECT unnest(sh) AS s FROM staged WHERE doc % {probe_mod} = 0)
+), corpus AS (
+  SELECT {stream_col}, doc, sh FROM staged WHERE doc % {probe_mod} <> 0
+), contaminated AS (
+  SELECT {stream_col}, COUNT(*) AS n_contaminated FROM (
+    SELECT DISTINCT {stream_col}, doc
+    FROM (SELECT {stream_col}, doc, {hd} AS h
+          FROM (SELECT {stream_col}, doc, unnest(sh) AS s FROM corpus))
+    WHERE h IN (SELECT h FROM probe)
+  ) GROUP BY {stream_col}
+), totals AS (
+  SELECT {stream_col}, COUNT(*) AS n_docs FROM corpus GROUP BY {stream_col}
+)
+SELECT t.{stream_col}, t.n_docs,
+       CAST(COALESCE(c.n_contaminated, 0) AS BIGINT) AS n_contaminated
+FROM totals t LEFT JOIN contaminated c USING ({stream_col})
+ORDER BY t.{stream_col}
+"""
