@@ -313,44 +313,44 @@ def repetition_stats(
     and exact extrema (max/min are order-independent, so doubles stay
     hash-comparable — no float summation anywhere).
 
-    Physical plan: stage the token array once (no-CSE rule), explode
-    2-grams → one (doc, gram) count shuffle with map-side combine →
-    per-doc max → per-stream aggregate. ~2 shuffles over gram rows that
-    shrink to one row per doc immediately."""
+    Physical plan: the gram path carries ONLY (stream, doc, gram) —
+    per-doc stat columns must NOT ride through the explode, because
+    Catalyst inlines their token-array expressions into the projection
+    above the generator and re-evaluates split/filter per EXPLODED row
+    (measured 7× on this operator: 7.1 s → 1.0 s at sf0.1 when the
+    stats moved to a separate tiny frame joined after the per-doc max).
+    Explode 2-grams → one (doc, gram) count shuffle with map-side
+    combine → per-doc max (one row per doc) → join per-doc stats →
+    per-stream aggregate."""
     toks = tokens(F.col(text_col))
-    per = df.select(
-        stream_col,
-        F.col(id_col).alias("doc"),
-        toks.alias("t"),
-    ).select(
+    base = df.select(stream_col, F.col(id_col).alias("doc"), toks.alias("t"))
+    stats = base.select(
         stream_col,
         "doc",
         F.size("t").cast("bigint").alias("n_tok"),
         F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
-        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0] — a <2-token
-        # doc must yield [] (matching DuckDB's exclusive range(1, 1)).
-        # Docs with <2 tokens drop out of the gram explode in BOTH
-        # engines, so n_docs counts docs with >= 2 tokens.
-        F.expr(
-            "case when size(t) >= 2 then"
-            " transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
-            " else array() end"
-        ).alias("grams"),
     )
-    gram_rows = per.select(
-        stream_col, "doc", "n_tok", "n_distinct", F.explode("grams").alias("g")
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0] — a <2-token
+    # doc must yield [] (matching DuckDB's exclusive range(1, 1)).
+    # Docs with <2 tokens drop out of the gram explode in BOTH engines,
+    # so n_docs counts docs with >= 2 tokens.
+    gram_rows = base.select(
+        "doc",
+        F.explode(
+            F.expr(
+                "case when size(t) >= 2 then"
+                " transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"
+                " else array() end"
+            )
+        ).alias("g"),
     )
-    gram_counts = gram_rows.groupBy(stream_col, "doc", "g").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.first("n_tok").alias("n_tok"),
-        F.first("n_distinct").alias("n_distinct"),
+    per_doc = (
+        gram_rows.groupBy("doc", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc")
+        .agg(F.max("c").alias("max2"))
     )
-    per_doc = gram_counts.groupBy(stream_col, "doc").agg(
-        F.max("c").alias("max2"),
-        F.first("n_tok").alias("n_tok"),
-        F.first("n_distinct").alias("n_distinct"),
-    )
-    scored = per_doc.select(
+    scored = per_doc.join(stats, "doc").select(
         stream_col,
         "doc",
         (F.col("max2") * 2 / F.col("n_tok")).alias("top2_frac"),
