@@ -928,6 +928,25 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: committed PII fixture (scripts/make_pii_fixture.py): planted emails/
+#: phones/IPv4 in clean text — the synthetic documents table has no PII,
+#: which would make this gate check degenerate.
+_PII_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "pii_docs.parquet"
+)
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII exposure report (the always-on first scrubbing stage of a
+    training-data pipeline): per-language docs containing each PII class
+    + total redacted characters. Regex patterns are portable between
+    Java regex and RE2 (character classes + bounded quantifiers only) so
+    the DuckDB oracle applies the identical rewrite."""
+    _tune(spark)
+    docs = spark.read.parquet(_PII_FIXTURE)
+    return text.pii_stats(docs)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-token
     shingle with the probe set (doc_id % 97 == 0 stands in for the
@@ -1176,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
+        "pii_scrub": q_pii_scrub,
         "decontamination": q_decontamination,
         "repetition_filter": q_repetition_filter,
         "sequence_packing": q_sequence_packing,
@@ -1537,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {text.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
+        "pii_scrub": text.pii_stats_oracle(f"read_parquet('{_PII_FIXTURE}')"),
         "decontamination": dedup.decontamination_oracle("documents"),
         "repetition_filter": text.repetition_stats_oracle("documents"),
         "sequence_packing": text.sequence_packing_oracle("documents", 2048),

@@ -415,3 +415,96 @@ SELECT {stream_col}, COUNT(*) AS n_docs,
        MIN(diversity) AS min_diversity
 FROM scored GROUP BY {stream_col} ORDER BY {stream_col}
 """
+
+
+# ---- PII detection / redaction --------------------------------------------
+
+#: Conservative patterns that behave identically under Java regex (Spark)
+#: and RE2 (DuckDB): character classes + bounded quantifiers only — no
+#: lookarounds, no backreferences. Deliberately simple surface forms; a
+#: production pass layers NER on top, but regex scrubbing is the
+#: always-on first stage of every training-data pipeline.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+PII_TOKEN = "<PII>"
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with the redaction token (patterns apply
+    in a fixed order so both dialects rewrite identically)."""
+    out = col
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, PII_TOKEN)
+    return out
+
+
+def redact_pii_sql(col_sql: str) -> str:
+    out = col_sql
+    for pat in PII_PATTERNS.values():
+        esc = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{esc}', '{PII_TOKEN}', 'g')"
+    return out
+
+
+def pii_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Per-stream PII exposure report: docs containing each PII class,
+    total redacted characters (length delta after scrubbing). One
+    projection + one aggregate — scan-speed, no shuffle beyond the
+    final small aggregate."""
+    # Column-API rlike, NOT F.expr with an embedded string literal: the
+    # SQL parser would eat the \. escapes in the patterns.
+    flags = {
+        name: F.col(text_col).rlike(pat).cast("bigint")
+        for name, pat in PII_PATTERNS.items()
+    }
+    per = df.select(
+        stream_col,
+        *[v.alias(f"has_{k}") for k, v in flags.items()],
+        (
+            F.length(F.col(text_col)) - F.length(redact_pii(F.col(text_col)))
+        ).cast("bigint").alias("chars_delta"),
+    )
+    return (
+        per.groupBy(stream_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            *[F.sum(f"has_{k}").alias(f"n_{k}") for k in PII_PATTERNS],
+            F.sum("chars_delta").alias("redacted_char_delta"),
+        )
+        .orderBy(stream_col)
+    )
+
+
+def pii_stats_oracle(
+    table_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of pii_stats — same patterns, same order."""
+    flag_cols = ", ".join(
+        f"CAST(regexp_matches({text_col}, '{p.replace(chr(39), chr(39)*2)}') AS INT) AS has_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    sums = ", ".join(
+        f"CAST(SUM(has_{k}) AS BIGINT) AS n_{k}" for k in PII_PATTERNS
+    )
+    return f"""
+WITH per AS (
+  SELECT {stream_col}, {flag_cols},
+         CAST(length({text_col}) - length({redact_pii_sql(text_col)}) AS BIGINT)
+           AS chars_delta
+  FROM {table_sql}
+)
+SELECT {stream_col}, COUNT(*) AS n_docs, {sums},
+       CAST(SUM(chars_delta) AS BIGINT) AS redacted_char_delta
+FROM per GROUP BY {stream_col} ORDER BY {stream_col}
+"""

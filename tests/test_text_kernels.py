@@ -65,3 +65,35 @@ def test_rolling_fp_is_order_and_multiplicity_sensitive(spark):
     }
     assert len({fps[1], fps[2], fps[3]}) == 3  # order and repetition matter
     assert fps[4] == 0  # empty doc folds to the seed
+
+
+def test_pii_redaction(spark):
+    """redact_pii removes every planted surface form and leaves clean
+    text untouched; both dialects rewrite identically (the gate query
+    checks aggregate parity — this pins the row-level rewrite)."""
+    import duckdb
+
+    from amadeus_spark.functions import text as tm
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "contact me at alice.smith+spam@mail-host.co for details"),
+        (2, "call +1-555-123-4567 or 44. 555 123 9999 now"),
+        (3, "server at 192.168.1.254 responded"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+    got = {r.id: r.red for r in df.select("id", tm.redact_pii(F.col("text")).alias("red")).collect()}
+    assert "alice" not in got[1] and "<PII>" in got[1]
+    assert "555" not in got[2]
+    assert "192.168" not in got[3] and "<PII>" in got[3]
+    assert got[4] == "no pii here at all"
+
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in rows)
+    duck = dict(
+        con.sql(
+            f"SELECT id, {tm.redact_pii_sql('text')} FROM (VALUES {vals}) v(id, text)"
+        ).fetchall()
+    )
+    assert duck == got
