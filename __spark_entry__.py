@@ -1144,30 +1144,34 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: every oracle-checked query FIRST, the six
-    # rows-only queries (no SQL oracle by nature) last — the round-2
-    # driver gate stopped after 50 of 55 entries, and if that recurs the
-    # dropped tail should be the weakest-signal rows, not hash-checked
-    # similarity queries.
+    # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
+    # the FIRST 50 dict entries, so the queries that most need external
+    # verification come first — r3 left the seven dedup/similarity oracle
+    # queries at positions 51-57, unverified (VERDICT r3 #1). Now:
+    #   1. never/not-recently driver-verified oracle queries (dedup/
+    #      similarity tail from r3, incl. neardup_clusters and the banded
+    #      embedding_neardup which have NEVER been externally gated);
+    #   2. the long-stable r3-green oracle queries;
+    #   3. the six rows-only queries (no SQL oracle by nature) last.
     return {
+        "neardup_clusters": q_neardup_clusters,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
         "most_distinct": q_most_distinct,
         "most_frequent": q_most_frequent,
         "summary_agg": q_summary_agg,
-        "histogram": q_histogram,
         "group_by_pricing": q_group_by_pricing,
         "max_by": q_max_by,
         "inner_join": q_inner_join,
         "left_join": q_left_join,
         "semi_anti_join": q_semi_anti_join,
-        "map_filter": q_map_filter,
-        "flat_map": q_flat_map,
-        "chain_union": q_chain_union,
-        "sort_n_by": q_sort_n_by,
         "sample_deterministic": q_sample_deterministic,
         "stratified_sample": q_stratified_sample,
-        "all_any": q_all_any,
         "set_ops": q_set_ops,
-        "distinct_count": q_distinct_count,
         "percentiles": q_percentiles,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q6_forecast": q_tpch_q6_forecast,
@@ -1200,13 +1204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "sequence_packing": q_sequence_packing,
         "fingerprint_dedup": q_fingerprint_dedup,
-        "minhash_lsh": q_minhash_lsh,
-        "neardup_clusters": q_neardup_clusters,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "embedding_neardup": q_embedding_neardup,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
+        # low-risk long-stable oracle tail (green r1+r3, simple plans):
+        "map_filter": q_map_filter,
+        "flat_map": q_flat_map,
+        "chain_union": q_chain_union,
+        "histogram": q_histogram,
+        "all_any": q_all_any,
+        "sort_n_by": q_sort_n_by,
+        "distinct_count": q_distinct_count,
         # --- rows-only tail (no SQL oracle by nature) ---
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
