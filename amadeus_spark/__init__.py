@@ -12,9 +12,10 @@ Public surface:
     from amadeus_spark.functions import text, dedup, similarity
 """
 
+from amadeus_spark.cache import release_cached
 from amadeus_spark.session import get_spark
 from amadeus_spark.tables import TABLES, load_tables
 
-__all__ = ["get_spark", "load_tables", "TABLES"]
+__all__ = ["get_spark", "load_tables", "TABLES", "release_cached"]
 
 __version__ = "0.1.0"

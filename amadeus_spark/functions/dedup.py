@@ -39,6 +39,8 @@ import random
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from amadeus_spark.cache import tracked_persist
+
 # ---- shared constants (Spark exprs AND DuckDB oracle use these) ----------
 SHINGLE_K = 3
 NUM_HASHES = 64
@@ -171,9 +173,9 @@ def with_minhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # Spark recomputes the whole shingle+hash subtree per consumer.
     # State is one row per doc (64 ints + shingles); at 100 TB use
     # DISK_ONLY or write it out as an intermediate table.
-    return grouped.select(
+    return tracked_persist(grouped.select(
         F.col("__id").alias(id_col), "sh", F.expr(f"array({sig_cols})").alias("sig")
-    ).persist()
+    ))
 
 
 def minhash_lsh_pairs(
@@ -369,10 +371,9 @@ def simhash_pairs(
     # from the groupBy; the oracle assigns them sh=0 (no bit has a
     # majority over zero tokens) — re-attach them so parity holds.
     all_ids = df.select(F.col(id_col).alias("doc"))
-    docs = (
+    docs = tracked_persist(
         all_ids.join(sigs, "doc", "left")
         .withColumn("sh", F.coalesce("sh", F.lit(0)))
-        .persist()
     )
     bands = docs.select(
         "doc",
@@ -482,8 +483,8 @@ def ngram_jaccard_pairs(
             F.explode(F.expr(shingles_from_tokens_frag("__toks"))).alias("s"),
         )
         .select("doc", F.expr(hs).alias("h"))
-        .persist()  # consumed 3× (sizes + both join sides)
     )
+    ex = tracked_persist(ex)  # consumed 3× (sizes + both join sides)
     sizes = ex.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     # only hashes present in ≥2 docs can produce a pair — pre-filtering
     # shrinks the self-join input from |all shingles| to |shared shingles|

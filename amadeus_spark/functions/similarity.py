@@ -28,6 +28,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from amadeus_spark.cache import tracked_persist
+
 EMB_DIM = 64
 N_PLANES = 8
 _rng = random.Random(777)
@@ -238,9 +240,9 @@ def embedding_neardup_pairs(
     oracle applies the identical banding so parity stays exact.
 
     vec_id % id_mod == 0 sampling keeps the sf0.01 oracle cheap."""
-    base = with_norm(
+    base = tracked_persist(with_norm(
         df.filter(F.col(id_col) % id_mod == 0).select(id_col, vec_col), vec_col
-    ).persist()  # 3 consumers: band stage + both sides of the verify join
+    ))  # 3 consumers: band stage + both sides of the verify join
     band_s, _ = band_buckets_frag(vec_col)
     bands = base.select(
         F.col(id_col).alias("id"),
@@ -368,26 +370,39 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = with_norm(df.select(id_col, vec_col), vec_col).withColumn(
+    # base feeds FOUR consumers (train sample, KMeans fit passes, the
+    # query-row collect, the cell-assignment scan) — persist it or the
+    # scan+norm subtree re-executes per consumer (the signature-frame
+    # trap; measured ~1.6× on this query alone).
+    base = tracked_persist(with_norm(df.select(id_col, vec_col), vec_col))
+    feats = base.withColumn(
         "features", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     # max_iter=8: centroids are a *routing* structure, not the answer —
     # k-means past a few iterations moves cell boundaries, not recall
     # (measured: identical 0.4+ recall at 8 vs 20 iters, fit 4× faster).
+    # initMode="random": the k-means|| default spends initSteps extra
+    # distributed passes choosing seeds; for a routing structure random
+    # seeds + Lloyd iterations give the same recall (pinned by
+    # test_ivf_recall_vs_bruteforce) at ~2/3 the fit cost.
     km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter,
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="random",
         featuresCol="features", predictionCol="cell",
     )
-    train = base.sample(fraction=train_fraction, seed=seed)
+    train = feats.sample(fraction=train_fraction, seed=seed)
     # tiny-corpus guard: KMeans needs >= n_cells points; the limit(k)
     # probe reads at most k rows, so the check costs ~nothing
     if train.limit(n_cells).count() < n_cells:
-        train = base
+        train = feats
     model = km.fit(train)
-    assigned = model.transform(base).drop("features")
+    assigned = model.transform(feats).drop("features")
 
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
-    q_rows = assigned.filter(F.col(id_col).isin(query_ids)).collect()
+    # query rows come straight off the persisted base — their probe cells
+    # are computed driver-side from the centroids, so running the full
+    # model.transform scan just to read back <=len(query_ids) rows (as an
+    # earlier revision did) paid a whole extra pass for nothing.
+    q_rows = base.filter(F.col(id_col).isin(query_ids)).collect()
     probe_pairs = []  # (q_id, cell) for the n_probe nearest cells
     for r in q_rows:
         v = np.array(r[vec_col], dtype=float)
@@ -396,7 +411,7 @@ def ivf_topk(
             probe_pairs.append((int(r[id_col]), int(cell)))
     probes = df.sparkSession.createDataFrame(probe_pairs, "q_id long, cell int")
 
-    q = assigned.filter(F.col(id_col).isin(query_ids)).select(
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from amadeus_spark.cache import tracked_persist
+
 
 def nested_array_ops(li: DataFrame) -> DataFrame:
     """Per-order quantity arrays → array ops → explode back → flat stats.
@@ -43,10 +45,10 @@ def nested_array_ops(li: DataFrame) -> DataFrame:
                 F.collect_list(F.col("l_quantity").cast("bigint"))
             ).alias("arr")
         )
-        # two consumers below (scalar stats + explode branch): without
-        # persist the groupBy subtree runs twice (no plan-level CSE)
-        .persist()
     )
+    # two consumers below (scalar stats + explode branch): without
+    # persist the groupBy subtree runs twice (no plan-level CSE)
+    per = tracked_persist(per)
     stats = per.select(
         F.size("arr").cast("bigint").alias("n_items"),
         F.element_at("arr", 1).alias("min_qty"),

@@ -72,3 +72,22 @@ def test_sketch_correct_after_mapinpandas_rewrite(spark):
     want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     assert [k for k, _ in got] == [k for k, _ in want]
     assert [c for _, c in got] == [c for _, c in want]  # exact at this scale
+
+
+def test_release_cached_frees_library_persists(spark):
+    """Round-3 advice: operators that persist multi-consumer frames
+    (embedding_neardup_pairs, ivf_topk, minhash signatures, ...) leaked
+    one cached frame per call in long-lived sessions. They now register
+    with amadeus_spark.cache; release_cached() frees exactly those."""
+    import amadeus_spark
+    from amadeus_spark.functions import similarity
+
+    amadeus_spark.release_cached()  # drain anything earlier tests left
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.embedding_neardup_pairs(emb, id_mod=1).collect()
+    similarity.ivf_topk(emb, [0, 1], k=3).collect()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert not cm.isEmpty()  # caches alive while results are consumed
+    assert amadeus_spark.release_cached() >= 2
+    assert cm.isEmpty()
+    assert amadeus_spark.release_cached() == 0  # idempotent
