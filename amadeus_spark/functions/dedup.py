@@ -586,11 +586,18 @@ def connected_components(
     and takes the per-node min of (own label, neighbor labels); stops
     when a round changes nothing. Rounds = graph diameter, and near-dup
     graphs are piles of tiny cliques (diameter ~2-3); each round is one
-    shuffle join + one aggregate, all Catalyst. The per-round
-    convergence count is an intentional action — iterative algorithms
-    are the documented exception to the no-eager-actions rule. At
-    larger diameters switch to alternating large-star/small-star
-    (Kiveris et al.), same join primitives.
+    shuffle join + one aggregate, all Catalyst. Convergence detection is
+    fused into that aggregate: the node's previous label rides along as
+    a second agg column (its own-label row is unique per id), so the
+    per-round check is a limit(1).count() over the already-checkpointed
+    in-memory result — no separate join+re-agg job (the r3 shape cost
+    ~2 full jobs/round). At larger diameters switch to alternating
+    large-star/small-star (Kiveris et al.), same join primitives.
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (diameter > max_iter): partial labels are under-merged chains, and
+    returning them silently corrupts downstream keep-one-per-cluster
+    dedup (round-3 advice).
 
     Returns (id, cluster) — cluster is the component's min id.
     """
@@ -601,9 +608,22 @@ def connected_components(
     # sf0.01. Checkpointing truncates lineage; each round's plan is then
     # just (checkpointed edges ⋈ checkpointed labels). On a cluster,
     # swap for reliable checkpoint(dir) to survive executor loss.
+    # symmetrize with ONE scan of pairs: union(pairs, pairs.swapped) reads
+    # the pair-generator subtree twice (here: the whole SimHash/MinHash
+    # job — measured 2× the generator cost inside this checkpoint);
+    # explode(array(fwd, rev)) emits both directions per input row.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .localCheckpoint()
     )
@@ -613,28 +633,37 @@ def connected_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
-        # min over: own label + labels of all neighbors
+        # min over: own label + labels of all neighbors; the own row is
+        # tagged so the aggregate can emit (new min, previous label) in
+        # one pass — labels only ever decrease, so lab < prev anywhere
+        # means not converged.
         neighbor = (
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "lab")
+            .select(F.col("src").alias("id"), "lab", F.lit(False).alias("own"))
         )
-        new_labels = (
-            labels.unionByName(neighbor)
+        merged = (
+            labels.withColumn("own", F.lit(True))
+            .unionByName(neighbor)
             .groupBy("id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(
+                F.min("lab").alias("lab"),
+                F.min(F.when(F.col("own"), F.col("lab"))).alias("prev"),
+            )
             .localCheckpoint()
         )
-        # labels only ever decrease, so any difference means not converged
-        changed = (
-            new_labels.join(labels.withColumnRenamed("lab", "old"), "id")
-            .filter(F.col("lab") < F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("lab") < F.col("prev")).limit(1).count()
+        labels = merged.select("id", "lab")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "large-star/small-star — partial labels would under-merge."
+        )
     return labels.select("id", F.col("lab").alias("cluster"))
 
 

@@ -91,3 +91,18 @@ def test_release_cached_frees_library_persists(spark):
     assert amadeus_spark.release_cached() >= 2
     assert cm.isEmpty()
     assert amadeus_spark.release_cached() == 0  # idempotent
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Round-3 advice: exhausting max_iter used to return under-merged
+    partial labels silently; now it raises."""
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, "doc_a", "doc_b", max_iter=1)
+    # enough rounds: the whole chain collapses to min id 1
+    got = dedup.connected_components(chain, "doc_a", "doc_b", max_iter=10)
+    assert {(r.id, r.cluster) for r in got.collect()} == {
+        (i, 1) for i in range(1, 6)
+    }
