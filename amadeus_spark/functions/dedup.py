@@ -733,11 +733,18 @@ def decontamination_stats(
     and a small aggregate."""
     stok, _ = toks_frag(text_col)
     hs, _ = hash32_frag("s", "s")
-    staged = df.select(
-        stream_col,
-        F.col(id_col).alias("doc"),
-        F.expr(stok).alias("__toks"),
-    ).withColumn("__sh", F.expr(shingles_from_tokens_frag("__toks", k)))
+    # persist: the tokenized+shingled projection feeds the probe branch,
+    # the corpus explode, AND the per-stream totals — without it the
+    # tokenize/shingle subtree (the expensive part) runs once per
+    # consumer. At 100 TB prefer DISK-backed storage or a staged
+    # intermediate table; the shingle arrays dominate the cached size.
+    staged = tracked_persist(
+        df.select(
+            stream_col,
+            F.col(id_col).alias("doc"),
+            F.expr(stok).alias("__toks"),
+        ).withColumn("__sh", F.expr(shingles_from_tokens_frag("__toks", k)))
+    )
     probe_hashes = (
         staged.filter(F.col("doc") % probe_mod == 0)
         .select(F.explode("__sh").alias("s"))

@@ -164,3 +164,15 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontamination_single_documents_scan(spark):
+    """The staged tokenize+shingle projection is persisted; probe,
+    corpus, and totals branches must all read the cache — exactly one
+    parquet scan of documents in the physical plan (r3 verdict #6)."""
+    import re
+
+    df = entrymod.q_decontamination(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) <= 1, txt
+    assert "InMemoryTableScan" in txt or "TableCacheQueryStage" in txt
