@@ -1058,11 +1058,18 @@ def q_cloudfront_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _tune(spark)
     df = _cf.read_cloudfront(spark, _CF_FIXTURE)
+    # short-line normalization, mirrored exactly in the oracle (r3
+    # advice): truncated pre-26-field lines and '-' sentinels decode to
+    # NULL status/bytes — status groups under -1, all-NULL byte sums
+    # surface as 0, and a missing referer counts as no-referer just like
+    # a literal '-'.
     return (
-        df.groupBy("edge_location", "status")
+        df.groupBy(
+            "edge_location", F.coalesce("status", F.lit(-1)).alias("status")
+        )
         .agg(
             F.count(F.lit(1)).alias("n_requests"),
-            F.sum("response_bytes").alias("total_bytes"),
+            F.coalesce(F.sum("response_bytes"), F.lit(0)).alias("total_bytes"),
             F.countDistinct("remote_ip").alias("n_ips"),
             F.sum(F.col("referer").isNull().cast("bigint")).alias("n_no_referer"),
         )
@@ -1585,11 +1592,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b ORDER BY b
         """,
         "cloudfront_logs": f"""
-            SELECT c3 AS edge_location, CAST(c9 AS BIGINT) AS status,
+            SELECT c3 AS edge_location,
+                   COALESCE(TRY_CAST(c9 AS BIGINT), -1) AS status,
                    COUNT(*) AS n_requests,
-                   CAST(SUM(CAST(c4 AS BIGINT)) AS BIGINT) AS total_bytes,
+                   CAST(COALESCE(SUM(TRY_CAST(c4 AS BIGINT)), 0) AS BIGINT) AS total_bytes,
                    CAST(COUNT(DISTINCT c5) AS BIGINT) AS n_ips,
-                   CAST(SUM(CASE WHEN c10 = '-' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_referer
+                   CAST(SUM(CASE WHEN c10 = '-' OR c10 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_no_referer
             FROM read_csv('{_CF_FIXTURE}/*.gz', delim='\t', header=false,
                           null_padding=true, quote='', auto_detect=false,
                           columns={{{", ".join(f"'c{i}':'VARCHAR'" for i in range(1, 27))}}})

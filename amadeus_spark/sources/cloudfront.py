@@ -81,7 +81,10 @@ def _project_cloudfront(raw: DataFrame) -> DataFrame:
         if name in _NULLABLE:
             c = F.when(c == "-", None).otherwise(c)
         if name in _LONG_COLS:
-            c = c.cast("long")
+            # try_cast, not cast: '-' sentinels and truncated lines must
+            # decode to NULL in ANSI mode too (cast throws there); the
+            # DuckDB oracle mirrors this with TRY_CAST.
+            c = c.try_cast("long")
         cols.append(c.alias(name))
     df = parts.select(*cols)
     # time (reference: DateTime from date+time) + full url (host+stem)

@@ -75,6 +75,18 @@ def main() -> None:
                 ]
             )
             lines.append(line + "\n")
+        # degenerate lines, so the short-line/sentinel normalization is
+        # actually exercised by the gate (r3 advice): a truncated 9-field
+        # line from an older log version (missing referer and everything
+        # after), an 8-field line (missing status too → the -1 group),
+        # and a '-' status/bytes line (client-disconnect style).
+        full = lines[-1].rstrip("\n").split("\t")
+        lines.append("\t".join(full[:9]) + "\n")
+        lines.append("\t".join(full[:8]) + "\n")
+        degen = list(full)
+        degen[3] = "-"  # sc-bytes
+        degen[8] = "-"  # sc-status
+        lines.append("\t".join(degen) + "\n")
         path = os.path.join(OUT, f"E2EXAMPLE.2019-12-0{fi + 1}.gz")
         with gzip.open(path, "wt") as f:
             f.writelines(lines)
