@@ -3,10 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed once after a session warm-up action; timing is
-wall-clock around the terminal action (count/collect), i.e. full plan
-execution including scan. That mirrors how the reference benches
-full-file row iteration (benches/parquet.rs) rather than cached re-runs.
+Each query is timed as median-of-3 full executions after a per-query
+warm-up; timing is wall-clock around the terminal action (count/
+collect), i.e. full plan execution including scan. That mirrors how the
+reference benches full-file row iteration (benches/parquet.rs) rather
+than cached re-runs. The per-query min-max spread rides along so
+machine drift (measured 49-77 s total run-to-run on the same code) is
+visible instead of masquerading as regressions.
 """
 
 from __future__ import annotations
@@ -53,20 +56,30 @@ def main() -> None:
     # its own timed run). Per-query warm-up keeps each query's hot
     # methods freshly compiled at its timed run; caches are still cleared
     # so no *data* survives into the timing.
+    from amadeus_spark import release_cached
+
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in queries.items():
         try:
             fn(spark, warm_dir).collect()
         except Exception:
             pass  # a warm-up failure surfaces in the timed run
-        spark.catalog.clearCache()  # dedup queries persist signature
-        # frames; clear between queries so timings are independent
-        spark._jvm.System.gc()  # and settle accumulated JVM garbage so
-        # late queries aren't taxed by the first 40's allocations
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()  # every registered query returns a small result set
-        timings[name] = round(time.perf_counter() - t0, 4)
+        spark._jvm.System.gc()  # settle accumulated JVM garbage so late
+        # queries aren't taxed by the first 40's allocations
+        runs = []
+        for _ in range(reps):
+            spark.catalog.clearCache()  # dedup queries persist signature
+            release_cached()  # frames; clear between reps so each run
+            # re-executes the full plan independently
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.collect()  # every query returns a small result set
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)  # median
+        spread[name] = round(runs[-1] - runs[0], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -76,6 +89,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )
