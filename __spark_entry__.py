@@ -496,7 +496,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic PPM/WAV/RAWV payloads → Arrow-batched distributed
     decode + feature extraction → per-kind stats. Rows-only check (the
     feature math is numpy, not SQL-expressible); the decode kernels
-    actually execute — only compressed formats (PNG/JPEG/MP4) remain
+    actually execute, including the pure stdlib PNG and pure-numpy
+    baseline JPEG codecs — only MP4/MP3 and exotic variants remain
     stubbed for lack of codec libs in this container."""
     from amadeus_spark.functions import multimodal
 

@@ -23,12 +23,15 @@ Decode kernels are REAL for formats that need no external codec library:
   then only those offsets are decoded executor-side.
 
 PNG (8-bit non-interlaced gray/RGB/RGBA) ALSO decodes for real via a
-pure stdlib-zlib codec (``decode_png`` — all five scanline filters).
-The remaining compressed formats (JPEG/MP4/MP3, interlaced/paletted/
-16-bit PNG) genuinely require PIL/ffmpeg, which are NOT in this
-container — those raise ``NotImplementedError`` unless ``fake=True``
-supplies the deterministic digest fallback. The Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is identical either way.
+pure stdlib-zlib codec (``decode_png`` — all five scanline filters),
+and baseline-sequential JPEG decodes for real via the pure-numpy T.81
+codec in ``jpeg.py`` (huffman + dequant + IDCT, 4:2:0/4:4:4, restart
+markers). The remaining formats (MP4/MP3, progressive/arithmetic JPEG,
+interlaced/paletted/16-bit PNG) genuinely require PIL/ffmpeg, which are
+NOT in this container — those raise ``NotImplementedError`` unless
+``fake=True`` supplies the deterministic digest fallback. The Spark-side
+plumbing (schema, batching, partitioning, UDF signature) is identical
+either way.
 """
 
 from __future__ import annotations
@@ -338,11 +341,18 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         if img.ndim == 2:  # grayscale → replicate to 3 channels
             img = np.stack([img] * 3, axis=-1)
         return image_features(img)
+    if payload[:2] == b"\xff\xd8":
+        from amadeus_spark.functions.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.ndim == 2:
+            img = np.stack([img] * 3, axis=-1)
+        return image_features(img)
     if not fake:
         raise NotImplementedError(
-            "compressed-image decode beyond PNG requires PIL/torchvision; "
-            "not available in this environment — run with fake=True for "
-            "plumbing tests"
+            "compressed-image decode beyond PNG/baseline-JPEG requires "
+            "PIL/torchvision; not available in this environment — run "
+            "with fake=True for plumbing tests"
         )
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:8]]
@@ -470,10 +480,15 @@ def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
             img = np.stack(
                 [(y * 7 + i) % 256, (x * 11 + i) % 256, (y + x + i) % 256], axis=-1
             ).astype(np.uint8)
-            if (i // 3) % 2 == 0:
+            sel = (i // 3) % 3
+            if sel == 0:
                 payload, fmt = encode_ppm(img), "ppm"
-            else:
+            elif sel == 1:
                 payload, fmt = encode_png(img), "png"
+            else:
+                from amadeus_spark.functions.jpeg import encode_jpeg
+
+                payload, fmt = encode_jpeg(img, quality=95), "jpeg"
             meta = {"h": str(h), "w": str(w)}
         elif kind == "audio":
             sr, dur = 8000, 0.05 + (i % 4) * 0.01

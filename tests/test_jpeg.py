@@ -1,0 +1,94 @@
+"""Pure-kernel tests for the baseline JPEG codec (ITU-T T.81) —
+the last closable media codec (r3 verdict #7). No Spark session needed;
+the distributed path is covered by test_sources.py's real-media tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from amadeus_spark.functions import jpeg, multimodal
+
+
+def _gradient(h: int, w: int, seed: int = 0) -> np.ndarray:
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(y * 3 + seed) % 256, (x * 2 + seed) % 256, (x + y + seed) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_dct_roundtrip_exact():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-128, 128, (8, 8))
+    assert np.allclose(jpeg.idct2(jpeg.fdct2(x)), x, atol=1e-9)
+
+
+def test_flat_image_lossless():
+    """A flat block has only a DC coefficient — survives quantization
+    exactly at any quality."""
+    img = np.full((16, 24, 3), 128, np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=95))
+    assert dec.shape == img.shape
+    assert (dec == img).all()
+
+
+@pytest.mark.parametrize("subsampling", ["4:4:4", "4:2:0"])
+def test_roundtrip_within_quantization(subsampling):
+    img = _gradient(40, 56)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 92, subsampling))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3 and err.max() < 20, (err.mean(), err.max())
+
+
+def test_non_mcu_aligned_dims():
+    """17x13 with 4:2:0 needs edge padding + crop on both axes."""
+    img = _gradient(17, 13, seed=5)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 95, "4:2:0"))
+    assert dec.shape == (17, 13, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_grayscale_roundtrip():
+    y, x = np.mgrid[0:24, 0:40]
+    g = ((y * 5 + x * 3) % 200).astype(np.uint8)
+    dec = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert dec.shape == g.shape  # single-component stays 2-D
+    assert np.abs(dec.astype(int) - g.astype(int)).mean() < 2
+
+
+@pytest.mark.parametrize("interval", [1, 3])
+def test_restart_markers(interval):
+    """DRI + RSTn resync: predictors reset, bit reader realigns."""
+    img = _gradient(48, 64, seed=9)
+    dec = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, 92, "4:2:0", restart_interval=interval)
+    )
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
+
+
+def test_progressive_raises():
+    """Swap SOF0 for SOF2 in a valid stream: must refuse, not garble."""
+    enc = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_not_jpeg_raises():
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"P6\n1 1\n255\nabc")
+
+
+def test_decode_image_dispatches_jpeg():
+    """multimodal.decode_image sniffs the FFD8 magic and returns the
+    8-dim image feature vector from the real decode (no fake path)."""
+    img = _gradient(12, 18)
+    feats = multimodal.decode_image(jpeg.encode_jpeg(img, 95), fake=False)
+    assert len(feats) == 8
+    # h, w lead the feature vector; means track the source image
+    assert feats[0] == 12.0 and feats[1] == 18.0
+    assert abs(feats[2] - img[..., 0].mean()) < 3
