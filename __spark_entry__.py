@@ -586,6 +586,40 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Value cells through Spark 4 VARIANT (SURVEY §1.2 /
+    reference value.rs:148-153, the r3 verdict's 'native mapping' item):
+    parse the JSON cell once into a binary variant, extract typed leaves
+    with try_variant_get (bigint AND lenient string views of the same
+    leaf), and count distinct per-row dynamic shapes via
+    schema_of_variant. Same aggregation shape as json_props so the two
+    paths are directly comparable; the DuckDB oracle extracts from the
+    JSON string."""
+    from amadeus_spark.sources.readers import variant_cells
+
+    ev = _ev(spark, sf_dir)
+    v = variant_cells(ev, "props")
+    return (
+        v.select(
+            "event_type",
+            F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+            F.expr("cast(try_variant_get(v, '$.k', 'string') as string)").alias(
+                "ks"
+            ),
+            F.expr("schema_of_variant(v)").alias("vshape"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.max(F.length("ks")).cast("bigint").alias("max_k_digits"),
+            F.countDistinct("vshape").cast("bigint").alias("n_shapes"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_fold_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fold/CombinerSync as pandas UDAF (operators/udaf.py): per-flag
     custom sum + mean over integral-valued quantities (exact, so the SQL
@@ -1162,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the long-stable r3-green oracle queries;
     #   3. the six rows-only queries (no SQL oracle by nature) last.
     return {
+        "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
         "embedding_neardup": q_embedding_neardup,
         "cosine_topk": q_cosine_topk,
@@ -1437,6 +1472,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n,
                    CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "variant_props": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(MAX(LENGTH(props ->> '$.k')) AS BIGINT) AS max_k_digits,
+                   CAST(COUNT(DISTINCT json_structure(props)) AS BIGINT) AS n_shapes
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "fold_udaf": """

@@ -22,6 +22,7 @@ preserve from the reference is its *semantics*:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: amadeus Value variant → Spark type (SURVEY §1.2 table;
@@ -133,6 +134,19 @@ def read_parquet(
     select() reaches the scan as ReadSchema."""
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def variant_cells(df: DataFrame, json_col: str, out_col: str = "v") -> DataFrame:
+    """Native mapping for the reference's dynamic ``Value`` cells
+    (amadeus-types/src/value.rs:148-153: Value::Json and heterogeneous
+    Map<Value, Value>): parse the JSON-string cell ONCE into Spark 4's
+    VARIANT type. Downstream code extracts typed leaves on use with
+    ``try_variant_get(v, '$.path', 'type')`` — schema-on-read like the
+    reference's Value enum, but without re-parsing the string per field
+    access (VARIANT stores a binary-encoded tree; extraction is an
+    offset walk, and shredded readers can push it into the scan).
+    ``schema_of_variant`` gives the per-row dynamic shape."""
+    return df.withColumn(out_col, F.parse_json(F.col(json_col)))
 
 
 def read_parquet_filtered(

@@ -507,3 +507,43 @@ def test_orc_roundtrip_and_pushdown(spark, tmpdir_data):
     rs = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
     assert rs and "l_orderkey" in rs[0] and "l_extendedprice" not in rs[0]
     assert "PushedFilters" in txt and "GreaterThan(l_orderkey,100" in txt
+
+
+def test_variant_typed_parity_and_heterogeneous_cells(spark):
+    """Spark 4 VARIANT as the native mapping for dynamic Value cells
+    (reference value.rs:148-153, mirroring the tests/json.rs:67-86
+    typed<->dynamic discipline): extraction through the variant path
+    must equal the typed get_json_object path on homogeneous data, and
+    heterogeneous cells (different shapes per row — the Map<Value,Value>
+    case the typed path can't model) must carry per-row shapes."""
+    from amadeus_spark.sources.readers import variant_cells
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    v = variant_cells(ev, "props")
+    both = v.select(
+        F.get_json_object("props", "$.k").cast("bigint").alias("typed"),
+        F.expr("try_variant_get(v, '$.k', 'bigint')").alias("dyn"),
+    )
+    assert both.filter("typed IS DISTINCT FROM dyn").count() == 0
+
+    het = spark.createDataFrame(
+        [
+            (1, '{"k": 5}'),
+            (2, '{"k": "text"}'),
+            (3, '{"k": [1, 2]}'),
+            (4, '{"other": true}'),
+        ],
+        "id long, j string",
+    )
+    hv = variant_cells(het, "j").selectExpr(
+        "id",
+        "try_variant_get(v, '$.k', 'bigint') AS k_int",
+        "cast(try_variant_get(v, '$.k[0]', 'bigint') as bigint) AS k_arr0",
+        "schema_of_variant(v) AS shape",
+    )
+    rows = {r.id: r for r in hv.collect()}
+    assert rows[1].k_int == 5
+    assert rows[2].k_int is None  # non-coercible string -> NULL, no error
+    assert rows[3].k_arr0 == 1  # array leaf addressable by path
+    assert rows[4].k_int is None
+    assert len({r.shape for r in rows.values()}) == 4  # per-row shapes
