@@ -733,15 +733,18 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolutions are served. Partials are kept as exact integer
     micro-units so the merge is bit-identical to a direct day-level
     aggregation (the oracle's formulation). Hourly frame feeds two
-    consumers, so it is persisted (see CLAUDE.md perf facts)."""
+    consumers, so it is persisted — through the tracked registry, so
+    long-lived sessions can release it (the round-3 advice leak class;
+    a bare .persist() here was the last unregistered one)."""
+    from amadeus_spark.cache import tracked_persist
+
     ev = _ev(spark, sf_dir)
-    hourly = (
+    hourly = tracked_persist(
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 1e6).cast("long")).alias("v_us"),
         )
-        .persist()
     )
 
     def _summarize(frame: DataFrame, resolution: str) -> DataFrame:
