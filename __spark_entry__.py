@@ -433,6 +433,455 @@ def q_supplier_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H subquery-shape pack (round 4) -----------------------------------
+# The classic decision-support shapes the reference's users write by hand
+# (SURVEY §2.6 "beyond" scope): correlated aggregates, EXISTS/NOT EXISTS,
+# scalar subqueries, disjunctive pushdown — each re-planned Spark-first
+# (aggregate-below-join instead of per-row correlation, broadcast dims,
+# exact integer micro-unit money math shared with the DuckDB oracle).
+# Tables here are TPC-H-lite (no partsupp, no commit/receipt dates), so
+# each query keeps the PLAN SHAPE of its namesake with filters adapted
+# to the columns that exist.
+
+
+def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (min-cost supplier): per-part minimum supply price
+    with the suppliers achieving it, restricted to a region. partsupp is
+    derived from lineitem as (partkey, suppkey) -> min unit price; the
+    correlated `= (SELECT MIN(..) WHERE partkey = ..)` subquery becomes
+    a window-min over the offer frame (one extra shuffle on partkey, no
+    per-row subquery). Unit price is floored to integer micro-units so
+    the equality join is exact in both engines (floor of the same IEEE
+    double is bit-identical; round() could straddle a .5 boundary)."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    pa = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 40) & (F.col("p_type") == "STANDARD")
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 1e6).cast("long")
+        ).alias("cost_us")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("min_us", F.min("cost_us").over(w)).filter(
+        F.col("cost_us") == F.col("min_us")
+    )
+    j = (
+        best.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("cost_us") / F.lit(1e6)).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q4_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS): orders in a quarter having at least one
+    returned lineitem, counted per priority. The correlated EXISTS is a
+    LEFT SEMI join — one shuffle, no duplicate inflation (the naive
+    inner-join+distinct pays a second shuffle to de-dup)."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): revenue by
+    (supplier nation, customer nation, ship year) for either direction of
+    the NATION_1 <-> NATION_2 pair. nation joins broadcast twice under
+    different aliases; the pair filter lands after both so Catalyst can
+    push each side's IN-list into its dim scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    n1 = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(_money_sum(rev).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): profit per supplier nation
+    and order year over parts matching a name pattern. partsupp's
+    supplycost is proxied by p_retailprice/100 per unit (the plan — fact
+    x 2 broadcast dims x substring filter — is what matters). Profit
+    stays in integer micro-units until the final division."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") / 100.0 * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(_money_sum(amount).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in a quarter. Orders filter pushes to the
+    scan; customer/nation broadcast; LIMIT carries a total tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-04-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money_sum(rev).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_tpch_q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (conditional counts after a fact-fact join):
+    lineitems shipped in 1996 grouped by linestatus (shipmode proxy),
+    counting high- vs low-priority orders via CASE inside SUM — one
+    aggregate pass, no second join or filter stage."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    od = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (distribution of a distribution): orders per
+    customer via LEFT OUTER join (customers with none count as 0), then
+    the histogram of those counts. Two shuffles by construction —
+    customer key, then count value."""
+    cu = _t(spark, sf_dir, "customer")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    )
+    per_cust = (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (conditional share): % of one month's revenue from
+    PROMO parts. Numerator and denominator are exact micro-unit longs
+    from ONE aggregate pass; the single final double division of
+    identical longs is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    pa = _t(spark, sf_dir, "part")
+    rev_us = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", rev_us).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(promo).alias("__p"),
+            F.sum(rev_us).alias("__t"),
+        )
+        .select((F.lit(100.0) * F.col("__p") / F.col("__t")).alias("promo_pct"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (scalar MAX subquery over a derived view): the
+    supplier(s) whose quarterly revenue equals the maximum. The revenue
+    view is computed ONCE; the `= (SELECT MAX(..))` becomes a window-max
+    over the tiny post-agg frame (one single-partition window over
+    ~supplier-count rows) instead of a second scan of lineitem. Revenue
+    is an exact micro-unit long, so the max-equality never hits float
+    ties."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    su = _t(spark, sf_dir, "supplier")
+    rev_us = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+    ).cast("long")
+    revs = li.groupBy("l_suppkey").agg(F.sum(rev_us).alias("rev_us"))
+    w = Window.partitionBy()
+    best = revs.withColumn("max_us", F.max("rev_us").over(w)).filter(
+        F.col("rev_us") == F.col("max_us")
+    )
+    return (
+        best.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_us") / F.lit(1e6)).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (NOT IN anti-join + grouped COUNT DISTINCT):
+    supplier variety per (brand, type, size) over the lineitem-derived
+    partsupp, excluding certain brands/types and suppliers on the
+    complaint list (negative balance proxy). The NOT IN subquery is a
+    broadcast LEFT ANTI join; distinct (part, supp) pairs come free from
+    the count-distinct aggregate (no separate distinct shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35))
+    )
+    bad_sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = li.select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad_sup), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        ps.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .select(
+            "p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"),
+            "supplier_cnt",
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+def q_tpch_q17_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar AVG): yearly revenue from
+    orders below 20% of a part's average quantity. The per-part
+    correlated subquery becomes aggregate-below-join: per-part averages
+    are computed once (over lineitems of the brand's parts only — a
+    broadcast semi-join prunes first), broadcast back, and the filter
+    compares in one pass. l_quantity is integer-valued, so avg = exact
+    long sum / count is bit-identical across engines and the 0.2*avg
+    boundary cannot flip."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select(
+        "p_partkey"
+    )
+    branded = li.join(
+        F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avgs = branded.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    small = branded.join(
+        F.broadcast(avgs), F.col("l_partkey") == F.col("a_partkey")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    return small.agg(
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 1e6).cast("long"))
+            / F.lit(7e6)
+        ).alias("avg_yearly")
+    )
+
+
+def q_tpch_q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive multi-attribute predicate): revenue
+    from three OR-ed (brand, size, quantity) windows. One broadcast-hash
+    join; the OR-of-ANDs predicate evaluates post-join in one codegen'd
+    stage (per-branch unions would scan three times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pa = _t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            _money_sum(rev).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS self-joins): suppliers solely
+    responsible for returns in finished multi-supplier orders. The two
+    correlated self-joins on lineitem collapse into per-order distinct
+    supplier counts computed once each (EXISTS other supplier <=>
+    n_suppliers > 1; NOT EXISTS other returning supplier <=> exactly one
+    distinct returning supplier, which l1 itself is) — two aggregates on
+    the same shuffle key instead of two row-correlated probes."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    su = _t(spark, sf_dir, "supplier")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    nsup = li.groupBy(F.col("l_orderkey").alias("k_all")).agg(
+        F.count_distinct("l_suppkey").alias("n_sup")
+    )
+    nret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy(F.col("l_orderkey").alias("k_ret"))
+        .agg(F.count_distinct("l_suppkey").alias("n_ret"))
+    )
+    j = (
+        l1.join(od, l1.l_orderkey == od.o_orderkey, "left_semi")
+        .join(nsup, F.col("l_orderkey") == F.col("k_all"))
+        .join(nret, F.col("l_orderkey") == F.col("k_ret"))
+        .filter((F.col("n_sup") > 1) & (F.col("n_ret") == 1))
+    )
+    return (
+        j.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def q_tpch_q22_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar AVG subquery + anti-join): customers
+    richer than the positive-balance average who never ordered, per
+    nation. The scalar average broadcasts as a 1-row frame; the
+    `c_acctbal > avg` compare is done in exact integer cross-multiplied
+    form (acct_us * n > total_us) so the boundary cannot drift between
+    engines (double sums are order-dependent; long sums are not).
+    "Never ordered" is Q22's 7-year window adapted to the data's date
+    range: no order since 2000-01-01 (every customer has SOME order in
+    this dataset, so the unwindowed anti-join is vacuously empty).
+    NOT EXISTS(recent orders) is a LEFT ANTI join."""
+    cu = _t(spark, sf_dir, "customer")
+    od = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    acct_us = F.round(F.col("c_acctbal") * 1e6).cast("long")
+    thresh = (
+        cu.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(acct_us).alias("total_us"),
+            F.count(F.lit(1)).alias("n_pos"),
+        )
+    )
+    rich = (
+        cu.join(F.broadcast(thresh))
+        .filter(acct_us * F.col("n_pos") > F.col("total_us"))
+        .join(od, cu.c_custkey == od.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (beyond the reference; linear interpolation —
     same formula as SQL quantile_cont so the oracle matches exactly).
@@ -1199,6 +1648,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   2. the long-stable r3-green oracle queries;
     #   3. the six rows-only queries (no SQL oracle by nature) last.
     return {
+        # round-4 TPC-H subquery-shape pack — never driver-verified yet
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q16_partsupp": q_tpch_q16_partsupp,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q22_global": q_tpch_q22_global,
+        # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
         "embedding_neardup": q_embedding_neardup,
@@ -1391,6 +1856,180 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_distinct_pairs FROM (
                 SELECT DISTINCT o_custkey, o_orderstatus FROM orders
             )
+        """,
+        "tpch_q2_min_cost": """
+            WITH offers AS (
+                SELECT l_partkey, l_suppkey,
+                       MIN(CAST(FLOOR(l_extendedprice / l_quantity * 1000000) AS BIGINT)) AS cost_us
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ), best AS (
+                SELECT *, MIN(cost_us) OVER (PARTITION BY l_partkey) AS min_us
+                FROM offers
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   cost_us / 1e6 AS supply_cost
+            FROM best
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE cost_us = min_us
+              AND p_size >= 40 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+        """,
+        "tpch_q4_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                           WHERE l_orderkey = o.o_orderkey AND l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "tpch_q7_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   EXTRACT(year FROM l_shipdate) AS l_year,
+                   CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q9_profit": """
+            SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount) - p_retailprice/100.0*l_quantity) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-04-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY 1, 2, 3, 4
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q12_priority_class": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "tpch_q13_custdist": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN (
+                    SELECT * FROM orders
+                    WHERE o_orderpriority <> '4-NOT SPECIFIED'
+                ) ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "tpch_q14_promo": """
+            SELECT (100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT))
+                   / CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT)
+                   AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "tpch_q15_top_supplier": """
+            WITH revs AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT) AS rev_us
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, rev_us / 1e6 AS total_revenue
+            FROM revs JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_us = (SELECT MAX(rev_us) FROM revs)
+            ORDER BY s_suppkey
+        """,
+        "tpch_q16_partsupp": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
+        """,
+        "tpch_q17_small_qty": """
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice*1000000) AS BIGINT)) AS BIGINT)
+                   / 7e6 AS avg_yearly
+            FROM lineitem l JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#5'
+              AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                                  FROM lineitem l2
+                                 WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "tpch_q19_disjunctive": """
+            SELECT CAST(SUM(CAST(ROUND((l_extendedprice*(1-l_discount)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q21_waiting": """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lineitem l1
+            JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+            JOIN supplier ON s_suppkey = l1.l_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                           WHERE l2.l_orderkey = l1.l_orderkey
+                             AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                               WHERE l3.l_orderkey = l1.l_orderkey
+                                 AND l3.l_suppkey <> l1.l_suppkey
+                                 AND l3.l_returnflag = 'R')
+            GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+        """,
+        "tpch_q22_global": """
+            WITH t AS (
+                SELECT CAST(SUM(CAST(ROUND(c_acctbal*1000000) AS BIGINT)) AS BIGINT) AS total_us,
+                       COUNT(*) AS n_pos
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+                   COUNT(*) AS numcust,
+                   CAST(SUM(CAST(ROUND((c_acctbal) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS totacctbal
+            FROM customer, t
+            WHERE CAST(ROUND(c_acctbal*1000000) AS BIGINT) * n_pos > total_us
+              AND NOT EXISTS (SELECT 1 FROM orders
+                               WHERE o_custkey = c_custkey
+                                 AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
         """,
         "percentiles": """
             SELECT ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

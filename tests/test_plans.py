@@ -176,3 +176,77 @@ def test_decontamination_single_documents_scan(spark):
     txt = plans.plan_text(df)
     assert len(re.findall(r"^\(\d+\) Scan parquet", txt, re.M)) <= 1, txt
     assert "InMemoryTableScan" in txt or "TableCacheQueryStage" in txt
+
+
+# --- round-4 TPC-H subquery-shape pack --------------------------------------
+
+
+def test_q17_aggregate_below_join_and_broadcasts(spark):
+    """The correlated AVG subquery must plan as aggregate-below-join:
+    a HashAggregate on the branded lineitem subset feeds a broadcast,
+    never a per-row subquery or a nested loop."""
+    df = entrymod.q_tpch_q17_small_qty(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert "BroadcastNestedLoop" not in txt and "Cartesian" not in txt
+    assert "BroadcastExchange" in txt  # part prune + avg frame broadcast
+    plans.assert_no_python_udf(df)
+
+
+def test_q21_semi_join_no_nested_loop(spark):
+    """EXISTS/NOT EXISTS self-correlations must resolve to equi-joins on
+    l_orderkey (semi + two aggregates), never a correlated nested loop."""
+    df = entrymod.q_tpch_q21_waiting(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert "BroadcastNestedLoop" not in txt and "Cartesian" not in txt
+    assert "LeftSemi" in txt
+    plans.assert_no_python_udf(df)
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    """The complaint-supplier NOT IN must plan as a broadcast LEFT ANTI
+    join (tiny exclusion list), not a shuffle or a nested loop."""
+    df = entrymod.q_tpch_q16_partsupp(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert "LeftAnti, BuildRight" in txt or (
+        "LeftAnti" in txt and "BroadcastExchange" in txt
+    )
+    assert "BroadcastNestedLoop" not in txt
+    plans.assert_no_python_udf(df)
+
+
+def test_q2_window_min_single_lineitem_scan(spark):
+    """The per-part MIN correlation is a window over the offer frame:
+    lineitem must be scanned ONCE (the correlated-subquery formulation
+    scans it twice), and no nested loop may appear."""
+    import re
+
+    df = entrymod.q_tpch_q2_min_cost(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    li_scans = len(re.findall(r"Location:.*lineitem\.parquet", txt))
+    assert li_scans == 1, txt
+    assert "BroadcastNestedLoop" not in txt
+    plans.assert_no_python_udf(df)
+
+
+def test_q15_single_lineitem_scan(spark):
+    """The scalar MAX subquery is a window over the post-agg frame, so
+    lineitem is scanned once — the classic view+subquery form scans the
+    fact table twice."""
+    import re
+
+    df = entrymod.q_tpch_q15_top_supplier(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    li_scans = len(re.findall(r"Location:.*lineitem\.parquet", txt))
+    assert li_scans == 1, txt
+    plans.assert_no_python_udf(df)
+
+
+def test_q19_pushes_disjunction_and_broadcasts_part(spark):
+    """Brand/size live on part, quantity on lineitem: the OR-of-ANDs
+    can't fully push to either scan, but the partial disjunction on
+    l_quantity must reach the lineitem scan and part must broadcast."""
+    df = entrymod.q_tpch_q19_disjunctive(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert "BroadcastExchange" in txt
+    assert "PushedFilters" in txt
+    plans.assert_no_python_udf(df)
