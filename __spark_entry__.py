@@ -1434,6 +1434,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_stats(docs)
 
 
+_LINE_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "line_docs.parquet"
+)
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (RefinedWeb/CCNet boilerplate scrub):
+    lines repeated across >= 3 docs removed everywhere, docs reassembled
+    in order, per-doc stats + cleaned-text md5. Runs on the committed
+    multi-line fixture (the driver's documents.parquet is single-line,
+    so line structure must be planted — same pattern as pii_docs)."""
+    _tune(spark)
+    docs = spark.read.parquet(_LINE_FIXTURE)
+    return dedup.line_dedup_stats(docs)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-token
     shingle with the probe set (doc_id % 97 == 0 stands in for the
@@ -1663,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_global": q_tpch_q22_global,
+        "line_dedup": q_line_dedup,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
@@ -2255,6 +2272,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT {text.lang_id_sql('text')} AS pred_lang, COUNT(*) AS cnt
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
+        "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "pii_scrub": text.pii_stats_oracle(f"read_parquet('{_PII_FIXTURE}')"),
         "decontamination": dedup.decontamination_oracle("documents"),
         "repetition_filter": text.repetition_stats_oracle("documents"),

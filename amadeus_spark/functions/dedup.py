@@ -808,3 +808,107 @@ SELECT t.{stream_col}, t.n_docs,
 FROM totals t LEFT JOIN contaminated c USING ({stream_col})
 ORDER BY t.{stream_col}
 """
+
+
+# ---- line-level dedup (RefinedWeb/CCNet-style boilerplate scrub) ----------
+
+#: a trimmed line appearing in >= this many DISTINCT documents is
+#: boilerplate (nav bars, cookie banners, footers) and is removed from
+#: every document. Shared by both dialects.
+LINE_MIN_DOCS = 3
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    min_docs: int = LINE_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document line deduplication (the RefinedWeb / CCNet
+    boilerplate scrub): lines whose trimmed form appears in >=
+    ``min_docs`` distinct documents are removed from all of them; each
+    document is reassembled in original line order. Returns per-doc
+    (n_lines, n_removed, cleaned_md5) — the md5 stands in for the
+    cleaned text so the gate output stays scalar.
+
+    Scale plan (one corpus scan, two shuffles):
+      1. posexplode lines (map-side; position preserved for reassembly);
+      2. duplicate-line table = groupBy(trimmed line) -> distinct-doc
+         count >= min_docs — one shuffle on the line key, partial
+         aggregation map-side;
+      3. LEFT join the flag back (AQE chooses broadcast when the dup
+         table is small — it usually is; no forced broadcast, same
+         policy as training_pipeline's drop list) and ONE groupBy(doc)
+         computes totals, removed count, and the reassembled md5
+         together — the naive anti-join formulation needs a second
+         corpus scan for totals.
+    Whitespace-only lines are never dedup candidates (kept verbatim).
+    The reference has no line dedup; beyond-reference surface like the
+    rest of this module."""
+    lines = docs.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("k", F.trim("line"))
+    dup = (
+        lines.filter(F.col("k") != "")
+        .groupBy("k")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k", F.lit(True).alias("is_dup"))
+    )
+    flagged = lines.join(dup, "k", "left")
+    kept_struct = F.when(
+        F.col("is_dup").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return (
+        flagged.groupBy(F.col("doc").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                )
+            ).alias("cleaned_md5"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def line_dedup_oracle(
+    src: str,
+    min_docs: int = LINE_MIN_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of line_dedup_stats — same trim/threshold constants,
+    same md5-of-reassembly (string_agg ORDER BY position == the Spark
+    side's array_sort by position; string_agg skips NULL kept-markers
+    exactly as collect_list skips NULL structs)."""
+    return f"""
+WITH lines AS (
+  SELECT {id_col} AS doc, pos, l[pos] AS line, TRIM(l[pos]) AS k
+  FROM (SELECT {id_col}, l, generate_subscripts(l, 1) AS pos
+        FROM (SELECT {id_col}, string_split({text_col}, chr(10)) AS l
+              FROM {src}))
+), dup AS (
+  SELECT k FROM lines WHERE k <> ''
+  GROUP BY k HAVING COUNT(DISTINCT doc) >= {min_docs}
+), flagged AS (
+  SELECT l.doc, l.pos, l.line, (d.k IS NOT NULL) AS is_dup
+  FROM lines l LEFT JOIN dup d ON l.k = d.k
+)
+SELECT doc AS {id_col},
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       MD5(COALESCE(
+           string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos),
+           '')) AS cleaned_md5
+FROM flagged GROUP BY doc ORDER BY doc
+"""

@@ -97,3 +97,30 @@ def test_pii_redaction(spark):
         ).fetchall()
     )
     assert duck == got
+
+
+def test_line_dedup_semantics(spark):
+    """Pinned rules: trimmed-key matching (padded boilerplate still
+    dedups), whitespace-only lines never removed, all-boilerplate doc
+    reassembles to the empty string, original line order preserved."""
+    import hashlib
+
+    from amadeus_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\nfooter line\nunique beta"),
+            (2, "  footer line \nunique gamma\n   "),
+            (3, "footer line"),  # all-boilerplate doc -> cleaned == ''
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_md5)
+        for r in dd.line_dedup_stats(docs, min_docs=3).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got[1] == (3, 1, md5("unique alpha\nunique beta"))
+    # padded variant dedups via trim; whitespace-only line is KEPT verbatim
+    assert got[2] == (3, 1, md5("unique gamma\n   "))
+    assert got[3] == (1, 1, md5(""))
