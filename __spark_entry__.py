@@ -1460,6 +1460,16 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontamination_stats(docs)
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (CCNet/KenLM perplexity-filter shape):
+    per-language doc counts, docs flagged for high mean inverse
+    conditional bigram frequency (the transcendental-free surprisal
+    proxy — log() rounds differently across libm builds, so a
+    hash-exact gate can't use it), corpus mean and per-doc max."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_surprisal_stats(docs)
+
+
 def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition quality rules (Gopher/MassiveText
     family, token form): per-language doc counts, flag counts for
@@ -1680,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_global": q_tpch_q22_global,
         "line_dedup": q_line_dedup,
+        "perplexity_filter": q_perplexity_filter,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
@@ -2273,6 +2284,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
+        "perplexity_filter": text.bigram_surprisal_oracle("documents"),
         "pii_scrub": text.pii_stats_oracle(f"read_parquet('{_PII_FIXTURE}')"),
         "decontamination": dedup.decontamination_oracle("documents"),
         "repetition_filter": text.repetition_stats_oracle("documents"),

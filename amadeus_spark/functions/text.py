@@ -508,3 +508,118 @@ SELECT {stream_col}, COUNT(*) AS n_docs, {sums},
        CAST(SUM(chars_delta) AS BIGINT) AS redacted_char_delta
 FROM per GROUP BY {stream_col} ORDER BY {stream_col}
 """
+
+
+# ---- statistical-LM quality filter (CCNet-family, surprisal proxy) --------
+
+#: a document is flagged low-quality when its mean inverse conditional
+#: bigram frequency (avg over bigrams of c(prefix)/c(bigram), the
+#: surprisal-ratio proxy for perplexity) exceeds this. Shared by both
+#: dialects; the flag compare runs in exact integer cross-multiplied
+#: form so the boundary can't drift.
+SURPRISAL_FLAG_RATIO = 32
+
+
+def bigram_surprisal_stats(
+    df: DataFrame,
+    flag_ratio: int = SURPRISAL_FLAG_RATIO,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Corpus-LM quality scoring, the CCNet/KenLM perplexity-filter
+    shape with a transcendental-free score: the "model" is the corpus's
+    own bigram table, and a document's score is its mean inverse
+    conditional frequency avg(c(w1)/c(w1 w2)) — high when the document's
+    token continuations are rare under the corpus distribution (exactly
+    what high perplexity means), but built only from counts, one
+    division, and a floor, so the DuckDB oracle is bit-identical (log()
+    is NOT guaranteed identically rounded across libm implementations;
+    a hash-exact gate can't use it).
+
+    Scale plan: bigrams explode map-side from the staged token array
+    (the CLAUDE.md HOF rule: array staged as a column first); the model
+    is two aggregations on the same (w1,w2) shuffle (bigram counts, then
+    prefix counts from the bigram frame — the corpus is NOT rescanned);
+    scoring joins bigram rows to the model on (w1,w2) — at 100 TB the
+    model is orders of magnitude smaller than the corpus and usually
+    broadcasts under AQE; per-doc and per-stream rollups keep every sum
+    in exact integer micro-units."""
+    toks = tokens(F.col(text_col))
+    base = df.select(stream_col, F.col(id_col).alias("doc"), toks.alias("t"))
+    grams = base.filter(F.size("t") >= 2).select(
+        stream_col,
+        "doc",
+        F.explode(
+            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
+        ).alias("bg"),
+    ).select(stream_col, "doc", "bg.w1", "bg.w2")
+    bg_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    prefix = bg_counts.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
+    model = bg_counts.join(prefix, "w1").select(
+        "w1", "w2", F.floor(F.col("c1") / F.col("c2") * 1e6).alias("ratio_us")
+    )
+    per_doc = (
+        grams.join(model, ["w1", "w2"])
+        .groupBy(stream_col, "doc")
+        .agg(
+            F.sum("ratio_us").cast("long").alias("sum_us"),
+            F.count(F.lit(1)).alias("n_bg"),
+        )
+    )
+    flagged = F.col("sum_us") > F.lit(flag_ratio) * F.col("n_bg") * F.lit(1_000_000)
+    return (
+        per_doc.groupBy(stream_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("long").alias("n_flagged"),
+            (F.sum("sum_us").cast("long") / F.sum("n_bg").cast("long") / F.lit(1e6))
+            .alias("avg_ratio"),
+            F.max(F.col("sum_us") / F.col("n_bg") / F.lit(1e6)).alias("max_doc_ratio"),
+        )
+        .orderBy(stream_col)
+    )
+
+
+def bigram_surprisal_oracle(
+    table: str = "documents",
+    flag_ratio: int = SURPRISAL_FLAG_RATIO,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of bigram_surprisal_stats — same tokenization, same
+    floored micro-unit ratios, same integer flag compare. DuckDB's `/`
+    on integers is float division like Spark's, so c1/c2*1e6 runs the
+    identical IEEE op sequence before the shared floor."""
+    return f"""
+WITH base AS (
+  SELECT {stream_col}, {id_col} AS doc,
+         list_filter(string_split({text_col}, ' '), x -> x <> '') AS t
+  FROM {table}
+), grams AS (
+  SELECT {stream_col}, doc, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT {stream_col}, doc, t, unnest(range(1, len(t))) AS i
+        FROM base WHERE len(t) >= 2)
+), bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM grams GROUP BY w1, w2
+), prefix AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM bg_counts GROUP BY w1
+), model AS (
+  SELECT b.w1, b.w2, CAST(FLOOR(c1 / c2 * 1e6) AS BIGINT) AS ratio_us
+  FROM bg_counts b JOIN prefix p ON b.w1 = p.w1
+), per_doc AS (
+  SELECT {stream_col}, doc,
+         CAST(SUM(ratio_us) AS BIGINT) AS sum_us,
+         COUNT(*) AS n_bg
+  FROM grams g JOIN model m ON g.w1 = m.w1 AND g.w2 = m.w2
+  GROUP BY {stream_col}, doc
+)
+SELECT {stream_col},
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN sum_us > {flag_ratio} * n_bg * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(SUM(sum_us) AS BIGINT) / CAST(SUM(n_bg) AS BIGINT) / 1e6 AS avg_ratio,
+       MAX(sum_us / n_bg / 1e6) AS max_doc_ratio
+FROM per_doc GROUP BY {stream_col} ORDER BY {stream_col}
+"""

@@ -34,14 +34,16 @@ _DEFAULTS = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "48g",
-    # A 58-query bench session compiles ~116 distinct whole-stage-codegen
-    # plans; the JVM's default 240 MB reserved code cache overflows and
-    # the JIT silently degrades, inflating late heavy queries 2-4× with
-    # big run-to-run variance (measured on minhash_lsh: 3 s isolated vs
-    # 5-12.6 s late in a full bench). Also pin G1 so full-GC pauses don't
-    # land inside timed queries.
+    # A full bench session compiles a whole-stage-codegen plan pair
+    # (warm-dir + bench-dir) per registered query — ~160 at 79 queries;
+    # the JVM's default 240 MB reserved code cache overflows and the JIT
+    # silently degrades, inflating late heavy queries 2-4× with big
+    # run-to-run variance (measured on minhash_lsh: 3 s isolated vs
+    # 5-12.6 s late in a full bench at 1 g when the registry grew past
+    # ~60 queries — size WITH the query count). Also pin G1 so full-GC
+    # pauses don't land inside timed queries.
     "spark.driver.extraJavaOptions": (
-        "-XX:ReservedCodeCacheSize=1g -XX:+UseG1GC"
+        "-XX:ReservedCodeCacheSize=2g -XX:+UseG1GC"
     ),
     # At 100 TB the scan parallelism comes from file splits; keep the
     # default 128 MB split size (maxPartitionBytes) — small local files
