@@ -811,26 +811,25 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated self-joins on lineitem collapse into per-order distinct
     supplier counts computed once each (EXISTS other supplier <=>
     n_suppliers > 1; NOT EXISTS other returning supplier <=> exactly one
-    distinct returning supplier, which l1 itself is) — two aggregates on
-    the same shuffle key instead of two row-correlated probes."""
+    distinct returning supplier, which l1 itself is) — BOTH counts come
+    from ONE groupBy(l_orderkey) with a conditional count-distinct, so
+    lineitem is scanned twice total (l1 branch + counts branch) instead
+    of three times, and the correlation costs one shuffle."""
     li = _t(spark, sf_dir, "lineitem")
     od = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
     su = _t(spark, sf_dir, "supplier")
     l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
-    nsup = li.groupBy(F.col("l_orderkey").alias("k_all")).agg(
-        F.count_distinct("l_suppkey").alias("n_sup")
-    )
-    nret = (
-        li.filter(F.col("l_returnflag") == "R")
-        .groupBy(F.col("l_orderkey").alias("k_ret"))
-        .agg(F.count_distinct("l_suppkey").alias("n_ret"))
+    counts = li.groupBy(F.col("l_orderkey").alias("k_all")).agg(
+        F.count_distinct("l_suppkey").alias("n_sup"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
     )
     j = (
         l1.join(od, l1.l_orderkey == od.o_orderkey, "left_semi")
-        .join(nsup, F.col("l_orderkey") == F.col("k_all"))
-        .join(nret, F.col("l_orderkey") == F.col("k_ret"))
+        .join(counts, F.col("l_orderkey") == F.col("k_all"))
         .filter((F.col("n_sup") > 1) & (F.col("n_ret") == 1))
     )
     return (
