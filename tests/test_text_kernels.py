@@ -124,3 +124,32 @@ def test_line_dedup_semantics(spark):
     # padded variant dedups via trim; whitespace-only line is KEPT verbatim
     assert got[2] == (3, 1, md5("unique gamma\n   "))
     assert got[3] == (1, 1, md5(""))
+
+
+def test_bigram_surprisal_semantics(spark):
+    """Pinned rules: a doc whose every continuation is deterministic
+    under the corpus model scores exactly 1.0 (c1 == c2 for each of its
+    bigrams); a doc using a rarer continuation of a shared prefix scores
+    higher; docs with < 2 tokens drop out entirely."""
+    from amadeus_spark.functions import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            # 'a b' x3 and 'a c' x1 share the prefix 'a' (c1=4):
+            (1, "a b", "en"),
+            (2, "a b", "en"),
+            (3, "a b", "en"),
+            (4, "a c", "en"),
+            (5, "solo", "en"),  # 1 token -> no bigrams -> excluded
+        ],
+        "doc_id long, text string, lang string",
+    )
+    [r] = tx.bigram_surprisal_stats(docs, flag_ratio=2).collect()
+    assert r.n_docs == 4
+    # 'a b' docs: ratio 4/3 (floored micro) ~ 1.333; 'a c': ratio 4/1 = 4
+    assert r.max_doc_ratio == 4.0
+    assert r.n_flagged == 1  # only the 'a c' doc exceeds ratio 2
+    # corpus mean = (3*floor(4/3*1e6) + 4e6) / 4 / 1e6
+    import math
+    expect = (3 * math.floor(4 / 3 * 1e6) + 4_000_000) / 4 / 1e6
+    assert r.avg_ratio == expect
