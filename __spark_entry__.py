@@ -549,6 +549,112 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (market share): NATION_3 suppliers' share of
+    ASIA-customer revenue per order year. Numerator (conditional) and
+    denominator ride ONE aggregate pass as exact micro-unit longs; the
+    share is a single double division of identical longs — no
+    per-branch scans, no float summation."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    cu = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region")
+    ncust = na.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    nsupp = na.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev_us = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+    ).cast("long")
+    j = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(ncust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(re), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nsupp), F.col("s_nationkey") == F.col("s_nk"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev_us).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("__n"),
+            F.sum(rev_us).alias("__d"),
+        )
+        .select(
+            "o_year", (F.col("__n") / F.col("__d")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (group total vs global-total scalar subquery):
+    per-part shipped value from NATION_2 suppliers, keeping parts whose
+    value exceeds 1/500 of the nation's total. The global total is a
+    window over the tiny per-part aggregate (no second fact scan), and
+    the threshold compare is an exact integer cross-multiply
+    (value_us * 500 > total_us) so the boundary cannot drift."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    val_us = F.round(F.col("l_extendedprice") * 1e6).cast("long")
+    j = li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")).join(
+        F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    per_part = j.groupBy("l_partkey").agg(F.sum(val_us).alias("value_us"))
+    w = Window.partitionBy()
+    return (
+        per_part.withColumn("total_us", F.sum("value_us").over(w))
+        .filter(F.col("value_us") * 500 > F.col("total_us"))
+        .select("l_partkey", (F.col("value_us") / F.lit(1e6)).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+def q_tpch_q20_excess_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (nested aggregate semi-join chain): suppliers in
+    EUROPE who dominate some part — their shipped quantity of a part
+    exceeds 1/8 of its corpus-wide total (the data's supplier-per-part
+    fan-out makes the classic 50% vacuous; the PLAN is the point). Per-(part,supplier) and per-part
+    aggregates share the first shuffle's output; the dominance filter is
+    integer (8*q_ps > q_p, quantities are integer-valued); qualifying
+    suppliers reach the dim join via a distinct semi-join. No correlated
+    probe, no second lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    qty = F.sum(F.col("l_quantity").cast("long"))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(qty.alias("q_ps"))
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("q_ps").cast("long").alias("q_p")
+    )
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("q_ps") * 8 > F.col("q_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        su.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit): profit per supplier nation
     and order year over parts matching a name pattern. partsupp's
@@ -1677,7 +1783,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q4_priority": q_tpch_q4_priority,
         "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q12_priority_class": q_tpch_q12_priority_class,
         "tpch_q13_custdist": q_tpch_q13_custdist,
@@ -1926,6 +2035,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
             GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "tpch_q8_market_share": """
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                                 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)
+                                 ELSE 0 END) AS BIGINT)
+                   / CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT)
+                   AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "tpch_q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*1000000) AS BIGINT)) AS BIGINT) AS value_us
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_2'
+                GROUP BY l_partkey
+            )
+            SELECT l_partkey, value_us / 1e6 AS value
+            FROM per_part
+            WHERE value_us * 500 > (SELECT CAST(SUM(value_us) AS BIGINT) FROM per_part)
+            ORDER BY value DESC, l_partkey
+        """,
+        "tpch_q20_excess_supplier": """
+            WITH per_ps AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_ps
+                FROM lineitem GROUP BY 1, 2
+            ), per_p AS (
+                SELECT l_partkey, CAST(SUM(q_ps) AS BIGINT) AS q_p
+                FROM per_ps GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                  SELECT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+                  WHERE q_ps * 8 > q_p)
+            ORDER BY s_suppkey
         """,
         "tpch_q9_profit": """
             SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
