@@ -253,6 +253,52 @@ def stream_stream_join(
     )
 
 
+def stream_static_enrich(
+    events: DataFrame,
+    user_profile: DataFrame,
+    flag_factor: float = 2.0,
+) -> DataFrame:
+    """Stream-static enrichment (the online feature-lookup pattern):
+    each streaming event joins a STATIC per-user profile frame (e.g.
+    historical mean event value from the batch corpus) and is flagged
+    when its value exceeds ``flag_factor`` x the user's historical mean.
+
+    The static side needs no watermark and holds NO streaming state —
+    Spark broadcasts (or re-scans) the static relation per micro-batch,
+    so this scales with the dimension size, not the stream. At 100 TB
+    the profile table is the output of a batch job; a LEFT join keeps
+    events from unseen users (cold start) with a NULL mean and false
+    flag. This is the streaming member of the broadcast-join family
+    (joins.py) the way stream_stream_join is asof_join's."""
+    prof = user_profile.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("mean_value").alias("hist_mean"),
+    )
+    return (
+        events.join(
+            F.broadcast(prof), events.user_id == F.col("p_user_id"), "left"
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            "hist_mean",
+            F.coalesce(
+                F.col("value") > F.lit(flag_factor) * F.col("hist_mean"),
+                F.lit(False),
+            ).alias("anomalous"),
+        )
+    )
+
+
+def user_value_profile(events: DataFrame) -> DataFrame:
+    """Batch-side profile builder for stream_static_enrich: per-user
+    mean event value from the historical corpus."""
+    return events.groupBy("user_id").agg(F.avg("value").alias("mean_value"))
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

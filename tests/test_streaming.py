@@ -250,3 +250,27 @@ def test_streaming_cloudfront_ingestion_parity(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream_dir):
+    """Stream-static broadcast enrichment == the same left join in
+    batch (static side is a batch-computed per-user profile; cold-start
+    users flag false)."""
+    batch = spark.read.parquet(event_stream_dir)
+    profile = ev.user_value_profile(batch.filter(F.col("user_id") % 3 != 0))
+    # hold out user_id % 3 == 0 so the LEFT-join cold-start path is hit
+    stream = ev.read_event_stream(spark, event_stream_dir)
+    ev.run_to_memory_sink(
+        ev.stream_static_enrich(stream, profile), "sse_sink"
+    )
+    got = {
+        (r.event_id, r.anomalous, r.hist_mean)
+        for r in spark.sql("select * from sse_sink").collect()
+    }
+    want = {
+        (r.event_id, r.anomalous, r.hist_mean)
+        for r in ev.stream_static_enrich(batch, profile).collect()
+    }
+    assert got == want
+    assert any(hm is None for _, _, hm in got)  # cold-start rows exist
+    assert any(a for _, a, _ in got)  # some events do flag
