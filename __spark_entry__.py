@@ -1259,6 +1259,39 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_events(spark, sf_dir)
 
 
+def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_static_enrich under the gate:
+    per-user value profiles built from the first ~2/3 of the event
+    history score the final third — an event is anomalous when its
+    value exceeds 2x the user's historical mean. The mean never
+    materializes as a float: the flag compare is the exact integer
+    cross-multiply v_us * n > 2 * sum_us (user row counts are positive,
+    so the inequality direction is preserved), and the output is pure
+    counts. Cold-start users (no history) pass through unflagged."""
+    ev = _ev(spark, sf_dir)
+    cutoff = F.to_date(F.col("ts")) >= F.lit("2024-01-21")
+    v_us = F.round(F.col("value") * 1e6).cast("long")
+    hist = (
+        ev.filter(~cutoff)
+        .groupBy(F.col("user_id").alias("h_user"))
+        .agg(F.sum(v_us).alias("sum_us"), F.count(F.lit(1)).alias("n_hist"))
+    )
+    cur = ev.filter(cutoff)
+    j = cur.join(hist, cur.user_id == F.col("h_user"), "left")
+    anomalous = v_us * F.col("n_hist") > 2 * F.col("sum_us")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.sum(F.when(anomalous, 1).otherwise(0)).cast("long").alias("n_anomalous"),
+            F.sum(F.when(F.col("n_hist").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_coldstart"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation — the reference's flagship CloudFront
     query shape (examples/cloudfront_logs.rs:33-40: truncate_minutes(60)
@@ -1799,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_global": q_tpch_q22_global,
         "line_dedup": q_line_dedup,
         "perplexity_filter": q_perplexity_filter,
+        "event_anomaly_enrich": q_event_anomaly_enrich,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
@@ -2444,6 +2478,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
+        "event_anomaly_enrich": """
+            WITH hist AS (
+                SELECT user_id AS h_user,
+                       CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS sum_us,
+                       COUNT(*) AS n_hist
+                FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-21'
+                GROUP BY user_id
+            )
+            SELECT event_type,
+                   COUNT(*) AS n_scored,
+                   CAST(SUM(CASE WHEN CAST(ROUND(value*1000000) AS BIGINT) * n_hist
+                                      > 2 * sum_us
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+                   CAST(SUM(CASE WHEN n_hist IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_coldstart
+            FROM events e LEFT JOIN hist ON e.user_id = h_user
+            WHERE CAST(ts AS DATE) >= DATE '2024-01-21'
+            GROUP BY event_type ORDER BY event_type
+        """,
         "pii_scrub": text.pii_stats_oracle(f"read_parquet('{_PII_FIXTURE}')"),
         "decontamination": dedup.decontamination_oracle("documents"),
         "repetition_filter": text.repetition_stats_oracle("documents"),
