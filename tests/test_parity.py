@@ -144,3 +144,20 @@ def test_embedding_neardup_partitioning_invariance(spark, nparts):
     assert _rows(similarity.embedding_neardup_pairs(emb32, **kw)) == _rows(
         similarity.embedding_neardup_pairs(embn, **kw)
     )
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_line_dedup_partitioning_invariance(spark, nparts):
+    import __spark_entry__ as entrymod
+
+    fx = spark.read.parquet(entrymod._LINE_FIXTURE)
+    base = _rows(dedup.line_dedup_stats(fx.repartition(32)))
+    other = _rows(dedup.line_dedup_stats(fx.repartition(nparts)))
+    assert base == other
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_bigram_surprisal_partitioning_invariance(spark, nparts):
+    base = _rows(text.bigram_surprisal_stats(_docs(spark, 32)))
+    other = _rows(text.bigram_surprisal_stats(_docs(spark, nparts)))
+    assert base == other
