@@ -544,16 +544,28 @@ def bigram_surprisal_stats(
     scoring joins bigram rows to the model on (w1,w2) — at 100 TB the
     model is orders of magnitude smaller than the corpus and usually
     broadcasts under AQE; per-doc and per-stream rollups keep every sum
-    in exact integer micro-units."""
+    in exact integer micro-units. The gram frame feeds TWO consumers
+    (model build + scoring join), so it persists through the tracked
+    registry — without it the scan+explode subtree runs twice (the
+    CLAUDE.md multi-consumer rule; measured ~1.5x at sf0.1)."""
+    from amadeus_spark.cache import tracked_persist
+
     toks = tokens(F.col(text_col))
     base = df.select(stream_col, F.col(id_col).alias("doc"), toks.alias("t"))
-    grams = base.filter(F.size("t") >= 2).select(
-        stream_col,
-        "doc",
-        F.explode(
-            F.expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))")
-        ).alias("bg"),
-    ).select(stream_col, "doc", "bg.w1", "bg.w2")
+    grams = tracked_persist(
+        base.filter(F.size("t") >= 2)
+        .select(
+            stream_col,
+            "doc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(stream_col, "doc", "bg.w1", "bg.w2")
+    )
     bg_counts = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     prefix = bg_counts.groupBy("w1").agg(F.sum("c2").cast("long").alias("c1"))
     model = bg_counts.join(prefix, "w1").select(
