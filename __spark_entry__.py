@@ -1583,6 +1583,46 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pii_stats(docs)
 
 
+_XML_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "xml_docs"
+)
+_XML_TRUTH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "xml_docs_truth.parquet"
+)
+
+
+def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source e2e (beyond the reference's format family; Spark 4
+    built-in): read a 3-file XML directory with an explicit schema,
+    aggregate per item name. The oracle reads the generator's parquet
+    TWIN of the same records, so the check is parser-independent ground
+    truth (the warc_stats pattern) — entity unescaping ('&amp;', angle
+    brackets) must round-trip exactly for the hash to match."""
+    from pyspark.sql import types as T
+
+    from amadeus_spark.sources.readers import read_xml
+
+    _tune(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = read_xml(spark, _XML_FIXTURE_DIR, row_tag="item", schema=schema)
+    return (
+        df.groupBy("name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").cast("long").alias("total_qty"),
+            _money_sum(F.col("price") * F.col("qty")).alias("total_value"),
+        )
+        .orderBy("name")
+    )
+
+
 _LINE_FIXTURE = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "fixtures", "line_docs.parquet"
 )
@@ -1844,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "perplexity_filter": q_perplexity_filter,
         "event_anomaly_enrich": q_event_anomaly_enrich,
+        "xml_source": q_xml_source,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
@@ -2489,6 +2530,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
+        "xml_source": f"""
+            SELECT name,
+                   COUNT(*) AS n_items,
+                   CAST(SUM(qty) AS BIGINT) AS total_qty,
+                   CAST(SUM(CAST(ROUND((price * qty) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
+            FROM read_parquet('{_XML_TRUTH}')
+            GROUP BY name ORDER BY name
+        """,
         "event_anomaly_enrich": """
             WITH hist AS (
                 SELECT user_id AS h_user,

@@ -547,3 +547,24 @@ def test_variant_typed_parity_and_heterogeneous_cells(spark):
     assert rows[3].k_arr0 == 1  # array leaf addressable by path
     assert rows[4].k_int is None
     assert len({r.shape for r in rows.values()}) == 4  # per-row shapes
+
+
+def test_xml_roundtrip_and_dynamic_inference(spark, tmp_path):
+    """XML sink -> source round-trip preserves rows (incl. entity
+    escaping); dynamic mode infers types from the row elements the way
+    the other sources' dynamic modes do."""
+    from amadeus_spark.sources import readers
+
+    df = spark.createDataFrame(
+        [(1, "a & b", 2.5), (2, "<tag>", 0.5), (3, "plain", 7.0)],
+        "id long, name string, score double",
+    )
+    out = str(tmp_path / "xmlout")
+    readers.write_xml(df, out, row_tag="rec", root_tag="recs")
+    back = readers.read_xml(spark, out, row_tag="rec")
+    assert {tuple(r) for r in back.select("id", "name", "score").collect()} == {
+        tuple(r) for r in df.collect()
+    }
+    # dynamic inference assigns numeric types without a schema
+    kinds = dict(back.dtypes)
+    assert kinds["id"] == "bigint" and kinds["score"] == "double"
