@@ -348,11 +348,15 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         if img.ndim == 2:
             img = np.stack([img] * 3, axis=-1)
         return image_features(img)
+    if payload[:4] == b"GIF8":
+        from amadeus_spark.functions.gif import decode_gif
+
+        return image_features(decode_gif(payload))
     if not fake:
         raise NotImplementedError(
-            "compressed-image decode beyond PNG/baseline-JPEG requires "
-            "PIL/torchvision; not available in this environment — run "
-            "with fake=True for plumbing tests"
+            "compressed-image decode beyond PNG/baseline-JPEG/GIF "
+            "requires PIL/torchvision; not available in this "
+            "environment — run with fake=True for plumbing tests"
         )
     digest = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in digest[:8]]
