@@ -832,7 +832,12 @@ def line_dedup_stats(
     cleaned text so the gate output stays scalar.
 
     Scale plan (one corpus scan, two shuffles):
-      1. posexplode lines (map-side; position preserved for reassembly);
+      1. posexplode lines (map-side; position preserved for reassembly) —
+         persisted through the tracked registry because the frame feeds
+         TWO consumers (dup-table aggregation + flag join); without it
+         the scan+explode subtree executes twice (the multi-consumer
+         rule; at 100 TB prefer DISK_ONLY or a materialized
+         intermediate table over re-reading the corpus);
       2. duplicate-line table = groupBy(trimmed line) -> distinct-doc
          count >= min_docs — one shuffle on the line key, partial
          aggregation map-side;
@@ -845,10 +850,12 @@ def line_dedup_stats(
     Whitespace-only lines are never dedup candidates (kept verbatim).
     The reference has no line dedup; beyond-reference surface like the
     rest of this module."""
-    lines = docs.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("k", F.trim("line"))
+    lines = tracked_persist(
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        ).withColumn("k", F.trim("line"))
+    )
     dup = (
         lines.filter(F.col("k") != "")
         .groupBy("k")
