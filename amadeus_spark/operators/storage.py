@@ -74,3 +74,51 @@ def salted_join(
     salted_right = right.select("*", salts)
     out = salted_left.join(salted_right, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_dim: int = 8,
+) -> None:
+    """Z-order (Morton-curve) data layout for multi-dimensional data
+    skipping — the lakehouse OPTIMIZE ZORDER BY technique, hand-rolled
+    on open Spark: map each clustering column to its quantile bucket
+    (cut points from approxQuantile — a bounded driver-side array, no
+    global sort), interleave the bucket bits into one Morton key, then
+    repartitionByRange + sortWithinPartitions on that key before
+    writing parquet.
+
+    Why it matters at 100 TB: parquet row-group pruning uses per-file
+    min/max. Range-partitioning by ONE column makes only that column's
+    ranges tight; Z-ordering makes EVERY clustering column's per-file
+    range narrow simultaneously, so predicates on any of them skip most
+    files. The curve math is pure Catalyst bit arithmetic — shiftleft /
+    bitwise OR over the bucketized dims — no UDF, no extra shuffle
+    beyond the one range-partition the rewrite needs anyway."""
+    buckets = (1 << bits_per_dim) - 1
+    z = F.lit(0).cast("long")
+    for d, c in enumerate(cols):
+        qs = [i / buckets for i in range(1, buckets + 1)]
+        cuts = df.approxQuantile(c, qs, 0.001)
+        # bucket = count of cut points <= value (monotone, 0..buckets)
+        arr = "array({})".format(
+            ",".join(f"CAST({v!r} AS DOUBLE)" for v in cuts)
+        )
+        bucket = F.expr(
+            f"size(filter({arr}, x -> x <= CAST({c} AS DOUBLE)))"
+        ).cast("long")
+        # spread dim d's bits to positions d, d+ndims, d+2*ndims, ...
+        for b in range(bits_per_dim):
+            bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + d))
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

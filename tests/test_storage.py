@@ -68,3 +68,55 @@ def test_salted_left_join_keeps_unmatched(spark):
     by_key = {r.k: r.tag for r in out}
     assert by_key == {1: "r1", 2: "r2", 99: None}
     assert len(out) == 3  # no row duplication from salting
+
+
+def test_zorder_write_improves_two_dim_skipping(spark, tmp_path):
+    """Z-ordered layout must give BOTH clustering columns tight per-file
+    ranges: for a mid-range point predicate on each dimension, fewer
+    files' [min,max] intersect it than under a hash layout — that
+    intersection count is exactly what parquet row-group pruning reads."""
+    import pyarrow.parquet as pq
+    import os as _os
+
+    from amadeus_spark.operators import storage
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zdir = str(tmp_path / "zorder")
+    hdir = str(tmp_path / "hash")
+    storage.zorder_write(li, zdir, ["l_partkey", "l_suppkey"], n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(hdir)
+
+    def files_hit(d, col, lo, hi):
+        hit = total = 0
+        for f in _os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(_os.path.join(d, f)).metadata
+            # per-file min/max across row groups
+            mins, maxs = [], []
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                for j in range(rg.num_columns):
+                    c = rg.column(j)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mins.append(c.statistics.min)
+                        maxs.append(c.statistics.max)
+            total += 1
+            if mins and not (hi < min(mins) or lo > max(maxs)):
+                hit += 1
+        return hit, total
+
+    for col in ("l_partkey", "l_suppkey"):
+        lo_d, hi_d = li.agg(F.min(col), F.max(col)).first()
+        mid = lo_d + (hi_d - lo_d) * 2 // 5
+        span = max(1, (hi_d - lo_d) // 50)
+        zhit, ztot = files_hit(zdir, col, mid, mid + span)
+        hhit, htot = files_hit(hdir, col, mid, mid + span)
+        assert ztot >= 8 and htot >= 8
+        # hash layout: every file spans the whole domain -> all hit;
+        # z-order: the predicate touches a strict subset
+        assert zhit < hhit, (col, zhit, hhit)
+    # correctness: layout rewrite loses no rows
+    assert spark.read.parquet(zdir).count() == li.count()
