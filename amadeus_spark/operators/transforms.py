@@ -77,3 +77,20 @@ def for_each(df: DataFrame, f: Callable, per_partition: bool = True) -> None:
         df.foreachPartition(lambda rows: f(rows))
     else:
         df.foreach(f)
+
+
+def flat_map_udtf(spark, cls, table_arg: DataFrame, name: str) -> DataFrame:
+    """1→N transform as a Spark 4 Python UDTF over a whole table — the
+    API member that matches the reference's closure-based ``flat_map``
+    most literally: a Python class whose ``eval`` yields any number of
+    rows per input row (plus optional ``terminate`` for end-of-partition
+    state flush, which a pure explode can't express).
+
+    Registers ``cls`` (already decorated with @udtf) under ``name`` and
+    applies it to ``table_arg`` via TABLE(...) syntax. This is the SLOW
+    path — prefer ``flat_map`` (Generate node) whenever the expansion is
+    expressible as explode/inline; a UDTF exists for generators that
+    carry per-partition Python state."""
+    spark.udtf.register(name, cls)
+    table_arg.createOrReplaceTempView(f"__{name}_in")
+    return spark.sql(f"SELECT * FROM {name}(TABLE(__{name}_in))")

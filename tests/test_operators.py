@@ -272,3 +272,32 @@ def test_error_propagation_from_executor(spark):
 
     # the pool survives: the session runs the next job normally
     assert spark.range(5).count() == 5
+
+
+def test_flat_map_udtf_stateful_expansion(spark):
+    """Spark 4 Python UDTF: per-row expansion with per-partition state
+    (running sequence counter + terminate-time flush) — the flat_map
+    generality a Generate-node explode can't express."""
+    from pyspark.sql.functions import udtf
+
+    from amadeus_spark.operators import transforms
+
+    @udtf(returnType="kind: string, token: string, n: int")
+    class Tokenize:
+        def __init__(self):
+            self.seen = 0
+
+        def eval(self, row):
+            for t in row.text.split():
+                self.seen += 1
+                yield "tok", t, self.seen
+        def terminate(self):
+            yield "eof", None, self.seen
+
+    df = spark.createDataFrame(
+        [("a b",), ("c",)], "text string"
+    ).coalesce(1)
+    out = transforms.flat_map_udtf(spark, Tokenize, df, "tokenize_udtf")
+    rows = {(r.kind, r.token, r.n) for r in out.collect()}
+    assert ("tok", "a", 1) in rows and ("tok", "c", 3) in rows
+    assert ("eof", None, 3) in rows  # terminate saw partition state
