@@ -919,3 +919,108 @@ SELECT doc AS {id_col},
            '')) AS cleaned_md5
 FROM flagged GROUP BY doc ORDER BY doc
 """
+
+
+def connected_components_star(
+    pairs: DataFrame, a_col: str, b_col: str, max_iter: int = 30
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the scale path :func:`connected_components` names: min-label
+    propagation needs diameter-many rounds, these star operations
+    contract any graph in O(log²), so a 1000-hop chain (adversarial
+    but possible in near-dup graphs: overlapping shingle chains)
+    converges in ~10 rounds instead of 1000.
+
+      large-star: every node links its LARGER neighbors to the minimum
+      of its neighborhood (incl. itself);
+      small-star: every node links its smaller-or-self closure to the
+      neighborhood minimum.
+
+    Both are one groupBy(min) + one join per application — the same
+    shuffle primitives as a round of label propagation, but the
+    component minimum teleports along star centers instead of crawling
+    one hop per round. Convergence = edge multiset fixpoint, detected
+    by a (count, xor-of-hashes) signature computed in the same action
+    that materializes the round (a 128-bit-equivalent compare; a false
+    positive needs a 64-bit hash-sum collision). Returns (id, cluster)
+    with cluster = component min id, identical to
+    :func:`connected_components` (property-tested)."""
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: xxhash64 spans the full long range and a
+        # sum overflows under ANSI mode; xor is closed over long.
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.expr("bit_xor(xxhash64(src, dst))"),
+        ).first()
+        return (row[0], row[1] or 0)
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        sym = (
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src"), F.col("dst")),
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("src").alias("dst")
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.src", "p.dst")
+            .filter(F.col("src") != F.col("dst"))
+        )
+        mins = sym.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        canon = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).filter(F.col("src") != F.col("dst"))
+        mins = canon.groupBy("src").agg(F.min("dst").alias("m"))
+        linked = (
+            canon.join(mins, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        centers = mins.select(F.col("src"), F.col("m").alias("dst"))
+        return linked.unionByName(centers).distinct()
+
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    # at the fixpoint every edge is (member, root); roots label themselves
+    labels = edges.select(F.col("src").alias("id"), F.col("dst").alias("lab"))
+    return (
+        nodes.join(labels, "id", "left")
+        .select("id", F.coalesce("lab", F.col("id")).alias("cluster"))
+    )

@@ -4,10 +4,12 @@ CMS bounds/mergeability, WARC round-trip, sketch serialization."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
 from amadeus_spark.functions.sketch_lib import CountMinTopK, cms_params
+from amadeus_spark.functions import dedup
 from amadeus_spark.sources.warc import parse_warc_bytes
 
 keys = st.lists(
@@ -154,3 +156,44 @@ def test_sequence_packing_conservation(spark):
     assert n_docs_packed == direct[1]
     for r in packed:
         assert r.fill_ratio == r.total_tokens / 512
+
+
+def test_star_cc_matches_propagation_on_random_graphs(spark):
+    """large-star/small-star labels == min-label propagation labels on
+    random pair graphs (cliques, chains, isolated pairs)."""
+    import random as _r
+
+    rng = _r.Random(11)
+    for trial in range(3):
+        edges = [
+            (rng.randint(0, 40), rng.randint(0, 40)) for _ in range(30)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        prop = {
+            (r.id, r.cluster)
+            for r in dedup.connected_components(df, "doc_a", "doc_b").collect()
+        }
+        star = {
+            (r.id, r.cluster)
+            for r in dedup.connected_components_star(
+                df, "doc_a", "doc_b"
+            ).collect()
+        }
+        assert star == prop, trial
+
+
+def test_star_cc_converges_on_high_diameter_chain(spark):
+    """A 120-node path has diameter 119: min-label propagation's round
+    count (and its max_iter=20 guard) can't reach it, but star
+    contraction converges in O(log^2) rounds and labels the whole chain
+    with its minimum."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, "doc_a", "doc_b", max_iter=20)
+    got = dedup.connected_components_star(chain, "doc_a", "doc_b", max_iter=12)
+    assert {(r.id, r.cluster) for r in got.collect()} == {
+        (i, 0) for i in range(121)
+    }
