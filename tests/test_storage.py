@@ -120,3 +120,45 @@ def test_zorder_write_improves_two_dim_skipping(spark, tmp_path):
         assert zhit < hhit, (col, zhit, hhit)
     # correctness: layout rewrite loses no rows
     assert spark.read.parquet(zdir).count() == li.count()
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """MERGE semantics (update + insert) AND the physical guarantee:
+    files in partitions the update doesn't touch are byte-identical
+    afterwards (same paths, same mtimes) — the 1%-update-rewrites-1%
+    property that makes copy-on-write viable at scale."""
+    import glob as _glob
+    import os as _os
+
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, val double",
+    )
+    base.write.partitionBy("part").parquet(target)
+    before = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{target}/part=*/*.parquet")
+    }
+
+    updates = spark.createDataFrame(
+        [(2, "a", 99.0), (5, "a", 50.0)], "id long, part string, val double"
+    )
+    storage.merge_upsert(spark, target, updates, ["id"], "part")
+
+    got = {
+        (r.id, r.part, r.val) for r in spark.read.parquet(target).collect()
+    }
+    assert got == {
+        (1, "a", 10.0), (2, "a", 99.0), (5, "a", 50.0),
+        (3, "b", 30.0), (4, "c", 40.0),
+    }
+    after = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{target}/part=*/*.parquet")
+    }
+    untouched_before = {f: m for f, m in before.items() if "/part=a/" not in f}
+    untouched_after = {f: m for f, m in after.items() if "/part=a/" not in f}
+    assert untouched_before == untouched_after  # b, c never rewritten
+    assert all("/part=a/" not in f or f not in before for f in after
+               if "/part=a/" in f)  # a's files are new
