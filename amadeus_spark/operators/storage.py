@@ -167,3 +167,56 @@ def merge_upsert(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction (the OPTIMIZE bin-packing half of table
+    maintenance): rewrite a parquet directory into ~``target_mb`` files.
+    Streaming sinks and fine-grained upserts accumulate kilobyte files;
+    at 100 TB the resulting task-per-file scheduling and footer reads
+    dominate scan cost long before the data does.
+
+    File count = ceil(current_bytes / target_mb) from the file listing
+    (no data pass); the rewrite is one coalesce-free repartition (round
+    robin — even output sizes) or, with ``sort_cols``, a range
+    repartition + within-partition sort so min/max pruning survives
+    compaction. Returns (files_before, files_after). Rewrite is
+    in-place via an overwrite of the directory; on object stores pair
+    with a committer or write-then-swap."""
+    import math
+    import os as _os
+
+    files = [
+        _os.path.join(dp, f)
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    total = sum(_os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    out.write.mode("overwrite").parquet(tmp)
+    # swap: the rewrite is complete before the old dir is dropped
+    import shutil
+
+    shutil.rmtree(path)
+    _os.rename(tmp, path)
+    after = sum(
+        1
+        for dp, _, fs in _os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    return (len(files), after)

@@ -162,3 +162,44 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
     assert untouched_before == untouched_after  # b, c never rewritten
     assert all("/part=a/" not in f or f not in before for f in after
                if "/part=a/" in f)  # a's files are new
+
+
+def test_compact_files_binpacks_and_preserves_rows(spark, tmp_path):
+    d = str(tmp_path / "frag")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.repartition(40).write.parquet(d)  # fragment: 40 tiny files
+    n = li.count()
+    before, after = storage.compact_files(spark, d, target_mb=64)
+    assert before >= 40 and after <= 2
+    assert spark.read.parquet(d).count() == n
+
+    # sorted compaction keeps clustering: per-file l_orderkey ranges
+    # must not all span the whole domain
+    before, after = storage.compact_files(
+        spark, d, target_mb=1, sort_cols=["l_orderkey"]
+    )
+    import pyarrow.parquet as pq
+    import os as _os
+
+    spans = []
+    for f in _os.listdir(d):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(d, f)).metadata
+        mins, maxs = [], []
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            for j in range(rg.num_columns):
+                c = rg.column(j)
+                if c.path_in_schema == "l_orderkey" and c.statistics:
+                    mins.append(c.statistics.min)
+                    maxs.append(c.statistics.max)
+        if mins:
+            spans.append((min(mins), max(maxs)))
+    if len(spans) > 1:
+        spans.sort()
+        overlaps = sum(
+            1 for (a, b), (c, _) in zip(spans, spans[1:]) if c < b
+        )
+        assert overlaps == 0  # disjoint ranges -> pruning survives
+    assert spark.read.parquet(d).count() == n
