@@ -176,8 +176,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
         pos += 1
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside extension block")
             pos += 1
         elif block == 0x2C:  # image descriptor
             fx, fy, fw, fh, ipacked = struct.unpack_from("<HHHHB", payload, pos)
@@ -194,10 +196,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
             mcs = payload[pos]
             pos += 1
             body = bytearray()
-            while payload[pos]:
+            while pos < len(payload) and payload[pos]:
                 ln = payload[pos]
                 body += payload[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(payload):
+                raise ValueError("GIF truncated inside image data")
             pos += 1
             idx = _lzw_decode(bytes(body), mcs)
             if len(idx) < fw * fh:

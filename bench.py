@@ -78,7 +78,9 @@ def main() -> None:
             df.collect()  # every query returns a small result set
             runs.append(time.perf_counter() - t0)
         runs.sort()
-        timings[name] = round(runs[len(runs) // 2], 4)  # median
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        timings[name] = round(med, 4)  # true median (even rep counts too)
         spread[name] = round(runs[-1] - runs[0], 4)
 
     total = round(sum(timings.values()), 4)

@@ -1,14 +1,14 @@
 """End-to-end training-data curation pipeline — the full LLM-pipeline
 surface composed the way a data team would run it at corpus scale:
 
-  1. quality gate      (Gopher-family repetition rules)
-  2. LM quality gate   (CCNet-style corpus-bigram surprisal)
-  3. exact dedup       (content fingerprint)
-  4. near-dup removal  (MinHash-LSH pairs -> connected components ->
+  1. quality gate      (size + token-diversity filters)
+  2. exact dedup       (content fingerprint, keep first)
+  3. near-dup removal  (SimHash pairs -> connected components ->
                         keep cluster minimum)
-  5. decontamination   (shingle overlap vs a probe set)
-  6. PII scrub         (portable-regex redaction)
-  7. sequence packing  (greedy context assembly)
+  4. decontamination   REPORT (shingle overlap vs a probe set —
+                        reported, not filtered, in this example)
+  5. PII scrub         (portable-regex redaction)
+  6. sequence packing  (greedy context assembly)
 
 Every stage is a declarative DataFrame transform from amadeus_spark —
 one Spark job graph end-to-end, no driver-side loops over data. The
@@ -38,9 +38,10 @@ def main(sf_dir: str) -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
-    # 1-2. quality gates: keep docs that pass the repetition rules and
-    # score below the surprisal flag (both operators also exist as
-    # per-stream reporting queries; here they act as filters).
+    # 1. quality gate: minimum size + token diversity (the full
+    # Gopher-family rules and the corpus-LM surprisal scorer exist as
+    # per-stream REPORTING operators — repetition_stats,
+    # bigram_surprisal_stats — and run under the oracle gate).
     toks = text.tokens(F.col("text"))
     staged = docs.select("doc_id", "lang", "text", toks.alias("t"))
     diversity = F.size(F.array_distinct("t")) / F.size("t")
@@ -48,7 +49,7 @@ def main(sf_dir: str) -> None:
         (F.size("t") >= 5) & (diversity > 0.35)
     ).select("doc_id", "lang", "text")
 
-    # 3. exact dedup: first doc per content fingerprint wins.
+    # 2. exact dedup: first doc per content fingerprint wins.
     fp = text.fingerprint(F.col("text"))
     w_first = quality_ok.withColumn("fp", fp).groupBy("fp").agg(
         F.min("doc_id").alias("keep_id")
@@ -57,7 +58,7 @@ def main(sf_dir: str) -> None:
         w_first, quality_ok.doc_id == w_first.keep_id, "left_semi"
     )
 
-    # 4. near-dup clusters: SimHash pairs feed connected components;
+    # 3. near-dup clusters: SimHash pairs feed connected components;
     # each cluster keeps its minimum id.
     pairs = dedup.simhash_pairs(exact_unique, "doc_id", "text")
     clusters = dedup.connected_components(pairs, "doc_a", "doc_b")
@@ -66,16 +67,18 @@ def main(sf_dir: str) -> None:
     )
     near_unique = exact_unique.join(drop, "doc_id", "left_anti")
 
-    # 5. decontamination: drop docs sharing any 3-token shingle with the
-    # probe set (doc_id % 97 == 0 stands in for the benchmark corpus).
+    # 4. decontamination REPORT: docs sharing any 3-token shingle with
+    # the probe set (doc_id % 97 == 0 stands in for the benchmark
+    # corpus) are counted per language — a real pipeline would join the
+    # flagged ids back as an anti-join before training.
     decon = dedup.decontamination_stats(near_unique)
 
-    # 6. PII scrub: redact before packing.
+    # 5. PII scrub: redact before packing.
     clean = near_unique.select(
         "doc_id", "lang", text.redact_pii(F.col("text")).alias("text")
     )
 
-    # 7. sequence packing: greedy context assembly at 512 tokens.
+    # 6. sequence packing: greedy context assembly at 512 tokens.
     packed = text.sequence_packing(clean, capacity=512)
 
     print(f"corpus:            {n0}")

@@ -111,3 +111,13 @@ def test_gif_interlaced_frame_decodes():
     assert raw[desc] == 0x2C
     raw[desc + 9] |= 0x40  # interlace flag in the image descriptor
     assert np.array_equal(decode_gif(bytes(raw)), img)
+
+
+def test_gif_truncated_raises_valueerror():
+    img = _img(16, 16, 4)
+    raw = encode_gif(img)
+    # cut inside the image data sub-blocks: must be ValueError, never
+    # an IndexError escaping from the block walker
+    for cut in (len(raw) // 2, len(raw) - 3):
+        with pytest.raises(ValueError):
+            decode_gif(raw[:cut])

@@ -92,3 +92,21 @@ def test_decode_image_dispatches_jpeg():
     # h, w lead the feature vector; means track the source image
     assert feats[0] == 12.0 and feats[1] == 18.0
     assert abs(feats[2] - img[..., 0].mean()) < 3
+
+
+def test_jpeg_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    — foreign encoders emit them; ours doesn't, so inject one."""
+    import numpy as np
+
+    from amadeus_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    raw = bytearray(encode_jpeg(img))
+    # insert a fill byte before the first post-SOI marker (position 2)
+    assert raw[2] == 0xFF
+    filled = bytes(raw[:2]) + b"\xff" + bytes(raw[2:])
+    a = decode_jpeg(bytes(raw))
+    b = decode_jpeg(filled)
+    assert np.array_equal(a, b)
