@@ -1326,6 +1326,21 @@ def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_user_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type 2 from the events change log (operators/scd.py): per
+    user, consecutive same-type events collapse into one episode with a
+    1-based sequence number and the microsecond gap to the next episode
+    (-1 while current). Two window passes over one (user)-partitioned
+    sort — no self-join. The oracle mirrors clause for clause."""
+    from amadeus_spark.operators.scd import scd2_from_changelog
+
+    ev = _ev(spark, sf_dir)
+    out = scd2_from_changelog(
+        ev, ["user_id"], "ts", ["event_type"], "event_id"
+    )
+    return out.orderBy("user_id", "seq")
+
+
 def q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bucketed aggregation — the reference's flagship CloudFront
     query shape (examples/cloudfront_logs.rs:33-40: truncate_minutes(60)
@@ -1908,6 +1923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "event_anomaly_enrich": q_event_anomaly_enrich,
         "xml_source": q_xml_source,
+        "scd2_user_episodes": q_scd2_user_episodes,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
@@ -2553,6 +2569,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
+        "scd2_user_episodes": f"""
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM {_EVENTS_US} ev
+            ), episodes AS (
+                SELECT user_id, ts, event_id, event_type FROM ordered
+                WHERE prev IS NULL OR event_type <> prev
+            )
+            SELECT user_id,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS seq,
+                   event_type,
+                   COALESCE(CAST(date_diff('microsecond', ts,
+                       LEAD(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       )) AS BIGINT), -1) AS duration_us
+            FROM episodes ORDER BY user_id, seq
+        """,
         "xml_source": f"""
             SELECT name,
                    COUNT(*) AS n_items,
