@@ -344,3 +344,35 @@ def run_to_postgres_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cdc_upsert_sink(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> None:
+    """CDC apply: stream -> foreachBatch -> partition-pruned
+    copy-on-write MERGE (operators/storage.merge_upsert). Each
+    micro-batch's rows upsert into the parquet dimension by key; only
+    partitions the batch touches are rewritten, so the amortized write
+    cost tracks the CHANGE rate, not the table size — the standard CDC
+    landing pattern without a table format. Within a micro-batch the
+    last row per key wins (ordered by the stream's arrival columns is
+    the caller's contract; we dedup on key keeping max of the tie
+    column if present). Runs with availableNow to completion."""
+    from amadeus_spark.operators.storage import merge_upsert
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        merge_upsert(spark, target_path, batch_df, key_cols, partition_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", target_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -274,3 +274,43 @@ def test_stream_static_enrich_matches_batch(spark, event_stream_dir):
     assert got == want
     assert any(hm is None for _, _, hm in got)  # cold-start rows exist
     assert any(a for _, a, _ in got)  # some events do flag
+
+
+def test_cdc_upsert_sink_matches_batch_merge(spark, tmp_path):
+    """Streaming CDC apply == one batch merge of the same updates:
+    per-key final state identical, untouched partitions untouched."""
+    import glob as _glob
+    import os as _os
+
+    from amadeus_spark.operators import storage
+
+    target = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, part string, val double",
+    )
+    base.write.partitionBy("part").parquet(target)
+    before_c = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{target}/part=c/*.parquet")
+    }
+
+    upd_dir = str(tmp_path / "updates")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (4, "b", 40.0)], "id long, part string, val double"
+    ).write.json(upd_dir)
+    stream = (
+        spark.readStream.schema("id long, part string, val double")
+        .json(upd_dir)
+    )
+    ev.run_cdc_upsert_sink(stream, target, ["id"], "part")
+
+    got = {(r.id, r.part, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == {
+        (1, "a", 10.0), (2, "b", 2.0), (4, "b", 40.0), (3, "c", 3.0)
+    }
+    after_c = {
+        f: _os.path.getmtime(f)
+        for f in _glob.glob(f"{target}/part=c/*.parquet")
+    }
+    assert before_c == after_c  # partition c never touched
