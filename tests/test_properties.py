@@ -197,3 +197,55 @@ def test_star_cc_converges_on_high_diameter_chain(spark):
     assert {(r.id, r.cluster) for r in got.collect()} == {
         (i, 0) for i in range(121)
     }
+
+
+def test_scd2_matches_python_reference(spark):
+    """scd2_from_changelog == a direct per-key Python fold on random
+    change logs (episode collapse, sequence, durations, -1 current)."""
+    import random as _r
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from amadeus_spark.operators.scd import scd2_from_changelog
+
+    rng = _r.Random(23)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for tie in range(200):
+        rows.append(
+            (
+                rng.randint(0, 8),  # key
+                base + timedelta(seconds=rng.randint(0, 5000)),
+                tie,
+                rng.choice("abc"),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    got = {
+        (r.user_id, r.seq, r.event_type, r.duration_us)
+        for r in scd2_from_changelog(
+            df, ["user_id"], "ts", ["event_type"], "event_id"
+        ).collect()
+    }
+
+    per_key = defaultdict(list)
+    for k, ts, tie, v in rows:
+        per_key[k].append((ts, tie, v))
+    want = set()
+    for k, items in per_key.items():
+        items.sort()
+        episodes = [
+            (ts, v)
+            for i, (ts, tie, v) in enumerate(items)
+            if i == 0 or v != items[i - 1][2]
+        ]
+        for i, (ts, v) in enumerate(episodes):
+            dur = (
+                int((episodes[i + 1][0] - ts).total_seconds() * 1_000_000)
+                if i + 1 < len(episodes)
+                else -1
+            )
+            want.add((k, i + 1, v, dur))
+    assert got == want
