@@ -31,6 +31,10 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
     """GIF-flavor LZW: codes packed LSB-first, width starts at
     min_code_size+1 and grows when the next free slot reaches 2^width
     (capped at 12 bits until the next CLEAR)."""
+    if not 2 <= min_code_size <= 11:
+        # spec range is 2..8 (+1 slack); a corrupted size byte would
+        # otherwise allocate a 2^n-entry table before any decode error
+        raise ValueError(f"invalid LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     end = clear + 1
     width = min_code_size + 1
@@ -60,6 +64,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         if code == end:
             return out
         if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
             entry = table[code]
             out.extend(entry)
             prev = entry

@@ -121,3 +121,23 @@ def test_gif_truncated_raises_valueerror():
     for cut in (len(raw) // 2, len(raw) - 3):
         with pytest.raises(ValueError):
             decode_gif(raw[:cut])
+
+
+def test_gif_garbage_never_raises_non_valueerror():
+    """Arbitrary corrupt bytes behind a valid magic must surface as
+    ValueError (the decode contract), never IndexError/struct.error."""
+    import random as _r
+
+    rng = _r.Random(99)
+    img = _img(12, 12, 5)
+    good = encode_gif(img)
+    for trial in range(200):
+        raw = bytearray(good)
+        for _ in range(rng.randint(1, 6)):
+            raw[rng.randrange(6, len(raw))] = rng.randrange(256)
+        try:
+            decode_gif(bytes(raw))
+        except (ValueError, NotImplementedError):
+            pass  # the contract
+        except IndexError as e:  # pragma: no cover
+            raise AssertionError(f"IndexError leaked on trial {trial}") from e
