@@ -241,7 +241,19 @@ def _extend(v: int, t: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline-sequential JPEG → uint8 array (h, w, 3) RGB or (h, w)
     grayscale. Raises NotImplementedError for progressive/arithmetic/
-    12-bit streams, ValueError for malformed data."""
+    12-bit streams, ValueError for malformed data (low-level parse
+    failures — short reads, bad table ids, out-of-range codes — are
+    normalized to ValueError at this boundary so corrupt media cells
+    never surface raw IndexError/KeyError from the bit reader)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt JPEG stream: {type(e).__name__}") from e
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2

@@ -110,3 +110,31 @@ def test_jpeg_fill_bytes_before_marker_accepted():
     a = decode_jpeg(bytes(raw))
     b = decode_jpeg(filled)
     assert np.array_equal(a, b)
+
+
+def test_jpeg_garbage_never_crashes_uncontrolled():
+    """Random corruptions of a valid baseline file must surface as
+    ValueError/NotImplementedError (the decode contract), not
+    IndexError/struct.error/KeyError/infinite loops."""
+    import random as _r
+
+    import numpy as np
+
+    from amadeus_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = _r.Random(77)
+    img = (np.random.default_rng(1).integers(0, 256, (16, 16, 3))
+           .astype(np.uint8))
+    good = bytearray(encode_jpeg(img))
+    bad_kinds = {}
+    for trial in range(150):
+        raw = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            raw[rng.randrange(2, len(raw))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(raw))
+        except (ValueError, NotImplementedError):
+            pass
+        except Exception as e:  # pragma: no cover
+            bad_kinds.setdefault(type(e).__name__, trial)
+    assert not bad_kinds, bad_kinds
