@@ -164,27 +164,39 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos = 8
     idat = b""
     w = h = depth = color_type = interlace = None
-    while pos < len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4 : pos + 8]
-        body = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif tag == b"IDAT":
-            idat += body
-        elif tag == b"IEND":
-            break
+    try:
+        while pos < len(payload):
+            (ln,) = struct.unpack_from(">I", payload, pos)
+            tag = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", body
+                )
+            elif tag == b"IDAT":
+                idat += body
+            elif tag == b"IEND":
+                break
+    except struct.error as e:
+        raise ValueError("corrupt PNG chunk structure") from e
+    if w is None:
+        raise ValueError("PNG missing IHDR")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if depth != 8 or channels is None or interlace != 0:
         raise NotImplementedError(
             f"decode_png: only 8-bit non-interlaced gray/RGB/RGBA "
             f"(depth={depth}, color_type={color_type}, interlace={interlace})"
         )
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        # corrupt-stream contract shared with the GIF/JPEG codecs:
+        # malformed payloads raise ValueError, never a library error
+        raise ValueError("corrupt PNG stream (zlib)") from e
     stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):

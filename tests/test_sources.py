@@ -568,3 +568,25 @@ def test_xml_roundtrip_and_dynamic_inference(spark, tmp_path):
     # dynamic inference assigns numeric types without a schema
     kinds = dict(back.dtypes)
     assert kinds["id"] == "bigint" and kinds["score"] == "double"
+
+
+def test_png_garbage_never_leaks_library_errors():
+    """Corrupt PNG payloads surface as ValueError/NotImplementedError —
+    the shared corrupt-stream contract of all the pure-Python codecs."""
+    import random as _r
+
+    import numpy as np
+
+    from amadeus_spark.functions.multimodal import decode_png, encode_png
+
+    rng = _r.Random(5)
+    img = np.random.default_rng(2).integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    good = bytearray(encode_png(img))
+    for t in range(200):
+        raw = bytearray(good)
+        for _ in range(rng.randint(1, 5)):
+            raw[rng.randrange(8, len(raw))] = rng.randrange(256)
+        try:
+            decode_png(bytes(raw))
+        except (ValueError, NotImplementedError):
+            pass
