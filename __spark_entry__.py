@@ -1326,6 +1326,39 @@ def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-biased deterministic exact-k sample (sampling.py; beyond
+    the reference's unweighted reservoir, sample.rs:125-185): orders
+    sampled proportionally-ish to o_totalprice via hash/weight ranking
+    — exact across engines because the rank is one IEEE division of an
+    integer hash (pow()'s libm rounding would not be)."""
+    od = _t(spark, sf_dir, "orders")
+    return sampling.weighted_sample(od, "o_orderkey", "o_totalprice", 25).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram via ntile — the exact
+    companion to the sketch percentiles: 10 buckets over o_totalprice
+    with per-bucket counts and boundaries. Deterministic because the
+    ntile ordering carries a total tie-break."""
+    from pyspark.sql import Window
+
+    od = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q_scd2_user_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type 2 from the events change log (operators/scd.py): per
     user, consecutive same-type events collapse into one episode with a
@@ -1924,6 +1957,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomaly_enrich": q_event_anomaly_enrich,
         "xml_source": q_xml_source,
         "scd2_user_episodes": q_scd2_user_episodes,
+        "weighted_sample": q_weighted_sample,
+        "equidepth_histogram": q_equidepth_histogram,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
         "neardup_clusters": q_neardup_clusters,
@@ -2569,6 +2604,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
+        "weighted_sample": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY CAST(CAST('0x' || substr(md5('ws' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+                     / o_totalprice,
+                     o_orderkey
+            LIMIT 25
+        """,
+        "equidepth_histogram": """
+            SELECT bucket, COUNT(*) AS n,
+                   MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+            FROM (
+                SELECT o_totalprice,
+                       CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
+                FROM orders
+            ) GROUP BY bucket ORDER BY bucket
+        """,
         "scd2_user_episodes": f"""
             WITH ordered AS (
                 SELECT user_id, ts, event_id, event_type,

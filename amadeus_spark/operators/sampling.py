@@ -63,3 +63,22 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFram
     """Streaming-friendly fraction sample (reference SampleTotal shape,
     sample.rs:7-39): no shuffle at all, each task keeps ~fraction rows."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def weighted_sample(
+    df: DataFrame, key: str, weight: str, k: int, salt: str = "ws"
+) -> DataFrame:
+    """Deterministic weight-biased exact-k sample: rank by
+    hash32(salt||key) / weight ascending — items with larger weights get
+    systematically smaller ranks (the exponential-clocks shape of
+    Efraimidis-Spirakis A-ES with the hash standing in for u; the
+    uniform-instead-of-exponential draw biases inclusion odds slightly
+    toward heavy items, documented, but keeps the rank EXACT across
+    engines: integer-hash / weight is one correctly-rounded IEEE
+    division in both, where the faithful u^(1/w) would hang on pow()'s
+    libm rounding). TakeOrderedAndProject — no global sort."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    hs, _ = hash32_frag(f"concat('{salt}', cast({key} as string))", "")
+    rank = F.expr(hs) / F.col(weight)
+    return df.orderBy(rank, F.col(key)).limit(k)

@@ -301,3 +301,17 @@ def test_flat_map_udtf_stateful_expansion(spark):
     rows = {(r.kind, r.token, r.n) for r in out.collect()}
     assert ("tok", "a", 1) in rows and ("tok", "c", 3) in rows
     assert ("eof", None, 3) in rows  # terminate saw partition state
+
+
+def test_weighted_sample_biases_toward_heavy_items(spark):
+    """Items with 100x weight must be overrepresented vs uniform: with
+    10 heavy of 1000 keys and k=100, uniform picks ~1 heavy; the
+    weight-biased rank should pick far more."""
+    from amadeus_spark.operators import sampling
+
+    rows = [(i, 100.0 if i < 10 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = sampling.weighted_sample(df, "k", "w", 100)
+    heavy = got.filter(F.col("k") < 10).count()
+    assert heavy >= 5  # ~10 expected under weighting, ~1 under uniform
+    assert got.count() == 100
