@@ -95,3 +95,36 @@ def count_min_width_depth(probability: float, tolerance: float) -> tuple[int, in
     width = math.ceil(math.e / tolerance)
     depth = math.ceil(math.log(1.0 - probability) / math.log(0.5))
     return width, depth
+
+
+def hll_sketch_rollup(
+    df: DataFrame, group_cols: list[str], value_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Mergeable HLL sketch COLUMNS (Spark 4 Datasketches): per-group
+    distinct-count state as data — the reference's mergeable-sketch
+    design (amadeus-streaming/src/traits.rs UnionAssign; HyperLogLog in
+    distinct.rs) made first-class: a pre-aggregated sketch table can
+    answer distinct-count queries over ANY union of groups later
+    without rescanning raw data (hll_union_agg merges partials), the
+    continuous-aggregate pattern time_rollup applies to sums. State is
+    ~2^lg_k bytes per group regardless of cardinality."""
+    return df.groupBy(*group_cols).agg(
+        F.expr(f"hll_sketch_agg({value_col}, {lg_k})").alias("hll_sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Merge pre-aggregated sketch partials (optionally re-grouped to a
+    coarser key) and estimate: the raw table is never touched."""
+    agg = [
+        F.expr("hll_sketch_estimate(hll_union_agg(hll_sk))").alias(
+            "distinct_est"
+        ),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*agg)
+    return sketches.agg(*agg)

@@ -98,3 +98,43 @@ def test_cms_tree_merge_matches_flat(spark):
     flat = most_frequent_sketch(df, "k", 5, fan_in=1000)  # 16 <= 1000: flat
     tree = most_frequent_sketch(df, "k", 5, fan_in=2)  # 16 > 2: 8 groups
     assert flat == tree
+
+
+def test_hll_sketch_rollup_merges_without_rescan(spark):
+    """Sketch-as-data (the reference's mergeable-sketch design): fine
+    partials merged to a coarser key give the same estimate as
+    sketching the coarse groups directly, and land within the HLL
+    error band of exact."""
+    from amadeus_spark.operators import sketches as sk
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    # fine partials: per (returnflag, linestatus)
+    fine = sk.hll_sketch_rollup(
+        li, ["l_returnflag", "l_linestatus"], "l_partkey"
+    )
+    # merge partials up to per-returnflag — raw table untouched
+    merged = {
+        r.l_returnflag: r.distinct_est
+        for r in sk.hll_merge_estimate(fine, ["l_returnflag"]).collect()
+    }
+    direct = {
+        r.l_returnflag: r.distinct_est
+        for r in sk.hll_merge_estimate(
+            sk.hll_sketch_rollup(li, ["l_returnflag"], "l_partkey")
+        .withColumn("l_returnflag", F.col("l_returnflag")),
+            ["l_returnflag"],
+        ).collect()
+    }
+    exact = {
+        r.l_returnflag: r.d
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    # union-of-partials tracks direct sketching closely (Datasketches
+    # HLL unions are not bit-identical across sparse/dense promotion,
+    # so this is a tight band, not equality) and both track exact
+    for k, est in merged.items():
+        assert abs(est - direct[k]) / direct[k] < 0.03
+        assert abs(est - exact[k]) / exact[k] < 0.05  # lg_k=12 band
+        assert abs(direct[k] - exact[k]) / exact[k] < 0.05
