@@ -1326,6 +1326,31 @@ def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (functions/quality.py, the deequ
+    shape): row predicates + key uniqueness fold into ONE conditional
+    aggregate over a single lineitem scan; the orders foreign key is
+    one anti-join. Constants chosen so some checks PASS (0) and some
+    FAIL (>0) — an all-zero report can't tell a working validator from
+    a broken one."""
+    from amadeus_spark.functions import quality
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    return quality.expectation_report(
+        li,
+        predicates={
+            "qty_in_1_50": F.col("l_quantity").between(1, 50),
+            "qty_in_1_40": F.col("l_quantity").between(1, 40),  # fails
+            "discount_le_10pct": F.col("l_discount") <= 0.10,
+            "orderkey_not_null": F.col("l_orderkey").isNotNull(),
+            "returnflag_in_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+        unique_keys={"line_identity_unique": ["l_orderkey", "l_linenumber"]},
+        foreign_keys={"orderkey_fk_orders": (od, "l_orderkey", "o_orderkey")},
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-biased deterministic exact-k sample (sampling.py; beyond
     the reference's unweighted reservoir, sample.rs:125-185): orders
@@ -1958,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_source": q_xml_source,
         "scd2_user_episodes": q_scd2_user_episodes,
         "weighted_sample": q_weighted_sample,
+        "data_expectations": q_data_expectations,
         "equidepth_histogram": q_equidepth_histogram,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
@@ -2604,6 +2630,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
+        "data_expectations": """
+            SELECT 'discount_le_10pct' AS "check",
+                   CAST((SELECT COUNT(*) FROM lineitem WHERE NOT (l_discount <= 0.10)) AS BIGINT) AS violations
+            UNION ALL
+            SELECT 'line_identity_unique',
+                   CAST((SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS BIGINT)
+            UNION ALL
+            SELECT 'orderkey_fk_orders',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+            UNION ALL
+            SELECT 'orderkey_not_null',
+                   CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
+            UNION ALL
+            SELECT 'qty_in_1_40',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                          WHERE NOT (l_quantity BETWEEN 1 AND 40)) AS BIGINT)
+            UNION ALL
+            SELECT 'qty_in_1_50',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                          WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+            UNION ALL
+            SELECT 'returnflag_in_domain',
+                   CAST((SELECT COUNT(*) FROM lineitem
+                          WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT)
+            ORDER BY "check"
+        """,
         "weighted_sample": """
             SELECT o_orderkey, o_totalprice FROM orders
             ORDER BY CAST(CAST('0x' || substr(md5('ws' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)

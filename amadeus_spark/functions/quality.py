@@ -1,0 +1,73 @@
+"""Declarative data-quality expectations (the deequ/Great-Expectations
+shape, Spark-first): a constraint suite evaluates in as few passes as
+the constraint types allow and returns one tidy violations report —
+the validation gate a production pipeline runs before publishing a
+table.
+
+Three constraint families, each with its minimal physical plan:
+
+- **row predicates** (non-null, range, set membership, regex): ALL of
+  them fold into ONE conditional aggregate over a single scan — adding
+  a predicate adds a column, never a pass;
+- **uniqueness** over a key tuple: count(*) - count(distinct struct)
+  in the same single-scan aggregate (no groupBy materialization);
+- **referential integrity** (foreign key): one LEFT ANTI join per
+  referenced table, counted — broadcast when the dimension is small
+  (AQE decides; no forced broadcast).
+
+Reference anchor: amadeus validates per-row through its typed
+deserializers (Result-per-row, amadeus-serde); this is the table-level
+generalization a warehouse needs. Beyond-reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def expectation_report(
+    df: DataFrame,
+    predicates: dict[str, Column],
+    unique_keys: dict[str, list[str]] | None = None,
+    foreign_keys: dict[str, tuple[DataFrame, str, str]] | None = None,
+) -> DataFrame:
+    """Evaluate a constraint suite; returns (check STRING,
+    violations BIGINT) with one row per named check, ordered by name.
+
+    predicates: name -> boolean Column that must hold per row.
+    unique_keys: name -> column tuple that must be unique.
+    foreign_keys: name -> (referenced_df, local_col, referenced_col);
+        violations = rows whose local value has no match.
+    """
+    aggs = [
+        F.sum(F.when(~pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in predicates.items()
+    ]
+    for name, cols in (unique_keys or {}).items():
+        key = F.struct(*[F.col(c) for c in cols])
+        aggs.append(
+            (F.count(key) - F.count_distinct(key)).cast("long").alias(name)
+        )
+    wide = df.agg(*aggs)
+    # unpivot the single wide row into tidy (check, violations) rows
+    names = list(predicates) + list(unique_keys or {})
+    report = wide.selectExpr(
+        "stack({n}, {args}) AS (check, violations)".format(
+            n=len(names),
+            args=", ".join(f"'{n}', {n}" for n in names),
+        )
+    )
+    for name, (ref, local, remote) in (foreign_keys or {}).items():
+        orphans = (
+            df.select(F.col(local))
+            .join(
+                ref.select(F.col(remote).alias(local)).distinct(),
+                local,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            .select(F.lit(name).alias("check"), "violations")
+        )
+        report = report.unionByName(orphans)
+    return report.orderBy("check")
