@@ -2638,8 +2638,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem) AS BIGINT)
             UNION ALL
             SELECT 'orderkey_fk_orders',
-                   CAST((SELECT COUNT(*) FROM lineitem
-                          WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT)
+                   CAST((SELECT COUNT(*) FROM lineitem l
+                          WHERE l_orderkey IS NOT NULL
+                            AND NOT EXISTS (SELECT 1 FROM orders
+                                             WHERE o_orderkey = l.l_orderkey)) AS BIGINT)
             UNION ALL
             SELECT 'orderkey_not_null',
                    CAST((SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT)
@@ -2657,9 +2659,10 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT)
             ORDER BY "check"
         """,
-        "weighted_sample": """
+        "weighted_sample": f"""
             SELECT o_orderkey, o_totalprice FROM orders
-            ORDER BY CAST(CAST('0x' || substr(md5('ws' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS UBIGINT) AS BIGINT)
+            WHERE o_totalprice > 0
+            ORDER BY {dedup.hash32_frag("", "'ws' || CAST(o_orderkey AS VARCHAR)")[1]}
                      / o_totalprice,
                      o_orderkey
             LIMIT 25
@@ -2682,7 +2685,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM {_EVENTS_US} ev
             ), episodes AS (
                 SELECT user_id, ts, event_id, event_type FROM ordered
-                WHERE prev IS NULL OR event_type <> prev
+                WHERE event_type IS DISTINCT FROM prev
             )
             SELECT user_id,
                    CAST(ROW_NUMBER() OVER (

@@ -249,7 +249,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg_inner(payload)
     except (ValueError, NotImplementedError):
         raise
-    except (IndexError, KeyError, OverflowError, struct.error) as e:
+    except (IndexError, KeyError, OverflowError, ZeroDivisionError, struct.error) as e:
         raise ValueError(f"corrupt JPEG stream: {type(e).__name__}") from e
 
 

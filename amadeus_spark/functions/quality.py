@@ -38,29 +38,38 @@ def expectation_report(
     predicates: name -> boolean Column that must hold per row.
     unique_keys: name -> column tuple that must be unique.
     foreign_keys: name -> (referenced_df, local_col, referenced_col);
-        violations = rows whose local value has no match.
+        violations = rows whose NON-NULL local value has no match (SQL
+        foreign-key semantics: a NULL FK passes — and NOT IN oracles
+        would silently disagree on NULLs otherwise).
     """
+    # internal aliases are positional (__c0..__cN): user-supplied check
+    # names never become SQL identifiers, and they enter the stack()
+    # call only as escaped string literals — a name with spaces or
+    # quotes is data, not syntax.
+    names = list(predicates) + list(unique_keys or {})
     aggs = [
-        F.sum(F.when(~pred, 1).otherwise(0)).cast("long").alias(name)
-        for name, pred in predicates.items()
+        F.sum(F.when(~pred, 1).otherwise(0)).cast("long").alias(f"__c{i}")
+        for i, (_, pred) in enumerate(predicates.items())
     ]
-    for name, cols in (unique_keys or {}).items():
+    for j, cols in enumerate((unique_keys or {}).values()):
         key = F.struct(*[F.col(c) for c in cols])
         aggs.append(
-            (F.count(key) - F.count_distinct(key)).cast("long").alias(name)
+            (F.count(key) - F.count_distinct(key))
+            .cast("long")
+            .alias(f"__c{len(predicates) + j}")
         )
     wide = df.agg(*aggs)
-    # unpivot the single wide row into tidy (check, violations) rows
-    names = list(predicates) + list(unique_keys or {})
+    lits = ", ".join(
+        "'{}', __c{}".format(n.replace("'", "''"), i)
+        for i, n in enumerate(names)
+    )
     report = wide.selectExpr(
-        "stack({n}, {args}) AS (check, violations)".format(
-            n=len(names),
-            args=", ".join(f"'{n}', {n}" for n in names),
-        )
+        f"stack({len(names)}, {lits}) AS (check, violations)"
     )
     for name, (ref, local, remote) in (foreign_keys or {}).items():
         orphans = (
             df.select(F.col(local))
+            .filter(F.col(local).isNotNull())
             .join(
                 ref.select(F.col(remote).alias(local)).distinct(),
                 local,

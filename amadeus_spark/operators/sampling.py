@@ -76,9 +76,17 @@ def weighted_sample(
     toward heavy items, documented, but keeps the rank EXACT across
     engines: integer-hash / weight is one correctly-rounded IEEE
     division in both, where the faithful u^(1/w) would hang on pow()'s
-    libm rounding). TakeOrderedAndProject — no global sort."""
+    libm rounding). Non-positive and NULL weights are EXCLUDED before
+    ranking (weight 0 = never sample; Spark's hash/0 is NULL and would
+    otherwise sort FIRST ascending while DuckDB's +Infinity sorts last
+    — both wrong and mutually divergent). TakeOrderedAndProject — no
+    global sort."""
     from amadeus_spark.functions.dedup import hash32_frag
 
     hs, _ = hash32_frag(f"concat('{salt}', cast({key} as string))", "")
     rank = F.expr(hs) / F.col(weight)
-    return df.orderBy(rank, F.col(key)).limit(k)
+    return (
+        df.filter(F.col(weight) > 0)
+        .orderBy(rank, F.col(key))
+        .limit(k)
+    )

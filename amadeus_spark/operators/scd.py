@@ -48,8 +48,12 @@ def scd2_from_changelog(
     order = [F.col(ts_col), F.col(tie_col)]
     w = Window.partitionBy(*key_cols).orderBy(*order)
     attrs = F.struct(*[F.col(c) for c in attr_cols])
+    # null-SAFE inequality: a tracked attribute that is or becomes NULL
+    # must still open an episode (plain != returns NULL there and the
+    # filter would silently drop the boundary); eqNullSafe also covers
+    # the first-row case (prev NULL -> not equal -> kept)
     changed = df.withColumn("__prev", F.lag(attrs).over(w)).filter(
-        F.col("__prev").isNull() | (attrs != F.col("__prev"))
+        ~attrs.eqNullSafe(F.col("__prev"))
     )
     return (
         changed.withColumn("seq", F.row_number().over(w).cast("long"))

@@ -217,7 +217,9 @@ def test_scd2_matches_python_reference(spark):
                 rng.randint(0, 8),  # key
                 base + timedelta(seconds=rng.randint(0, 5000)),
                 tie,
-                rng.choice("abc"),
+                # NULL attributes included: a value that IS or BECOMES
+                # NULL must still open an episode (null-safe compare)
+                rng.choice(["a", "b", "c", None]),
             )
         )
     df = spark.createDataFrame(
@@ -239,7 +241,7 @@ def test_scd2_matches_python_reference(spark):
         episodes = [
             (ts, v)
             for i, (ts, tie, v) in enumerate(items)
-            if i == 0 or v != items[i - 1][2]
+            if i == 0 or v != items[i - 1][2]  # Python != is null-safe
         ]
         for i, (ts, v) in enumerate(episodes):
             dur = (

@@ -76,7 +76,11 @@ def test_most_frequent_sketch_distributed(spark):
 
 
 def test_exact_vs_approx_distinct_band(spark):
-    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    import os
+
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet"))
     exact = sketches.most_distinct(li, "l_suppkey", "l_partkey", 100).collect()
     approx = sketches.most_distinct(
         li, "l_suppkey", "l_partkey", 100, error_rate=0.02
@@ -107,7 +111,11 @@ def test_hll_sketch_rollup_merges_without_rescan(spark):
     error band of exact."""
     from amadeus_spark.operators import sketches as sk
 
-    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    import os
+
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet"))
     # fine partials: per (returnflag, linestatus)
     fine = sk.hll_sketch_rollup(
         li, ["l_returnflag", "l_linestatus"], "l_partkey"
@@ -120,8 +128,7 @@ def test_hll_sketch_rollup_merges_without_rescan(spark):
     direct = {
         r.l_returnflag: r.distinct_est
         for r in sk.hll_merge_estimate(
-            sk.hll_sketch_rollup(li, ["l_returnflag"], "l_partkey")
-        .withColumn("l_returnflag", F.col("l_returnflag")),
+            sk.hll_sketch_rollup(li, ["l_returnflag"], "l_partkey"),
             ["l_returnflag"],
         ).collect()
     }

@@ -296,19 +296,21 @@ def test_cdc_upsert_sink_matches_batch_merge(spark, tmp_path):
     }
 
     upd_dir = str(tmp_path / "updates")
+    # id=1 appears TWICE in the batch: the higher seq must win and only
+    # ONE row may land (the in-batch dedup contract)
     spark.createDataFrame(
-        [(1, "a", 10.0), (4, "b", 40.0)], "id long, part string, val double"
+        [(1, "a", 5.0, 1), (1, "a", 10.0, 2), (4, "b", 40.0, 1)],
+        "id long, part string, val double, seq long",
     ).write.json(upd_dir)
-    stream = (
-        spark.readStream.schema("id long, part string, val double")
-        .json(upd_dir)
-    )
-    ev.run_cdc_upsert_sink(stream, target, ["id"], "part")
+    stream = spark.readStream.schema(
+        "id long, part string, val double, seq long"
+    ).json(upd_dir)
+    ev.run_cdc_upsert_sink(stream, target, ["id"], "part", order_col="seq")
 
     got = {(r.id, r.part, r.val) for r in spark.read.parquet(target).collect()}
     assert got == {
         (1, "a", 10.0), (2, "b", 2.0), (4, "b", 40.0), (3, "c", 3.0)
-    }
+    }  # one row for id=1 and it is the max-seq version
     after_c = {
         f: _os.path.getmtime(f)
         for f in _glob.glob(f"{target}/part=c/*.parquet")
