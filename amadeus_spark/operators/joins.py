@@ -217,3 +217,28 @@ def asof_join_conditional(
         F.col(f"r.{c}").alias(f"r_{c}") for c in right.columns
     ]
     return ranked.filter(F.col("__rn") == 1).select(*keep)
+
+
+def temporal_join(
+    fact: DataFrame,
+    versions: DataFrame,
+    on_keys: Sequence[str],
+    fact_time: str,
+    version_start: str,
+) -> DataFrame:
+    """Validity-interval (temporal) join: each fact row picks the
+    dimension VERSION that was current at its timestamp — the consumer
+    side of SCD type 2 (operators/scd.py produces the versions; this
+    reads them). A version is current for [its start, next start), so
+    "current at t" == "latest version with start <= t", which is
+    exactly the backward as-of join — the O(L+R) union-merge plan, one
+    shuffle, no interval BETWEEN join (the naive
+    fact x versions ON t BETWEEN start AND end plans as a
+    BroadcastNestedLoopJoin and is quadratic inside hot keys).
+
+    Facts earlier than every version get NULL dimension columns (no
+    version was current yet) — the same cold-start semantics as the
+    stream-static enrichment."""
+    return asof_join(
+        fact, versions, on_keys, fact_time, version_start, direction="backward"
+    )

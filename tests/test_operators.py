@@ -315,3 +315,40 @@ def test_weighted_sample_biases_toward_heavy_items(spark):
     heavy = got.filter(F.col("k") < 10).count()
     assert heavy >= 5  # ~10 expected under weighting, ~1 under uniform
     assert got.count() == 100
+
+
+def test_temporal_join_picks_current_version(spark):
+    """Fact rows land on the SCD2 version current at their timestamp;
+    pre-first-version facts get NULLs (cold start)."""
+    from datetime import datetime
+
+    from amadeus_spark.operators.joins import temporal_join
+
+    ts = lambda s: datetime.fromisoformat(s)
+    versions = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01"), "v1"),
+            (1, ts("2024-02-01"), "v2"),
+            (2, ts("2024-01-15"), "x1"),
+        ],
+        "k long, start timestamp, label string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, ts("2024-01-20"), 10.0),  # inside v1
+            (1, ts("2024-02-01"), 20.0),  # boundary -> v2 (inclusive)
+            (1, ts("2024-03-01"), 30.0),  # after last -> v2 still current
+            (2, ts("2024-01-01"), 40.0),  # before first version -> NULL
+        ],
+        "k long, t timestamp, amount double",
+    )
+    got = {
+        (r.k, r.amount, r.r_label)  # right cols come out r_-prefixed
+        for r in temporal_join(facts, versions, ["k"], "t", "start").collect()
+    }
+    assert got == {
+        (1, 10.0, "v1"),
+        (1, 20.0, "v2"),
+        (1, 30.0, "v2"),
+        (2, 40.0, None),
+    }
