@@ -59,8 +59,16 @@ def main() -> None:
     from amadeus_spark import release_cached
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Wall-clock budget: the driver runs this under an unknown timeout,
+    # and a timed-out bench records as a CRASH, which is strictly worse
+    # than single-shot timings. If total elapsed passes the budget,
+    # remaining queries degrade to 1 rep (median-of-1); the JSON carries
+    # per-query rep counts so degraded timings are identifiable.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    bench_t0 = time.perf_counter()
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name, fn in queries.items():
         try:
             fn(spark, warm_dir).collect()
@@ -68,8 +76,12 @@ def main() -> None:
             pass  # a warm-up failure surfaces in the timed run
         spark._jvm.System.gc()  # settle accumulated JVM garbage so late
         # queries aren't taxed by the first 40's allocations
+        this_reps = (
+            reps if time.perf_counter() - bench_t0 < budget_s else 1
+        )
+        reps_used[name] = this_reps
         runs = []
-        for _ in range(reps):
+        for _ in range(this_reps):
             spark.catalog.clearCache()  # dedup queries persist signature
             release_cached()  # frames; clear between reps so each run
             # re-executes the full plan independently
@@ -93,6 +105,8 @@ def main() -> None:
                 "queries": timings,
                 "spread": spread,
                 "reps": reps,
+                "reps_used": reps_used,
+                "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
                 "sf": sf,
             }
         )
