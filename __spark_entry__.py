@@ -1326,6 +1326,40 @@ def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-N (top-3 parts per supplier nation by revenue) — the
+    per-key ranking every reporting pipeline writes: one aggregate on
+    (nation, part) then a rank window over the small post-agg frame
+    (never over raw rows); revenue in exact micro-units so rank ties
+    cannot drift, with a partkey tie-break for determinism."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    rev_us = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+    ).cast("long")
+    per = (
+        li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(rev_us).alias("rev_us"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("rev_us"), F.asc("l_partkey")
+    )
+    return (
+        per.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "n_name", "rnk", "l_partkey",
+            (F.col("rev_us") / F.lit(1e6)).alias("revenue"),
+        )
+        .orderBy("n_name", "rnk")
+    )
+
+
 def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite (functions/quality.py, the deequ
     shape): row predicates + key uniqueness fold into ONE conditional
@@ -1984,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_episodes": q_scd2_user_episodes,
         "weighted_sample": q_weighted_sample,
         "data_expectations": q_data_expectations,
+        "grouped_topn": q_grouped_topn,
         "equidepth_histogram": q_equidepth_histogram,
         # round-3/4 dedup-similarity block (first driver-verified r4)
         "variant_props": q_variant_props,
@@ -2630,6 +2665,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
+        "grouped_topn": """
+            SELECT n_name, rnk, l_partkey, rev_us / 1e6 AS revenue
+            FROM (
+                SELECT n_name, l_partkey,
+                       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) AS BIGINT) AS rev_us,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY n_name
+                           ORDER BY SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*1000000) AS BIGINT)) DESC,
+                                    l_partkey
+                       ) AS BIGINT) AS rnk
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                GROUP BY n_name, l_partkey
+            ) WHERE rnk <= 3 ORDER BY n_name, rnk
+        """,
         "data_expectations": """
             SELECT 'discount_le_10pct' AS "check",
                    CAST((SELECT COUNT(*) FROM lineitem WHERE NOT (l_discount <= 0.10)) AS BIGINT) AS violations
