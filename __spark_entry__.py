@@ -1985,13 +1985,15 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
-    # verification come first — r3 left the seven dedup/similarity oracle
-    # queries at positions 51-57, unverified (VERDICT r3 #1). Now:
-    #   1. never/not-recently driver-verified oracle queries (dedup/
-    #      similarity tail from r3, incl. neardup_clusters and the banded
-    #      embedding_neardup which have NEVER been externally gated);
-    #   2. the long-stable r3-green oracle queries;
-    #   3. the six rows-only queries (no SQL oracle by nature) last.
+    # verification come first. Round-4 front-loads everything new this
+    # round (TPC-H pack, line_dedup, perplexity_filter,
+    # event_anomaly_enrich, xml_source, scd2, weighted/equidepth,
+    # data_expectations, grouped_topn, variant_props) plus the r3
+    # dedup/similarity tail that had never been externally gated.
+    # NEXT-ROUND ROTATION: once CORRECTNESS_r04 lands green, everything
+    # in the first ~30 positions has an external row — rotate any
+    # round-5 additions to the front and push these toward the middle;
+    # rows-only queries stay last (test_oracle.py asserts the tail).
     return {
         # round-4 TPC-H subquery-shape pack — never driver-verified yet
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
