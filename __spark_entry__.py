@@ -2385,8 +2385,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
               AND p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
-              AND l_suppkey NOT IN (
-                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
             GROUP BY 1, 2, 3
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 50
         """,
@@ -2712,14 +2713,10 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_returnflag NOT IN ('A','N','R')) AS BIGINT)
             ORDER BY "check"
         """,
-        "weighted_sample": f"""
-            SELECT o_orderkey, o_totalprice FROM orders
-            WHERE o_totalprice > 0
-            ORDER BY {dedup.hash32_frag("", "'ws' || CAST(o_orderkey AS VARCHAR)")[1]}
-                     / o_totalprice,
-                     o_orderkey
-            LIMIT 25
-        """,
+        "weighted_sample": sampling.weighted_sample_oracle(
+            "orders", "o_orderkey", "o_totalprice", 25,
+            cols="o_orderkey, o_totalprice",
+        ),
         "equidepth_histogram": """
             SELECT bucket, COUNT(*) AS n,
                    MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi

@@ -164,7 +164,20 @@ def _deinterlace(rows: np.ndarray) -> np.ndarray:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF bytes -> HxWx3 uint8 (first frame)."""
+    """GIF bytes -> HxWx3 uint8 (first frame). Raises ValueError for
+    malformed data — low-level parse failures (truncated headers, pixel
+    indices past the color table, short reads) are normalized to
+    ValueError at this boundary, same contract as decode_jpeg, so
+    corrupt media cells never surface raw struct.error/IndexError."""
+    try:
+        return _decode_gif_inner(payload)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, struct.error) as e:
+        raise ValueError(f"corrupt GIF stream: {type(e).__name__}") from e
+
+
+def _decode_gif_inner(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -215,6 +228,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             rows = np.array(idx[: fw * fh], dtype=np.int64).reshape(fh, fw)
             if ipacked & 0x40:
                 rows = _deinterlace(rows)
+            if rows.size and int(rows.max()) >= len(table):
+                raise ValueError("GIF pixel index beyond color table")
             return table[rows]
         elif block == 0x3B:  # trailer
             break

@@ -90,3 +90,27 @@ def weighted_sample(
         .orderBy(rank, F.col(key))
         .limit(k)
     )
+
+
+def weighted_sample_oracle(
+    table: str,
+    key: str,
+    weight: str,
+    k: int,
+    salt: str = "ws",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin of ``weighted_sample``, emitted from the SAME salt
+    constant and the SAME positive-weight filter (iron rule 7: dual
+    dialects derive from one builder, never hand-duplicated) — changing
+    the operator's salt default or NULL/non-positive-weight policy
+    changes this fragment in lockstep."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    _, hd = hash32_frag("", f"'{salt}' || CAST({key} AS VARCHAR)")
+    return f"""
+        SELECT {cols} FROM {table}
+        WHERE {weight} > 0
+        ORDER BY {hd} / {weight}, {key}
+        LIMIT {k}
+    """

@@ -100,9 +100,12 @@ def zorder_write(
     beyond the one range-partition the rewrite needs anyway."""
     buckets = (1 << bits_per_dim) - 1
     z = F.lit(0).cast("long")
+    qs = [i / buckets for i in range(1, buckets + 1)]
+    # list form = ONE collect job computing every clustering column's
+    # sketch in a single pass (per-column calls would re-scan C times)
+    all_cuts = df.approxQuantile(cols, qs, 0.001)
     for d, c in enumerate(cols):
-        qs = [i / buckets for i in range(1, buckets + 1)]
-        cuts = df.approxQuantile(c, qs, 0.001)
+        cuts = all_cuts[d]
         # bucket = count of cut points <= value (monotone, 0..buckets)
         arr = "array({})".format(
             ",".join(f"CAST({v!r} AS DOUBLE)" for v in cuts)
@@ -148,7 +151,18 @@ def merge_upsert(
 
     Constraint (documented, standard for hive-style upserts): the
     partition value of a key must not change between target and update
-    — a moved key would leave its old copy in the old partition."""
+    — a moved key would leave its old copy in the old partition.
+
+    Failure safety: the merged partitions are STAGED to a sibling tmp
+    dir first, then swapped in per partition (same write-then-swap
+    discipline as compact_files). Writing over ``target_path`` directly
+    — even with dynamic partition overwrite, which defers deletion to
+    job commit — leaves a window where a commit-time failure loses the
+    touched partitions with no recovery copy; with staging, the target
+    is only mutated after the full rewrite succeeded."""
+    import os as _os
+    import shutil as _shutil
+
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     target = spark.read.parquet(target_path).filter(
         F.col(partition_col).isin(parts)
@@ -157,16 +171,20 @@ def merge_upsert(
         updates.select(*key_cols), on=key_cols, how="left_anti"
     )
     merged = survivors.unionByName(updates)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    tmp = target_path.rstrip("/") + ".__merge_tmp__"
     try:
-        (
-            merged.write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_path)
-        )
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+        # swap only the partitions present in the update: untouched
+        # partitions' files are never read or rewritten.
+        for entry in _os.listdir(tmp):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            dst = _os.path.join(target_path, entry)
+            if _os.path.isdir(dst):
+                _shutil.rmtree(dst)
+            _os.rename(_os.path.join(tmp, entry), dst)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        _shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compact_files(
