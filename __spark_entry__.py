@@ -611,10 +611,13 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (group total vs global-total scalar subquery):
     per-part shipped value from NATION_2 suppliers, keeping parts whose
     value exceeds 1/500 of the nation's total. The global total is a
-    window over the tiny per-part aggregate (no second fact scan), and
-    the threshold compare is an exact integer cross-multiply
+    1-row aggregate of the per-part frame broadcast back onto it (the
+    per-part aggregate is persisted so its lineitem scan+shuffle runs
+    once for both consumers) — an empty-partitionBy window here would
+    funnel every per-part row through ONE task, the classic 100×-scale
+    killer. The threshold compare is an exact integer cross-multiply
     (value_us * 500 > total_us) so the boundary cannot drift."""
-    from pyspark.sql import Window
+    from amadeus_spark.cache import tracked_persist
 
     li = _t(spark, sf_dir, "lineitem")
     su = _t(spark, sf_dir, "supplier")
@@ -623,10 +626,12 @@ def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey")).join(
         F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey")
     )
-    per_part = j.groupBy("l_partkey").agg(F.sum(val_us).alias("value_us"))
-    w = Window.partitionBy()
+    per_part = tracked_persist(
+        j.groupBy("l_partkey").agg(F.sum(val_us).alias("value_us"))
+    )
+    total = per_part.agg(F.sum("value_us").alias("total_us"))
     return (
-        per_part.withColumn("total_us", F.sum("value_us").over(w))
+        per_part.join(F.broadcast(total))
         .filter(F.col("value_us") * 500 > F.col("total_us"))
         .select("l_partkey", (F.col("value_us") / F.lit(1e6)).alias("value"))
         .orderBy(F.desc("value"), "l_partkey")
@@ -802,12 +807,13 @@ def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (scalar MAX subquery over a derived view): the
     supplier(s) whose quarterly revenue equals the maximum. The revenue
-    view is computed ONCE; the `= (SELECT MAX(..))` becomes a window-max
-    over the tiny post-agg frame (one single-partition window over
-    ~supplier-count rows) instead of a second scan of lineitem. Revenue
-    is an exact micro-unit long, so the max-equality never hits float
-    ties."""
-    from pyspark.sql import Window
+    view is computed ONCE (persisted — it feeds both the max and the
+    equality filter); the `= (SELECT MAX(..))` becomes a 1-row MAX
+    aggregate broadcast back onto the view instead of a second scan of
+    lineitem — or an empty-partitionBy window, which would sort the
+    whole post-agg frame through one task at scale. Revenue is an exact
+    micro-unit long, so the max-equality never hits float ties."""
+    from amadeus_spark.cache import tracked_persist
 
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -817,11 +823,12 @@ def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_us = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
     ).cast("long")
-    revs = li.groupBy("l_suppkey").agg(F.sum(rev_us).alias("rev_us"))
-    w = Window.partitionBy()
-    best = revs.withColumn("max_us", F.max("rev_us").over(w)).filter(
-        F.col("rev_us") == F.col("max_us")
+    revs = tracked_persist(
+        li.groupBy("l_suppkey").agg(F.sum(rev_us).alias("rev_us"))
     )
+    best = revs.join(
+        F.broadcast(revs.agg(F.max("rev_us").alias("max_us")))
+    ).filter(F.col("rev_us") == F.col("max_us"))
     return (
         best.join(F.broadcast(su), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
@@ -1398,16 +1405,32 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bucket) histogram via ntile — the exact
-    companion to the sketch percentiles: 10 buckets over o_totalprice
-    with per-bucket counts and boundaries. Deterministic because the
-    ntile ordering carries a total tie-break."""
-    from pyspark.sql import Window
-
-    od = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """Equi-depth (quantile-bucket) histogram via decile CUT POINTS +
+    map-side bucketing (the storage.py z-order pattern): one aggregate
+    computes the 9 interior deciles, broadcast back onto the scan, and
+    each row's bucket is 1 + count(cuts below it) — pure codegen'd
+    comparisons, ONE shuffle (the final tiny groupBy). The previous
+    global-ntile window sorted EVERY row through a single task — the
+    canonical 100×-scale killer. Cut points are computed over exact
+    integer micro-units so both engines interpolate identical doubles
+    (q_percentiles proved percentile ≡ quantile_cont bit-for-bit).
+    Ties at a cut land in the lower bucket in both engines. At 100 TB
+    the exact-percentile agg becomes percentile_approx (registered as
+    the `percentile_band` scale path) — the bucketing plan is
+    unchanged."""
+    od = _t(spark, sf_dir, "orders").withColumn(
+        "v_us", F.round(F.col("o_totalprice") * 1e6).cast("long")
+    )
+    ps = ", ".join(f"{k / 10:.1f}D" for k in range(1, 10))
+    cuts = od.agg(F.expr(f"percentile(v_us, array({ps}))").alias("__cuts"))
+    bucket = F.lit(1)
+    for k in range(1, 10):
+        bucket = bucket + F.when(
+            F.col("v_us") > F.element_at(F.col("__cuts"), k), 1
+        ).otherwise(0)
     return (
-        od.withColumn("bucket", F.ntile(10).over(w).cast("long"))
+        od.join(F.broadcast(cuts))
+        .withColumn("bucket", bucket.cast("long"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -1800,10 +1823,12 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-context assembly: contiguous greedy packing of documents
-    into fixed token-capacity bins per language stream (window cumsum →
-    floor-divide; exactly mirrored in the DuckDB oracle)."""
+    into fixed token-capacity bins per (language stream, id-mod shard)
+    (window cumsum → floor-divide; exactly mirrored in the DuckDB
+    oracle). The shard key keeps window parallelism at corpus scale —
+    a handful of language streams alone would serialize the packer."""
     docs = _t(spark, sf_dir, "documents")
-    return text.sequence_packing(docs, capacity=2048)
+    return text.sequence_packing(docs, capacity=2048, n_shards=64)
 
 
 def q_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1860,10 +1885,22 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _SIM_QUERY_IDS, k=5)
 
 
+#: stop-shingle document-frequency cap for the REGISTERED ngram_jaccard:
+#: a shingle appearing in d docs emits O(d²) self-join rows, so an
+#: uncapped boilerplate trigram dominates the stage at 100×. 5% is the
+#: standard stop-gram ceiling; the oracle applies the identical constant
+#: (dual-dialect rule: one constant, both dialects).
+NGRAM_MAX_DF_FRAC = 0.05
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs via inverted shingle index (no O(n²))."""
+    """Exact n-gram Jaccard pairs via inverted shingle index (no O(n²)),
+    with the df-cap ON (boilerplate shingles pruned before the
+    self-join — the 100×-scale posture, not just available machinery)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.5, max_df_frac=NGRAM_MAX_DF_FRAC
+    )
 
 
 #: pyarrow-written nested fixture (scripts/make_nested_fixtures.py) —
@@ -2718,12 +2755,31 @@ def oracle_sql() -> dict[str, str]:
             cols="o_orderkey, o_totalprice",
         ),
         "equidepth_histogram": """
+            WITH v AS (
+                SELECT o_totalprice,
+                       CAST(ROUND(o_totalprice * 1000000) AS BIGINT) AS v_us
+                FROM orders
+            ), c AS (
+                SELECT quantile_cont(v_us,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+                FROM v
+            )
             SELECT bucket, COUNT(*) AS n,
                    MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
             FROM (
                 SELECT o_totalprice,
-                       CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS bucket
-                FROM orders
+                       CAST(1
+                            + (CASE WHEN v_us > cs[1] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[2] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[3] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[4] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[5] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[6] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[7] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[8] THEN 1 ELSE 0 END)
+                            + (CASE WHEN v_us > cs[9] THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bucket
+                FROM v, c
             ) GROUP BY bucket ORDER BY bucket
         """,
         "scd2_user_episodes": f"""
@@ -2825,7 +2881,9 @@ def oracle_sql() -> dict[str, str]:
             dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
         ),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
-        "ngram_jaccard": dedup.ngram_jaccard_oracle("documents", "doc_id", "text", 0.5),
+        "ngram_jaccard": dedup.ngram_jaccard_oracle(
+            "documents", "doc_id", "text", 0.5, max_df_frac=NGRAM_MAX_DF_FRAC
+        ),
         "embedding_neardup": similarity.embedding_neardup_oracle(
             "embeddings", 0.3, 10, max_bucket_size=LSH_MAX_BUCKET
         ),

@@ -490,19 +490,17 @@ def ngram_jaccard_pairs(
     # shrinks the self-join input from |all shingles| to |shared shingles|
     # (usually a tiny fraction), turning the expensive stage into one
     # count-shuffle + a small join. Measured ~2× at sf0.1.
-    df_filter = F.col("df") >= 2
+    counts = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     if max_df_frac < 1.0:
-        # one scalar count job; ceil matches the oracle's CEIL exactly
-        import math as _math
-
-        max_df = int(_math.ceil(max_df_frac * df.count()))
-        df_filter = df_filter & (F.col("df") <= max_df)
-    shared = (
-        ex.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(df_filter)
-        .select("h")
-    )
+        # the doc-count threshold is a 1-row aggregate broadcast onto the
+        # per-shingle counts — NOT an eager .count() (that would be its
+        # own driver-blocking job per builder call); ceil matches the
+        # oracle's CEIL exactly because both operate on exact integers.
+        ndocs = df.agg(F.count(F.lit(1)).alias("__ndocs"))
+        counts = counts.join(F.broadcast(ndocs)).filter(
+            F.col("df") <= F.ceil(max_df_frac * F.col("__ndocs"))
+        )
+    shared = counts.filter(F.col("df") >= 2).select("h")
     ex2 = ex.join(shared, "h")
     inter = (
         ex2.alias("a")
@@ -526,9 +524,13 @@ def ngram_jaccard_oracle(
     _, shd = shingles_frag(text_col)
     _, hd = hash32_frag("s", "s")
     if max_df_frac < 1.0:
+        # CAST AS DOUBLE is load-bearing: DuckDB parses the bare literal
+        # as DECIMAL (0.05 * 500 = exactly 25 → CEIL 25) while Spark does
+        # double math (25.000000000000004 → CEIL 26). Both must take the
+        # double path or the cap boundary diverges by one.
         cap_join = f"""JOIN (
     SELECT h FROM ex GROUP BY h
-    HAVING COUNT(*) <= CEIL({max_df_frac} * (SELECT COUNT(*) FROM {table}))
+    HAVING COUNT(*) <= CEIL(CAST({max_df_frac} AS DOUBLE) * (SELECT COUNT(*) FROM {table}))
   ) cap ON cap.h = a.h"""
     else:
         cap_join = ""

@@ -222,27 +222,38 @@ def sequence_packing(
     id_col: str = "doc_id",
     text_col: str = "text",
     stream_col: str = "lang",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Contiguous greedy sequence packing: documents are laid out in
-    ``id_col`` order within each ``stream_col`` stream and cut into
-    fixed token-capacity bins (a doc lands in the bin its running
-    offset falls in) — the standard streaming packer used to assemble
-    training contexts. Output: per-(stream, bin) doc/token/fill stats.
+    ``id_col`` order within each (stream, shard) and cut into fixed
+    token-capacity bins (a doc lands in the bin its running offset
+    falls in) — the standard streaming packer used to assemble
+    training contexts. Output: per-(stream, shard, bin) stats.
 
     Pure window math (cumulative sum → floor-divide), so it is exactly
     expressible in both engines — unlike best-fit bin packing, which is
-    order-dependent on a mutable bin state. At scale the window
-    partitions by stream (shard); no global ordering is required.
+    order-dependent on a mutable bin state.
+
+    ``n_shards`` is the scale key: a handful of language streams would
+    otherwise funnel the whole corpus through a handful of window
+    tasks at 100×. The shard is ``id_col % n_shards`` — deterministic,
+    identical in SQL, and each shard packs independently (exactly how a
+    distributed packer shards work across writers; bins never span
+    shards). 100 TB posture: n_shards ≳ executor-core count.
     """
     from pyspark.sql import Window
 
+    shard = (F.col(id_col) % n_shards).cast("bigint")
     w = (
-        Window.partitionBy(stream_col)
+        Window.partitionBy(stream_col, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     per = df.select(
-        stream_col, id_col, token_count(F.col(text_col)).cast("bigint").alias("n_tok")
+        stream_col,
+        id_col,
+        shard.alias("shard"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tok"),
     )
     binned = per.withColumn(
         "bin",
@@ -251,13 +262,13 @@ def sequence_packing(
         ).cast("bigint"),
     )
     return (
-        binned.groupBy(stream_col, "bin")
+        binned.groupBy(stream_col, "shard", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
             (F.sum("n_tok").cast("double") / capacity).alias("fill_ratio"),
         )
-        .orderBy(stream_col, "bin")
+        .orderBy(stream_col, "shard", "bin")
     )
 
 
@@ -267,25 +278,28 @@ def sequence_packing_oracle(
     id_col: str = "doc_id",
     text_col: str = "text",
     stream_col: str = "lang",
+    n_shards: int = 64,
 ) -> str:
-    """DuckDB twin of sequence_packing — identical window + floor math."""
+    """DuckDB twin of sequence_packing — identical shard/window math."""
     return f"""
 WITH per AS (
   SELECT {stream_col}, {id_col},
+         CAST({id_col} % {n_shards} AS BIGINT) AS shard,
          CAST(len(list_filter(string_split({text_col}, ' '), x -> x <> '')) AS BIGINT) AS n_tok
   FROM {table}
 ), binned AS (
-  SELECT {stream_col}, n_tok,
+  SELECT {stream_col}, shard, n_tok,
          CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
-             PARTITION BY {stream_col} ORDER BY {id_col}
+             PARTITION BY {stream_col}, shard ORDER BY {id_col}
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            / {capacity}) AS BIGINT) AS bin
   FROM per
 )
-SELECT {stream_col}, bin, COUNT(*) AS n_docs,
+SELECT {stream_col}, shard, bin, COUNT(*) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
        CAST(SUM(n_tok) AS DOUBLE) / {capacity} AS fill_ratio
-FROM binned GROUP BY {stream_col}, bin ORDER BY {stream_col}, bin
+FROM binned GROUP BY {stream_col}, shard, bin
+ORDER BY {stream_col}, shard, bin
 """
 
 

@@ -5,6 +5,7 @@ from amadeus_spark.plans.inspect import (
     assert_read_schema,
     plan_text,
     shuffle_count,
+    single_partition_windows,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "assert_read_schema",
     "assert_broadcast_join",
     "assert_no_python_udf",
+    "single_partition_windows",
 ]

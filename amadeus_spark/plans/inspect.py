@@ -60,6 +60,27 @@ def assert_broadcast_join(df: DataFrame, expected: int = 1) -> None:
     assert n >= expected, f"expected ≥{expected} broadcast joins, got {n}:\n{plan}"
 
 
+def single_partition_windows(df: DataFrame) -> list[str]:
+    """Window nodes in the optimized logical plan whose partitionSpec is
+    EMPTY — i.e. `Window.partitionBy()` / `OVER (ORDER BY ...)`. Such a
+    window funnels its entire input through ONE task (Spark even warns
+    "No Partition Defined for Window operation") — fine on a 20-row
+    frame today, a guaranteed straggler at 100×. Returns the offending
+    nodes' simpleString()s so the assert message names the window."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getName().endswith("logical.Window"):
+            if node.partitionSpec().size() == 0:
+                out.append(node.simpleString(120))
+        children = node.children()
+        for i in range(children.size()):
+            walk(children.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
 def assert_no_python_udf(df: DataFrame) -> None:
     """Hot-path guard: no row-at-a-time Python evaluation in the plan
     (BatchEvalPython = pickled per-row UDF; ArrowEvalPython/pandas is the

@@ -250,3 +250,20 @@ def test_q19_pushes_disjunction_and_broadcasts_part(spark):
     assert "BroadcastExchange" in txt
     assert "PushedFilters" in txt
     plans.assert_no_python_udf(df)
+
+
+def test_no_single_partition_window_anywhere(spark):
+    """SWEEP: no registered query may plan a Window with an empty
+    partitionSpec (`Window.partitionBy()` / `OVER (ORDER BY ..)` with no
+    PARTITION BY). Every such window funnels its whole input through one
+    task — the round-4/5 verdicts flagged equidepth_histogram (global
+    ntile) and Q11/Q15 (global sum/max) as exactly this class of
+    100×-scale killer; this sweep pins the fix for every present and
+    FUTURE registry entry."""
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_SMOKE)
+        hits = plans.single_partition_windows(df)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, f"single-partition windows planned: {offenders}"
