@@ -1041,6 +1041,27 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles — the 100 TB scale path for
+    q_percentiles/q_equidepth_histogram: percentile_approx is a
+    MERGEABLE quantile sketch (Greenwald-Khanna summaries), so partials
+    combine map-side and no task ever buffers the value set — exact
+    percentile() must. Rows-only by nature (sketch internals differ
+    engine-to-engine); tests/test_oracle.py pins each estimate inside a
+    ±1% band around the exact percentile, the same acceptance posture
+    as the HLL/CMS sketches."""
+    od = _t(spark, sf_dir, "orders")
+    return od.agg(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("__ps")
+    ).select(
+        F.expr("__ps[0]").alias("p50"),
+        F.expr("__ps[1]").alias("p90"),
+        F.expr("__ps[2]").alias("p99"),
+    )
+
+
 # --- grouping sets / pivot / dynamic-JSON / UDAF ---------------------------
 
 
@@ -1365,6 +1386,42 @@ def q_grouped_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "rnk")
     )
+
+
+def q_group_sink_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composable per-group sinks (operators/group_sink.py — the
+    reference's group_by(nested sink), par_sink/group_by.rs:23-392):
+    per customer nation, ONE pass computes a count sink, an exact
+    money-sum sink, a deterministic exact-5 sample sink, and a top-3
+    by-balance sink, via the two-level push/merge tree (bounded state
+    per partition at every stage — no window, no whole-group
+    collection). Arrays are projected to comma-joined strings for the
+    scalar-only output contract."""
+    from amadeus_spark.operators import group_sink as gs
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    j = cu.join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+    out = gs.group_by_sink(
+        j,
+        ["n_name"],
+        {
+            "n_customers": gs.count(),
+            "total_acctbal": gs.money_sum("c_acctbal"),
+            "sample_custkeys": gs.sample_k("c_custkey", 5, salt="gbs"),
+            "top_custkeys": gs.top_n("c_acctbal", "c_custkey", 3),
+        },
+    )
+    joined = lambda c: F.expr(  # noqa: E731
+        f"array_join(transform({c}, x -> cast(x as string)), ',')"
+    ).alias(c)
+    return out.select(
+        "n_name",
+        "n_customers",
+        "total_acctbal",
+        joined("sample_custkeys"),
+        joined("top_custkeys"),
+    ).orderBy("n_name")
 
 
 def q_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2022,68 +2079,26 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
-    # verification come first. Round-4 front-loads everything new this
-    # round (TPC-H pack, line_dedup, perplexity_filter,
-    # event_anomaly_enrich, xml_source, scd2, weighted/equidepth,
-    # data_expectations, grouped_topn, variant_props) plus the r3
-    # dedup/similarity tail that had never been externally gated.
-    # NEXT-ROUND ROTATION: once CORRECTNESS_r04 lands green, everything
-    # in the first ~30 positions has an external row — rotate any
-    # round-5 additions to the front and push these toward the middle;
-    # rows-only queries stay last (test_oracle.py asserts the tail).
+    # verification come first. ROUND-6 ROTATION (executing the plan the
+    # r4/r5 verdicts called for): front-load (a) every query whose plan
+    # CHANGED this round (q11/q15 window->broadcast-agg, equidepth
+    # cut-point rewrite, capped ngram_jaccard, sharded sequence_packing),
+    # (b) the new group_sink_nation, (c) the 33 queries whose newest
+    # external row is CORRECTNESS_r03 (two rounds stale), and (d) the
+    # riskiest dedup/similarity plans. The round-4/5-green TPC-H pack and
+    # simple-plan block move to the middle (each is still oracle-verified
+    # locally every pytest run); rows-only queries stay last
+    # (test_oracle.py asserts the tail).
     return {
-        # round-4 TPC-H subquery-shape pack — never driver-verified yet
-        "tpch_q2_min_cost": q_tpch_q2_min_cost,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q7_volume": q_tpch_q7_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q9_profit": q_tpch_q9_profit,
-        "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
-        "tpch_q10_returns": q_tpch_q10_returns,
-        "tpch_q12_priority_class": q_tpch_q12_priority_class,
-        "tpch_q13_custdist": q_tpch_q13_custdist,
-        "tpch_q14_promo": q_tpch_q14_promo,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q16_partsupp": q_tpch_q16_partsupp,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
-        "tpch_q21_waiting": q_tpch_q21_waiting,
-        "tpch_q22_global": q_tpch_q22_global,
-        "line_dedup": q_line_dedup,
-        "perplexity_filter": q_perplexity_filter,
-        "event_anomaly_enrich": q_event_anomaly_enrich,
-        "xml_source": q_xml_source,
-        "scd2_user_episodes": q_scd2_user_episodes,
-        "weighted_sample": q_weighted_sample,
-        "data_expectations": q_data_expectations,
-        "grouped_topn": q_grouped_topn,
+        # (a) plans changed in round 6 — must re-verify externally
         "equidepth_histogram": q_equidepth_histogram,
-        # round-3/4 dedup-similarity block (first driver-verified r4)
-        "variant_props": q_variant_props,
-        "neardup_clusters": q_neardup_clusters,
-        "embedding_neardup": q_embedding_neardup,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "ngram_jaccard": q_ngram_jaccard,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "most_distinct": q_most_distinct,
-        "most_frequent": q_most_frequent,
-        "summary_agg": q_summary_agg,
-        "group_by_pricing": q_group_by_pricing,
-        "max_by": q_max_by,
-        "inner_join": q_inner_join,
-        "left_join": q_left_join,
-        "semi_anti_join": q_semi_anti_join,
-        "sample_deterministic": q_sample_deterministic,
-        "stratified_sample": q_stratified_sample,
-        "set_ops": q_set_ops,
-        "percentiles": q_percentiles,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q6_forecast": q_tpch_q6_forecast,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "sequence_packing": q_sequence_packing,
+        # (b) new in round 6
+        "group_sink_nation": q_group_sink_nation,
+        # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
         "cube": q_cube,
@@ -2109,9 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontamination": q_decontamination,
         "repetition_filter": q_repetition_filter,
-        "sequence_packing": q_sequence_packing,
         "fingerprint_dedup": q_fingerprint_dedup,
-        # low-risk long-stable oracle tail (green r1+r3, simple plans):
         "map_filter": q_map_filter,
         "flat_map": q_flat_map,
         "chain_union": q_chain_union,
@@ -2119,6 +2132,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_any": q_all_any,
         "sort_n_by": q_sort_n_by,
         "distinct_count": q_distinct_count,
+        # (d) riskiest plans — keep under the gate every round
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "neardup_clusters": q_neardup_clusters,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "variant_props": q_variant_props,
+        "percentiles": q_percentiles,
+        "scd2_user_episodes": q_scd2_user_episodes,
+        "weighted_sample": q_weighted_sample,
+        "data_expectations": q_data_expectations,
+        # ---- below the 50-entry gate: green in r04/r05, re-verified
+        # locally by tests/test_oracle.py every pytest run ----
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q16_partsupp": q_tpch_q16_partsupp,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q22_global": q_tpch_q22_global,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "line_dedup": q_line_dedup,
+        "perplexity_filter": q_perplexity_filter,
+        "event_anomaly_enrich": q_event_anomaly_enrich,
+        "xml_source": q_xml_source,
+        "grouped_topn": q_grouped_topn,
+        "most_distinct": q_most_distinct,
+        "most_frequent": q_most_frequent,
+        "summary_agg": q_summary_agg,
+        "group_by_pricing": q_group_by_pricing,
+        "max_by": q_max_by,
+        "inner_join": q_inner_join,
+        "left_join": q_left_join,
+        "semi_anti_join": q_semi_anti_join,
+        "sample_deterministic": q_sample_deterministic,
+        "stratified_sample": q_stratified_sample,
+        "set_ops": q_set_ops,
         # --- rows-only tail (no SQL oracle by nature) ---
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
@@ -2126,6 +2188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,
         "ivf_topk": q_ivf_topk,
+        "percentile_band": q_percentile_band,
     }
 
 
@@ -2720,6 +2783,21 @@ def oracle_sql() -> dict[str, str]:
                 JOIN nation ON s_nationkey = n_nationkey
                 GROUP BY n_name, l_partkey
             ) WHERE rnk <= 3 ORDER BY n_name, rnk
+        """,
+        "group_sink_nation": """
+            SELECT n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_acctbal,
+                   array_to_string(
+                       (list(CAST(c_custkey AS VARCHAR)
+                             ORDER BY md5('gbs' || CAST(c_custkey AS VARCHAR)), c_custkey))[1:5],
+                       ',') AS sample_custkeys,
+                   array_to_string(
+                       (list(CAST(c_custkey AS VARCHAR)
+                             ORDER BY c_acctbal DESC, c_custkey))[1:3],
+                       ',') AS top_custkeys
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "data_expectations": """
             SELECT 'discount_le_10pct' AS "check",

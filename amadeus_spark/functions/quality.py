@@ -47,24 +47,24 @@ def expectation_report(
     # call only as escaped string literals — a name with spaces or
     # quotes is data, not syntax.
     names = list(predicates) + list(unique_keys or {})
-    # every aggregate coalesces to 0: on an EMPTY input frame F.sum over
-    # zero rows is NULL, and a NULL violation count would stringify as
-    # 'None' under the strict gate compare (and read as "violated" to a
-    # human) — an empty table violates nothing.
-    aggs = [
-        F.coalesce(F.sum(F.when(~pred, 1).otherwise(0)), F.lit(0))
-        .cast("long")
-        .alias(f"__c{i}")
-        for i, (_, pred) in enumerate(predicates.items())
-    ]
-    for j, cols in enumerate((unique_keys or {}).values()):
-        key = F.struct(*[F.col(c) for c in cols])
-        aggs.append(
-            F.coalesce(F.count(key) - F.count_distinct(key), F.lit(0))
-            .cast("long")
-            .alias(f"__c{len(predicates) + j}")
-        )
     if names:
+        # every aggregate coalesces to 0: on an EMPTY input frame F.sum
+        # over zero rows is NULL, and a NULL violation count would
+        # stringify as 'None' under the strict gate compare (and read as
+        # "violated" to a human) — an empty table violates nothing.
+        aggs = [
+            F.coalesce(F.sum(F.when(~pred, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i, (_, pred) in enumerate(predicates.items())
+        ]
+        for j, cols in enumerate((unique_keys or {}).values()):
+            key = F.struct(*[F.col(c) for c in cols])
+            aggs.append(
+                F.coalesce(F.count(key) - F.count_distinct(key), F.lit(0))
+                .cast("long")
+                .alias(f"__c{len(predicates) + j}")
+            )
         wide = df.agg(*aggs)
         lits = ", ".join(
             "'{}', __c{}".format(n.replace("'", "''"), i)

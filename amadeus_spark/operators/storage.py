@@ -127,6 +127,16 @@ def zorder_write(
     )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path`` via the Hadoop FS API —
+    resolves file://, hdfs://, s3a:// alike from the session's Hadoop
+    conf. Seam for failure-injection tests (a py4j object can't be
+    monkeypatched)."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -159,10 +169,18 @@ def merge_upsert(
     — even with dynamic partition overwrite, which defers deletion to
     job commit — leaves a window where a commit-time failure loses the
     touched partitions with no recovery copy; with staging, the target
-    is only mutated after the full rewrite succeeded."""
-    import os as _os
-    import shutil as _shutil
+    is only mutated after the full rewrite succeeded. The staging dir
+    is removed ONLY after every swap landed; if a swap fails part-way,
+    the raised error carries the staging path so the remaining merged
+    partitions can be recovered by hand (the reference routes all file
+    mutation through the store's own API for the same reason —
+    amadeus-aws/src/file.rs:227).
 
+    The swap goes through the HADOOP FILESYSTEM API, not os.rename, so
+    the same code runs on file://, hdfs:// and s3a:// paths. On HDFS
+    the per-partition rename is atomic; on S3A rename is a server-side
+    copy (non-atomic, O(partition bytes)) — the recovery contract above
+    is what bounds the damage there."""
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     target = spark.read.parquet(target_path).filter(
         F.col(partition_col).isin(parts)
@@ -172,19 +190,30 @@ def merge_upsert(
     )
     merged = survivors.unionByName(updates)
     tmp = target_path.rstrip("/") + ".__merge_tmp__"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    fs, hpath = _hadoop_fs(spark, tmp)
+    tmp_p = hpath(tmp)
+    swapped: list[str] = []
     try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
         # swap only the partitions present in the update: untouched
         # partitions' files are never read or rewritten.
-        for entry in _os.listdir(tmp):
+        for status in fs.listStatus(tmp_p):
+            entry = status.getPath().getName()
             if not entry.startswith(f"{partition_col}="):
                 continue
-            dst = _os.path.join(target_path, entry)
-            if _os.path.isdir(dst):
-                _shutil.rmtree(dst)
-            _os.rename(_os.path.join(tmp, entry), dst)
-    finally:
-        _shutil.rmtree(tmp, ignore_errors=True)
+            dst = hpath(hpath(target_path), entry)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(status.getPath(), dst):
+                raise IOError(f"rename {status.getPath()} -> {dst} failed")
+            swapped.append(entry)
+    except Exception as e:
+        raise RuntimeError(
+            f"merge_upsert swap failed after {swapped}; merged partitions "
+            f"remain staged at {tmp} — recover by moving them into "
+            f"{target_path} manually"
+        ) from e
+    fs.delete(tmp_p, True)
 
 
 def compact_files(

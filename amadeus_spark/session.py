@@ -33,6 +33,10 @@ _DEFAULTS = {
     "spark.sql.parquet.aggregatePushdown": "true",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.ui.enabled": "false",
+    # stage-progress bars interleave with stdout under redirection and
+    # can land inside the driver's tail-of-output capture — never useful
+    # in a headless run
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": "48g",
     # A full bench session compiles a whole-stage-codegen plan pair
     # (warm-dir + bench-dir) per registered query — ~160 at 79 queries;

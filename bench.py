@@ -1,7 +1,9 @@
 """Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+JSON: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The FINAL stdout line is a compact
+(<2000-char) summary sized to the driver's tail window; the line before
+it and bench_results.json carry the full per-query map.
 
 Each query is timed as median-of-3 full executions after a per-query
 warm-up; timing is wall-clock around the terminal action (count/
@@ -29,11 +31,6 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from amadeus_spark import get_spark
     import __spark_entry__ as entrymod
-
-    spark = get_spark("amadeus_spark_bench")
-    # Warm up JVM + codegen so the first measured query isn't paying session
-    # startup (the driver measures engine speed, not JVM boot).
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     queries = entrymod.queries()
 
@@ -69,48 +66,93 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     reps_used: dict[str, int] = {}
-    for name, fn in queries.items():
-        try:
-            fn(spark, warm_dir).collect()
-        except Exception:
-            pass  # a warm-up failure surfaces in the timed run
-        spark._jvm.System.gc()  # settle accumulated JVM garbage so late
-        # queries aren't taxed by the first 40's allocations
-        this_reps = (
-            reps if time.perf_counter() - bench_t0 < budget_s else 1
-        )
-        reps_used[name] = this_reps
-        runs = []
-        for _ in range(this_reps):
-            spark.catalog.clearCache()  # dedup queries persist signature
-            release_cached()  # frames; clear between reps so each run
-            # re-executes the full plan independently
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.collect()  # every query returns a small result set
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        mid = len(runs) // 2
-        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
-        timings[name] = round(med, 4)  # true median (even rep counts too)
-        spread[name] = round(runs[-1] - runs[0], 4)
+    # SESSION SPLITTING: ReservedCodeCacheSize is hard-capped at 2 GB by
+    # HotSpot, and one long session compiling ~2 codegen plan sets per
+    # query overflows it past ~80 queries — the JIT then silently
+    # deoptimizes and late heavy queries inflate 2-4× with wild variance
+    # (r5 verdict measured minhash median 5.2 s / spread 4.1 s in-bench
+    # vs 3.6 s isolated). A fresh JVM per ≤64-query chunk keeps every
+    # chunk's hot methods compiled; the per-chunk warm-up query re-pays
+    # JVM+codegen spin-up so chunk boundaries don't tax the first timed
+    # query of the next chunk.
+    chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "64"))
+    items = list(queries.items())
+    chunks = [items[i : i + chunk_size] for i in range(0, len(items), chunk_size)]
+    for chunk in chunks:
+        spark = get_spark("amadeus_spark_bench")
+        # Warm up JVM + codegen so the first measured query isn't paying
+        # session startup (the driver measures engine speed, not boot).
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        for name, fn in chunk:
+            try:
+                fn(spark, warm_dir).collect()
+            except Exception:
+                pass  # a warm-up failure surfaces in the timed run
+            spark._jvm.System.gc()  # settle accumulated JVM garbage so
+            # late queries aren't taxed by earlier allocations
+            this_reps = (
+                reps if time.perf_counter() - bench_t0 < budget_s else 1
+            )
+            reps_used[name] = this_reps
+            runs = []
+            for _ in range(this_reps):
+                spark.catalog.clearCache()  # dedup queries persist
+                release_cached()  # signature frames; clear between reps
+                # so each run re-executes the full plan independently
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.collect()  # every query returns a small result set
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            mid = len(runs) // 2
+            med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+            timings[name] = round(med, 4)  # true median (even reps too)
+            spread[name] = round(runs[-1] - runs[0], 4)
+        if len(chunks) > 1:
+            spark.stop()
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "amadeus_spark headline queries wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "reps_used": reps_used,
-                "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "amadeus_spark headline queries wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "reps_used": reps_used,
+        "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
+        "sf": sf,
+    }
+    # Full-precision record → file (committed per round) + one stdout
+    # line for anyone reading the whole log.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_results.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    # The driver keeps only the LAST 2000 CHARS of stdout and json-parses
+    # the final line (BENCH_r2/r4/r5 recorded parsed:null because the
+    # full line outgrew that window as the registry grew). The LAST line
+    # is therefore a compact summary guaranteed under the window: total +
+    # as many of the SLOWEST per-query timings as fit (the ones perf
+    # review cares about), with the full map's location pointed at.
+    slowest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    compact: dict = {
+        "metric": "amadeus_spark headline queries wall-clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries_full": "bench_results.json",
+        "queries": {},
+    }
+    for name, sec in slowest:
+        compact["queries"][name] = sec
+        if len(json.dumps(compact, separators=(",", ":"))) > 1800:
+            del compact["queries"][name]
+            break
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1950, len(line)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -45,7 +45,19 @@ ROWS_ONLY = {
     "most_frequent_cms",
     "reservoir_sample",
     "ivf_topk",
+    "percentile_band",
 }
+
+
+def test_percentile_band_within_tolerance(spark):
+    """The percentile_approx scale path must land within ±1% of the
+    exact percentiles (accuracy=10000 guarantees rank error ≤ n/10000;
+    at sf0.01's n that is far inside 1% of the value range)."""
+    approx = entrymod.q_percentile_band(spark, SF_ORACLE).first()
+    exact = entrymod.q_percentiles(spark, SF_ORACLE).first()
+    for p in ("p50", "p90", "p99"):
+        a, e = approx[p], exact[p]
+        assert abs(a - e) <= 0.01 * e, (p, a, e)
 
 
 def test_contract_oracle_coverage():

@@ -161,3 +161,35 @@ def test_bigram_surprisal_partitioning_invariance(spark, nparts):
     base = _rows(text.bigram_surprisal_stats(_docs(spark, 32)))
     other = _rows(text.bigram_surprisal_stats(_docs(spark, nparts)))
     assert base == other
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_group_by_sink_partitioning_invariance(spark, nparts):
+    """group_by_sink's level-1 grouping includes spark_partition_id, so
+    partition-layout independence is the property that must hold: the
+    k-smallest-by-hash sample and top-n are global extrema (merge of
+    per-partition extrema is exact), counts/sums are commutative, and
+    the HLL union is order-free."""
+    from amadeus_spark.operators import group_sink as gs
+
+    def run(df):
+        out = gs.group_by_sink(
+            df,
+            ["lang"],
+            {
+                "n": gs.count(),
+                "chars": gs.max_("n_chars"),
+                "sample": gs.sample_k("doc_id", 4, salt="pt"),
+                "top": gs.top_n("n_chars", "doc_id", 3),
+                "approx": gs.approx_distinct("doc_id"),
+            },
+        )
+        return _rows(
+            out.select(
+                "lang", "n", "chars", "approx",
+                F.expr("array_join(transform(sample, x -> cast(x as string)), ',')").alias("s"),
+                F.expr("array_join(transform(top, x -> cast(x as string)), ',')").alias("t"),
+            )
+        )
+
+    assert run(_docs(spark, 32)) == run(_docs(spark, nparts))

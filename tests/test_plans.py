@@ -229,9 +229,11 @@ def test_q2_window_min_single_lineitem_scan(spark):
 
 
 def test_q15_single_lineitem_scan(spark):
-    """The scalar MAX subquery is a window over the post-agg frame, so
-    lineitem is scanned once — the classic view+subquery form scans the
-    fact table twice."""
+    """The scalar MAX subquery is a 1-row aggregate over the PERSISTED
+    post-agg revenue frame broadcast back onto it, so lineitem is
+    scanned once — the classic view+subquery form scans the fact table
+    twice, and the previous empty-partitionBy window form sorted the
+    whole frame through one task."""
     import re
 
     df = entrymod.q_tpch_q15_top_supplier(spark, SF_ORACLE)

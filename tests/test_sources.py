@@ -590,3 +590,54 @@ def test_png_garbage_never_leaks_library_errors():
             decode_png(bytes(raw))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_warc_stream_bounded_paging():
+    """The parser must stream: records come out page-by-page with the
+    buffer never holding more than one fill chunk + the current record.
+    Pin it with a many-record stream and a tiny page size."""
+    import io
+
+    from amadeus_spark.sources import warc as w
+
+    payload = _make_warc(
+        [(f"http://ex.com/{i}", "1.2.3.4", b"x" * 100) for i in range(1000)]
+    )
+
+    class _CountingRaw:
+        """read(n)-only source that records the largest single request —
+        proves the parser never asks for the whole stream."""
+
+        def __init__(self, data):
+            self._b = io.BytesIO(data)
+            self.max_req = 0
+
+        def read(self, n):
+            self.max_req = max(self.max_req, n)
+            return self._b.read(n)
+
+    raw = _CountingRaw(payload)
+    pages = list(w._pages(w._record_stream(raw)))
+    assert sum(len(p) for p in pages) == 1000
+    assert len(pages) == (1000 + w._PAGE_RECORDS - 1) // w._PAGE_RECORDS
+    assert all(len(p) <= w._PAGE_RECORDS for p in pages)
+    assert raw.max_req <= (1 << 20)  # fill chunk, never the file size
+
+
+def test_warc_read_glob_and_dir(spark, tmpdir_data):
+    """_expand_paths: dir, glob, and explicit-list forms give the same
+    rows; the plan distributes one path per task."""
+    import gzip as _gz
+
+    p = os.path.join(tmpdir_data, "warc_glob")
+    os.makedirs(p, exist_ok=True)
+    payload = _make_warc([("http://a/", "1.1.1.1", b"abc")])
+    for i in range(3):
+        with open(os.path.join(p, f"f{i}.warc.gz"), "wb") as f:
+            f.write(_gz.compress(payload))
+    by_dir = warc.read_warc(spark, p).count()
+    by_glob = warc.read_warc(spark, p + "/f*.warc.gz").count()
+    by_list = warc.read_warc(
+        spark, [os.path.join(p, f"f{i}.warc.gz") for i in range(3)]
+    ).count()
+    assert by_dir == by_glob == by_list == 3

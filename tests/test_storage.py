@@ -203,3 +203,79 @@ def test_compact_files_binpacks_and_preserves_rows(spark, tmp_path):
         )
         assert overlaps == 0  # disjoint ranges -> pruning survives
     assert spark.read.parquet(d).count() == n
+
+
+def test_merge_upsert_swap_uses_filesystem_api(spark, tmp_path, monkeypatch):
+    """The staged swap must route through the Hadoop FileSystem API so
+    the identical code runs on hdfs:///s3a:// (reference posture:
+    amadeus-aws/src/file.rs:227 — all mutation through the store's own
+    API). Pin it behaviorally: poison os.rename/shutil.rmtree for the
+    duration; a regression back to local-fs calls raises instantly."""
+    import os as _os
+    import shutil as _shutil
+
+    def _boom(*a, **k):
+        raise AssertionError("local-fs mutation API used in merge_upsert")
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, val double"
+    ).write.partitionBy("part").parquet(target)
+    updates = spark.createDataFrame(
+        [(1, "a", 9.0)], "id long, part string, val double"
+    )
+    monkeypatch.setattr(_os, "rename", _boom)
+    monkeypatch.setattr(_os, "replace", _boom)
+    monkeypatch.setattr(_shutil, "rmtree", _boom)
+    storage.merge_upsert(spark, target, updates, ["id"], "part")
+    got = {(r.id, r.part, r.val) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "a", 9.0), (2, "b", 2.0)}
+    assert not _os.path.isdir(target + ".__merge_tmp__")  # staging cleaned
+
+
+def test_merge_upsert_failed_swap_preserves_staging(spark, tmp_path):
+    """If the swap dies part-way, the staging dir must SURVIVE and the
+    error must name it — that tmp copy is the only copy of a partition
+    whose target dir was already dropped (the r5 advice's unrecoverable-
+    loss window)."""
+    import pytest as _pytest
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 1.0)], "id long, part string, val double"
+    ).write.partitionBy("part").parquet(target)
+    updates = spark.createDataFrame(
+        [(1, "a", 9.0)], "id long, part string, val double"
+    )
+    import os as _os
+
+    # inject a realistic failure through the FS seam: rename returning
+    # False is exactly what HDFS/S3A report for a lost race or missing
+    # parent (the Hadoop API's documented failure mode, not an exception)
+    class _RenameFails:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def listStatus(self, p):  # noqa: N802 — Hadoop API casing
+            return self._fs.listStatus(p)
+
+        def exists(self, p):
+            return self._fs.exists(p)
+
+        def delete(self, p, recursive):
+            return self._fs.delete(p, recursive)
+
+        def rename(self, src, dst):
+            return False
+
+    real = storage._hadoop_fs
+    tmp_dir = target + ".__merge_tmp__"
+    try:
+        storage._hadoop_fs = lambda s, p: (
+            lambda fs_path: (_RenameFails(fs_path[0]), fs_path[1])
+        )(real(s, p))
+        with _pytest.raises(RuntimeError, match="remain staged"):
+            storage.merge_upsert(spark, target, updates, ["id"], "part")
+        assert _os.path.isdir(tmp_dir)  # recovery copy survives
+    finally:
+        storage._hadoop_fs = real
