@@ -269,3 +269,15 @@ def test_no_single_partition_window_anywhere(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, f"single-partition windows planned: {offenders}"
+
+
+def test_ngram_jaccard_registered_cap_is_on(spark):
+    """The REGISTERED ngram_jaccard must apply the stop-shingle df cap
+    (r4/r5 verdicts: a boilerplate shingle in d docs emits O(d²)
+    self-join rows — cap machinery existing but OFF is the failure
+    mode), and the cap's doc-count must be a broadcast 1-row aggregate,
+    not an eager driver-side count."""
+    df = entrymod.q_ngram_jaccard(spark, SF_SMOKE)
+    txt = plans.plan_text(df)
+    assert "CEIL(" in txt and "__ndocs" in txt, txt[:2000]
+    plans.assert_no_python_udf(df)
