@@ -170,6 +170,56 @@ def streaming_top_distinct(events: DataFrame, k: int = 5, rsd: float = 0.02) -> 
     )
 
 
+_GSAMPLE_STATE_SCHEMA = "hs array<string>, vs array<bigint>"
+
+
+def streaming_group_sample(
+    events: DataFrame,
+    group_col: str = "event_type",
+    id_col: str = "event_id",
+    k: int = 5,
+    salt: str = "rs",
+) -> DataFrame:
+    """Streaming twin of ``group_sink.sample_k`` — a running exact-k
+    deterministic sample PER GROUP over an unbounded stream (the
+    reference's group_by(sample sink) on a DistributedStream,
+    par_sink/group_by.rs + sample.rs:125-185).
+
+    State per group is the current k smallest (md5(salt||id), id)
+    pairs — k rows, FIXED, regardless of how many events the group has
+    seen (the same merge-of-extrema argument that makes the batch
+    operator partitioning-invariant makes this state mergeable across
+    micro-batches). Deterministic: replaying the stream, in any batch
+    segmentation, yields byte-identical samples, which is what makes
+    the batch operator the oracle for this stream (parity-tested)."""
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import hashlib
+
+        pairs: list[tuple[str, int]] = (
+            list(zip(state.get[0], state.get[1])) if state.exists else []
+        )
+        for pdf in pdfs:
+            for v in pdf[id_col]:
+                h = hashlib.md5((salt + str(int(v))).encode()).hexdigest()
+                pairs.append((h, int(v)))
+        pairs = sorted(set(pairs))[:k]
+        state.update(([h for h, _ in pairs], [v for _, v in pairs]))
+        yield pd.DataFrame(
+            [{group_col: key[0], "sample_ids": [v for _, v in pairs]}]
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=f"{group_col} string, sample_ids array<bigint>",
+        stateStructType=_GSAMPLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str], watermark: str = "30 minutes"
 ) -> DataFrame:

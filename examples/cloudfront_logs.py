@@ -41,6 +41,24 @@ def main(path: str) -> None:
     for r in histogram:
         print("  ", r.hour, r.requests)
 
+    # The reference's EXACT flagship shape — request count AND a bounded
+    # deterministic sample PER HOUR in one aggregation pass (group_by with
+    # a nested (count, sample) sink, examples/cloudfront_logs.rs:33-40) —
+    # is ONE group_by_sink call: no persist, no second action, state
+    # bounded per partition.
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.operators import group_sink as gs
+
+    per_hour = gs.group_by_sink(
+        rows.withColumn("hour", F.date_trunc("hour", "time")),
+        ["hour"],
+        {"requests": gs.count(), "sampled_ips": gs.sample_k("remote_ip", 3)},
+    ).orderBy("hour")
+    print("one-pass per-hour count + sample:")
+    for r in per_hour.collect():
+        print("  ", r.hour, r.requests, list(r.sampled_ips))
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/cloudfront_logs")

@@ -316,3 +316,26 @@ def test_cdc_upsert_sink_matches_batch_merge(spark, tmp_path):
         for f in _glob.glob(f"{target}/part=c/*.parquet")
     }
     assert before_c == after_c  # partition c never touched
+
+
+def test_streaming_group_sample_matches_batch_sink(spark, event_stream_dir):
+    """Streaming per-group exact-k sample == the batch group_by_sink
+    sample over the same rows (the determinism that makes the batch
+    operator the stream's oracle), regardless of micro-batch splits."""
+    from amadeus_spark.operators import group_sink as gs
+
+    stream = ev.read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    ev.run_to_memory_sink(
+        ev.streaming_group_sample(stream, k=4, salt="st"), "gsample_sink", "update"
+    )
+    final = {}
+    for r in spark.sql("select * from gsample_sink").collect():
+        final[r.event_type] = list(r.sample_ids)  # later emissions overwrite
+    batch = spark.read.parquet(event_stream_dir)
+    want = {
+        r.event_type: list(r.s)
+        for r in gs.group_by_sink(
+            batch, ["event_type"], {"s": gs.sample_k("event_id", 4, salt="st")}
+        ).collect()
+    }
+    assert final == want
