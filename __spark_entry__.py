@@ -1148,6 +1148,39 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF (MP4) demux + frame-sampling plan (functions/mp4.py —
+    pure-Python container parse, no codec): per deterministic synthetic
+    video, the selected frames' byte ranges and timestamps via the
+    sample tables (stts/stsz/stsc/stco/stss). The ranged-read plan is
+    the 100 TB primitive — fetch (offset,size) windows, never whole
+    files. Rows-only (DuckDB has no demuxer); determinism is pinned by
+    the fixed frame layout."""
+    from amadeus_spark.functions import mp4, multimodal
+
+    vids = [
+        (
+            mid,
+            mp4.encode_mp4(
+                [bytes([mid * 16 + i]) * (30 + 3 * i) for i in range(24)],
+                fps=12,
+                keyframe_every=6,
+            ),
+        )
+        for mid in range(8)
+    ]
+    df = spark.createDataFrame(vids, "media_id long, payload binary")
+    plan = multimodal.mp4_frame_sample_plan(df, every_n=5)
+    return plan.select(
+        "media_id",
+        "frame_idx",
+        F.round("t_s", 6).alias("t_s"),
+        "offset",
+        "size",
+        "keyframe",
+    ).orderBy("media_id", "frame_idx")
+
+
 def q_nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested List data round-trip (SURVEY §1.2, value.rs:148-153;
     reference nested fixtures tests/parquet.rs:113-290): collect_list →
@@ -2184,6 +2217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rows-only tail (no SQL oracle by nature) ---
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
+        "mp4_frame_plan": q_mp4_frame_plan,
         "approx_distinct": q_approx_distinct,
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,

@@ -461,6 +461,57 @@ def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     return sel.mapInPandas(_decode, schema=FRAME_FEATURE_SCHEMA)
 
 
+MP4_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("t_s", T.DoubleType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("keyframe", T.BooleanType()),
+    ]
+)
+
+
+def mp4_frame_sample_plan(
+    df: DataFrame, every_n: int = 30, keyframes_only: bool = False
+) -> DataFrame:
+    """MP4 frame-sampling plan over a payload column: demux each file's
+    sample tables (mp4.py, pure-Python ISO-BMFF — no codec) and emit the
+    selected frames' BYTE RANGES + timestamps. This is the real-world
+    version of frame_sample_plan: with range-capable storage the decode
+    stage fetches (offset, size) windows instead of whole files — at
+    100 TB the sampled bytes are typically <5% of the corpus. The codec
+    decode of those slices stays library-gated (NotImplementedError
+    path in decode_image), exactly like progressive JPEG."""
+    from amadeus_spark.functions import mp4 as _mp4
+
+    def _plan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for r in _mp4.mp4_sample_ranges(
+                    bytes(payload), every_n=every_n, keyframes_only=keyframes_only
+                ):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": r["frame_idx"],
+                            "t_s": r["t_s"],
+                            "offset": r["offset"],
+                            "size": r["size"],
+                            "keyframe": r["keyframe"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MP4_PLAN_SCHEMA]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        _plan, schema=MP4_PLAN_SCHEMA
+    )
+
+
 # --------------------------------------------------------------- testdata
 
 

@@ -46,6 +46,7 @@ ROWS_ONLY = {
     "reservoir_sample",
     "ivf_topk",
     "percentile_band",
+    "mp4_frame_plan",
 }
 
 
