@@ -1181,6 +1181,36 @@ def q_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
+def q_mp3_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio frame-index + segment-sampling plan (functions/mp3.py
+    — pure-Python header walk, no codec): per deterministic synthetic
+    stream, ~1-second segments' byte ranges and timestamps. The audio
+    twin of mp4_frame_plan; rows-only (no SQL demuxer)."""
+    from amadeus_spark.functions import mp3, multimodal
+
+    auds = [
+        (
+            mid,
+            mp3.encode_mp3(
+                n_frames=120 + 10 * mid,
+                bitrate_idx=5 + mid,
+                pad_every=3 if mid % 2 else 0,
+            ),
+        )
+        for mid in range(6)
+    ]
+    df = spark.createDataFrame(auds, "media_id long, payload binary")
+    plan = multimodal.mp3_segment_sample_plan(df, segment_s=1.0, every_n=2)
+    return plan.select(
+        "media_id",
+        "segment_idx",
+        F.round("t_start_s", 6).alias("t_start_s"),
+        F.round("duration_s", 6).alias("duration_s"),
+        "offset",
+        "size",
+    ).orderBy("media_id", "segment_idx")
+
+
 def q_nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested List data round-trip (SURVEY §1.2, value.rs:148-153;
     reference nested fixtures tests/parquet.rs:113-290): collect_list →
@@ -2218,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
         "mp4_frame_plan": q_mp4_frame_plan,
+        "mp3_segment_plan": q_mp3_segment_plan,
         "approx_distinct": q_approx_distinct,
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,

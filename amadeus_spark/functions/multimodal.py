@@ -512,6 +512,52 @@ def mp4_frame_sample_plan(
     )
 
 
+MP3_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("segment_idx", T.LongType()),
+        T.StructField("t_start_s", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+
+def mp3_segment_sample_plan(
+    df: DataFrame, segment_s: float = 10.0, every_n: int = 1
+) -> DataFrame:
+    """Audio segment-sampling plan over MP3 payloads: frame-header walk
+    (mp3.py, no decode) groups frames into ~segment_s runs and emits the
+    selected segments' byte ranges — the audio twin of
+    mp4_frame_sample_plan (ranged reads instead of whole-file decode;
+    the DSP decode of chosen windows stays library-gated)."""
+    from amadeus_spark.functions import mp3 as _mp3
+
+    def _plan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for r in _mp3.mp3_segment_ranges(
+                    bytes(payload), segment_s=segment_s, every_n=every_n
+                ):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "segment_idx": r["segment_idx"],
+                            "t_start_s": r["t_start_s"],
+                            "duration_s": r["duration_s"],
+                            "offset": r["offset"],
+                            "size": r["size"],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MP3_PLAN_SCHEMA])
+
+    return df.select("media_id", "payload").mapInPandas(
+        _plan, schema=MP3_PLAN_SCHEMA
+    )
+
+
 # --------------------------------------------------------------- testdata
 
 

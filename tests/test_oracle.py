@@ -47,6 +47,7 @@ ROWS_ONLY = {
     "ivf_topk",
     "percentile_band",
     "mp4_frame_plan",
+    "mp3_segment_plan",
 }
 
 
