@@ -1152,23 +1152,26 @@ def q_mp4_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-BMFF (MP4) demux + frame-sampling plan (functions/mp4.py —
     pure-Python container parse, no codec): per deterministic synthetic
     video, the selected frames' byte ranges and timestamps via the
-    sample tables (stts/stsz/stsc/stco/stss). The ranged-read plan is
-    the 100 TB primitive — fetch (offset,size) windows, never whole
-    files. Rows-only (DuckDB has no demuxer); determinism is pinned by
-    the fixed frame layout."""
+    sample tables (stts/stsz/stsc/stco/stss), and for FRAGMENTED files
+    via trex defaults + moof/tfhd/trun runs (the DASH/CMAF layout
+    streaming corpora actually use). The ranged-read plan is the 100 TB
+    primitive — fetch (offset,size) windows, never whole files.
+    Rows-only (DuckDB has no demuxer); determinism is pinned by the
+    fixed frame layout."""
     from amadeus_spark.functions import mp4, multimodal
 
-    vids = [
-        (
-            mid,
-            mp4.encode_mp4(
-                [bytes([mid * 16 + i]) * (30 + 3 * i) for i in range(24)],
+    vids = []
+    for mid in range(8):
+        frames = [bytes([mid * 16 + i]) * (30 + 3 * i) for i in range(24)]
+        if mid % 2:  # odd ids: fragmented layout, same frame content
+            payload = mp4.encode_fmp4(
+                [frames[i : i + 6] for i in range(0, 24, 6)],
                 fps=12,
                 keyframe_every=6,
-            ),
-        )
-        for mid in range(8)
-    ]
+            )
+        else:
+            payload = mp4.encode_mp4(frames, fps=12, keyframe_every=6)
+        vids.append((mid, payload))
     df = spark.createDataFrame(vids, "media_id long, payload binary")
     plan = multimodal.mp4_frame_sample_plan(df, every_n=5)
     return plan.select(

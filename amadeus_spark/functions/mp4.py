@@ -26,7 +26,10 @@ from __future__ import annotations
 import struct
 from dataclasses import dataclass, field
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex"}
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex",
+    b"moof", b"traf",
+}
 
 
 def _err(msg: str) -> ValueError:
@@ -261,9 +264,136 @@ def _parse_track(data: bytes, trak: Box) -> Track:
     )
 
 
+# ---- fragmented MP4 (fMP4 / DASH / CMAF) -----------------------------------
+
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_DEFAULT_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_SAMPLE_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTO = 0x000800
+_FLAG_NON_SYNC = 0x00010000  # sample_is_non_sync_sample
+
+
+def _full_flags(data: bytes, box: Box) -> tuple[int, int, int]:
+    """(version, flags, payload_start) for a full box."""
+    if box.body_end - box.body_start < 4:
+        raise _err(f"truncated full box {box.type!r}")
+    v = data[box.body_start]
+    flags = int.from_bytes(data[box.body_start + 1 : box.body_start + 4], "big")
+    return v, flags, box.body_start + 4
+
+
+def _parse_fragments(
+    data: bytes, top: list[Box], tracks: dict[int, Track], trex_defaults: dict
+) -> None:
+    """Append every moof's trun samples to the matching track. Sample
+    field resolution order per spec: trun per-sample value → tfhd
+    default → trex default."""
+    for moof in (b for b in top if b.type == b"moof"):
+        for traf in moof.find_all(b"traf"):
+            tfhd = traf.find(b"tfhd")
+            if tfhd is None:
+                raise _err("traf missing tfhd")
+            _, tf_flags, p = _full_flags(data, tfhd)
+            (track_id,) = _u32s(data, p, 1)
+            p += 4
+            track = tracks.get(track_id)
+            if track is None:
+                raise _err(f"fragment for unknown track {track_id}")
+            tx = trex_defaults.get(track_id, {})
+            base_offset = None
+            if tf_flags & _TFHD_BASE_DATA_OFFSET:
+                if p + 8 > len(data):
+                    raise _err("truncated tfhd")
+                base_offset = struct.unpack_from(">Q", data, p)[0]
+                p += 8
+            if tf_flags & _TFHD_SAMPLE_DESC:
+                p += 4
+            d_dur = tx.get("duration", 0)
+            d_size = tx.get("size", 0)
+            d_flags = tx.get("flags", 0)
+            if tf_flags & _TFHD_DEFAULT_DURATION:
+                (d_dur,) = _u32s(data, p, 1)
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_SIZE:
+                (d_size,) = _u32s(data, p, 1)
+                p += 4
+            if tf_flags & _TFHD_DEFAULT_FLAGS:
+                (d_flags,) = _u32s(data, p, 1)
+                p += 4
+            if base_offset is None:
+                # default-base-is-moof, and the spec's legacy default for
+                # the first traf, both resolve to the moof's first byte
+                base_offset = moof.start
+            tfdt = traf.find(b"tfdt")
+            if tfdt is not None:
+                ver, _, tp = _full_flags(data, tfdt)
+                try:
+                    dts = (
+                        struct.unpack_from(">Q", data, tp)[0]
+                        if ver == 1
+                        else struct.unpack_from(">I", data, tp)[0]
+                    )
+                except struct.error as e:
+                    raise _err("truncated tfdt") from e
+            else:
+                dts = track.samples[-1].dts + d_dur if track.samples else 0
+            for trun in traf.find_all(b"trun"):
+                _, tr_flags, p2 = _full_flags(data, trun)
+                (count,) = _u32s(data, p2, 1)
+                p2 += 4
+                offset = base_offset
+                if tr_flags & _TRUN_DATA_OFFSET:
+                    if p2 + 4 > len(data):
+                        raise _err("truncated trun")
+                    offset = base_offset + struct.unpack_from(">i", data, p2)[0]
+                    p2 += 4
+                first_flags = None
+                if tr_flags & _TRUN_FIRST_SAMPLE_FLAGS:
+                    (first_flags,) = _u32s(data, p2, 1)
+                    p2 += 4
+                for i in range(count):
+                    dur, size, sflags = d_dur, d_size, d_flags
+                    if tr_flags & _TRUN_SAMPLE_DURATION:
+                        (dur,) = _u32s(data, p2, 1)
+                        p2 += 4
+                    if tr_flags & _TRUN_SAMPLE_SIZE:
+                        (size,) = _u32s(data, p2, 1)
+                        p2 += 4
+                    if tr_flags & _TRUN_SAMPLE_FLAGS:
+                        (sflags,) = _u32s(data, p2, 1)
+                        p2 += 4
+                    elif i == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if tr_flags & _TRUN_SAMPLE_CTO:
+                        p2 += 4  # presentation offset — dts is enough here
+                    if offset + size > len(data):
+                        raise _err("trun sample overruns file")
+                    track.samples.append(
+                        Sample(
+                            index=len(track.samples),
+                            offset=offset,
+                            size=size,
+                            dts=dts,
+                            keyframe=not (sflags & _FLAG_NON_SYNC),
+                        )
+                    )
+                    offset += size
+                    dts += dur
+
+
 def parse_mp4(data: bytes) -> list[Track]:
-    """All tracks with fully-resolved sample maps. Raises ValueError on
-    malformed input (shared corrupt-stream contract)."""
+    """All tracks with fully-resolved sample maps — progressive (moov
+    sample tables) AND fragmented (mvex/trex defaults + moof/tfhd/trun
+    runs, the DASH/CMAF layout streaming corpora actually use). Raises
+    ValueError on malformed input (shared corrupt-stream contract)."""
     try:
         top = parse_boxes(data)
     except ValueError:
@@ -276,6 +406,21 @@ def parse_mp4(data: bytes) -> list[Track]:
     tracks = [_parse_track(data, trak) for trak in moov.find_all(b"trak")]
     if not tracks:
         raise _err("moov has no trak")
+    mvex = moov.find(b"mvex")
+    if mvex is not None or any(b.type == b"moof" for b in top):
+        trex_defaults: dict[int, dict] = {}
+        if mvex is not None:
+            for trex in mvex.find_all(b"trex"):
+                _, _, p = _full_flags(data, trex)
+                tid, _desc, dur, size, flags = _u32s(data, p, 5)
+                trex_defaults[tid] = {
+                    "duration": dur,
+                    "size": size,
+                    "flags": flags,
+                }
+        _parse_fragments(
+            data, top, {t.track_id: t for t in tracks}, trex_defaults
+        )
     return tracks
 
 
@@ -287,11 +432,15 @@ def mp4_metadata(data: bytes) -> dict:
     )
     if video is None:
         raise _err("no video track")
+    duration = video.duration
+    if duration == 0 and video.samples:
+        # fragmented files leave mdhd duration 0; the sample map knows
+        duration = video.samples[-1].dts
     return {
         "codec": video.codec,
         "width": int(video.width),
         "height": int(video.height),
-        "duration_s": video.duration / video.timescale,
+        "duration_s": duration / video.timescale,
         "n_frames": len(video.samples),
         "n_keyframes": sum(1 for s in video.samples if s.keyframe),
     }
@@ -441,3 +590,109 @@ def encode_mp4(
     moov = build_moov(offsets)
     mdat = box(b"mdat", mdat_body)
     return ftyp + moov + mdat
+
+
+def encode_fmp4(
+    fragments: list[list[bytes]],
+    fps: int = 30,
+    width: int = 64,
+    height: int = 48,
+    keyframe_every: int = 10,
+) -> bytes:
+    """Minimal valid FRAGMENTED ISO-BMFF file (DASH/CMAF layout): init
+    segment (ftyp + moov with EMPTY sample tables + mvex/trex defaults)
+    followed by one moof+mdat pair per fragment; trun carries per-sample
+    sizes and flags, tfdt carries the running decode time. Same honesty
+    contract as encode_mp4: opaque payloads, fourcc 'fake', demuxer
+    exercise only."""
+
+    def box(btype: bytes, *parts: bytes) -> bytes:
+        body = b"".join(parts)
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def full(btype: bytes, version: int, flags: int, *parts: bytes) -> bytes:
+        return box(
+            btype, bytes([version]) + flags.to_bytes(3, "big"), *parts
+        )
+
+    timescale = fps
+    # ---- init segment: empty stbl + trex defaults ----
+    stsd = full(
+        b"stsd", 0, 0, struct.pack(">I", 1), box(b"fake", b"\x00" * 8)
+    )
+    empty = (
+        stsd
+        + full(b"stts", 0, 0, struct.pack(">I", 0))
+        + full(b"stsc", 0, 0, struct.pack(">I", 0))
+        + full(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        + full(b"stco", 0, 0, struct.pack(">I", 0))
+    )
+    stbl = box(b"stbl", empty)
+    minf = box(b"minf", stbl)
+    hdlr = full(b"hdlr", 0, 0, struct.pack(">I", 0), b"vide", b"\x00" * 13)
+    mdhd = full(
+        b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0), b"\x00" * 4
+    )
+    mdia = box(b"mdia", mdhd, hdlr, minf)
+    tkhd = full(
+        b"tkhd",
+        0,
+        0,
+        struct.pack(">III", 0, 0, 1),
+        b"\x00" * 4,
+        struct.pack(">I", 0),
+        b"\x00" * 8,
+        struct.pack(">hhhh", 0, 0, 0, 0),
+        b"\x00" * 36,
+        struct.pack(">II", width << 16, height << 16),
+    )
+    trak = box(b"trak", tkhd, mdia)
+    trex = full(
+        b"trex",
+        0,
+        0,
+        struct.pack(">IIIII", 1, 1, 1, 0, _FLAG_NON_SYNC),
+    )
+    mvex = box(b"mvex", trex)
+    mvhd = full(
+        b"mvhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, 0), b"\x00" * 80
+    )
+    moov = box(b"moov", mvhd, trak, mvex)
+    out = bytearray(box(b"ftyp", b"iso5", struct.pack(">I", 512)) + moov)
+
+    # ---- fragments ----
+    frame_no = 0
+    dts = 0
+    for seq, frames in enumerate(fragments, start=1):
+        mfhd = full(b"mfhd", 0, 0, struct.pack(">I", seq))
+        tfhd = full(
+            b"tfhd",
+            0,
+            _TFHD_DEFAULT_BASE_IS_MOOF,
+            struct.pack(">I", 1),
+        )
+        tfdt = full(b"tfdt", 1, 0, struct.pack(">Q", dts))
+        tr_flags = (
+            _TRUN_DATA_OFFSET | _TRUN_SAMPLE_SIZE | _TRUN_SAMPLE_FLAGS
+        )
+        rows = b""
+        for f in frames:
+            sflags = (
+                0 if frame_no % keyframe_every == 0 else _FLAG_NON_SYNC
+            )
+            rows += struct.pack(">II", len(f), sflags)
+            frame_no += 1
+            dts += 1
+        # data offset = from moof start to mdat payload; trun size is
+        # fixed once the row count is known, so compute moof size first
+        trun_body = struct.pack(">I", len(frames)) + b"\x00\x00\x00\x00" + rows
+        trun = full(b"trun", 0, tr_flags, trun_body)
+        traf = box(b"traf", tfhd, tfdt, trun)
+        moof = box(b"moof", mfhd, traf)
+        data_offset = len(moof) + 8  # into the following mdat's payload
+        # patch the placeholder (first 4 bytes after sample count)
+        moof = bytearray(moof)
+        idx = moof.find(b"trun") + 4 + 4 + 4  # fourcc + ver/flags + count
+        moof[idx : idx + 4] = struct.pack(">i", data_offset)
+        out += bytes(moof) + box(b"mdat", b"".join(frames))
+    return bytes(out)

@@ -144,3 +144,83 @@ def test_spark_mp4_frame_plan(spark):
             30 + r.frame_idx
         )
         assert r.keyframe == (r.frame_idx % 3 == 0)
+
+
+def test_fragmented_roundtrip_and_ranges():
+    """DASH/CMAF layout: init segment + moof/mdat pairs; trun per-sample
+    sizes/flags, tfdt decode times, trex defaults."""
+    frags = [[bytes([16 * f + i]) * (20 + 5 * i) for i in range(6)] for f in range(4)]
+    blob = mp4.encode_fmp4(frags, fps=12, keyframe_every=6)
+    (track,) = mp4.parse_mp4(blob)
+    flat = [f for frag in frags for f in frag]
+    assert len(track.samples) == 24
+    for s in track.samples:
+        assert blob[s.offset : s.offset + s.size] == flat[s.index]
+    assert [s.dts for s in track.samples] == list(range(24))
+    assert [s.index for s in track.samples if s.keyframe] == [0, 6, 12, 18]
+    meta = mp4.mp4_metadata(blob)
+    assert meta["n_frames"] == 24 and meta["n_keyframes"] == 4
+
+
+def test_fragmented_hand_built_tfhd_defaults_and_base_offset():
+    """Hand-built fragment exercising paths the writer never emits:
+    tfhd carries DEFAULT sample size+duration (no per-sample trun
+    fields) and an explicit 64-bit base-data-offset; trex supplies the
+    flags default (non-sync), first-sample-flags marks the keyframe."""
+    frame_size, n = 24, 5
+    frames = [bytes([0x70 + i]) * frame_size for i in range(n)]
+
+    # reuse the writer's init segment (it IS spec bytes), then a custom moof
+    init = mp4.encode_fmp4([], fps=10)
+    tfhd_flags = 0x000001 | 0x000008 | 0x000010  # base-offset + defaults
+    trun_flags = 0x000001 | 0x000004  # data-offset + first-sample-flags
+    trun = _full(
+        b"trun",
+        0,
+        struct.pack(">I", n) + struct.pack(">i", 0) + struct.pack(">I", 0),
+    )
+    # assemble with placeholder offsets, then patch
+    def moof_with(base):
+        tfhd = _full(
+            b"tfhd",
+            0,
+            struct.pack(">I", 1)
+            + struct.pack(">Q", base)
+            + struct.pack(">II", 3, frame_size),  # default dur=3, size
+        )
+        t = bytearray(tfhd)
+        t[9:12] = tfhd_flags.to_bytes(3, "big")
+        tr = bytearray(trun)
+        tr[9:12] = trun_flags.to_bytes(3, "big")
+        tfdt = _full(b"tfdt", 1, struct.pack(">Q", 100))
+        traf = _box(b"traf", bytes(t), tfdt, bytes(tr))
+        return _box(b"moof", _full(b"mfhd", 0, struct.pack(">I", 1)), traf)
+
+    moof = moof_with(0)
+    mdat_payload_at = len(init) + len(moof) + 8
+    blob = init + moof_with(mdat_payload_at) + _box(b"mdat", b"".join(frames))
+
+    (track,) = mp4.parse_mp4(blob)
+    assert len(track.samples) == n
+    for s in track.samples:
+        assert blob[s.offset : s.offset + s.size] == frames[s.index]
+    assert [s.dts for s in track.samples] == [100, 103, 106, 109, 112]
+    # first-sample-flags (0 = sync) overrides trex's non-sync default
+    assert [s.keyframe for s in track.samples] == [True] + [False] * 4
+
+
+def test_fragmented_corrupt_contract():
+    frags = [[bytes([i]) * 40 for i in range(5)] for _ in range(3)]
+    blob = mp4.encode_fmp4(frags)
+    rng = random.Random(9)
+    for _ in range(200):
+        b = bytearray(blob)
+        if rng.random() < 0.5:
+            b = b[: rng.randrange(1, len(b))]
+        else:
+            for _ in range(rng.randrange(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            mp4.parse_mp4(bytes(b))
+        except ValueError:
+            pass
