@@ -1867,6 +1867,45 @@ _XML_TRUTH = os.path.join(
 )
 
 
+def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (functions/html.py): every document is
+    wrapped in a deterministic synthetic page (script/style/comment
+    blocks, nested tags, entities — both dialects build the SAME page),
+    the dual-dialect regex pipeline extracts the text, and the check is
+    strict: per-lang doc/char/token counts PLUS an md5 over the
+    doc_id-ordered concatenation of every extracted string — one
+    character of Java-vs-RE2 divergence anywhere in the corpus flips
+    the hash. This is the Common Crawl ingestion step between the WARC
+    source's Webpage.contents and the text operators."""
+    from amadeus_spark.functions import html
+
+    docs = _t(spark, sf_dir, "documents")
+    ext = docs.select(
+        "doc_id",
+        "lang",
+        html.html_to_text(html.wrap_as_html(F.col("text"))).alias("txt"),
+    )
+    ntok = "size(filter(split(txt, '\\\\s+'), x -> x != ''))"
+    return (
+        ext.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("txt")).cast("long").alias("total_chars"),
+            F.sum(F.expr(ntok)).cast("long").alias("total_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "\x01",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(doc_id, txt))),"
+                        " s -> s.txt)"
+                    ),
+                )
+            ).alias("content_md5"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML source e2e (beyond the reference's format family; Spark 4
     built-in): read a 3-file XML directory with an explicit schema,
@@ -2164,6 +2203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         # (b) new in round 6
         "group_sink_nation": q_group_sink_nation,
+        "html_text_extract": q_html_text_extract,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -2258,6 +2298,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "percentile_band": q_percentile_band,
     }
+
+
+def _html_text_extract_oracle() -> str:
+    """DuckDB twin of q_html_text_extract — the wrapper and the regex
+    chain come from the SAME step table in functions/html.py."""
+    from amadeus_spark.functions import html
+
+    txt = html.html_to_text_sql(html.wrap_as_html_sql("text"))
+    return f"""
+        WITH ext AS (
+            SELECT doc_id, lang, {txt} AS txt FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(txt)) AS BIGINT) AS total_chars,
+               CAST(SUM(len(list_filter(regexp_split_to_array(txt, '\\s+'),
+                                        x -> x <> ''))) AS BIGINT) AS total_tokens,
+               md5(string_agg(txt, chr(1) ORDER BY doc_id)) AS content_md5
+        FROM ext GROUP BY lang ORDER BY lang
+    """
 
 
 #: events.ts arrives at whatever precision the testdata drop uses
@@ -2950,6 +3010,7 @@ def oracle_sql() -> dict[str, str]:
                        )) AS BIGINT), -1) AS duration_us
             FROM episodes ORDER BY user_id, seq
         """,
+        "html_text_extract": _html_text_extract_oracle(),
         "xml_source": f"""
             SELECT name,
                    COUNT(*) AS n_items,
