@@ -1872,12 +1872,18 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrapped in a deterministic synthetic page (script/style/comment
     blocks, nested tags, entities — both dialects build the SAME page),
     the dual-dialect regex pipeline extracts the text, and the check is
-    strict: per-lang doc/char/token counts PLUS an md5 over the
-    doc_id-ordered concatenation of every extracted string — one
+    strict: per-lang doc/char/token counts PLUS a content checksum —
+    the SUM of a per-row hash32(doc_id ‖ extracted text) — so one
     character of Java-vs-RE2 divergence anywhere in the corpus flips
-    the hash. This is the Common Crawl ingestion step between the WARC
-    source's Webpage.contents and the text operators."""
+    the value. The sum is order-independent and MERGEABLE (partial
+    aggregation map-side), unlike a collect-and-concat digest, which
+    would buffer every extracted string of a language in one
+    aggregation state — the low-cardinality-key blowup this round
+    removed from sequence_packing. This is the Common Crawl ingestion
+    step between the WARC source's Webpage.contents and the text
+    operators."""
     from amadeus_spark.functions import html
+    from amadeus_spark.functions.dedup import hash32_frag
 
     docs = _t(spark, sf_dir, "documents")
     ext = docs.select(
@@ -1885,6 +1891,7 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         html.html_to_text(html.wrap_as_html(F.col("text"))).alias("txt"),
     )
+    hs, _ = hash32_frag("concat(cast(doc_id as string), '\\u0001', txt)", "")
     ntok = "size(filter(split(txt, '\\\\s+'), x -> x != ''))"
     return (
         ext.groupBy("lang")
@@ -1892,17 +1899,40 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("txt")).cast("long").alias("total_chars"),
             F.sum(F.expr(ntok)).cast("long").alias("total_tokens"),
-            F.md5(
-                F.concat_ws(
-                    "\x01",
-                    F.expr(
-                        "transform(array_sort(collect_list(struct(doc_id, txt))),"
-                        " s -> s.txt)"
-                    ),
-                )
-            ).alias("content_md5"),
+            F.sum(F.expr(hs)).cast("long").alias("content_sum"),
         )
         .orderBy("lang")
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup (functions/urls.py): deterministic raw
+    URL variants are derived from documents (same construction in both
+    dialects — case/port/tracking-param/param-order noise over a shared
+    page identity), canonicalized with the dual-dialect pipeline, and
+    grouped: distinct raw forms collapse onto each canonical URL. The
+    crawl-frontier dedup primitive; pure Catalyst regex/array exprs, one
+    shuffle."""
+    from amadeus_spark.functions import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.expr(
+        """CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN concat('http://example.com/page/', CAST(doc_id % 50 AS STRING))
+            WHEN 1 THEN concat('HTTP://EXAMPLE.COM:80/page/', CAST(doc_id % 50 AS STRING), '?utm_source=feed')
+            WHEN 2 THEN concat('http://example.com/page/', CAST(doc_id % 50 AS STRING), '?b=2&a=1&gclid=', CAST(doc_id AS STRING))
+            ELSE concat('http://example.com/page/', CAST(doc_id % 50 AS STRING), '?a=1&b=2')
+        END"""
+    )
+    return (
+        docs.select(raw.alias("raw_url"))
+        .select("raw_url", urls.canonicalize_url(F.col("raw_url")).alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.count_distinct("raw_url").alias("n_raw_forms"),
+        )
+        .orderBy("canon")
     )
 
 
@@ -2204,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (b) new in round 6
         "group_sink_nation": q_group_sink_nation,
         "html_text_extract": q_html_text_extract,
+        "url_dedup": q_url_dedup,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -2300,12 +2331,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _url_dedup_oracle() -> str:
+    """DuckDB twin of q_url_dedup — same variant construction, same
+    canonicalization pipeline (one constant set, functions/urls.py)."""
+    from amadeus_spark.functions import urls
+
+    return f"""
+        WITH raws AS (
+            SELECT CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN 'http://example.com/page/' || CAST(doc_id % 50 AS VARCHAR)
+                WHEN 1 THEN 'HTTP://EXAMPLE.COM:80/page/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=feed'
+                WHEN 2 THEN 'http://example.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?b=2&a=1&gclid=' || CAST(doc_id AS VARCHAR)
+                ELSE 'http://example.com/page/' || CAST(doc_id % 50 AS VARCHAR) || '?a=1&b=2'
+            END AS raw_url
+            FROM documents
+        )
+        SELECT {urls.canonicalize_url_sql('raw_url')} AS canon,
+               CAST(COUNT(*) AS BIGINT) AS n_fetches,
+               CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_forms
+        FROM raws GROUP BY canon ORDER BY canon
+    """
+
+
 def _html_text_extract_oracle() -> str:
-    """DuckDB twin of q_html_text_extract — the wrapper and the regex
-    chain come from the SAME step table in functions/html.py."""
+    """DuckDB twin of q_html_text_extract — the wrapper, regex chain and
+    checksum hash come from the SAME constants (functions/html.py,
+    dedup.hash32_frag)."""
     from amadeus_spark.functions import html
+    from amadeus_spark.functions.dedup import hash32_frag
 
     txt = html.html_to_text_sql(html.wrap_as_html_sql("text"))
+    _, hd = hash32_frag("", "CAST(doc_id AS VARCHAR) || chr(1) || txt")
     return f"""
         WITH ext AS (
             SELECT doc_id, lang, {txt} AS txt FROM documents
@@ -2315,7 +2371,7 @@ def _html_text_extract_oracle() -> str:
                CAST(SUM(length(txt)) AS BIGINT) AS total_chars,
                CAST(SUM(len(list_filter(regexp_split_to_array(txt, '\\s+'),
                                         x -> x <> ''))) AS BIGINT) AS total_tokens,
-               md5(string_agg(txt, chr(1) ORDER BY doc_id)) AS content_md5
+               CAST(SUM({hd}) AS BIGINT) AS content_sum
         FROM ext GROUP BY lang ORDER BY lang
     """
 
@@ -3011,6 +3067,7 @@ def oracle_sql() -> dict[str, str]:
             FROM episodes ORDER BY user_id, seq
         """,
         "html_text_extract": _html_text_extract_oracle(),
+        "url_dedup": _url_dedup_oracle(),
         "xml_source": f"""
             SELECT name,
                    COUNT(*) AS n_items,

@@ -1,0 +1,64 @@
+"""URL canonicalization (functions/urls.py): semantics + dialect parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from amadeus_spark.functions import urls
+
+CASES = [
+    ("HTTP://Example.COM:80/Path/To?utm_source=x&b=2&a=1&gclid=z#frag",
+     "http://example.com/Path/To?a=1&b=2"),
+    ("https://site.org:443", "https://site.org/"),
+    ("https://site.org:8443/x?z=1", "https://site.org:8443/x?z=1"),  # non-default port kept
+    ("http://a.b/p?ref=tw&utm_campaign=c", "http://a.b/p"),
+    ("https://X.Y/q?b=2&a=1", "https://x.y/q?a=1&b=2"),
+    ("https://x.y/q?a=1&b=2", "https://x.y/q?a=1&b=2"),  # already canonical
+    ("http://h.i/path/?fbclid=123", "http://h.i/path/"),
+    ("http://cAsE.net/KeepPathCase", "http://case.net/KeepPathCase"),
+]
+
+
+def test_canonicalization_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(CASES)], "i long, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", urls.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (CASES[i][0], got[i])
+
+
+def test_dialect_parity(spark, duck):
+    rows = [(i, raw) for i, (raw, _) in enumerate(CASES)]
+    df = spark.createDataFrame(rows, "i long, url string")
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", urls.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    duck.execute("DROP TABLE IF EXISTS __urls")
+    duck.execute("CREATE TABLE __urls (i bigint, url varchar)")
+    duck.executemany("INSERT INTO __urls VALUES (?, ?)", rows)
+    want = dict(
+        duck.sql(
+            f"SELECT i, {urls.canonicalize_url_sql('url')} FROM __urls"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_plan_is_pure_catalyst(spark):
+    from amadeus_spark import plans
+
+    df = spark.range(10).select(
+        urls.canonicalize_url(
+            F.concat(F.lit("http://h/p?a="), F.col("id").cast("string"))
+        ).alias("c")
+    )
+    plans.assert_no_python_udf(df)
