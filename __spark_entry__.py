@@ -1905,6 +1905,26 @@ def q_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: target corpus composition for the mixture-resampling gate query —
+#: ONE constant drives both dialects (iron rule 7)
+MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1}
+MIXTURE_K = 150
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (operators/sampling.py): draw
+    exactly round(150·w) documents per language so the output corpus
+    hits the target composition regardless of input skew — the
+    training-data mixture primitive. Selection is the fixed md5
+    permutation per stratum (one window shuffle, quota as a broadcast
+    CASE); strict hash over every sampled row."""
+    from amadeus_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(docs, "lang", "doc_id", MIXTURE_K, MIXTURE_WEIGHTS)
+    return out.select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization dedup (functions/urls.py): deterministic raw
     URL variants are derived from documents (same construction in both
@@ -2235,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sink_nation": q_group_sink_nation,
         "html_text_extract": q_html_text_extract,
         "url_dedup": q_url_dedup,
+        "mixture_sample": q_mixture_sample,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -3068,6 +3089,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_text_extract": _html_text_extract_oracle(),
         "url_dedup": _url_dedup_oracle(),
+        "mixture_sample": "SELECT lang, doc_id FROM ("
+        + sampling.mixture_sample_oracle(
+            "documents", "lang", "doc_id", MIXTURE_K, MIXTURE_WEIGHTS,
+            cols="lang, doc_id",
+        )
+        + ") ORDER BY lang, doc_id",
         "xml_source": f"""
             SELECT name,
                    COUNT(*) AS n_items,

@@ -92,6 +92,68 @@ def weighted_sample(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    total_k: int,
+    weights: dict[str, float],
+    salt: str = "mx",
+) -> DataFrame:
+    """Deterministic mixture resampling — the training-data MIXTURE
+    primitive: draw exactly ``round(total_k * w_s)`` rows from each
+    stratum (source/language/domain), so the output corpus hits a target
+    composition regardless of the input's skew. Selection within a
+    stratum is the fixed md5 permutation (engine-reproducible, same as
+    stratified_sample), so re-running on a grown corpus keeps previously
+    selected rows stable except where the permutation prefix shifts.
+
+    One window shuffle keyed by stratum; per-stratum quotas ride along
+    as a broadcast CASE expression (no driver loop, no N jobs). Strata
+    missing from ``weights`` get quota 0. At 100 TB this is the exact-k
+    counterpart of weighted Bernoulli mixing: deterministic, auditable,
+    and oracle-checkable."""
+    from pyspark.sql import Window
+
+    quota = F.lit(0)
+    for s, w in weights.items():
+        quota = F.when(F.col(stratum) == s, F.lit(int(round(total_k * w)))).otherwise(
+            quota
+        )
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
+
+
+def mixture_sample_oracle(
+    table: str,
+    stratum: str,
+    key: str,
+    total_k: int,
+    weights: dict[str, float],
+    salt: str = "mx",
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — same quotas, same md5 permutation (iron rule 7:
+    both dialects from one constant set)."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {int(round(total_k * w))}" for s, w in weights.items()
+    )
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {stratum}
+                ORDER BY md5('{salt}' || CAST({key} AS VARCHAR)), {key}
+            ) AS __rn
+            FROM {table}
+        ) WHERE __rn <= (CASE {stratum} {cases} ELSE 0 END)
+    """
+
+
 def weighted_sample_oracle(
     table: str,
     key: str,

@@ -193,3 +193,18 @@ def test_group_by_sink_partitioning_invariance(spark, nparts):
         )
 
     assert run(_docs(spark, 32)) == run(_docs(spark, nparts))
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_mixture_sample_partitioning_invariance(spark, nparts):
+    """Mixture resampling is a fixed permutation prefix per stratum —
+    identical rows selected under any input partitioning, and the
+    output composition hits the quotas exactly."""
+    from amadeus_spark.operators import sampling
+
+    weights = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    base = sampling.mixture_sample(_docs(spark, 32), "lang", "doc_id", 50, weights)
+    other = sampling.mixture_sample(_docs(spark, nparts), "lang", "doc_id", 50, weights)
+    assert _rows(base.select("lang", "doc_id")) == _rows(other.select("lang", "doc_id"))
+    comp = {r.lang: r.n for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert comp == {"en": 25, "de": 15, "fr": 10}
