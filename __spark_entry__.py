@@ -1925,6 +1925,29 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("lang", "doc_id").orderBy("lang", "doc_id")
 
 
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.py): epoch-keyed
+    hash assigns every document a (shard, position); any worker can
+    recompute its slice bit-exactly — the training-data ordering
+    primitive. Gate check: per-shard count plus an ORDER-SENSITIVE
+    checksum (sum of pos·hash32(doc_id)) so a single transposition
+    anywhere flips the value; strict hash vs the DuckDB twin."""
+    from amadeus_spark.functions.dedup import hash32_frag
+    from amadeus_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.epoch_shuffle(docs, "doc_id", n_shards=16, epoch=3)
+    hs, _ = hash32_frag("concat('ck', cast(doc_id as string))", "")
+    return (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("pos") * F.expr(hs)).cast("long").alias("order_sum"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization dedup (functions/urls.py): deterministic raw
     URL variants are derived from documents (same construction in both
@@ -2256,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_text_extract": q_html_text_extract,
         "url_dedup": q_url_dedup,
         "mixture_sample": q_mixture_sample,
+        "epoch_shuffle": q_epoch_shuffle,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -2350,6 +2374,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "percentile_band": q_percentile_band,
     }
+
+
+def _epoch_shuffle_oracle() -> str:
+    """DuckDB twin of q_epoch_shuffle — same epoch hash, same
+    order-sensitive checksum (one constant set)."""
+    from amadeus_spark.functions.dedup import hash32_frag
+    from amadeus_spark.operators import sampling
+
+    _, ck = hash32_frag("", "'ck' || CAST(doc_id AS VARCHAR)")
+    inner = sampling.epoch_shuffle_oracle(
+        "documents", "doc_id", 16, 3, cols="doc_id, shard, pos"
+    )
+    return f"""
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(pos * {ck}) AS BIGINT) AS order_sum
+        FROM ({inner}) GROUP BY shard ORDER BY shard
+    """
 
 
 def _url_dedup_oracle() -> str:
@@ -3089,6 +3131,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_text_extract": _html_text_extract_oracle(),
         "url_dedup": _url_dedup_oracle(),
+        "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("
         + sampling.mixture_sample_oracle(
             "documents", "lang", "doc_id", MIXTURE_K, MIXTURE_WEIGHTS,

@@ -110,21 +110,28 @@ def mixture_sample(
 
     One window shuffle keyed by stratum; per-stratum quotas ride along
     as a broadcast CASE expression (no driver loop, no N jobs). Strata
-    missing from ``weights`` get quota 0. At 100 TB this is the exact-k
-    counterpart of weighted Bernoulli mixing: deterministic, auditable,
-    and oracle-checkable."""
+    missing from ``weights`` get quota 0.
+
+    100 TB shape: strata are few (languages, sources), so an unbounded
+    per-stratum window would sort whole strata through a handful of
+    tasks. The filter therefore carries a LITERAL ``rn <= max_quota``
+    conjunct alongside the CASE — Spark's WindowGroupLimit rule only
+    fires on constant bounds, and with it every map task truncates to
+    max_quota rows per stratum BEFORE the shuffle (Partial+Final
+    WindowGroupLimit, plan-tested), so the window's input is
+    O(max_quota × partitions), never the corpus."""
     from pyspark.sql import Window
 
+    quotas = {s: int(round(total_k * wt)) for s, wt in weights.items()}
     quota = F.lit(0)
-    for s, w in weights.items():
-        quota = F.when(F.col(stratum) == s, F.lit(int(round(total_k * w)))).otherwise(
-            quota
-        )
+    for s, k in quotas.items():
+        quota = F.when(F.col(stratum) == s, F.lit(k)).otherwise(quota)
+    max_quota = max(quotas.values(), default=0)
     h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
     w = Window.partitionBy(stratum).orderBy(h, F.col(key))
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota)
+        .filter((F.col("__rn") <= max_quota) & (F.col("__rn") <= quota))
         .drop("__rn")
     )
 
@@ -151,6 +158,60 @@ def mixture_sample_oracle(
             ) AS __rn
             FROM {table}
         ) WHERE __rn <= (CASE {stratum} {cases} ELSE 0 END)
+    """
+
+
+def epoch_shuffle(
+    df: DataFrame, key: str, n_shards: int, epoch: int, salt: str = "ep"
+) -> DataFrame:
+    """Deterministic epoch-wise global shuffle — the training-data
+    ordering primitive: every epoch e induces a DIFFERENT but fully
+    reproducible permutation (shard = hash(salt‖e‖key) mod n_shards,
+    position within shard = rank of that hash), so any worker can
+    recompute exactly which examples it owns in which order — no
+    shuffle-file bookkeeping, no seed drift between engines.
+
+    Plan shape: one hash computation (codegen) + one window per shard
+    key — the window partitions by shard (n_shards ≥ cluster cores keeps
+    it parallel; same shard-key rule as sequence_packing). Appends
+    ``shard`` and ``pos`` columns."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    hs, _ = hash32_frag(
+        f"concat('{salt}', cast({epoch} as string), '|', cast({key} as string))",
+        "",
+    )
+    h = F.expr(hs)
+    shard = (h % n_shards).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(F.col("__h"), F.col(key))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )
+
+
+def epoch_shuffle_oracle(
+    table: str, key: str, n_shards: int, epoch: int, salt: str = "ep", cols: str = "*"
+) -> str:
+    """DuckDB twin — same hash, same shard and rank math."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    _, hd = hash32_frag(
+        "", f"'{salt}' || CAST({epoch} AS VARCHAR) || '|' || CAST({key} AS VARCHAR)"
+    )
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, CAST({hd} % {n_shards} AS BIGINT) AS shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY {hd} % {n_shards}
+                       ORDER BY {hd}, {key}
+                   ) AS BIGINT) AS pos
+            FROM {table}
+        )
     """
 
 

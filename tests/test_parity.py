@@ -208,3 +208,21 @@ def test_mixture_sample_partitioning_invariance(spark, nparts):
     assert _rows(base.select("lang", "doc_id")) == _rows(other.select("lang", "doc_id"))
     comp = {r.lang: r.n for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert comp == {"en": 25, "de": 15, "fr": 10}
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_epoch_shuffle_invariance_and_epoch_sensitivity(spark, nparts):
+    """(shard, pos) assignments are a pure function of (epoch, key):
+    identical under any input partitioning, different across epochs."""
+    from amadeus_spark.operators import sampling
+
+    def run(df, epoch):
+        return _rows(
+            sampling.epoch_shuffle(df, "doc_id", 8, epoch).select(
+                "doc_id", "shard", "pos"
+            )
+        )
+
+    e1 = run(_docs(spark, 32), 1)
+    assert e1 == run(_docs(spark, nparts), 1)
+    assert e1 != run(_docs(spark, 32), 2)  # new epoch, new permutation

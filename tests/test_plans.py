@@ -281,3 +281,13 @@ def test_ngram_jaccard_registered_cap_is_on(spark):
     txt = plans.plan_text(df)
     assert "CEIL(" in txt and "__ndocs" in txt, txt[:2000]
     plans.assert_no_python_udf(df)
+
+
+def test_mixture_sample_window_group_limit(spark):
+    """mixture_sample's literal max-quota conjunct must trigger
+    Partial+Final WindowGroupLimit (map-side truncation before the
+    shuffle) — the CASE quota alone defeats the rule and a few strata
+    would otherwise sort the whole corpus through a few tasks."""
+    df = entrymod.q_mixture_sample(spark, SF_ORACLE)
+    txt = plans.plan_text(df)
+    assert txt.count("WindowGroupLimit") >= 2, txt[:3000]  # Partial+Final
