@@ -283,11 +283,16 @@ def test_ngram_jaccard_registered_cap_is_on(spark):
     plans.assert_no_python_udf(df)
 
 
-def test_mixture_sample_window_group_limit(spark):
-    """mixture_sample's literal max-quota conjunct must trigger
+def test_ranked_limit_queries_get_window_group_limit(spark):
+    """Every registered per-group ranked-prefix query must plan
     Partial+Final WindowGroupLimit (map-side truncation before the
-    shuffle) — the CASE quota alone defeats the rule and a few strata
-    would otherwise sort the whole corpus through a few tasks."""
-    df = entrymod.q_mixture_sample(spark, SF_ORACLE)
-    txt = plans.plan_text(df)
-    assert txt.count("WindowGroupLimit") >= 2, txt[:3000]  # Partial+Final
+    shuffle). mixture_sample needs its literal max-quota conjunct for
+    this — the CASE quota alone defeats the rule and a few strata would
+    sort the whole corpus through a few tasks."""
+    for fn in (
+        entrymod.q_mixture_sample,
+        entrymod.q_stratified_sample,
+        entrymod.q_grouped_topn,
+    ):
+        txt = plans.plan_text(fn(spark, SF_ORACLE))
+        assert txt.count("WindowGroupLimit") >= 2, (fn.__name__, txt[:3000])
