@@ -2128,6 +2128,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_MAX_DF_FRAC = 0.05
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 (functions/similarity.py): coarse k-means cells
+    route the search; probed cells are scanned as m-byte PQ residual
+    codes with ADC lookup distances (32x smaller than raw vectors at
+    64-dim float32), exact-cosine re-rank on the k*refine shortlist.
+    Rows-only (k-means + PQ aren't SQL); recall vs brute force pinned by
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(emb, _SIM_QUERY_IDS, k=5)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index (no O(n²)),
     with the df-cap ON (boilerplate shingles pruned before the
@@ -2372,6 +2383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,
         "ivf_topk": q_ivf_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
         "percentile_band": q_percentile_band,
     }
 

@@ -457,3 +457,192 @@ WITH base AS MATERIALIZED (
 SELECT q_id, n_id, cosine FROM scored WHERE rn <= {k}
 ORDER BY q_id, cosine DESC, n_id
 """
+
+
+def _pq_train(resid: "np.ndarray", m_sub: int, n_codes: int, seed: int, iters: int = 12):
+    """Per-subspace k-means codebooks over residual vectors (driver-side
+    numpy on a BOUNDED sample — codebooks are index state like the IVF
+    centroids, never a data pass). Returns [m_sub, n_codes, d_sub]."""
+    import numpy as np
+
+    n, d = resid.shape
+    d_sub = d // m_sub
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, n_codes, d_sub))
+    for m in range(m_sub):
+        x = resid[:, m * d_sub : (m + 1) * d_sub]
+        idx = rng.choice(n, size=min(n_codes, n), replace=False)
+        c = x[idx].copy()
+        if len(c) < n_codes:  # degenerate tiny corpus: pad with jitter
+            pad = c[rng.integers(0, len(c), n_codes - len(c))]
+            c = np.vstack([c, pad + rng.normal(0, 1e-6, pad.shape)])
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(n_codes):
+                mask = assign == j
+                if mask.any():
+                    c[j] = x[mask].mean(axis=0)
+        books[m] = c
+    return books
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 8,
+    n_codes: int = 32,
+    refine: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float = 0.25,
+    max_iter: int = 8,
+    pq_train_rows: int = 2048,
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al.'s inverted file + product quantization —
+    the standard billion-scale layout): coarse k-means cells route the
+    search exactly like :func:`ivf_topk`; WITHIN probed cells, distances
+    are computed against m_sub-byte PQ CODES of the residual
+    (vec − centroid) via an ADC lookup table, and only the top
+    ``k·refine`` ADC candidates per query are re-ranked with exact
+    cosine.
+
+    Why it matters at 100 TB: a 64-dim float32 vector is 256 bytes; its
+    PQ code is m_sub bytes (32× here) — the probed slice of the corpus
+    is scanned as codes, and raw vectors are touched only for the
+    k·refine finalists. The heavy stage (encode) is map-side Arrow
+    batches against broadcast codebooks — no shuffle beyond IVF's
+    cell-probe join. Codebooks/centroids are driver-bounded index state
+    (n_cells·d + m_sub·n_codes·d/m_sub floats).
+
+    Rows-only by nature (k-means + PQ aren't SQL); recall vs exact
+    cosine and determinism are pinned by tests/test_similarity.py."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = tracked_persist(with_norm(df.select(id_col, vec_col), vec_col))
+    feats = base.withColumn(
+        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, initMode="random",
+        featuresCol="features", predictionCol="cell",
+    )
+    train = feats.sample(fraction=train_fraction, seed=seed)
+    if train.limit(n_cells).count() < n_cells:
+        train = feats
+    model = km.fit(train)
+    assigned = model.transform(feats).drop("features")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # PQ codebooks from a bounded residual sample (limit() is a real
+    # row cap, not a fraction — the collect is O(pq_train_rows·d))
+    sample = assigned.select(vec_col, "cell").limit(pq_train_rows).collect()
+    resid = np.array(
+        [np.asarray(r[vec_col], dtype=float) - centroids[r["cell"]] for r in sample]
+    )
+    books = _pq_train(resid, m_sub, n_codes, seed)
+    d = centroids.shape[1]
+    d_sub = d // m_sub
+
+    def _encode(batches):
+        for pdf in batches:
+            vecs = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            cells = pdf["cell"].to_numpy()
+            res = vecs - centroids[cells]
+            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                x = res[:, m * d_sub : (m + 1) * d_sub]
+                d2 = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "n_id": pdf[id_col].to_numpy(),
+                    "cell": cells,
+                    "codes": list(codes.tolist()),
+                }
+            )
+
+    encoded = assigned.select(id_col, vec_col, "cell").mapInPandas(
+        _encode, schema="n_id long, cell int, codes array<int>"
+    )
+
+    # probe cells per query (driver-side centroid distances, as ivf_topk)
+    q_rows = base.filter(F.col(id_col).isin(query_ids)).collect()
+    q_vecs = {int(r[id_col]): np.asarray(r[vec_col], dtype=float) for r in q_rows}
+    probe_pairs = []
+    for qid, v in q_vecs.items():
+        dist = ((centroids - v) ** 2).sum(axis=1)
+        for cell in np.argsort(dist)[:n_probe]:
+            probe_pairs.append((qid, int(cell)))
+    probes = df.sparkSession.createDataFrame(probe_pairs, "q_id long, cell int")
+
+    # ADC tables per (query, probed cell): [m_sub, n_codes] partial
+    # squared distances of the query residual to every codeword
+    adc: dict[tuple[int, int], np.ndarray] = {}
+    for qid, cell in probe_pairs:
+        qres = q_vecs[qid] - centroids[cell]
+        t = np.empty((m_sub, n_codes))
+        for m in range(m_sub):
+            qs = qres[m * d_sub : (m + 1) * d_sub]
+            t[m] = ((books[m] - qs) ** 2).sum(axis=1)
+        adc[(qid, cell)] = t
+
+    def _score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
+                continue
+            out = np.empty(len(pdf))
+            for i, (qid, cell, codes) in enumerate(
+                zip(pdf["q_id"], pdf["cell"], pdf["codes"])
+            ):
+                t = adc[(int(qid), int(cell))]
+                out[i] = t[np.arange(m_sub), np.asarray(codes)].sum()
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "adc": out}
+            )
+
+    cand = (
+        encoded.join(F.broadcast(probes), "cell")
+        .filter(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "cell", "n_id", "codes")
+        .mapInPandas(_score, schema="q_id long, n_id long, adc double")
+    )
+    wadc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    shortlist = (
+        cand.withColumn("rn", F.row_number().over(wadc))
+        .filter(F.col("rn") <= k * refine)
+        .select("q_id", "n_id")
+    )
+
+    # exact-cosine re-rank of the shortlist (raw vectors touched only here)
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    nb = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    ds, _ = dot_frag("q_vec", "n_vec")
+    scored = (
+        shortlist.join(nb, "n_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cosine", F.expr(f"{ds} / (q_norm * n_norm)"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "n_id", "cosine")
+        .orderBy("q_id", F.desc("cosine"), "n_id")
+    )

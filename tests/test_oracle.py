@@ -48,6 +48,7 @@ ROWS_ONLY = {
     "percentile_band",
     "mp4_frame_plan",
     "mp3_segment_plan",
+    "ivf_pq_topk",
 }
 
 

@@ -53,3 +53,30 @@ def test_lsh_ann_subset_of_bruteforce_scores(spark):
     for r in ann:
         if (r.q_id, r.n_id) in bf:
             assert abs(bf[(r.q_id, r.n_id)] - r.cosine) == 0.0
+
+
+def test_ivf_pq_recall_and_determinism(spark):
+    """IVF-PQ: ADC over 8-byte residual codes + exact re-rank must hold
+    the IVF probe-recall floor (PQ compresses candidates, the refine
+    step restores exact ordering among them), deterministically."""
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    exact = _topk_sets(similarity.cosine_topk(emb, QUERIES, k=5).collect())
+    pq = _topk_sets(similarity.ivf_pq_topk(emb, QUERIES, k=5).collect())
+    recalls = [len(exact[q] & pq.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.35, recalls
+    a = similarity.ivf_pq_topk(emb, [0, 1], k=3).collect()
+    b = similarity.ivf_pq_topk(emb, [0, 1], k=3).collect()
+    assert [(r.q_id, r.n_id) for r in a] == [(r.q_id, r.n_id) for r in b]
+
+
+def test_ivf_pq_scores_are_exact_cosines(spark):
+    """The refine step re-ranks with EXACT cosine: every returned score
+    must equal the brute-force cosine for that pair."""
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    exact = {
+        (r.q_id, r.n_id): r.cosine
+        for r in similarity.cosine_topk(emb, QUERIES, k=50).collect()
+    }
+    for r in similarity.ivf_pq_topk(emb, QUERIES, k=5).collect():
+        if (r.q_id, r.n_id) in exact:
+            assert abs(r.cosine - exact[(r.q_id, r.n_id)]) < 1e-12
