@@ -128,3 +128,46 @@ def hll_merge_estimate(
     if group_cols:
         return sketches.groupBy(*group_cols).agg(*agg)
     return sketches.agg(*agg)
+
+
+def hll_set_estimates(
+    sketches: DataFrame, key_col: str, group_a, group_b
+) -> DataFrame:
+    """Set-operation estimates between two groups of a sketch table —
+    union directly (HLL unions losslessly), intersection and difference
+    by inclusion-exclusion over the union estimate:
+
+        |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B)
+        |A \\ B| ≈ est(A ∪ B) − est(B)
+
+    The raw table is never rescanned: both sides and their union come
+    from merging the stored partials. Inclusion-exclusion inherits HLL's
+    relative error on each term, so small intersections of large sets
+    are noisy (clamped at 0) — the standard, documented trade; exact
+    intersections need the raw data or theta sketches. Returns one row:
+    est_a, est_b, est_union, est_intersection, est_a_minus_b."""
+    a = sketches.filter(F.col(key_col).isin(group_a)).agg(
+        F.expr("hll_union_agg(hll_sk)").alias("sk_a")
+    )
+    b = sketches.filter(F.col(key_col).isin(group_b)).agg(
+        F.expr("hll_union_agg(hll_sk)").alias("sk_b")
+    )
+    return (
+        a.join(b)
+        .select(
+            F.expr("hll_sketch_estimate(sk_a)").alias("est_a"),
+            F.expr("hll_sketch_estimate(sk_b)").alias("est_b"),
+            F.expr(
+                "hll_sketch_estimate(hll_union(sk_a, sk_b))"
+            ).alias("est_union"),
+        )
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0), F.col("est_a") + F.col("est_b") - F.col("est_union")
+            ).alias("est_intersection"),
+            (F.col("est_union") - F.col("est_b")).alias("est_a_minus_b"),
+        )
+    )

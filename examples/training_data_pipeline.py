@@ -78,7 +78,21 @@ def main(sf_dir: str) -> None:
         "doc_id", "lang", text.redact_pii(F.col("text")).alias("text")
     )
 
-    # 6. sequence packing: greedy context assembly at 512 tokens.
+    # 6. mixture resampling: hit a target language composition exactly
+    # (round(k·w) docs per language, deterministic md5 permutation).
+    from amadeus_spark.operators import sampling
+
+    mixed = sampling.mixture_sample(
+        clean, "lang", "doc_id", 200,
+        {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+    )
+
+    # 7. deterministic epoch shuffle: every example gets a reproducible
+    # (shard, position) per epoch — workers recompute their slice,
+    # no shuffle files.
+    epoch0 = sampling.epoch_shuffle(mixed, "doc_id", n_shards=8, epoch=0)
+
+    # 8. sequence packing: greedy context assembly at 512 tokens.
     packed = text.sequence_packing(clean, capacity=512)
 
     print(f"corpus:            {n0}")
@@ -88,6 +102,12 @@ def main(sf_dir: str) -> None:
     print("decontamination report:")
     for r in decon.collect():
         print("  ", r.asDict())
+    print("mixture composition:")
+    for r in mixed.groupBy("lang").count().orderBy("lang").collect():
+        print("  ", r.lang, r["count"])
+    print("epoch-0 shard sizes:")
+    for r in epoch0.groupBy("shard").count().orderBy("shard").collect():
+        print("  ", r.shard, r["count"])
     print("packed sequences:")
     for r in packed.limit(5).collect():
         print("  ", r.asDict())

@@ -145,3 +145,31 @@ def test_hll_sketch_rollup_merges_without_rescan(spark):
         assert abs(est - direct[k]) / direct[k] < 0.03
         assert abs(est - exact[k]) / exact[k] < 0.05  # lg_k=12 band
         assert abs(direct[k] - exact[k]) / exact[k] < 0.05
+
+
+def test_hll_set_estimates_within_band(spark):
+    """Inclusion-exclusion set estimates from stored sketch partials:
+    each term within the HLL band, intersection within the compounded
+    band (3 terms' error), never negative, raw table never rescanned
+    (the frame is built purely from the rollup output)."""
+    import duckdb
+
+    from amadeus_spark.operators import sketches
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    sk = sketches.hll_sketch_rollup(li, ["l_returnflag"], "l_orderkey")
+    got = sketches.hll_set_estimates(sk, "l_returnflag", ["A"], ["N"]).first()
+    a, b, u = duckdb.sql(
+        """SELECT
+        (SELECT COUNT(DISTINCT l_orderkey) FROM '/root/testdata/sf0.01/lineitem.parquet' WHERE l_returnflag='A'),
+        (SELECT COUNT(DISTINCT l_orderkey) FROM '/root/testdata/sf0.01/lineitem.parquet' WHERE l_returnflag='N'),
+        (SELECT COUNT(DISTINCT l_orderkey) FROM '/root/testdata/sf0.01/lineitem.parquet' WHERE l_returnflag IN ('A','N'))
+        """
+    ).fetchone()
+    band = 0.03  # lg_k=12 → rsd ≈ 1.6%; 2σ headroom
+    assert abs(got.est_a - a) <= band * a
+    assert abs(got.est_b - b) <= band * b
+    assert abs(got.est_union - u) <= band * u
+    inter = a + b - u
+    assert abs(got.est_intersection - inter) <= 3 * band * inter
+    assert got.est_intersection >= 0 and got.est_a_minus_b >= 0
