@@ -1316,6 +1316,19 @@ def q_fold_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # records rows-only checks for these, per the contract) ---------------------
 
 
+def q_compensated_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kahan/Welford parity path (reference par_sink/mean.rs:47-69,
+    stddev.rs:46-72): fsum-exact per-partition partials + Chan merge in
+    deterministic partition order — see operators/aggregates.py.
+    Rows-only by nature: the POINT is a summation tighter than either
+    engine's plain double sum, so neither DuckDB's SUM(double) nor a
+    rounding trick is a valid oracle; tests/test_compensated.py pins it
+    against math.fsum ground truth instead (including the adversarial
+    sequence where plain avg collapses to ~0)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return aggregates.compensated_moments(li, "l_extendedprice")
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """most_distinct approx mode: HLL++ rsd=0.05 (reference HLL ε→p,
     distinct.rs:152-166). Estimates differ engine-to-engine by design."""
@@ -2385,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "percentile_band": q_percentile_band,
+        "compensated_moments": q_compensated_moments,
     }
 
 

@@ -14,7 +14,10 @@ pass) or ``df.groupBy(k).agg(...)`` for the grouped form.
 
 Notes on semantics preserved:
 - ``mean`` in the reference is Kahan-compensated (par_sink/mean.rs:47-69);
-  Spark's avg is a plain double sum/count. Documented tolerance, not ported.
+  Spark's avg is a plain double sum/count. The hot path keeps the plain
+  sum with a quantified bound (``mean_error_bound``); the opt-in
+  ``compensated_moments`` matches-or-beats the reference's compensation
+  (fsum partials + Chan merge) when the bound is not acceptable.
 - ``stddev`` in the reference is **population** σ (divides by n,
   stddev.rs:62) → F.stddev_pop, not stddev_samp.
 - ``histogram`` returns value→count sorted by value
@@ -78,6 +81,134 @@ def max_by(df: DataFrame, value_col: str, ord_col: str) -> DataFrame:
 
 def min_by(df: DataFrame, value_col: str, ord_col: str) -> DataFrame:
     return df.agg(F.min_by(value_col, ord_col).alias("min_by_val"))
+
+
+def compensated_moments(df: DataFrame, col: str) -> DataFrame:
+    """Compensated count/sum/mean/variance — the reference's numeric
+    behavior (Kahan-compensated sum/mean, par_sink/mean.rs:47-69;
+    Welford-style stddev, par_sink/stddev.rs:46-72) re-expressed as
+    Spark's two-level topology rather than ported as a sequential fold:
+
+    - **Per-partition partials** (Arrow-batched ``mapInPandas``): each
+      batch contributes an exactly-rounded ``math.fsum`` sum and a
+      centered second moment; batches merge into the partition state
+      with Chan's parallel-variance formula. This is strictly tighter
+      than the reference's sequential Kahan loop per thread (fsum is
+      error-free per batch; Kahan is 2u per element).
+    - **Deterministic final merge**: the per-partition rows (ONE row per
+      partition — the same tiny-final-stage shape as the percentile
+      cut-point pattern) are repartition(1)'d and merged in sorted
+      partition-id order, so the result is bit-identical across runs of
+      the same partitioning regardless of task scheduling — a guarantee
+      the reference's thread-race merge order cannot make.
+
+    This is the documented slow path for when ``summary_agg``'s plain
+    double sums (error bound: ``mean_error_bound``) are not acceptable;
+    it keeps ``summary_agg`` JVM-side and codegen'd for the hot path.
+
+    Output (1 row): n BIGINT, total/mean/var_pop/stddev_pop DOUBLE.
+    Nulls/NaNs are dropped (SQL aggregate semantics); an empty input
+    yields n=0 with NULL moments.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    part_schema = "pid bigint, n bigint, psum double, mean double, m2 double"
+
+    def _chan(n, mean, m2, nb, mb, m2b):
+        if nb == 0:
+            return n, mean, m2
+        if n == 0:
+            return nb, mb, m2b
+        tot = n + nb
+        d = mb - mean
+        return (
+            tot,
+            mean + d * nb / tot,
+            m2 + m2b + d * d * n * nb / tot,
+        )
+
+    def _partials(batches):
+        pid = -1
+        n, mean, m2 = 0, 0.0, 0.0
+        batch_sums: list[float] = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            v = pdf["__v"].to_numpy(dtype="float64")
+            v = v[~np.isnan(v)]
+            if v.size == 0:
+                continue
+            s = math.fsum(v)
+            batch_sums.append(s)
+            mb = s / v.size
+            m2b = float(np.sum((v - mb) ** 2))
+            n, mean, m2 = _chan(n, mean, m2, int(v.size), mb, m2b)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "n": [n],
+                    "psum": [math.fsum(batch_sums)],
+                    "mean": [mean],
+                    "m2": [m2],
+                }
+            )
+
+    def _final(batches):
+        chunks = [b for b in batches if len(b)]
+        rows = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame()
+        )
+        if len(rows) == 0:
+            yield pd.DataFrame(
+                {
+                    "n": pd.array([0], dtype="int64"),
+                    "total": [np.nan],
+                    "mean": [np.nan],
+                    "var_pop": [np.nan],
+                    "stddev_pop": [np.nan],
+                }
+            )
+            return
+        rows = rows.sort_values("pid")
+        n, mean, m2 = 0, 0.0, 0.0
+        for r in rows.itertuples():
+            n, mean, m2 = _chan(n, mean, m2, int(r.n), r.mean, r.m2)
+        total = math.fsum(rows["psum"].to_numpy(dtype="float64"))
+        var = m2 / n
+        yield pd.DataFrame(
+            {
+                "n": pd.array([n], dtype="int64"),
+                "total": [total],
+                "mean": [total / n],
+                "var_pop": [var],
+                "stddev_pop": [math.sqrt(var)],
+            }
+        )
+
+    partials = (
+        df.select(
+            F.spark_partition_id().alias("__pid"),
+            F.col(col).cast("double").alias("__v"),
+        )
+        .mapInPandas(_partials, schema=part_schema)
+        # repartition(1), NOT coalesce(1): coalesce propagates upstream
+        # and would collapse the scan itself into one task.
+        .repartition(1)
+    )
+    return partials.mapInPandas(
+        _final,
+        schema=(
+            "n bigint, total double, mean double,"
+            " var_pop double, stddev_pop double"
+        ),
+    )
 
 
 def group_agg(
