@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amadeus_spark.functions import dedup, similarity, text
+from amadeus_spark.functions import dedup, gopher, similarity, text
 from amadeus_spark.operators import aggregates, joins, sampling, sketches, storage
 from amadeus_spark.operators import nested as _nested
 
@@ -2069,6 +2069,17 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(docs)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-shape quality rules (Rae et al. 2021 §A1.1 —
+    word-count/mean-word-length bounds, symbol and bullet/ellipsis
+    ratios, alphabetic-word fraction, stopword presence): per-language
+    pass counts per rule + docs passing all rules. Map-only codegen'd
+    projection, one count aggregate, all-BIGINT output
+    (functions/gopher.py; dual-dialect from one constant set)."""
+    docs = _t(spark, sf_dir, "documents")
+    return gopher.gopher_report(docs)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-context assembly: contiguous greedy packing of documents
     into fixed token-capacity bins per (language stream, id-mod shard)
@@ -2330,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "decontamination": q_decontamination,
         "repetition_filter": q_repetition_filter,
+        "gopher_quality": q_gopher_quality,
         "fingerprint_dedup": q_fingerprint_dedup,
         "map_filter": q_map_filter,
         "flat_map": q_flat_map,
@@ -3194,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": text.pii_stats_oracle(f"read_parquet('{_PII_FIXTURE}')"),
         "decontamination": dedup.decontamination_oracle("documents"),
         "repetition_filter": text.repetition_stats_oracle("documents"),
+        "gopher_quality": gopher.gopher_report_oracle("documents"),
         "sequence_packing": text.sequence_packing_oracle("documents", 2048),
         "fingerprint_dedup": f"""
             SELECT COUNT(*) AS n_unique, CAST(SUM(copies - 1) AS BIGINT) AS n_dropped,
