@@ -1329,6 +1329,20 @@ def q_compensated_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.compensated_moments(li, "l_extendedprice")
 
 
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (functions/bloom.py) — the map-side
+    scale path for probe sets too big to broadcast as a join relation.
+    SELF-CHECKING output: n_missed (exactly-contaminated docs the bloom
+    does not flag) is forced to 0 by the no-false-negative guarantee,
+    and n_exact matches dedup.decontamination_stats (asserted in
+    tests/test_bloom.py). Rows-only: membership rides on xxhash64,
+    which DuckDB does not implement."""
+    from amadeus_spark.functions import bloom
+
+    docs = _t(spark, sf_dir, "documents")
+    return bloom.decontamination_bloom_stats(spark, docs)
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """most_distinct approx mode: HLL++ rsd=0.05 (reference HLL ε→p,
     distinct.rs:152-166). Estimates differ engine-to-engine by design."""
@@ -2411,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_pq_topk": q_ivf_pq_topk,
         "percentile_band": q_percentile_band,
         "compensated_moments": q_compensated_moments,
+        "bloom_decontamination": q_bloom_decontamination,
     }
 
 

@@ -1,0 +1,243 @@
+"""Broadcast Bloom-filter membership — the map-side scale path for
+set-membership filters (benchmark decontamination, blocklist scrubs,
+reference-corpus lookups).
+
+Where it sits vs the exact path (dedup.decontamination_stats): the
+exact path broadcasts the probe set as a join hash relation — right
+whenever the distinct probe set fits comfortably as a broadcast join
+side. When the probe set is itself large (hundreds of millions of
+benchmark n-grams), a Bloom bitmap is ~10-30× smaller than the hash
+relation (100M entries at 1% false-positive ≈ 120 MB) and membership
+becomes a pure map-side test — no join operator at all, so the 100 TB
+corpus side never shuffles and never builds probe-side hash tables per
+task. The cost is a quantified false-positive rate and NO false
+negatives (a Bloom filter can only over-flag; flagged docs can be
+re-checked exactly against the tiny subset they select).
+
+Design (Spark-first):
+
+- **Hashing is JVM-side**: two ``xxhash64`` columns computed in the
+  codegen'd projection; bit positions derive from them by
+  Kirsch-Mitzenmacher double hashing ``g_i = h1 + i*h2 (mod m)``
+  (public result: Kirsch & Mitzenmacher 2006, "Less Hashing, Same
+  Performance"), so the Python stages do integer math only, never
+  string hashing.
+- **Build is a mergeable aggregate**: per-partition bitmaps OR
+  together, and OR is commutative/associative/idempotent — the built
+  bitmap is BIT-IDENTICAL under any partitioning or row order (tested).
+  Partials are one row per partition; the driver merge is bounded by
+  #partitions × m/8 bytes. For multi-GB bitmaps, raise fp_rate or
+  tree-merge through a repartition stage before collecting.
+- **Membership is one Arrow-batched pandas UDF** over the precomputed
+  hash columns — vectorized numpy bit tests against the broadcast
+  bitmap, the sanctioned Python path (bytes never hit the driver).
+
+The reference has no sketch-membership operator; this follows the same
+mergeable-sketch posture as operators/sketches.py (HLL/CMS).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: second xxhash64 stream seed (any fixed odd constant; public value
+#: chosen arbitrarily, embedded in both build and probe paths)
+H2_SEED = 0x9E3779B9
+
+
+def optimal_params(capacity: int, fp_rate: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = m/n ln 2.
+    m is rounded up to a multiple of 64 (whole uint64 words)."""
+    if capacity <= 0 or not (0.0 < fp_rate < 1.0):
+        raise ValueError("capacity > 0 and 0 < fp_rate < 1 required")
+    m = math.ceil(-capacity * math.log(fp_rate) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+@dataclass(frozen=True)
+class BloomSpec:
+    """A built filter: the bitmap plus the parameters that address it."""
+
+    bitmap: bytes
+    m_bits: int
+    k: int
+
+    @property
+    def n_set_bits(self) -> int:
+        return int(np.unpackbits(np.frombuffer(self.bitmap, np.uint8)).sum())
+
+
+def _hash_cols(col: Column) -> tuple[Column, Column]:
+    return F.xxhash64(col), F.xxhash64(col, F.lit(H2_SEED))
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n, k) bit positions, uint64 wraparound arithmetic (deterministic)."""
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return (
+        h1.astype(np.uint64)[:, None] + i * h2.astype(np.uint64)[:, None]
+    ) % np.uint64(m)
+
+
+def build_bloom(
+    df: DataFrame, col: str, capacity: int, fp_rate: float = 0.01
+) -> BloomSpec:
+    """Build a Bloom filter over a column's values. This RUNS A JOB
+    (like the IVF k-means fit): the probe-set scan is its own bounded
+    action whose result (the bitmap) then broadcasts into the main
+    query — keep it off the 100 TB side."""
+    m, k = optimal_params(capacity, fp_rate)
+    n_words = m // 64
+    h1c, h2c = _hash_cols(F.col(col))
+
+    def _partial(batches):
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            seen = True
+            pos = _positions(
+                pdf["h1"].to_numpy(np.int64),
+                pdf["h2"].to_numpy(np.int64),
+                k,
+                m,
+            ).ravel()
+            np.bitwise_or.at(
+                bitmap, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63))
+            )
+        if seen:
+            yield pd.DataFrame({"w": [bitmap.tobytes()]})
+
+    partials = (
+        df.select(h1c.alias("h1"), h2c.alias("h2"))
+        .mapInPandas(_partial, schema="w binary")
+        .collect()
+    )
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for row in partials:
+        bitmap |= np.frombuffer(row["w"], dtype=np.uint64)
+    return BloomSpec(bitmap.tobytes(), m, k)
+
+
+def with_bloom_member(
+    spark: SparkSession,
+    df: DataFrame,
+    col: str,
+    spec: BloomSpec,
+    out_col: str = "bloom_member",
+) -> DataFrame:
+    """Append a boolean membership column. Hashes are computed in the
+    codegen'd projection; the pandas UDF does vectorized bit tests
+    against the executor-broadcast bitmap. Guarantee: never false for
+    an inserted value (no false negatives); true for a non-member with
+    probability ~fp_rate."""
+    bc = spark.sparkContext.broadcast(spec.bitmap)
+    k, m = spec.k, spec.m_bits
+
+    @F.pandas_udf("boolean")
+    def _member(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bitmap = np.frombuffer(bc.value, dtype=np.uint64)
+        pos = _positions(h1.to_numpy(np.int64), h2.to_numpy(np.int64), k, m)
+        words = bitmap[pos >> np.uint64(6)]
+        bits = (words >> (pos & np.uint64(63))) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    h1c, h2c = _hash_cols(F.col(col))
+    return df.withColumn(out_col, _member(h1c, h2c))
+
+
+def decontamination_bloom_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    probe_mod: int = 97,
+    fp_rate: float = 1e-4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Bloom-path benchmark decontamination, SELF-CHECKING against the
+    exact broadcast-semi-join path (dedup.decontamination_stats — same
+    probe construction, same shingles): per stream it reports corpus
+    docs, exactly-contaminated docs, bloom-flagged docs, and
+    ``n_missed`` = docs the exact path flags that bloom does NOT —
+    which the no-false-negative guarantee forces to 0 (asserted by
+    tests; visible in the gate output). ``n_bloom - n_exact`` is the
+    realized false-positive overhang.
+
+    fp_rate is PER SHINGLE PROBE; a doc testing s shingles is
+    false-flagged with probability ≤ s·fp_rate (union bound), so the
+    default 1e-4 keeps doc-level false positives ~0.5% at s≈50 where
+    0.01 would false-flag ~40% of clean docs. Bits cost only
+    log-linearly: 1e-4 is 2× the bitmap of 1e-2.
+
+    Build cost: two bounded jobs on the TINY probe side (distinct
+    count for sizing, then the bitmap build) — the IVF-fit posture.
+    The corpus side is one exploded projection with a map-side pandas
+    bit test plus one broadcast left join for the exact comparison;
+    remove the exact branch in production and the corpus never joins
+    at all."""
+    from amadeus_spark.cache import tracked_persist
+    from amadeus_spark.functions.dedup import (
+        SHINGLE_K,
+        hash32_frag,
+        shingles_from_tokens_frag,
+        toks_frag,
+    )
+
+    stok, _ = toks_frag(text_col)
+    hs, _ = hash32_frag("s", "s")
+    staged = tracked_persist(
+        df.select(
+            stream_col,
+            F.col(id_col).alias("doc"),
+            F.expr(stok).alias("__toks"),
+        ).withColumn(
+            "__sh", F.expr(shingles_from_tokens_frag("__toks", SHINGLE_K))
+        )
+    )
+    probe = (
+        staged.filter(F.col("doc") % probe_mod == 0)
+        .select(F.explode("__sh").alias("s"))
+        .distinct()
+    )
+    capacity = max(64, probe.count())
+    spec = build_bloom(probe, "s", capacity, fp_rate)
+
+    probe_hashes = probe.select(F.expr(hs).alias("h")).withColumn(
+        "__hit", F.lit(True)
+    )
+    corpus_sh = (
+        staged.filter(F.col("doc") % probe_mod != 0)
+        .select(stream_col, "doc", F.explode("__sh").alias("s"))
+        .withColumn("h", F.expr(hs))
+    )
+    flagged = with_bloom_member(spark, corpus_sh, "s", spec, "bloom_hit")
+    per_doc = (
+        flagged.join(F.broadcast(probe_hashes), "h", "left")
+        .groupBy(stream_col, "doc")
+        .agg(
+            F.max(F.coalesce("__hit", F.lit(False))).alias("exact"),
+            F.max("bloom_hit").alias("bloom"),
+        )
+    )
+    return (
+        per_doc.groupBy(stream_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("exact").cast("bigint")).alias("n_exact"),
+            F.sum(F.col("bloom").cast("bigint")).alias("n_bloom"),
+            F.sum(
+                (F.col("exact") & ~F.col("bloom")).cast("bigint")
+            ).alias("n_missed"),
+        )
+        .orderBy(stream_col)
+    )

@@ -53,6 +53,9 @@ ROWS_ONLY = {
     # SUM(double) nor rounding can oracle it; test_compensated.py pins
     # it against math.fsum ground truth instead.
     "compensated_moments",
+    # xxhash64-addressed bitmap (no DuckDB xxhash64); self-checking
+    # n_missed=0 column + exact-path parity in tests/test_bloom.py.
+    "bloom_decontamination",
 }
 
 
