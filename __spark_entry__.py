@@ -21,7 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amadeus_spark.functions import dedup, gopher, similarity, text
-from amadeus_spark.operators import aggregates, joins, sampling, sketches, storage
+from amadeus_spark.operators import (
+    aggregates,
+    joins,
+    sampling,
+    sketches,
+    storage,
+    timeseries,
+)
 from amadeus_spark.operators import nested as _nested
 
 #: Hard cap on LSH band-bucket size in registered MinHash queries (one
@@ -1414,6 +1421,25 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_events(spark, sf_dir)
 
 
+#: gap_fill gate query: keep only high-value events so ~60% of the
+#: 15-min grid buckets are EMPTY and the LOCF/interpolation paths do
+#: real work (the raw stream is dense at every resolution).
+GAP_FILL_MIN_VALUE = 15.0
+
+
+def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable gap-filling (operators/timeseries.py — the
+    time_bucket_gapfill + locf + interpolate shape; q_time_rollup is
+    the continuous-aggregate half): per event_type, a dense 15-minute
+    grid anchored at the key's first observation, deterministic
+    last-in-bucket values, LOCF and linear interpolation via
+    ignore-nulls windows. Bucket indices are RELATIVE integers so
+    session-timezone offsets cancel; the lerp expression shape is
+    token-identical in both dialects for bit-exact doubles."""
+    ev = _ev(spark, sf_dir).filter(F.col("value") > GAP_FILL_MIN_VALUE)
+    return timeseries.gap_fill(ev)
+
+
 def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.stream_static_enrich under the gate:
     per-user value profiles built from the first ~2/3 of the event
@@ -2329,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
+        "gap_fill_events": q_gap_fill_events,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -2947,6 +2974,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND((value) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS total_value
             FROM {_EVENTS_US} ev GROUP BY 1, 2 ORDER BY hour, event_type LIMIT 100
         """,
+        "gap_fill_events": timeseries.gap_fill_oracle(
+            f"(SELECT * FROM {_EVENTS_US} WHERE value >"
+            f" CAST({GAP_FILL_MIN_VALUE} AS DOUBLE))"
+        ),
         "time_rollup": f"""
             WITH hourly AS (
               SELECT date_trunc('hour', ts) AS bucket, event_type,
