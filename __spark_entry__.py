@@ -1440,6 +1440,33 @@ def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gap_fill(ev)
 
 
+#: cohort gate query: rare events (value > 28) spread users' first-seen
+#: period across the timeline; 1-day periods give a real retention
+#: triangle (dense raw events put every user in cohort 0).
+COHORT_MIN_VALUE = 28.0
+COHORT_PERIOD_US = 24 * 3600 * 1_000_000
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel view→click→purchase within 24 h
+    (operators/timeseries.funnel): per-stage converted-user counts and
+    exact integer-µs total entry→step latency. Stage frames shrink
+    monotonically (one row per converted user), so every join after
+    the first is against an ever-smaller set — no windows, no
+    event-side state."""
+    return timeseries.funnel(_ev(spark, sf_dir))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/timeseries.cohort_retention)
+    over rare (value > 28) events at 1-day periods: users grouped by
+    first-seen period, counted in each later active period. Global
+    anchor via 1-row aggregate broadcast (the Q11 pattern — no empty
+    partitionBy window); all-integer output."""
+    ev = _ev(spark, sf_dir).filter(F.col("value") > COHORT_MIN_VALUE)
+    return timeseries.cohort_retention(ev, period_us=COHORT_PERIOD_US)
+
+
 def q_event_anomaly_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.stream_static_enrich under the gate:
     per-user value profiles built from the first ~2/3 of the event
@@ -2356,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
         "gap_fill_events": q_gap_fill_events,
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -2977,6 +3006,12 @@ def oracle_sql() -> dict[str, str]:
         "gap_fill_events": timeseries.gap_fill_oracle(
             f"(SELECT * FROM {_EVENTS_US} WHERE value >"
             f" CAST({GAP_FILL_MIN_VALUE} AS DOUBLE))"
+        ),
+        "funnel_steps": timeseries.funnel_oracle(_EVENTS_US),
+        "cohort_retention": timeseries.cohort_retention_oracle(
+            f"(SELECT * FROM {_EVENTS_US} WHERE value >"
+            f" CAST({COHORT_MIN_VALUE} AS DOUBLE))",
+            period_us=COHORT_PERIOD_US,
         ),
         "time_rollup": f"""
             WITH hourly AS (

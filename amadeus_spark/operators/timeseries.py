@@ -177,3 +177,180 @@ SELECT {key_col},
        END AS v_lerp
 FROM staged ORDER BY {key_col}, bucket_idx
 """
+
+
+# ---- event-sequence analytics: funnel + cohort retention ------------------
+
+#: default conversion window for funnel steps: 24 h in µs
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+#: default cohort period: 7 days in µs
+COHORT_PERIOD_US = 7 * 24 * 3600 * 1_000_000
+
+
+def funnel(
+    ev: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_us: int = FUNNEL_WINDOW_US,
+) -> DataFrame:
+    """Ordered-step conversion funnel: a user converts step i when an
+    event of type ``steps[i]`` happens STRICTLY AFTER their step-(i-1)
+    completion, within ``window_us`` of their step-0 entry (first
+    qualifying event wins each step — the standard product-analytics
+    semantics).
+
+    Plan: each stage is (filter by type) ⋈ (previous stage's per-user
+    frame) → per-user min — the stage frames carry ONE ROW PER
+    CONVERTED USER, shrinking monotonically, so every join after the
+    first is against an ever-smaller key set; no windows, no event-side
+    state. Output one row per stage: stage BIGINT, step STRING,
+    n_users BIGINT, total_lag_us BIGINT (sum of entry→step latency,
+    exact integer µs — divide by n_users for the mean offline).
+    """
+    t1 = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t1"))
+        .withColumn("__tp", F.col("__t1"))
+    )
+    stages = [t1]
+    for st in steps[1:]:
+        prev = stages[-1]
+        nxt = (
+            ev.filter(F.col(type_col) == st)
+            .join(prev.select(user_col, "__t1", "__tp"), user_col)
+            .filter(
+                (F.col(ts_col) > F.col("__tp"))
+                & (
+                    F.expr(f"timestampdiff(MICROSECOND, __t1, {ts_col})")
+                    <= window_us
+                )
+            )
+            .groupBy(user_col)
+            .agg(
+                F.min("__t1").alias("__t1"),
+                F.min(ts_col).alias("__tp"),
+            )
+        )
+        stages.append(nxt)
+    outs = []
+    for i, (st, frame) in enumerate(zip(steps, stages), 1):
+        outs.append(
+            frame.agg(
+                F.lit(i).cast("bigint").alias("stage"),
+                F.lit(st).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+                F.coalesce(
+                    F.sum(F.expr("timestampdiff(MICROSECOND, __t1, __tp)")),
+                    F.lit(0),
+                )
+                .cast("bigint")
+                .alias("total_lag_us"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("stage")
+
+
+def funnel_oracle(
+    table_expr: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    window_us: int = FUNNEL_WINDOW_US,
+) -> str:
+    """DuckDB twin of funnel — identical stage recursion."""
+    ctes = [
+        f"""s1 AS (
+  SELECT {user_col}, MIN({ts_col}) AS __t1, MIN({ts_col}) AS __tp
+  FROM {table_expr} WHERE {type_col} = '{steps[0]}' GROUP BY {user_col}
+)"""
+    ]
+    for i, st in enumerate(steps[1:], 2):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.{user_col}, MIN(p.__t1) AS __t1, MIN(e.{ts_col}) AS __tp
+  FROM {table_expr} e JOIN s{i - 1} p USING ({user_col})
+  WHERE e.{type_col} = '{st}' AND e.{ts_col} > p.__tp
+    AND epoch_us(e.{ts_col}) - epoch_us(p.__t1) <= {window_us}
+  GROUP BY e.{user_col}
+)"""
+        )
+    selects = [
+        f"""SELECT CAST({i} AS BIGINT) AS stage, '{st}' AS step,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(epoch_us(__tp) - epoch_us(__t1)), 0) AS BIGINT)
+         AS total_lag_us
+FROM s{i}"""
+        for i, st in enumerate(steps, 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY stage"
+    )
+
+
+def cohort_retention(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = COHORT_PERIOD_US,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen period,
+    counted as retained in each later period they were active. All
+    integer arithmetic anchored at the GLOBAL min ts — obtained as a
+    1-row aggregate broadcast-cross-joined in (the Q11 pattern; never
+    an empty-partitionBy window). Output: cohort BIGINT, offset BIGINT
+    (periods since cohort), n_users BIGINT."""
+    anchor = ev.agg(F.min(ts_col).alias("__g0"))
+    base = ev.select(user_col, ts_col).crossJoin(F.broadcast(anchor))
+    period = F.expr(
+        f"timestampdiff(MICROSECOND, __g0, {ts_col}) div {period_us}"
+    )
+    activity = base.select(
+        user_col, period.cast("bigint").alias("__p")
+    ).distinct()
+    cohorts = activity.groupBy(user_col).agg(F.min("__p").alias("__c"))
+    return (
+        activity.join(cohorts, user_col)
+        .groupBy(
+            F.col("__c").alias("cohort"),
+            (F.col("__p") - F.col("__c")).alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort", "offset")
+    )
+
+
+def cohort_retention_oracle(
+    table_expr: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = COHORT_PERIOD_US,
+) -> str:
+    """DuckDB twin of cohort_retention — same anchored integer math."""
+    return f"""
+WITH __anchor AS (
+  SELECT MIN({ts_col}) AS __g0 FROM {table_expr}
+), activity AS (
+  SELECT DISTINCT {user_col},
+         (epoch_us({ts_col}) - epoch_us(__g0)) // {period_us} AS __p
+  FROM {table_expr} CROSS JOIN __anchor
+), cohorts AS (
+  SELECT {user_col}, MIN(__p) AS __c FROM activity GROUP BY {user_col}
+)
+SELECT CAST(c.__c AS BIGINT) AS cohort,
+       CAST(a.__p - c.__c AS BIGINT) AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity a JOIN cohorts c USING ({user_col})
+GROUP BY 1, 2 ORDER BY cohort, "offset"
+"""

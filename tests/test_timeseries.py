@@ -66,3 +66,70 @@ def test_partitioning_invariance(spark, series):
     a = sorted(map(str, timeseries.gap_fill(series.repartition(1)).collect()))
     b = sorted(map(str, timeseries.gap_fill(series.repartition(7)).collect()))
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def funnel_events(spark):
+    h = 60  # minutes
+    rows = [
+        # u1 full conversion: view 0h, click 1h, purchase 2h
+        (1, _ts(0), 1, "view", 0.0),
+        (2, _ts(1 * h), 1, "click", 0.0),
+        (3, _ts(2 * h), 1, "purchase", 0.0),
+        # u2: click BEFORE view — must not count as converted
+        (4, _ts(1 * h), 2, "click", 0.0),
+        (5, _ts(2 * h), 2, "view", 0.0),
+        # u3: click outside the 24h window from entry
+        (6, _ts(0), 3, "view", 0.0),
+        (7, _ts(25 * h), 3, "click", 0.0),
+        # u4: two clicks after view — FIRST one sets the step time,
+        # purchase between them converts only if after the first click
+        (8, _ts(0), 4, "view", 0.0),
+        (9, _ts(1 * h), 4, "click", 0.0),
+        (10, _ts(90), 4, "purchase", 0.0),  # 1.5h, after first click
+        (11, _ts(3 * h), 4, "click", 0.0),
+        # u5: purchase with no click — stops at view
+        (12, _ts(0), 5, "view", 0.0),
+        (13, _ts(1 * h), 5, "purchase", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+
+
+def test_funnel_exact(spark, funnel_events):
+    out = {r["step"]: r for r in timeseries.funnel(funnel_events).collect()}
+    assert out["view"]["n_users"] == 5  # every user has a view
+    assert out["click"]["n_users"] == 2  # u1, u4 (u2 order, u3 window)
+    assert out["purchase"]["n_users"] == 2  # u1, u4
+    # u1 lag 2h, u4 lag 1.5h from entry -> 3.5h total in µs
+    assert out["purchase"]["total_lag_us"] == int(3.5 * 3600 * 1e6)
+    assert out["view"]["total_lag_us"] == 0
+
+
+def test_cohort_retention_triangle(spark):
+    d = 24 * 60  # minutes per day, period = 1 day
+    rows = [
+        # u1 first day 0, active days 0, 1, 3
+        (1, _ts(0), 1), (2, _ts(1 * d), 1), (3, _ts(3 * d), 1),
+        # u2 first day 0, active day 0 only
+        (4, _ts(10), 2),
+        # u3 first day 2, active days 2, 3
+        (5, _ts(2 * d), 3), (6, _ts(3 * d + 5), 3),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+    out = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in timeseries.cohort_retention(
+            ev, period_us=24 * 3600 * 1_000_000
+        ).collect()
+    }
+    assert out == {
+        (0, 0): 2,  # u1, u2
+        (0, 1): 1,  # u1
+        (0, 3): 1,  # u1
+        (2, 0): 1,  # u3
+        (2, 1): 1,  # u3
+    }
