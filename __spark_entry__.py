@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from amadeus_spark.functions import dedup, gopher, similarity, text
 from amadeus_spark.operators import (
     aggregates,
+    fuzzy,
     joins,
     sampling,
     sketches,
@@ -1440,6 +1441,19 @@ def q_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.gap_fill(ev)
 
 
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SymSpell-style fuzzy entity matching (operators/fuzzy.py):
+    customers whose names are within edit distance 1, blocked by
+    deletion-neighborhood equi-join (O(n·L) variants, no all-pairs,
+    plan-tested no-cartesian), levenshtein-verified, summarized per
+    market segment. Hash-exact: both engines implement levenshtein
+    with unit costs."""
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy.fuzzy_match_stats(
+        cust, "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
 #: cohort gate query: rare events (value > 28) spread users' first-seen
 #: period across the timeline; 1-day periods give a real retention
 #: triangle (dense raw events put every user in cohort 0).
@@ -2385,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gap_fill_events": q_gap_fill_events,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
+        "fuzzy_name_match": q_fuzzy_name_match,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -3008,6 +3023,9 @@ def oracle_sql() -> dict[str, str]:
             f" CAST({GAP_FILL_MIN_VALUE} AS DOUBLE))"
         ),
         "funnel_steps": timeseries.funnel_oracle(_EVENTS_US),
+        "fuzzy_name_match": fuzzy.fuzzy_match_oracle(
+            "customer", "c_custkey", "c_name", "c_mktsegment"
+        ),
         "cohort_retention": timeseries.cohort_retention_oracle(
             f"(SELECT * FROM {_EVENTS_US} WHERE value >"
             f" CAST({COHORT_MIN_VALUE} AS DOUBLE))",

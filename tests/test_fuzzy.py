@@ -1,0 +1,101 @@
+"""Deletion-neighborhood fuzzy join (operators/fuzzy.py): exact edit
+semantics on crafted names, COMPLETENESS vs brute-force levenshtein on
+random strings (blocking must not lose pairs), and the refused-depth
+contract."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.operators import fuzzy
+
+
+def _pairs(spark, names):
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    return {
+        (r["k1"], r["k2"]): r["dist"]
+        for r in fuzzy.fuzzy_self_join(df, "k", "n").collect()
+    }
+
+
+def test_edit_kinds(spark):
+    names = [
+        "alpha",  # 0
+        "alphb",  # 1: substitution of 0
+        "alpha!",  # 2: insertion vs 0
+        "alph",  # 3: deletion vs 0
+        "alpha",  # 4: exact duplicate of 0
+        "zzzzz",  # 5: far from everything
+        "blphb",  # 6: dist 2 from 0 -> must NOT pair with 0
+    ]
+    got = _pairs(spark, names)
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 1
+    assert got[(0, 3)] == 1
+    assert got[(0, 4)] == 0  # identity variant catches exact dupes
+    assert (0, 6) not in got
+    assert not any(5 in p for p in got)
+    assert got[(1, 6)] == 1  # blphb is one sub from alphb
+
+
+def test_completeness_vs_bruteforce(spark):
+    rng = random.Random(42)
+    alphabet = "abc"
+    names = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 6)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    got = set(
+        (r["k1"], r["k2"])
+        for r in fuzzy.fuzzy_self_join(df, "k", "n").collect()
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set(
+        (i, j)
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= 1
+    )
+    assert want, "degenerate test data"
+    assert got == want  # blocking loses nothing, verify adds nothing
+
+
+def test_deeper_budget_refused(spark):
+    df = spark.createDataFrame([(1, "x")], "k long, n string")
+    with pytest.raises(ValueError):
+        fuzzy.fuzzy_self_join(df, "k", "n", max_dist=2)
+
+
+def test_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "k long, n string"
+    )
+    plan = (
+        fuzzy.fuzzy_self_join(df, "k", "n")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
