@@ -1461,6 +1461,15 @@ COHORT_MIN_VALUE = 28.0
 COHORT_PERIOD_US = 24 * 3600 * 1_000_000
 
 
+def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour RANGE-frame aggregates per event
+    (operators/timeseries.rolling_window_stats): time-based sliding
+    count + exact micro-unit sum, offsets relative to each key's min
+    ts (timezone-proof), peers-on-ties per SQL RANGE semantics —
+    the temporal-frame complement to q_window_functions' row frames."""
+    return timeseries.rolling_window_stats(_ev(spark, sf_dir))
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step conversion funnel view→click→purchase within 24 h
     (operators/timeseries.funnel): per-stage converted-user counts and
@@ -2400,6 +2409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "fuzzy_name_match": q_fuzzy_name_match,
+        "rolling_window": q_rolling_window,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -3023,6 +3033,7 @@ def oracle_sql() -> dict[str, str]:
             f" CAST({GAP_FILL_MIN_VALUE} AS DOUBLE))"
         ),
         "funnel_steps": timeseries.funnel_oracle(_EVENTS_US),
+        "rolling_window": timeseries.rolling_window_oracle(_EVENTS_US),
         "fuzzy_name_match": fuzzy.fuzzy_match_oracle(
             "customer", "c_custkey", "c_name", "c_mktsegment"
         ),

@@ -109,6 +109,31 @@ def test_funnel_exact(spark, funnel_events):
     assert out["view"]["total_lag_us"] == 0
 
 
+def test_rolling_window_frame_semantics(spark):
+    """Trailing 1-hour frame: events at 0, 30, 59.5, 61 min — the
+    61-min event's frame drops the t=0 event (61 - 60 > window-1µs
+    back) but keeps 30 and 59.5; ties share frames (RANGE peers)."""
+    rows = [
+        (1, _ts(0), "a", 1.0),
+        (2, _ts(30), "a", 2.0),
+        (3, _ts(59.5), "a", 4.0),
+        (4, _ts(61), "a", 8.0),
+        (5, _ts(61), "a", 16.0),  # tie with event 4 -> same frame
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in timeseries.rolling_window_stats(ev).collect()
+    }
+    assert out[1]["n_win"] == 1 and out[1]["v_win"] == 1.0
+    assert out[3]["n_win"] == 3 and out[3]["v_win"] == 7.0
+    # 61-min frame: [1min+1µs .. 61min] -> drops t=0, includes both ties
+    assert out[4]["n_win"] == 4 and out[4]["v_win"] == 30.0
+    assert out[5]["n_win"] == 4 and out[5]["v_win"] == 30.0  # peer rows agree
+
+
 def test_cohort_retention_triangle(spark):
     d = 24 * 60  # minutes per day, period = 1 day
     rows = [
