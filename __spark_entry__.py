@@ -1466,7 +1466,10 @@ def q_rolling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/timeseries.rolling_window_stats): time-based sliding
     count + exact micro-unit sum, offsets relative to each key's min
     ts (timezone-proof), peers-on-ties per SQL RANGE semantics —
-    the temporal-frame complement to q_window_functions' row frames."""
+    the temporal-frame complement to q_window_functions' row frames.
+    Keyed per (event_type, user_id): RANGE frames cannot shard, so
+    the series key must be FINE for the partition count to grow with
+    the data (the sequence_packing lesson)."""
     return timeseries.rolling_window_stats(_ev(spark, sf_dir))
 
 

@@ -190,7 +190,7 @@ COHORT_PERIOD_US = 7 * 24 * 3600 * 1_000_000
 
 def rolling_window_stats(
     ev: DataFrame,
-    key_col: str = "event_type",
+    keys: tuple[str, ...] = ("event_type", "user_id"),
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
@@ -202,11 +202,18 @@ def rolling_window_stats(
     exactly as SQL RANGE frames define). Offsets are relative to each
     key's min ts so timezone offsets cancel (the gap_fill trick); sums
     are integer micro-units (iron rule 2) so the trailing sum is
-    bit-identical in both engines. One shuffle (partition by key,
-    order by offset); per-key window state is one frame's rows."""
-    t0 = ev.groupBy(key_col).agg(F.min(ts_col).alias("__t0"))
-    base = ev.join(F.broadcast(t0), key_col).select(
-        key_col,
+    bit-identical in both engines.
+
+    ``keys`` is the scale lever: a RANGE frame cannot be sharded
+    (frames span neighbors), so one series key = one window task —
+    the default keys on a FINE series (per user per type) so the
+    partition count grows with the data, unlike a coarse
+    per-type-only key whose windows become whole-corpus stragglers
+    at 100× (the sequence_packing lesson from round 4)."""
+    keylist = list(keys)
+    t0 = ev.groupBy(*keylist).agg(F.min(ts_col).alias("__t0"))
+    base = ev.join(F.broadcast(t0), keylist).select(
+        *keylist,
         F.col(id_col).alias("event_id"),
         F.expr(f"timestampdiff(MICROSECOND, __t0, {ts_col})").alias(
             "off_us"
@@ -214,44 +221,46 @@ def rolling_window_stats(
         F.round(F.col(val_col) * 1e6).cast("long").alias("__v_us"),
     )
     w = (
-        Window.partitionBy(key_col)
+        Window.partitionBy(*keylist)
         .orderBy("off_us")
         .rangeBetween(-(window_us - 1), 0)
     )
     return base.select(
-        key_col,
+        *keylist,
         "event_id",
         "off_us",
         F.count(F.lit(1)).over(w).alias("n_win"),
         (F.sum("__v_us").over(w) / F.lit(1e6)).alias("v_win"),
-    ).orderBy(key_col, "off_us", "event_id")
+    ).orderBy(*keylist, "off_us", "event_id")
 
 
 def rolling_window_oracle(
     table_expr: str,
-    key_col: str = "event_type",
+    keys: tuple[str, ...] = ("event_type", "user_id"),
     ts_col: str = "ts",
     val_col: str = "value",
     id_col: str = "event_id",
     window_us: int = 3600 * 1_000_000,
 ) -> str:
     """DuckDB twin of rolling_window_stats — same RANGE frame."""
+    ks = ", ".join(keys)
+    eks = ", ".join(f"e.{k}" for k in keys)
     return f"""
 WITH __t0f AS (
-  SELECT {key_col}, MIN({ts_col}) AS __t0 FROM {table_expr} GROUP BY {key_col}
+  SELECT {ks}, MIN({ts_col}) AS __t0 FROM {table_expr} GROUP BY {ks}
 ), base AS (
-  SELECT e.{key_col}, e.{id_col} AS event_id,
+  SELECT {eks}, e.{id_col} AS event_id,
          epoch_us(e.{ts_col}) - epoch_us(__t0f.__t0) AS off_us,
          CAST(ROUND(e.{val_col} * 1000000) AS BIGINT) AS __v_us
-  FROM {table_expr} e JOIN __t0f USING ({key_col})
+  FROM {table_expr} e JOIN __t0f USING ({ks})
 )
-SELECT {key_col}, event_id, CAST(off_us AS BIGINT) AS off_us,
+SELECT {ks}, event_id, CAST(off_us AS BIGINT) AS off_us,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
        CAST(SUM(__v_us) OVER w AS DOUBLE) / 1000000 AS v_win
 FROM base
-WINDOW w AS (PARTITION BY {key_col} ORDER BY off_us
+WINDOW w AS (PARTITION BY {ks} ORDER BY off_us
              RANGE BETWEEN {window_us - 1} PRECEDING AND CURRENT ROW)
-ORDER BY {key_col}, off_us, event_id
+ORDER BY {ks}, off_us, event_id
 """
 
 

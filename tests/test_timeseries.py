@@ -125,7 +125,9 @@ def test_rolling_window_frame_semantics(spark):
     )
     out = {
         r["event_id"]: r
-        for r in timeseries.rolling_window_stats(ev).collect()
+        for r in timeseries.rolling_window_stats(
+            ev, keys=("event_type",)
+        ).collect()
     }
     assert out[1]["n_win"] == 1 and out[1]["v_win"] == 1.0
     assert out[3]["n_win"] == 3 and out[3]["v_win"] == 7.0
