@@ -71,10 +71,16 @@ def fuzzy_self_join(
             " neighborhoods (recall would silently drop otherwise)"
         )
     v = deletion_variants_frag(name_col, "spark")
+    # array_distinct BEFORE the explode: deleting any character of a
+    # run of equal characters yields the SAME variant (a name with a
+    # 7-zero run has 7 identical variants), and duplicate variants
+    # multiply join output quadratically per pair (7×7 rows that the
+    # later distinct collapses — measured 19× on customer names).
+    # The variant SET is what blocking needs; duplicates carry nothing.
     vars_df = df.select(
         F.col(key_col).alias("k"),
         F.col(name_col).alias("n"),
-        F.explode(F.expr(v)).alias("v"),
+        F.explode(F.array_distinct(F.expr(v))).alias("v"),
     )
     a = vars_df.alias("a")
     b = vars_df.alias("b")
@@ -130,7 +136,8 @@ def fuzzy_match_oracle(
     v = deletion_variants_frag(name_col, "duckdb")
     return f"""
 WITH vars AS (
-  SELECT {key_col} AS k, {name_col} AS n, unnest({v}) AS v FROM {table}
+  SELECT {key_col} AS k, {name_col} AS n, unnest(list_distinct({v})) AS v
+  FROM {table}
 ), cand AS (
   SELECT DISTINCT a.k AS k1, b.k AS k2, a.n AS n1, b.n AS n2
   FROM vars a JOIN vars b ON a.v = b.v AND a.k < b.k
