@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amadeus_spark.functions import dedup, gopher, similarity, text
+from amadeus_spark.functions import dedup, gopher, retrieval, similarity, text
 from amadeus_spark.operators import (
     aggregates,
     fuzzy,
@@ -2173,6 +2173,18 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher.gopher_report(docs)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (functions/retrieval.py): BM25-shape top-20
+    for a fixed bag-of-terms query — the sparse half of hybrid search
+    next to the embedding ANN family. Rational idf core (no ln — libm
+    rounding differs across builds; perplexity_filter precedent);
+    per-term exact conditional sums + fixed-order addition chain make
+    the double scores bit-identical across engines; full (score DESC,
+    doc_id) tie-break under the LIMIT."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(spark, docs)
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-context assembly: contiguous greedy packing of documents
     into fixed token-capacity bins per (language stream, id-mod shard)
@@ -2413,6 +2425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "fuzzy_name_match": q_fuzzy_name_match,
         "rolling_window": q_rolling_window,
+        "bm25_topk": q_bm25_topk,
         # (c) newest external row is r03 — rotate under the gate
         "supplier_part_share": q_supplier_part_share,
         "rollup": q_rollup,
@@ -3037,6 +3050,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "funnel_steps": timeseries.funnel_oracle(_EVENTS_US),
         "rolling_window": timeseries.rolling_window_oracle(_EVENTS_US),
+        "bm25_topk": retrieval.bm25_topk_oracle("documents"),
         "fuzzy_name_match": fuzzy.fuzzy_match_oracle(
             "customer", "c_custkey", "c_name", "c_mktsegment"
         ),

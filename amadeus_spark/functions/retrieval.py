@@ -1,0 +1,164 @@
+"""Lexical (keyword) retrieval — BM25-shape scoring over the corpus,
+complementing the embedding-side ANN family (similarity.py) with the
+sparse half of standard hybrid search.
+
+Scoring follows the BM25 structure (Robertson/Spärck Jones, public):
+
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·|d|/avgdl))
+
+with the one house deviation that keeps the gate strict-hash: idf is
+the RATIONAL core ``(N - df + 0.5)/(df + 0.5)`` without the log wrap —
+``ln()`` is not identically rounded across libm builds, so a log-based
+score can never hash-match DuckDB (the same reasoning as
+perplexity_filter's inverse-frequency proxy, functions/text.py). The
+log is monotone per term but the SUM across terms weights differently,
+so production ranking that must match Lucene swaps ``_idf_frag`` to
+``ln(...)`` — the plan is unchanged; only the gate-compare demands the
+rational form.
+
+Physical plan at 100 TB: the query's term stats (df per term, N,
+avgdl) are TINY aggregates — broadcast; the corpus side is one explode
+→ filter-to-query-terms (pushes the non-matching token stream out
+before any shuffle) → per-(doc, term) count → per-doc weighted sum →
+top-k. One corpus scan, shuffles keyed by doc, top-k via
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: standard BM25 free parameters (Robertson et al. defaults)
+K1 = 1.2
+B = 0.75
+
+#: default gate query terms — present across the synthetic corpus with
+#: very different document frequencies, so idf ordering matters
+DEFAULT_TERMS = ("spark", "join", "window")
+
+
+def _score_frag(tf: str, dl: str, avgdl: str, n: str, df: str) -> str:
+    """The per-(doc,term) BM25 contribution — ONE string emitted into
+    both dialects (every input is a SQL fragment)."""
+    idf = f"(({n} - {df} + 0.5) / ({df} + 0.5))"
+    denom = f"({tf} + {K1} * (1.0 - {B} + {B} * {dl} / {avgdl}))"
+    return f"{idf} * {tf} * (1.0 + {K1}) / {denom}"
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs for a bag-of-terms query. Output: doc_id BIGINT,
+    n_hits BIGINT (query terms present), score DOUBLE — ordered by
+    (score DESC, doc_id) with the full deterministic tie-break."""
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).cast("double").alias("dl"),
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), " "),
+                lambda t: F.array_contains(terms_arr, t),
+            )
+        ).alias("t"),
+    )
+    tf = toks.groupBy("doc", "t").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(
+            F.size(
+                F.filter(
+                    F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+                )
+            )
+        ).alias("avgdl"),
+    )
+    dfreq = (
+        tf.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    # Determinism of the per-doc sum: tf holds exactly ONE row per
+    # (doc, term), so each per-term conditional SUM has a single
+    # nonzero addend (exact in any order), and the final score is a
+    # FIXED-ORDER addition chain written identically in both dialects
+    # — bit-identical, no engine-specific float summation anywhere.
+    per_term = [
+        F.sum(
+            F.when(F.col("t") == t, F.col("__s")).otherwise(F.lit(0.0))
+        ).alias(f"__s{i}")
+        for i, t in enumerate(terms)
+    ]
+    chain = " + ".join(f"__s{i}" for i in range(len(terms)))
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__s", F.expr(_score_frag("tf", "dl", "avgdl", "n", "df"))
+        )
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"), *per_term)
+        .withColumn("score", F.expr(f"({chain})"))
+    )
+    return (
+        scored.select(F.col("doc").alias(id_col), "n_hits", "score")
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_topk_oracle(
+    table: str = "documents",
+    terms: tuple[str, ...] = DEFAULT_TERMS,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of bm25_topk — same tokenization, same score
+    fragment, same per-term exact sums + fixed-order addition chain,
+    same tie-break."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    score = _score_frag("tf", "dl", "avgdl", "n", "df")
+    per_term = ",\n       ".join(
+        f"SUM(CASE WHEN t = '{t}' THEN {score} ELSE 0.0 END) AS __s{i}"
+        for i, t in enumerate(terms)
+    )
+    chain = " + ".join(f"__s{i}" for i in range(len(terms)))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc,
+         CAST(len(list_filter(string_split({text_col}, ' '),
+                              x -> x <> '')) AS DOUBLE) AS dl,
+         unnest(list_filter(string_split({text_col}, ' '),
+                            x -> list_contains([{tlist}], x))) AS t
+  FROM {table}
+), tf AS (
+  SELECT doc, t, CAST(COUNT(*) AS DOUBLE) AS tf, FIRST(dl) AS dl
+  FROM toks GROUP BY doc, t
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(list_filter(string_split({text_col}, ' '),
+                                  x -> x <> '')) AS DOUBLE)) AS avgdl
+  FROM {table}
+), dfreq AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), grouped AS (
+  SELECT tf.doc,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       {per_term}
+  FROM tf JOIN dfreq USING (t) CROSS JOIN stats
+  GROUP BY tf.doc
+)
+SELECT doc AS {id_col}, n_hits, ({chain}) AS score
+FROM grouped ORDER BY score DESC, {id_col} LIMIT {k}
+"""

@@ -1,0 +1,71 @@
+"""BM25-shape retrieval (functions/retrieval.py): score formula checked
+against an independent Python computation on crafted docs, idf
+ordering (rare beats common at equal tf), and the top-k tie-break."""
+
+from __future__ import annotations
+
+import pytest
+
+from amadeus_spark.functions import retrieval
+from amadeus_spark.functions.retrieval import B, K1
+
+
+def _py_score(tf, dl, avgdl, n, df):
+    idf = (n - df + 0.5) / (df + 0.5)
+    return idf * tf * (1.0 + K1) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark spark join other other other"),  # both terms
+        (1, "spark other other other other other"),  # common term only
+        (2, "join other other other other other"),  # rare term only
+        (3, "spark other other other other other"),
+        (4, "spark other other other other other"),
+        (5, "other other other other other other"),  # no terms
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scores_match_independent_formula(spark, corpus):
+    out = {
+        r["doc_id"]: r
+        for r in retrieval.bm25_topk(
+            spark, corpus, terms=("spark", "join"), k=10
+        ).collect()
+    }
+    n, avgdl = 6.0, 6.0
+    df_spark, df_join = 4.0, 2.0
+    exp0 = _py_score(2, 6, avgdl, n, df_spark) + _py_score(
+        1, 6, avgdl, n, df_join
+    )
+    assert out[0]["score"] == pytest.approx(exp0, rel=1e-12)
+    assert out[0]["n_hits"] == 2
+    assert out[1]["score"] == pytest.approx(
+        _py_score(1, 6, avgdl, n, df_spark), rel=1e-12
+    )
+    assert out[2]["score"] == pytest.approx(
+        _py_score(1, 6, avgdl, n, df_join), rel=1e-12
+    )
+    assert 5 not in out  # no query terms -> not retrieved
+
+
+def test_rare_term_outscores_common_at_equal_tf(spark, corpus):
+    out = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_topk(
+            spark, corpus, terms=("spark", "join"), k=10
+        ).collect()
+    }
+    # doc 2 (one rare 'join') must outscore doc 1 (one common 'spark')
+    assert out[2] > out[1]
+
+
+def test_topk_tiebreak_deterministic(spark, corpus):
+    # docs 1, 3, 4 are identical -> equal scores; order must be doc_id
+    rows = retrieval.bm25_topk(
+        spark, corpus, terms=("spark", "join"), k=10
+    ).collect()
+    tied = [r["doc_id"] for r in rows if r["doc_id"] in (1, 3, 4)]
+    assert tied == [1, 3, 4]
