@@ -2401,12 +2401,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4/r5 verdicts called for): front-load (a) every query whose plan
     # CHANGED this round (q11/q15 window->broadcast-agg, equidepth
     # cut-point rewrite, capped ngram_jaccard, sharded sequence_packing),
-    # (b) the new group_sink_nation, (c) the 33 queries whose newest
-    # external row is CORRECTNESS_r03 (two rounds stale), and (d) the
-    # riskiest dedup/similarity plans. The round-4/5-green TPC-H pack and
-    # simple-plan block move to the middle (each is still oracle-verified
-    # locally every pytest run); rows-only queries stay last
-    # (test_oracle.py asserts the tail).
+    # (b) every query NEW this round (group_sink_nation,
+    # html_text_extract, url_dedup, mixture/epoch, gap_fill_events,
+    # funnel/cohort/fuzzy/rolling, gopher_quality, bm25_topk), and
+    # (c) the 33 queries whose newest external row was CORRECTNESS_r03
+    # (two rounds stale). The r05-green similarity block and TPC-H pack
+    # rotate to the middle (each still oracle-verified locally every
+    # pytest run); rows-only queries stay last (test_oracle.py asserts
+    # the tail).
     return {
         # (a) plans changed in round 6 — must re-verify externally
         "equidepth_histogram": q_equidepth_histogram,
