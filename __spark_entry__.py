@@ -1454,6 +1454,44 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: account-code population for the d=2 fuzzy join: 8 random-looking
+#: decimal digits derived from c_custkey via the portable hash32 (the
+#: url_dedup precedent for synthesizing a column the testdata lacks).
+#: 8 digits is the demo sweet spot: ~2.6k genuine d≤2 pairs at sf0.1
+#: (clerical-error account matching), not the ~4M degenerate pairs that
+#: TPC-H's sequential zero-padded c_name ids produce at d=2.
+FUZZY_CODE_MOD = 100_000_000
+
+
+def _fuzzy_code_frags() -> tuple[str, str]:
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    hs, hd = hash32_frag(
+        "cast(c_custkey as string)", "CAST(c_custkey AS VARCHAR)"
+    )
+    return (
+        f"lpad(cast({hs} % {FUZZY_CODE_MOD} as string), 8, '0')",
+        f"lpad(CAST({hd} % {FUZZY_CODE_MOD} AS VARCHAR), 8, '0')",
+    )
+
+
+def q_fuzzy_code_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-2 fuzzy self-join (operators/fuzzy.py): SymSpell
+    depth-2 deletion neighborhoods (provably complete for d ≤ 2, module
+    docstring) turned into one variant equi-join — O(n·L²) exploded
+    rows, no all-pairs stage — then banded levenshtein ≤ 2 verify.
+    The ORACLE is deliberately a BRUTE-FORCE cross-levenshtein (feasible
+    at oracle sf): it shares no blocking code with the Spark side, so a
+    blocking recall bug cannot hide in a shared fragment."""
+    sfrag, _ = _fuzzy_code_frags()
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(sfrag).alias("code"), "c_mktsegment"
+    )
+    return fuzzy.fuzzy_match_stats(
+        cust, "c_custkey", "code", "c_mktsegment", max_dist=2
+    )
+
+
 #: cohort gate query: rare events (value > 28) spread users' first-seen
 #: period across the timeline; 1-day periods give a real retention
 #: triangle (dense raw events put every user in cohort 0).
@@ -2426,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
         "fuzzy_name_match": q_fuzzy_name_match,
+        "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "rolling_window": q_rolling_window,
         "bm25_topk": q_bm25_topk,
         # (c) newest external row is r03 — rotate under the gate
@@ -3056,6 +3095,24 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_match": fuzzy.fuzzy_match_oracle(
             "customer", "c_custkey", "c_name", "c_mktsegment"
         ),
+        # INDEPENDENT oracle: brute-force pairwise levenshtein, no shared
+        # blocking fragment — a depth-2 neighborhood recall bug on the
+        # Spark side hash-mismatches here instead of hiding.
+        "fuzzy_code_match_d2": f"""
+            WITH c AS (
+              SELECT c_custkey AS k, {_fuzzy_code_frags()[1]} AS n,
+                     c_mktsegment AS grp
+              FROM customer
+            ), pairs AS (
+              SELECT a.k AS k1, a.grp
+              FROM c a JOIN c b
+                ON a.k < b.k AND levenshtein(a.n, b.n) <= 2
+            )
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_members_matched
+            FROM pairs GROUP BY grp ORDER BY grp
+        """,
         "cohort_retention": timeseries.cohort_retention_oracle(
             f"(SELECT * FROM {_EVENTS_US} WHERE value >"
             f" CAST({COHORT_MIN_VALUE} AS DOUBLE))",

@@ -22,12 +22,15 @@ Design (Spark-first):
   (public result: Kirsch & Mitzenmacher 2006, "Less Hashing, Same
   Performance"), so the Python stages do integer math only, never
   string hashing.
-- **Build is a mergeable aggregate**: per-partition bitmaps OR
-  together, and OR is commutative/associative/idempotent — the built
-  bitmap is BIT-IDENTICAL under any partitioning or row order (tested).
-  Partials are one row per partition; the driver merge is bounded by
-  #partitions × m/8 bytes. For multi-GB bitmaps, raise fp_rate or
-  tree-merge through a repartition stage before collecting.
+- **Build is a mergeable aggregate with a TREE merge**: per-partition
+  bitmaps OR together, and OR is commutative/associative/idempotent —
+  the built bitmap is BIT-IDENTICAL under any partitioning or row
+  order (tested). Partials are one row per input partition, OR-reduced
+  EXECUTOR-SIDE ``fan_in``-to-1 (same two-level topology as
+  sketch_lib.count_min_top_k) before the driver ever collects: the
+  driver sees ≤ ceil(partitions / fan_in) rows, so a 120 MB bitmap
+  over a probe set read as 3000 partitions moves ~6 GB through the
+  reduce level and ~6 GB/fan_in ≈ 5 rows to the driver — not 360 GB.
 - **Membership is one Arrow-batched pandas UDF** over the precomputed
   hash columns — vectorized numpy bit tests against the broadcast
   bitmap, the sanctioned Python path (bytes never hit the driver).
@@ -87,14 +90,14 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     ) % np.uint64(m)
 
 
-def build_bloom(
-    df: DataFrame, col: str, capacity: int, fp_rate: float = 0.01
-) -> BloomSpec:
-    """Build a Bloom filter over a column's values. This RUNS A JOB
-    (like the IVF k-means fit): the probe-set scan is its own bounded
-    action whose result (the bitmap) then broadcasts into the main
-    query — keep it off the 100 TB side."""
-    m, k = optimal_params(capacity, fp_rate)
+def _reduced_partials(
+    df: DataFrame, col: str, m: int, k: int, fan_in: int = 64
+) -> DataFrame:
+    """Per-input-partition bitmaps, OR-reduced executor-side so the
+    frame holds ≤ ceil(n_partitions / fan_in) rows (one level of the
+    sketch_lib fan-in tree — OR is associative, so one level suffices
+    to bound the driver collect; the final OR over the reduced rows is
+    ≤ fan_in × m/8 bytes of driver work by construction)."""
     n_words = m // 64
     h1c, h2c = _hash_cols(F.col(col))
 
@@ -117,12 +120,46 @@ def build_bloom(
         if seen:
             yield pd.DataFrame({"w": [bitmap.tobytes()]})
 
-    partials = (
-        df.select(h1c.alias("h1"), h2c.alias("h2"))
-        .mapInPandas(_partial, schema="w binary")
-        .collect()
+    states = df.select(h1c.alias("h1"), h2c.alias("h2")).mapInPandas(
+        _partial, schema="w binary"
     )
-    bitmap = np.zeros(n_words, dtype=np.uint64)
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts > 1:
+        # spark_partition_id of the states frame is the source partition
+        # (mapInPandas is 1:1), so the grouping is deterministic and
+        # evenly spread — same reasoning as sketch_lib.count_min_top_k.
+        # Applied whenever >1 partial exists (not just past fan_in): the
+        # exchange moves ≤ n_parts bitmap rows and the driver then sees
+        # ceil(n_parts / fan_in) — for n_parts ≤ fan_in that's ONE row.
+        n_groups = math.ceil(n_parts / fan_in)
+
+        def _or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(n_words, dtype=np.uint64)
+            for w in pdf["w"]:
+                acc |= np.frombuffer(w, dtype=np.uint64)
+            return pd.DataFrame({"w": [acc.tobytes()]})
+
+        states = (
+            states.withColumn("g", F.spark_partition_id() % n_groups)
+            .groupBy("g")
+            .applyInPandas(_or_group, schema="w binary")
+        )
+    return states
+
+
+def build_bloom(
+    df: DataFrame, col: str, capacity: int, fp_rate: float = 0.01,
+    fan_in: int = 64,
+) -> BloomSpec:
+    """Build a Bloom filter over a column's values. This RUNS A JOB
+    (like the IVF k-means fit): the probe-set scan is its own bounded
+    action whose result (the bitmap) then broadcasts into the main
+    query — keep it off the 100 TB side. The partial bitmaps OR-merge
+    executor-side ``fan_in``-to-1 first, so the driver collects at most
+    ceil(n_partitions / fan_in) rows however the input is partitioned."""
+    m, k = optimal_params(capacity, fp_rate)
+    partials = _reduced_partials(df, col, m, k, fan_in).collect()
+    bitmap = np.zeros(m // 64, dtype=np.uint64)
     for row in partials:
         bitmap |= np.frombuffer(row["w"], dtype=np.uint64)
     return BloomSpec(bitmap.tobytes(), m, k)
@@ -169,9 +206,12 @@ def decontamination_bloom_stats(
     probe construction, same shingles): per stream it reports corpus
     docs, exactly-contaminated docs, bloom-flagged docs, and
     ``n_missed`` = docs the exact path flags that bloom does NOT —
-    which the no-false-negative guarantee forces to 0 (asserted by
-    tests; visible in the gate output). ``n_bloom - n_exact`` is the
-    realized false-positive overhang.
+    0 UNCONDITIONALLY, because the bloom is built over the SAME hash32
+    column ``h`` the exact join keys on (membership then supersets the
+    join relation by construction — a bloom over the raw string would
+    instead open a hash32-collision window where exact flags a doc the
+    bloom legitimately misses). ``n_bloom - n_exact`` is the realized
+    false-positive overhang.
 
     fp_rate is PER SHINGLE PROBE; a doc testing s shingles is
     false-flagged with probability ≤ s·fp_rate (union bound), so the
@@ -210,17 +250,16 @@ def decontamination_bloom_stats(
         .distinct()
     )
     capacity = max(64, probe.count())
-    spec = build_bloom(probe, "s", capacity, fp_rate)
+    probe_hashes = probe.select(F.expr(hs).alias("h"))
+    spec = build_bloom(probe_hashes, "h", capacity, fp_rate)
 
-    probe_hashes = probe.select(F.expr(hs).alias("h")).withColumn(
-        "__hit", F.lit(True)
-    )
+    probe_hashes = probe_hashes.withColumn("__hit", F.lit(True))
     corpus_sh = (
         staged.filter(F.col("doc") % probe_mod != 0)
         .select(stream_col, "doc", F.explode("__sh").alias("s"))
         .withColumn("h", F.expr(hs))
     )
-    flagged = with_bloom_member(spark, corpus_sh, "s", spec, "bloom_hit")
+    flagged = with_bloom_member(spark, corpus_sh, "h", spec, "bloom_hit")
     per_doc = (
         flagged.join(F.broadcast(probe_hashes), "h", "left")
         .groupBy(stream_col, "doc")

@@ -166,13 +166,17 @@ def compensated_moments(df: DataFrame, col: str) -> DataFrame:
             else pd.DataFrame()
         )
         if len(rows) == 0:
+            # nullable Float64 + pd.NA so Arrow emits SQL NULLs, not NaN
+            # doubles — None vs nan stringify differently (iron rule 9),
+            # and the docstring promises NULL moments on empty input.
+            null = pd.array([pd.NA], dtype="Float64")
             yield pd.DataFrame(
                 {
                     "n": pd.array([0], dtype="int64"),
-                    "total": [np.nan],
-                    "mean": [np.nan],
-                    "var_pop": [np.nan],
-                    "stddev_pop": [np.nan],
+                    "total": null,
+                    "mean": null,
+                    "var_pop": null,
+                    "stddev_pop": null,
                 }
             )
             return

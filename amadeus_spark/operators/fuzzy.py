@@ -16,10 +16,18 @@ variant bounds distance ≤ 2 — so one cheap ``levenshtein ≤ d`` check
 verifies exact distance on the candidate set only. Cost: O(n·L)
 exploded rows, one shuffle keyed by variant, bucket sizes bounded by
 real near-duplicate cluster sizes (same posture as the MinHash band
-join in dedup.py). Only distance ≤ 1 is offered — the depth where
-1-deletion blocking is provably complete; deeper budgets would need
-O(L²) 2-deletion neighborhoods and are refused rather than silently
-under-recalled.
+join in dedup.py).
+
+Distances 1 and 2 are offered, each at the deletion depth where
+blocking is PROVABLY complete (SymSpell's symmetric-delete scheme):
+take an optimal alignment of A and B with ≤ d edits; deleting from A
+every substituted/deleted char (≤ d of them) and from B every
+substituted/inserted char (≤ d) leaves the same string — so any pair
+within distance d shares a ≤ d-deletion variant. d=1 costs O(n·L)
+exploded rows; d=2 costs O(n·L²) (the C(L,2) two-deletion variants) —
+quadratic in STRING LENGTH, never in row count; there is still no
+all-pairs stage anywhere. Budgets deeper than the generated
+neighborhood depth are refused rather than silently under-recalled.
 
 Both engines implement ``levenshtein`` with unit edit costs and the
 same substring semantics, so the whole pipeline is hash-exact under
@@ -32,22 +40,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def deletion_variants_frag(col_sql: str, dialect: str) -> str:
-    """Array of {identity} ∪ {1-deletion variants} of a string column,
-    as a SQL fragment in either dialect (same formula, array lexicon
-    differs)."""
+def deletion_variants_frag(col_sql: str, dialect: str, depth: int = 1) -> str:
+    """Array of {identity} ∪ {≤ depth-deletion variants} of a string
+    column, as a SQL fragment in either dialect (same formula, array
+    lexicon differs). depth ∈ {1, 2}; depth 2 appends the C(L,2)
+    two-deletion variants enumerated as ordered position pairs i < j
+    (each distinct deletion pair exactly once — rebuilding D2 as
+    "deletions of D1" would emit every variant twice)."""
+    if depth not in (1, 2):
+        raise ValueError("depth 1 or 2 only")
     if dialect == "spark":
-        return (
+        d1 = (
             f"concat(array({col_sql}),"
             f" transform(sequence(1, length({col_sql})),"
             f" i -> concat(substring({col_sql}, 1, i - 1),"
             f" substring({col_sql}, i + 1))))"
         )
-    return (
+        if depth == 1:
+            return d1
+        # guard: Spark's sequence(a, b) runs DESCENDING when a > b, so
+        # a length-1 string would enumerate phantom positions unguarded
+        d2 = (
+            f"if(length({col_sql}) < 2, array(),"
+            f" flatten(transform(sequence(1, length({col_sql}) - 1),"
+            f" i -> transform(sequence(i + 1, length({col_sql})),"
+            f" j -> concat(substring({col_sql}, 1, i - 1),"
+            f" substring({col_sql}, i + 1, j - i - 1),"
+            f" substring({col_sql}, j + 1))))))"
+        )
+        return f"concat({d1}, {d2})"
+    d1 = (
         f"list_prepend({col_sql},"
         f" list_transform(range(1, length({col_sql}) + 1),"
         f" i -> substr({col_sql}, 1, i - 1) || substr({col_sql}, i + 1)))"
     )
+    if depth == 1:
+        return d1
+    # DuckDB's range(a, b) is empty when a >= b — no length guard needed
+    d2 = (
+        f"flatten(list_transform(range(1, length({col_sql})),"
+        f" i -> list_transform(range(i + 1, length({col_sql}) + 1),"
+        f" j -> substr({col_sql}, 1, i - 1)"
+        f" || substr({col_sql}, i + 1, j - i - 1)"
+        f" || substr({col_sql}, j + 1))))"
+    )
+    return f"list_concat({d1}, {d2})"
 
 
 def fuzzy_self_join(
@@ -59,18 +96,18 @@ def fuzzy_self_join(
     """Pairs (k1 < k2) whose names are within ``max_dist``. Returns
     (k1, k2, n1, n2, dist).
 
-    Only ``max_dist=1`` is supported: 1-deletion blocking is COMPLETE
-    for distance ≤ 1 (any such pair shares a variant) but NOT for
-    distance 2 (two substitutions at different positions need not
-    share any 1-deletion variant) — a deeper budget requires deeper
-    deletion neighborhoods (O(L²) variants per string), which this
-    implementation deliberately does not silently fake."""
-    if max_dist != 1:
+    ``max_dist`` ∈ {1, 2}: d-deletion blocking is COMPLETE for
+    distance ≤ d (module docstring has the alignment argument), so the
+    depth follows the budget. Deeper budgets are refused — recall
+    would silently drop otherwise. d=2 candidates are only bounded
+    within distance 4 by the shared variant, so the banded
+    ``levenshtein ≤ 2`` verify does proportionally more pruning."""
+    if max_dist not in (1, 2):
         raise ValueError(
-            "max_dist=1 only: deeper budgets need deeper deletion"
+            "max_dist must be 1 or 2: deeper budgets need deeper deletion"
             " neighborhoods (recall would silently drop otherwise)"
         )
-    v = deletion_variants_frag(name_col, "spark")
+    v = deletion_variants_frag(name_col, "spark", depth=max_dist)
     # array_distinct BEFORE the explode: deleting any character of a
     # run of equal characters yields the SAME variant (a name with a
     # 7-zero run has 7 identical variants), and duplicate variants
@@ -148,8 +185,11 @@ def fuzzy_match_oracle(
     max_dist: int = 1,
 ) -> str:
     """DuckDB twin of fuzzy_match_stats — identical variant set,
-    candidate join, and levenshtein verify."""
-    v = deletion_variants_frag(name_col, "duckdb")
+    candidate join, and levenshtein verify. (For an INDEPENDENT check
+    that doesn't share the blocking scheme, see the brute-force oracle
+    used by the d=2 gate query — feasible because the oracle runs at
+    small sf.)"""
+    v = deletion_variants_frag(name_col, "duckdb", depth=max_dist)
     return f"""
 WITH vars AS (
   SELECT {key_col} AS k, {name_col} AS n, unnest(list_distinct({v})) AS v

@@ -19,8 +19,54 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
+
+
+def _chunks(items: list, chunk_size: int) -> list[list]:
+    return [items[i : i + chunk_size] for i in range(0, len(items), chunk_size)]
+
+
+def run_chunk(
+    chunk: list, sf_dir: str, warm_dir: str, reps: int, budget_left_s: float
+) -> dict:
+    """Run one chunk of (name, fn) queries in THIS process's JVM and
+    return {"timings": .., "spread": .., "reps_used": ..}."""
+    from amadeus_spark import get_spark, release_cached
+
+    t0 = time.perf_counter()
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
+    spark = get_spark("amadeus_spark_bench")
+    # Warm up JVM + codegen so the first measured query isn't paying
+    # session startup (the driver measures engine speed, not boot).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for name, fn in chunk:
+        try:
+            fn(spark, warm_dir).collect()
+        except Exception:
+            pass  # a warm-up failure surfaces in the timed run
+        spark._jvm.System.gc()  # settle accumulated JVM garbage so
+        # late queries aren't taxed by earlier allocations
+        this_reps = reps if time.perf_counter() - t0 < budget_left_s else 1
+        reps_used[name] = this_reps
+        runs = []
+        for _ in range(this_reps):
+            spark.catalog.clearCache()  # dedup queries persist
+            release_cached()  # signature frames; clear between reps
+            # so each run re-executes the full plan independently
+            q0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.collect()  # every query returns a small result set
+            runs.append(time.perf_counter() - q0)
+        runs.sort()
+        mid = len(runs) // 2
+        med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
+        timings[name] = round(med, 4)  # true median (even reps too)
+        spread[name] = round(runs[-1] - runs[0], 4)
+    return {"timings": timings, "spread": spread, "reps_used": reps_used}
 
 
 def main() -> None:
@@ -29,7 +75,6 @@ def main() -> None:
     sf = float(sf_match.group(1)) if sf_match else -1.0
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from amadeus_spark import get_spark
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
@@ -53,8 +98,6 @@ def main() -> None:
     # its own timed run). Per-query warm-up keeps each query's hot
     # methods freshly compiled at its timed run; caches are still cleared
     # so no *data* survives into the timing.
-    from amadeus_spark import release_cached
-
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Wall-clock budget: the driver runs this under an unknown timeout,
     # and a timed-out bench records as a CRASH, which is strictly worse
@@ -63,53 +106,58 @@ def main() -> None:
     # per-query rep counts so degraded timings are identifiable.
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
     bench_t0 = time.perf_counter()
+    # SESSION SPLITTING, in a SUBPROCESS per chunk: ReservedCodeCacheSize
+    # is hard-capped at 2 GB by HotSpot, and one long session compiling
+    # ~2 codegen plan sets per query overflows it past ~80 queries — the
+    # JIT then silently deoptimizes and late heavy queries inflate 2-4×
+    # with wild variance (r5 verdict measured minhash median 5.2 s /
+    # spread 4.1 s in-bench vs 3.6 s isolated). spark.stop() +
+    # getOrCreate() REUSES the same py4j gateway JVM — the code cache is
+    # never reset that way (r6 advice) — so each chunk re-execs bench.py
+    # in a child process whose JVM is genuinely fresh; the per-chunk
+    # warm-up query re-pays JVM+codegen spin-up so chunk boundaries
+    # don't tax the first timed query of the next chunk.
+    chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "64"))
+    items = list(queries.items())
+    chunks = _chunks(items, chunk_size)
+    chunk_idx = os.environ.get("SPARK_GRAFT_BENCH_CHUNK_IDX")
+    if chunk_idx is not None:
+        # CHILD MODE: run one chunk in this (fresh) process, dump the
+        # partial result where the parent asked, and exit.
+        part = run_chunk(chunks[int(chunk_idx)], sf_dir, warm_dir, reps, budget_s)
+        with open(os.environ["SPARK_GRAFT_BENCH_CHUNK_OUT"], "w") as f:
+            json.dump(part, f)
+        return
+
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     reps_used: dict[str, int] = {}
-    # SESSION SPLITTING: ReservedCodeCacheSize is hard-capped at 2 GB by
-    # HotSpot, and one long session compiling ~2 codegen plan sets per
-    # query overflows it past ~80 queries — the JIT then silently
-    # deoptimizes and late heavy queries inflate 2-4× with wild variance
-    # (r5 verdict measured minhash median 5.2 s / spread 4.1 s in-bench
-    # vs 3.6 s isolated). A fresh JVM per ≤64-query chunk keeps every
-    # chunk's hot methods compiled; the per-chunk warm-up query re-pays
-    # JVM+codegen spin-up so chunk boundaries don't tax the first timed
-    # query of the next chunk.
-    chunk_size = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "64"))
-    items = list(queries.items())
-    chunks = [items[i : i + chunk_size] for i in range(0, len(items), chunk_size)]
-    for chunk in chunks:
-        spark = get_spark("amadeus_spark_bench")
-        # Warm up JVM + codegen so the first measured query isn't paying
-        # session startup (the driver measures engine speed, not boot).
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
-        for name, fn in chunk:
-            try:
-                fn(spark, warm_dir).collect()
-            except Exception:
-                pass  # a warm-up failure surfaces in the timed run
-            spark._jvm.System.gc()  # settle accumulated JVM garbage so
-            # late queries aren't taxed by earlier allocations
-            this_reps = (
-                reps if time.perf_counter() - bench_t0 < budget_s else 1
+    here = os.path.dirname(os.path.abspath(__file__))
+    for i in range(len(chunks)):
+        if len(chunks) == 1:
+            part = run_chunk(chunks[i], sf_dir, warm_dir, reps, budget_s)
+        else:
+            out_path = os.path.join(here, f".bench_chunk_{i}.json")
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_CHUNK_IDX"] = str(i)
+            env["SPARK_GRAFT_BENCH_CHUNK_OUT"] = out_path
+            # children get the REMAINING budget so rep degradation still
+            # tracks total wall-clock, not per-chunk clocks
+            env["SPARK_GRAFT_BENCH_BUDGET_S"] = str(
+                max(0.0, budget_s - (time.perf_counter() - bench_t0))
             )
-            reps_used[name] = this_reps
-            runs = []
-            for _ in range(this_reps):
-                spark.catalog.clearCache()  # dedup queries persist
-                release_cached()  # signature frames; clear between reps
-                # so each run re-executes the full plan independently
-                t0 = time.perf_counter()
-                df = fn(spark, sf_dir)
-                df.collect()  # every query returns a small result set
-                runs.append(time.perf_counter() - t0)
-            runs.sort()
-            mid = len(runs) // 2
-            med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
-            timings[name] = round(med, 4)  # true median (even reps too)
-            spread[name] = round(runs[-1] - runs[0], 4)
-        if len(chunks) > 1:
-            spark.stop()
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                check=True,
+                stdout=sys.stderr,  # keep THIS process's stdout = the JSON lines
+            )
+            with open(out_path) as f:
+                part = json.load(f)
+            os.remove(out_path)
+        timings.update(part["timings"])
+        spread.update(part["spread"])
+        reps_used.update(part["reps_used"])
 
     total = round(sum(timings.values()), 4)
     full = {

@@ -46,6 +46,26 @@ def test_bitmap_invariant_under_partitioning(spark, words):
     assert 0 < a.n_set_bits <= a.k * 2000
 
 
+def test_build_collects_treed_partials_only(spark, words):
+    """The driver-side merge must see ≤ ceil(partitions/fan_in) rows no
+    matter how the probe set is partitioned — the executor-side OR level
+    is what keeps a 100M-entry bitmap build off the driver."""
+    import math
+
+    members, _ = words
+    m, k = bloom.optimal_params(2000, 0.01)
+    for n_parts, fan_in in [(40, 8), (40, 64), (7, 2)]:
+        states = bloom._reduced_partials(
+            members.repartition(n_parts), "s", m, k, fan_in=fan_in
+        )
+        n_rows = states.count()
+        assert n_rows <= math.ceil(n_parts / fan_in), (n_parts, fan_in, n_rows)
+    # treed and flat builds produce the identical bitmap
+    flat = bloom.build_bloom(members.repartition(3), "s", 2000, 0.01)
+    treed = bloom.build_bloom(members.repartition(40), "s", 2000, 0.01, fan_in=8)
+    assert flat.bitmap == treed.bitmap
+
+
 def test_optimal_params_sane():
     m, k = bloom.optimal_params(100_000_000, 0.01)
     assert m % 64 == 0

@@ -110,7 +110,10 @@ def test_nulls_dropped_and_empty_input(spark):
     empty = spark.createDataFrame([], "v double")
     row = compensated_moments(empty, "v").collect()[0]
     assert row["n"] == 0
-    assert row["mean"] is None or math.isnan(row["mean"])
+    # SQL NULLs, not NaN doubles — the docstring's promise, and what an
+    # oracle twin would need (None vs nan stringify differently).
+    for c in ("total", "mean", "var_pop", "stddev_pop"):
+        assert row[c] is None, (c, row[c])
 
 
 def test_final_stage_is_tiny_not_global(spark):

@@ -81,10 +81,80 @@ def test_completeness_vs_bruteforce(spark):
     assert got == want  # blocking loses nothing, verify adds nothing
 
 
+def _brute_pairs(names, d):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    return set(
+        (i, j)
+        for i, j in itertools.combinations(range(len(names)), 2)
+        if lev(names[i], names[j]) <= d
+    )
+
+
+def test_d2_completeness_vs_bruteforce(spark):
+    """Depth-2 blocking must find EVERY pair within edit distance 2 —
+    including the 2-substitutions-at-different-positions case that
+    1-deletion blocking provably misses — and nothing beyond."""
+    rng = random.Random(7)
+    alphabet = "ab"
+    names = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(2, 7)))
+        for _ in range(60)
+    ] + ["alpha", "blphb", "xx", "x", ""]  # dist-2 subs pair + shorties
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    got = {
+        (r["k1"], r["k2"]): r["dist"]
+        for r in fuzzy.fuzzy_self_join(df, "k", "n", max_dist=2).collect()
+    }
+    want = _brute_pairs(names, 2)
+    assert want - set(got) == set(), "blocking lost pairs"
+    assert set(got) == want
+    ia, ib = len(names) - 5, len(names) - 4  # alpha vs blphb: two subs
+    assert got[(ia, ib)] == 2
+
+
+def test_d2_duckdb_variants_match_spark(spark):
+    """The two dialects' depth-2 variant fragments enumerate the same
+    SET (blocking parity is what a dual-dialect gate would rely on)."""
+    import duckdb
+
+    names = ["alpha", "ab", "a", "", "zzzz"]
+    sdf = spark.createDataFrame([(n,) for n in names], "n string")
+    sv = {
+        r["n"]: sorted(set(r["vs"]))
+        for r in sdf.select(
+            "n",
+            F.expr(fuzzy.deletion_variants_frag("n", "spark", 2)).alias("vs"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    frag = fuzzy.deletion_variants_frag("n", "duckdb", 2)
+    for n in names:
+        dv = con.execute(
+            f"SELECT {frag} FROM (SELECT ? AS n)", [n]
+        ).fetchone()[0]
+        assert sorted(set(dv)) == sv[n], n
+
+
 def test_deeper_budget_refused(spark):
     df = spark.createDataFrame([(1, "x")], "k long, n string")
     with pytest.raises(ValueError):
-        fuzzy.fuzzy_self_join(df, "k", "n", max_dist=2)
+        fuzzy.fuzzy_self_join(df, "k", "n", max_dist=3)
+    with pytest.raises(ValueError):
+        fuzzy.deletion_variants_frag("n", "spark", depth=3)
 
 
 def test_no_cartesian_in_plan(spark):
