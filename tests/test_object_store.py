@@ -1,0 +1,102 @@
+"""Object-store execution against an EMULATED S3 (moto server): the
+executor-side pyarrow.fs open path that read_warc uses for s3:// URIs,
+exercised for real over the wire — range reads, gzip members, multi-file
+task layout. This is the reference's posture (amadeus-aws reads S3
+objects through the store's API, file.rs:125); Spark-native s3a:// I/O
+additionally needs the hadoop-aws jar, which this sandbox doesn't ship
+(session.s3_configs documents the routing), so the JVM side is covered
+by config-routing tests in test_sources while THIS file covers the
+Python-worker data path end-to-end.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+
+import pytest
+
+boto3 = pytest.importorskip("boto3")
+pytest.importorskip("moto")
+
+from amadeus_spark.sources import warc  # noqa: E402
+from tests.test_sources import _make_warc  # noqa: E402
+
+BUCKET = "warc-bucket"
+KEY_ID, SECRET = "testing", "testing"
+
+
+@pytest.fixture(scope="module")
+def s3_server():
+    """In-process moto S3 endpoint + two uploaded WARC objects."""
+    from moto.server import ThreadedMotoServer
+
+    logging.getLogger("werkzeug").setLevel(logging.ERROR)
+    server = ThreadedMotoServer(ip_address="127.0.0.1", port=0, verbose=False)
+    server.start()
+    _, port = server.get_host_and_port()
+    client = boto3.client(
+        "s3",
+        endpoint_url=f"http://127.0.0.1:{port}",
+        aws_access_key_id=KEY_ID,
+        aws_secret_access_key=SECRET,
+        region_name="us-east-1",
+    )
+    client.create_bucket(Bucket=BUCKET)
+    plain = _make_warc(
+        [
+            ("http://a.example/", "192.0.2.1", b"alpha page"),
+            ("http://b.example/", "192.0.2.2", b"beta page"),
+        ]
+    )
+    gzipped = gzip.compress(
+        _make_warc([("http://c.example/", "192.0.2.3", b"gamma page")])
+    )
+    client.put_object(Bucket=BUCKET, Key="crawl/f1.warc", Body=plain)
+    client.put_object(Bucket=BUCKET, Key="crawl/f2.warc.gz", Body=gzipped)
+    yield port
+    server.stop()
+
+
+def _uri(port: int, key: str) -> str:
+    # pyarrow.fs.FileSystem.from_uri carries credentials in the
+    # authority and endpoint/scheme/region as query params — the whole
+    # connection spec rides in the path, so executor workers need no
+    # ambient AWS environment (they were forked before the server
+    # existed).
+    return (
+        f"s3://{KEY_ID}:{SECRET}@{BUCKET}/{key}"
+        f"?endpoint_override=127.0.0.1:{port}&scheme=http&region=us-east-1"
+    )
+
+
+def test_read_warc_from_object_store(spark, s3_server):
+    """read_warc over s3:// URIs: one task per object, each opened in
+    the Python worker via pyarrow S3 streaming (never the driver), gzip
+    transparently unwrapped — identical rows to the local-file parse."""
+    port = s3_server
+    df = warc.read_warc(
+        spark, [_uri(port, "crawl/f1.warc"), _uri(port, "crawl/f2.warc.gz")]
+    )
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {
+        "http://a.example/",
+        "http://b.example/",
+        "http://c.example/",
+    }
+    assert bytes(rows["http://a.example/"]["contents"]) == b"alpha page"
+    assert bytes(rows["http://c.example/"]["contents"]) == b"gamma page"
+    assert rows["http://b.example/"]["ip"] == "192.0.2.2"
+
+
+def test_object_store_read_is_streamed_not_buffered(s3_server):
+    """The open returns a STREAM (range/chunked reads), not a whole-
+    object buffer: parse a multi-record object directly off the wire
+    with the same record iterator the Spark tasks use."""
+    port = s3_server
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(_uri(port, "crawl/f1.warc"))
+    stream = fs.open_input_stream(rel)
+    recs = list(warc._record_stream(stream))
+    assert [r["url"] for r in recs] == ["http://a.example/", "http://b.example/"]

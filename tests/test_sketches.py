@@ -13,6 +13,37 @@ from amadeus_spark.functions.sketch_lib import CountMinTopK, cms_params, most_fr
 from amadeus_spark.operators import sketches
 
 
+def test_sketch_state_size_independent_of_rows_seen():
+    """streaming_topk_sketch holds one ``CountMinTopK.dumps()`` string
+    per group as applyInPandasWithState state — the reference's
+    mergeable-sketch invariant (amadeus-streaming's Top/CMS traits)
+    requires that state to be O(width·depth + k), NEVER a function of
+    rows or distinct keys seen. Pin the structure (counter grid fixed,
+    candidate map trim-capped) and the serialized size (counter values
+    grow only in digit width, log of the count) across a 40k-distinct-
+    key stream."""
+    import json
+
+    sk = CountMinTopK(5, 0.99, 0.01)
+
+    def check_structure():
+        o = json.loads(sk.dumps())
+        assert len(o["t"]) == sk.depth
+        assert all(len(row) == sk.width for row in o["t"])
+        assert len(o["c"]) <= 4 * sk.k  # trim cap, not key cardinality
+        return len(sk.dumps())
+
+    for i in range(500):
+        sk.push(f"warm-{i}")
+    early = check_structure()
+    for i in range(40_000):
+        sk.push(f"key-{i % 20_000}")
+    late = check_structure()
+    # 80x more pushes, 40x more distinct keys: byte size may creep only
+    # via counter digits (~log10 of count), never proportionally
+    assert late <= early * 2, (early, late)
+
+
 def test_cms_params_reference_sizing():
     # count_min.rs:58-77: width=ceil(e/tol), depth=ceil(ln(1-p)/ln(0.5))
     w, d = cms_params(0.99, 0.001)

@@ -339,3 +339,9 @@ def test_streaming_group_sample_matches_batch_sink(spark, event_stream_dir):
         ).collect()
     }
     assert final == want
+    # state-boundedness: the per-group state IS the emitted (hash, id)
+    # pair list, capped at k by construction — every emission (not just
+    # the final one) must carry <= k ids however many rows the group
+    # has absorbed so far.
+    for r in spark.sql("select * from gsample_sink").collect():
+        assert len(r.sample_ids) <= 4, r
