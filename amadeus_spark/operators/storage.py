@@ -137,6 +137,74 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, hpath
 
 
+#: URI schemes the Python-side pyarrow.fs layer owns (the Hadoop FS API
+#: owns file://, hdfs://, s3a:// through the JVM). s3:// is pyarrow's
+#: native S3 — the same layer read_warc streams from.
+_ARROW_SCHEMES = ("s3://", "gs://")
+
+
+def _arrow_copy_dir(fs, src: str, dst: str) -> None:
+    """Recursive file-by-file SERVER-SIDE copy under a prefix
+    (``fs.copy_file`` → S3 CopyObject: bytes never transit the client)
+    — the explicit copy-then-delete that 'rename' MEANS on an object
+    store (S3 has no atomic rename; S3A's rename is exactly this
+    server-side copy loop). Spelled out rather than hidden so the
+    non-atomicity window is visible at the call site. Seam for
+    failure-injection tests."""
+    import pyarrow.fs as pafs
+
+    for info in fs.get_file_info(pafs.FileSelector(src, recursive=True)):
+        if info.type != pafs.FileType.File:
+            continue
+        rel = info.path[len(src) :].lstrip("/")
+        fs.copy_file(info.path, f"{dst}/{rel}")
+
+
+def arrow_swap_partitions(
+    tmp_uri: str, target_uri: str, partition_col: str
+) -> list[str]:
+    """Object-store twin of merge_upsert's Hadoop swap loop, over
+    pyarrow.fs (s3://, gs:// — stores the JVM can't reach without extra
+    jars, but the Python workers already stream from via read_warc's
+    open path). Same recovery contract as the Hadoop path: per-partition
+    delete-then-copy-then-delete-staged; a failure part-way raises with
+    the staging URI (which still holds every unswapped merged partition)
+    and never removes staging. Returns the swapped partition names.
+
+    Non-atomicity, stated plainly: each partition swap is a window where
+    the target dir is deleted and the copy is in flight — identical to
+    S3A rename semantics. The bound on damage is the same as the Hadoop
+    path's: staging survives until EVERY partition landed."""
+    import pyarrow.fs as pafs
+
+    fs, tmp_rel = pafs.FileSystem.from_uri(tmp_uri)
+    _, target_rel = pafs.FileSystem.from_uri(target_uri)
+    swapped: list[str] = []
+    try:
+        sel = pafs.FileSelector(tmp_rel, recursive=False)
+        for info in fs.get_file_info(sel):
+            entry = info.path.rsplit("/", 1)[-1]
+            if info.type != pafs.FileType.Directory or not entry.startswith(
+                f"{partition_col}="
+            ):
+                continue
+            dst = f"{target_rel}/{entry}"
+            if fs.get_file_info(dst).type != pafs.FileType.NotFound:
+                fs.delete_dir(dst)
+            _arrow_copy_dir(fs, info.path, dst)
+            fs.delete_dir(info.path)
+            swapped.append(entry)
+    except Exception as e:
+        raise RuntimeError(
+            f"merge_upsert swap failed after {swapped}; merged partitions "
+            f"remain staged at {tmp_uri} — recover by moving them into "
+            f"{target_uri} manually"
+        ) from e
+    fs.delete_dir_contents(tmp_rel, missing_dir_ok=True)
+    fs.delete_dir(tmp_rel)
+    return swapped
+
+
 def merge_upsert(
     spark: SparkSession,
     target_path: str,
@@ -176,11 +244,14 @@ def merge_upsert(
     mutation through the store's own API for the same reason —
     amadeus-aws/src/file.rs:227).
 
-    The swap goes through the HADOOP FILESYSTEM API, not os.rename, so
-    the same code runs on file://, hdfs:// and s3a:// paths. On HDFS
-    the per-partition rename is atomic; on S3A rename is a server-side
-    copy (non-atomic, O(partition bytes)) — the recovery contract above
-    is what bounds the damage there."""
+    The swap goes through the STORE'S OWN API, never os.rename: the
+    Hadoop FileSystem API for file://, hdfs://, s3a:// (whatever the
+    session's Hadoop conf mounts), and pyarrow.fs for pyarrow-native
+    schemes (s3://, gs:// — :func:`arrow_swap_partitions`, exercised
+    against an emulated S3 in tests). On HDFS the per-partition rename
+    is atomic; on object stores rename means copy-then-delete
+    (non-atomic, O(partition bytes)) — the recovery contract above is
+    what bounds the damage there."""
     parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
     target = spark.read.parquet(target_path).filter(
         F.col(partition_col).isin(parts)
@@ -191,6 +262,9 @@ def merge_upsert(
     merged = survivors.unionByName(updates)
     tmp = target_path.rstrip("/") + ".__merge_tmp__"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    if target_path.startswith(_ARROW_SCHEMES):
+        arrow_swap_partitions(tmp, target_path, partition_col)
+        return
     fs, hpath = _hadoop_fs(spark, tmp)
     tmp_p = hpath(tmp)
     swapped: list[str] = []

@@ -72,14 +72,23 @@ def test_percentile_band_within_tolerance(spark):
 
 def test_contract_oracle_coverage():
     """Every oracle has a query; every query without an oracle is in the
-    documented rows-only set; rows-only queries sit at the TAIL of the
-    dict (the r2 driver gate truncated at 50 entries — if that recurs,
-    the dropped rows must be the weakest-signal ones)."""
+    documented rows-only set. Rows-only queries live either in the
+    CONTIGUOUS TAIL of the dict (weakest-signal entries last, so a
+    truncating driver gate drops them first — the r2 incident) or — at
+    most a handful, deliberately — inside the first-50 gate window,
+    where the driver gives them the external rows+schema check they
+    can never get from the tail (r6 verdict item 3)."""
     assert set(ORACLES) <= set(QUERIES)
     assert {n for n in QUERIES if n not in ORACLES} == ROWS_ONLY
     names = list(QUERIES)
-    first_rows_only = min(names.index(n) for n in ROWS_ONLY)
-    assert all(n in ROWS_ONLY for n in names[first_rows_only:])
+    tail = len(names)
+    while tail > 0 and names[tail - 1] in ROWS_ONLY:
+        tail -= 1
+    in_gate = [n for n in names[:50] if n in ROWS_ONLY]
+    for n in ROWS_ONLY:
+        i = names.index(n)
+        assert i < 50 or i >= tail, (n, i, tail)
+    assert len(in_gate) <= 4, in_gate  # oracle checks dominate the gate
 
 
 def test_contract_every_oracle_parses(duck):
