@@ -2171,6 +2171,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup_stats(docs)
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span stats (Lee et al. substring-dedup
+    shape at SPAN_K(=8)-token-shingle granularity, functions/dedup.py):
+    which
+    token spans are shared across >=2 docs, per language — the quantity
+    a span-removal pass would delete. One staged shingle-hash frame
+    feeds dup table, interval-union window (per-doc key) and totals."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_span_stats(docs)
+
+
 def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing any 3-token
     shingle with the probe set (doc_id % 97 == 0 stands in for the
@@ -2501,9 +2512,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join": q_left_join,
         "semi_anti_join": q_semi_anti_join,
         "sample_deterministic": q_sample_deterministic,
-        "stratified_sample": q_stratified_sample,
+        # new operator this round — externally unverified, takes the
+        # 50th slot
+        "duplicated_spans": q_duplicated_spans,
         # ---- below the 50-entry gate ----
-        # deferred one round to make room (r8 rotates it back under):
+        # deferred one round to make room (r8 rotates them back under):
+        "stratified_sample": q_stratified_sample,
         "set_ops": q_set_ops,
         # r6-green block — externally verified last round, re-verified
         # locally by tests/test_oracle.py every pytest run
@@ -3240,6 +3254,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY pred_lang
         """,
         "line_dedup": dedup.line_dedup_oracle(f"read_parquet('{_LINE_FIXTURE}')"),
+        "duplicated_spans": dedup.duplicated_span_oracle("documents"),
         "perplexity_filter": text.bigram_surprisal_oracle("documents"),
         "grouped_topn": """
             SELECT n_name, rnk, l_partkey, rev_us / 1e6 AS revenue

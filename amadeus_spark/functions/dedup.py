@@ -56,6 +56,13 @@ SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1  # 32767
 
+#: duplicated-SPAN detection shingle width (duplicated_span_stats): Lee
+#: et al. flag LONG verbatim repeats (their threshold is 50 BPE tokens);
+#: at this synthetic corpus's ~50-token docs, 8 tokens separates real
+#: template reuse (~10% of docs) from the universal 3-gram noise that
+#: SHINGLE_K-level matching flags in every document.
+SPAN_K = 8
+
 
 # ---- dual-dialect fragment builders ---------------------------------------
 # Each returns (spark_sql, duckdb_sql). Structural parity by construction.
@@ -920,6 +927,163 @@ SELECT doc AS {id_col},
            string_agg(CASE WHEN NOT is_dup THEN line END, chr(10) ORDER BY pos),
            '')) AS cleaned_md5
 FROM flagged GROUP BY doc ORDER BY doc
+"""
+
+
+def duplicated_span_stats(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN statistics — the substring-dedup
+    shape of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") at token-shingle granularity: a token
+    position is *duplicated* when it is covered by any k-token shingle
+    whose fingerprint occurs in >= ``min_docs`` distinct documents.
+    Where line_dedup catches whole boilerplate LINES and ngram_jaccard
+    scores whole DOCUMENTS, this measures exactly which token spans are
+    shared — the quantity a span-removal pass would delete. Per stream:
+    n_docs, total_tokens, n_docs_flagged, dup_tokens.
+
+    Scale plan (one corpus scan, shuffles on shingle hash then doc):
+      1. ONE staged frame (stream, doc, n, start-pos, shingle hash32) —
+         posexplode of the NON-distinct shingle array (every start
+         matters for coverage; hashes shuffled, never strings). It
+         feeds THREE consumers (dup table, span join, per-doc totals),
+         so it persists through the tracked registry.
+      2. dup table = groupBy(hash) count_distinct(doc) >= min_docs —
+         map-side partial agg, one shuffle.
+      3. join starts->dup, then per-doc interval UNION via one window
+         (lag over start positions; every interval is k long, clamped
+         at doc end, so union length has the closed form
+         ``max(e - max(p, prev_p + k) + 1, 0)`` summed in doc order —
+         no per-token explode, no O(n*k) marking). The window key is
+         the DOC — maximally fine, shards with the data.
+    Both engines' least()/greatest() IGNORE SQL NULLs (they return the
+    other operand), so the first-row case rides on coalesce(lag+k, p),
+    never on least(NULL, ...) — the one dialect trap in this query."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+
+    ts, _ = toks_frag(text_col)
+    hs, _ = hash32_frag("s", "")
+    shingle_arr = (
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(t, i, {k})))"
+    )
+    starts = tracked_persist(
+        docs.select(
+            stream_col,
+            F.col(id_col).alias("doc"),
+            F.expr(ts).alias("t"),
+        )
+        .select(
+            stream_col,
+            "doc",
+            F.size("t").alias("n"),
+            F.posexplode(F.expr(shingle_arr)).alias("p0", "s"),
+        )
+        .select(
+            stream_col,
+            "doc",
+            "n",
+            (F.col("p0") + 1).alias("p"),
+            F.expr(hs).alias("h"),
+        )
+    )
+    dup = (
+        starts.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    w = Window.partitionBy("doc").orderBy("p")
+    spans = (
+        starts.join(dup, "h")
+        .withColumn("e", F.least(F.col("p") + (k - 1), F.col("n")))
+        .withColumn("prev_p1", F.lag("p").over(w) + k)
+        .withColumn(
+            "contrib",
+            F.greatest(
+                F.col("e")
+                - F.greatest(F.col("p"), F.coalesce("prev_p1", "p"))
+                + 1,
+                F.lit(0),
+            ),
+        )
+    )
+    per_doc = spans.groupBy(stream_col, "doc").agg(
+        F.sum("contrib").cast("long").alias("dup_tokens")
+    )
+    doc_totals = starts.groupBy(stream_col, "doc").agg(
+        F.first("n").alias("n_tokens")
+    )
+    return (
+        doc_totals.join(per_doc, [stream_col, "doc"], "left")
+        .groupBy(stream_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.count("dup_tokens").alias("n_docs_flagged"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0))
+            .cast("long")
+            .alias("dup_tokens"),
+        )
+        .orderBy(stream_col)
+    )
+
+
+def duplicated_span_oracle(
+    src: str,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of duplicated_span_stats — same tokenizer, shingle,
+    hash32 and interval-union constants (iron rule 7: one builder)."""
+    _, td = toks_frag(text_col)
+    _, hd = hash32_frag("", "sl[p0]")
+    return f"""
+WITH base AS (
+  SELECT {stream_col}, {id_col} AS doc, {td} AS t FROM {src}
+), sh AS (
+  SELECT {stream_col}, doc, len(t) AS n, sl, generate_subscripts(sl, 1) AS p0
+  FROM (
+    SELECT {stream_col}, doc, t,
+           list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                          i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS sl
+    FROM base)
+), starts AS (
+  SELECT {stream_col}, doc, n, p0 AS p, {hd} AS h FROM sh
+), dup AS (
+  SELECT h FROM starts GROUP BY h HAVING COUNT(DISTINCT doc) >= {min_docs}
+), spans AS (
+  SELECT {stream_col}, doc, n, p,
+         least(p + {k - 1}, n) AS e,
+         lag(p) OVER (PARTITION BY doc ORDER BY p) + {k} AS prev_p1
+  FROM starts WHERE h IN (SELECT h FROM dup)
+), per_doc AS (
+  SELECT {stream_col}, doc,
+         SUM(greatest(e - greatest(p, coalesce(prev_p1, p)) + 1, 0)) AS dup_tokens
+  FROM spans GROUP BY {stream_col}, doc
+), doc_totals AS (
+  SELECT {stream_col}, doc, any_value(n) AS n_tokens
+  FROM starts GROUP BY {stream_col}, doc
+)
+SELECT t.{stream_col},
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(p.dup_tokens) AS BIGINT) AS n_docs_flagged,
+       CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens
+FROM doc_totals t
+LEFT JOIN per_doc p ON t.doc = p.doc AND t.{stream_col} = p.{stream_col}
+GROUP BY t.{stream_col} ORDER BY t.{stream_col}
 """
 
 

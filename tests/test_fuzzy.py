@@ -157,12 +157,13 @@ def test_deeper_budget_refused(spark):
         fuzzy.deletion_variants_frag("n", "spark", depth=3)
 
 
-def test_no_cartesian_in_plan(spark):
+@pytest.mark.parametrize("d", [1, 2])
+def test_no_cartesian_in_plan(spark, d):
     df = spark.createDataFrame(
         [(i, f"name{i}") for i in range(50)], "k long, n string"
     )
     plan = (
-        fuzzy.fuzzy_self_join(df, "k", "n")
+        fuzzy.fuzzy_self_join(df, "k", "n", max_dist=d)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -126,6 +126,39 @@ def test_line_dedup_semantics(spark):
     assert got[3] == (1, 1, md5(""))
 
 
+def test_duplicated_span_semantics(spark):
+    """Pinned rules for the substring-dedup stats: overlapping duplicated
+    shingles UNION into one span (never double-counted), spans clamp at
+    the doc end, short docs (< k tokens) count whole-doc duplication via
+    their single short shingle, and a doc with no cross-doc shingle is
+    unflagged."""
+    from amadeus_spark.functions import dedup as dd
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1/2 share "a b c d": starts at p=1,2 (k=3) must union
+            # to 4 covered tokens in each, not 6
+            (1, "en", "a b c d e f"),
+            (2, "en", "x y a b c d"),
+            (3, "en", "totally unique text here"),
+            (4, "de", "tiny doc"),  # 2 tokens, 1 short shingle
+            (5, "de", "tiny doc"),  # exact short dup -> both fully covered
+        ],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["total_tokens"],
+            r["n_docs_flagged"],
+            r["dup_tokens"],
+        )
+        for r in dd.duplicated_span_stats(docs, k=3).collect()
+    }
+    assert got["en"] == (3, 16, 2, 8)  # 4 covered tokens in each of docs 1,2
+    assert got["de"] == (2, 4, 2, 4)  # whole-doc dup at n < k
+
+
 def test_bigram_surprisal_semantics(spark):
     """Pinned rules: a doc whose every continuation is deterministic
     under the corpus model scores exactly 1.0 (c1 == c2 for each of its
