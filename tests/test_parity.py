@@ -157,6 +157,16 @@ def test_line_dedup_partitioning_invariance(spark, nparts):
 
 
 @pytest.mark.parametrize("nparts", [1, 7])
+def test_duplicated_spans_partitioning_invariance(spark, nparts):
+    """The interval-union window orders by start position within each
+    doc (total order), and the dup table is a commutative distinct-count
+    — the stats must be identical under any input partitioning."""
+    base = _rows(dedup.duplicated_span_stats(_docs(spark, 32)))
+    other = _rows(dedup.duplicated_span_stats(_docs(spark, nparts)))
+    assert base == other
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
 def test_bigram_surprisal_partitioning_invariance(spark, nparts):
     base = _rows(text.bigram_surprisal_stats(_docs(spark, 32)))
     other = _rows(text.bigram_surprisal_stats(_docs(spark, nparts)))
