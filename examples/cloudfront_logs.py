@@ -59,6 +59,22 @@ def main(path: str) -> None:
     for r in per_hour.collect():
         print("  ", r.hour, r.requests, list(r.sampled_ips))
 
+    # Same query once more through the fluent facade (amadeus_spark.flow)
+    # — reads character-for-character like the reference's
+    # source.par_stream().fork(sample, histogram) chain:
+    from amadeus_spark.flow import Flow
+
+    sample2, histogram2 = (
+        Flow(rows)
+        .update(hour=F.date_trunc("hour", "time"))
+        .fork(
+            lambda df: sampling.reservoir_sample(df, 10, seed=42).collect(),
+            lambda df: cloudfront.hourly_histogram(df).collect(),
+        )
+    )
+    assert [r.asDict() for r in histogram2] == [r.asDict() for r in histogram]
+    print(f"flow facade: same histogram, sample of {len(sample2)}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/cloudfront_logs")
