@@ -152,6 +152,56 @@ def fuzzy_self_join(
     return verified.filter((F.col("dist") >= 0) | never)
 
 
+def fuzzy_lookup_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_name: str,
+    right_key: str,
+    right_name: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Cross-TABLE fuzzy lookup — the classic SymSpell dictionary shape
+    (probe table vs corpus/dictionary): every left row matched to the
+    right rows whose name is within ``max_dist``. Returns
+    (lk, rk, ln, rn, dist).
+
+    Same deletion-neighborhood blocking as :func:`fuzzy_self_join`
+    (complete for d <= depth by the same alignment argument — the two
+    sides of the alignment don't care which table a string came from),
+    same O(n·L^d) explode, one variant equi-join, banded levenshtein
+    verify in the codegen'd Project. When the right side is a bounded
+    dictionary (the SymSpell case), its exploded variant frame is small
+    and AQE broadcasts it — the probe side then never shuffles."""
+    if max_dist not in (1, 2):
+        raise ValueError(
+            "max_dist must be 1 or 2: deeper budgets need deeper deletion"
+            " neighborhoods (recall would silently drop otherwise)"
+        )
+    lv = deletion_variants_frag(left_name, "spark", depth=max_dist)
+    rv = deletion_variants_frag(right_name, "spark", depth=max_dist)
+    lvars = left.select(
+        F.col(left_key).alias("lk"),
+        F.col(left_name).alias("ln"),
+        F.explode(F.array_distinct(F.expr(lv))).alias("v"),
+    )
+    rvars = right.select(
+        F.col(right_key).alias("rk"),
+        F.col(right_name).alias("rn"),
+        F.explode(F.array_distinct(F.expr(rv))).alias("v"),
+    )
+    cand = lvars.join(rvars, "v").select("lk", "rk", "ln", "rn").distinct()
+    verified = cand.select(
+        "lk",
+        "rk",
+        "ln",
+        "rn",
+        F.expr(f"levenshtein(ln, rn, {max_dist})").alias("dist"),
+    )
+    never = F.monotonically_increasing_id() < 0
+    return verified.filter((F.col("dist") >= 0) | never)
+
+
 def fuzzy_match_stats(
     df: DataFrame,
     key_col: str,

@@ -149,6 +149,55 @@ def test_d2_duckdb_variants_match_spark(spark):
         assert sorted(set(dv)) == sv[n], n
 
 
+@pytest.mark.parametrize("d", [1, 2])
+def test_lookup_join_matches_bruteforce(spark, d):
+    """Cross-table lookup (probe vs dictionary): blocking completeness
+    and verify exactness against brute-force levenshtein over the full
+    cross product."""
+    rng = random.Random(11)
+    probes = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+        for _ in range(40)
+    ]
+    corpus = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+        for _ in range(30)
+    ] + ["", "a"]
+    lt = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(probes)], "k long, n string"
+    )
+    rt = spark.createDataFrame(
+        [(j, n) for j, n in enumerate(corpus)], "k long, n string"
+    )
+    got = {
+        (r["lk"], r["rk"]): r["dist"]
+        for r in fuzzy.fuzzy_lookup_join(
+            lt, rt, "k", "n", "k", "n", max_dist=d
+        ).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j): lev(p, c)
+        for i, p in enumerate(probes)
+        for j, c in enumerate(corpus)
+        if lev(p, c) <= d
+    }
+    assert got == want
+
+
 def test_deeper_budget_refused(spark):
     df = spark.createDataFrame([(1, "x")], "k long, n string")
     with pytest.raises(ValueError):

@@ -159,6 +159,58 @@ def test_duplicated_span_semantics(spark):
     assert got["de"] == (2, 4, 2, 4)  # whole-doc dup at n < k
 
 
+def test_duplicated_span_matches_bruteforce(spark):
+    """Randomized cross-check of the closed-form interval union against
+    a brute-force covered-position set, over 60 random small-alphabet
+    docs (dense shingle collisions — the adversarial regime for the
+    lag arithmetic)."""
+    import random
+
+    from amadeus_spark.functions import dedup as dd
+
+    k = 3
+    rng = random.Random(99)
+    docs = [
+        (
+            i,
+            "xx" if i % 2 else "yy",
+            " ".join(rng.choice("ab") for _ in range(rng.randint(1, 12))),
+        )
+        for i in range(60)
+    ]
+
+    # brute force: positions covered by any shingle shared with another doc
+    toks = {i: t.split() for i, _, t in docs}
+    def starts(ts):
+        return list(range(max(len(ts) - k + 1, 1)))
+    owners: dict[str, set[int]] = {}
+    for i, _, _ in docs:
+        for p in starts(toks[i]):
+            owners.setdefault(" ".join(toks[i][p : p + k]), set()).add(i)
+    want = {}
+    for i, lang, _ in docs:
+        covered: set[int] = set()
+        for p in starts(toks[i]):
+            if len(owners[" ".join(toks[i][p : p + k])]) >= 2:
+                covered.update(
+                    range(p, min(p + k, max(len(toks[i]), p + 1)))
+                )
+        a = want.setdefault(lang, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += len(toks[i])
+        a[2] += 1 if covered else 0
+        a[3] += len(covered)
+
+    df = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+    got = {
+        r["lang"]: [
+            r["n_docs"], r["total_tokens"], r["n_docs_flagged"], r["dup_tokens"]
+        ]
+        for r in dd.duplicated_span_stats(df, k=k).collect()
+    }
+    assert got == want
+
+
 def test_bigram_surprisal_semantics(spark):
     """Pinned rules: a doc whose every continuation is deterministic
     under the corpus model scores exactly 1.0 (c1 == c2 for each of its
