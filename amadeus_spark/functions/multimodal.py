@@ -24,9 +24,10 @@ Decode kernels are REAL for formats that need no external codec library:
 
 PNG (8-bit non-interlaced gray/RGB/RGBA) ALSO decodes for real via a
 pure stdlib-zlib codec (``decode_png`` — all five scanline filters),
-and baseline-sequential JPEG decodes for real via the pure-numpy T.81
-codec in ``jpeg.py`` (huffman + dequant + IDCT, 4:2:0/4:4:4, restart
-markers). The remaining formats (MP4/MP3, progressive/arithmetic JPEG,
+and JPEG — baseline-sequential AND progressive (SOF2) — decodes for
+real via the pure-numpy T.81 codec in ``jpeg.py`` (huffman + dequant +
+IDCT, 4:2:0/4:4:4, restart markers, multi-scan successive
+approximation). The remaining formats (MP4/MP3, arithmetic JPEG,
 interlaced/paletted/16-bit PNG) genuinely require PIL/ffmpeg, which are
 NOT in this container — those raise ``NotImplementedError`` unless
 ``fake=True`` supplies the deterministic digest fallback. The Spark-side
@@ -483,7 +484,7 @@ def mp4_frame_sample_plan(
     stage fetches (offset, size) windows instead of whole files — at
     100 TB the sampled bytes are typically <5% of the corpus. The codec
     decode of those slices stays library-gated (NotImplementedError
-    path in decode_image), exactly like progressive JPEG."""
+    path in decode_image), exactly like arithmetic-coded JPEG."""
     from amadeus_spark.functions import mp4 as _mp4
 
     def _plan(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

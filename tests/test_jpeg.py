@@ -69,12 +69,53 @@ def test_restart_markers(interval):
     assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
 
 
-def test_progressive_raises():
-    """Swap SOF0 for SOF2 in a valid stream: must refuse, not garble."""
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((40, 56), "4:4:4"),
+        ((40, 56), "4:2:0"),
+        ((17, 25), "4:2:0"),  # odd size: MCU-padded DC grid vs the
+        ((24, 24), "4:2:0"),  # smaller non-interleaved AC grid
+        ((9, 8), "4:4:4"),
+    ],
+)
+def test_progressive_equals_baseline(shape, sub):
+    """Progressive (SOF2) decode must be PIXEL-IDENTICAL to baseline
+    decode of the same quantized coefficients: both encoders quantize
+    identically, entropy coding is lossless, and the successive-
+    approximation scan script converges to full precision — any pixel
+    diff is a scan-procedure bug, so the band is exact equality."""
+    img = _gradient(*shape, seed=5)
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85, sub))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, 85, sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_scan_count():
+    img = _gradient(32, 24, seed=3)[..., 0]
+    enc = jpeg.encode_jpeg_progressive(img, 85)
+    assert enc.count(b"\xff\xda") == 4  # DC first/AC first/DC+AC refine
+    assert np.array_equal(
+        jpeg.decode_jpeg(enc), jpeg.decode_jpeg(jpeg.encode_jpeg(img, 85))
+    )
+
+
+def test_malformed_progressive_raises():
+    """Swap SOF0 for SOF2 without rewriting the scan script: the
+    baseline full-band interleaved scan is illegal in progressive mode
+    (interleaved scans must be DC-only) — must refuse, not garble."""
     enc = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
     idx = enc.find(b"\xff\xc0")
     enc[idx + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="non-baseline"):
+    with pytest.raises(ValueError, match="DC-only"):
+        jpeg.decode_jpeg(bytes(enc))
+
+
+def test_arithmetic_still_refused():
+    enc = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
+    idx = enc.find(b"\xff\xc0")
+    enc[idx + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         jpeg.decode_jpeg(bytes(enc))
 
 
