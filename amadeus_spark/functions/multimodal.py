@@ -22,13 +22,15 @@ Decode kernels are REAL for formats that need no external codec library:
   is exercised for real: the metadata-only plan picks frame indices,
   then only those offsets are decoded executor-side.
 
-PNG (8-bit non-interlaced gray/RGB/RGBA) ALSO decodes for real via a
-pure stdlib-zlib codec (``decode_png`` — all five scanline filters),
+PNG ALSO decodes for real via a pure stdlib-zlib codec
+(``decode_png`` — all five scanline filters),
 and JPEG — baseline-sequential AND progressive (SOF2) — decodes for
 real via the pure-numpy T.81 codec in ``jpeg.py`` (huffman + dequant +
 IDCT, 4:2:0/4:4:4, restart markers, multi-scan successive
-approximation). The remaining formats (MP4/MP3, arithmetic JPEG,
-interlaced/paletted/16-bit PNG) genuinely require PIL/ffmpeg, which are
+approximation). decode_png additionally covers Adam7 interlace,
+paletted (PLTE), 16-bit and sub-byte depths — the full static PNG
+matrix. The remaining formats (MP4/MP3 inner codecs, arithmetic JPEG)
+genuinely require PIL/ffmpeg, which are
 NOT in this container — those raise ``NotImplementedError`` unless
 ``fake=True`` supplies the deterministic digest fallback. The Spark-side
 plumbing (schema, batching, partitioning, UDF signature) is identical
@@ -117,46 +119,180 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """uint8 H×W×3 (or H×W gray) → minimal PNG (filter 0 rows, one IDAT).
-    Pure stdlib: struct + zlib (spec: RFC 2083 / ISO 15948 — public)."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import struct
     import zlib
 
-    if img.ndim == 2:
-        color_type, channels = 0, 1
-    elif img.ndim == 3 and img.shape[2] == 3:
-        color_type, channels = 2, 3
-    else:
-        raise ValueError("encode_png supports H×W gray or H×W×3 RGB uint8")
-    h, w = img.shape[:2]
-
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + img[y].astype(np.uint8).tobytes() for y in range(h)
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
     )
+
+
+def _png_pack_rows(samples: np.ndarray, depth: int) -> bytes:
+    """(ph, pw, channels) samples → filter-0 scanlines at ``depth``."""
+    ph, pw, channels = samples.shape
+    out = bytearray()
+    for y in range(ph):
+        if depth == 8:
+            row = samples[y].astype(np.uint8).tobytes()
+        elif depth == 16:
+            row = samples[y].astype(">u2").tobytes()
+        else:
+            vals = samples[y].reshape(-1).astype(np.uint8)
+            bits = np.zeros(len(vals) * depth, dtype=np.uint8)
+            for b in range(depth):
+                bits[b::depth] = (vals >> (depth - 1 - b)) & 1
+            row = np.packbits(bits).tobytes()
+        out += b"\x00" + row
+    return bytes(out)
+
+
+def _png_body(samples: np.ndarray, depth: int, interlace: bool) -> bytes:
+    if not interlace:
+        return _png_pack_rows(samples, depth)
+    h, w = samples.shape[:2]
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        sub = samples[y0::ys, x0::xs]
+        if sub.shape[0] and sub.shape[1]:
+            out += _png_pack_rows(sub, depth)
+    return bytes(out)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """H×W×3 RGB or H×W gray → PNG (filter-0 rows, one IDAT). uint16
+    input writes a 16-bit-depth file; ``interlace`` writes Adam7.
+    Pure stdlib: struct + zlib (spec: RFC 2083 / ISO 15948 — public)."""
+    depth = 16 if img.dtype == np.uint16 else 8
+    if img.ndim == 2:
+        color_type = 0
+        samples = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type = 2
+        samples = img
+    else:
+        raise ValueError("encode_png supports H×W gray or H×W×3 RGB")
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, int(interlace))
     return (
         _PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(_png_body(samples, depth, interlace)))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_paletted(
+    img: np.ndarray, interlace: bool = False, depth: int = 8
+) -> bytes:
+    """H×W×3 RGB with ≤ 2^depth distinct colors → paletted (color type
+    3) PNG; sub-byte depths pack indices MSB-first."""
+    import struct
+    import zlib
+
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > (1 << depth):
+        raise ValueError(f"{len(palette)} colors exceed {depth}-bit palette")
+    idx = inverse.reshape(h, w, 1).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, int(interlace))
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(_png_body(idx, depth, interlace)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+#: Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, offset: int, pw: int, ph: int,
+                  channels: int, depth: int) -> tuple[np.ndarray, int]:
+    """Undo per-scanline filtering for one image (or interlace pass):
+    (ph, stride) uint8 rows + bytes consumed. The filter distance is
+    bytes-per-pixel (max 1 for sub-byte depths), per the spec — using
+    the CHANNEL count would be wrong for 16-bit and packed rows."""
+    bits_pp = channels * depth
+    stride = (pw * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    need = ph * (stride + 1)
+    if len(raw) < offset + need:
+        raise ValueError("PNG pixel data truncated")
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(ph):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return out, need
+
+
+def _png_samples(rows: np.ndarray, pw: int, channels: int, depth: int) -> np.ndarray:
+    """(ph, stride) filtered-removed bytes → (ph, pw, channels) samples
+    (uint8, or uint16 for depth 16)."""
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * channels].reshape(ph, pw, channels)
+    if depth == 16:
+        u16 = (
+            rows.reshape(ph, -1, 2)[:, :, 0].astype(np.uint16) << 8
+        ) | rows.reshape(ph, -1, 2)[:, :, 1]
+        return u16[:, : pw * channels].reshape(ph, pw, channels)
+    # sub-byte: MSB-first bit groups of `depth`
+    bits = np.unpackbits(rows, axis=1)
+    vals = np.zeros((ph, bits.shape[1] // depth), dtype=np.uint8)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth][:, : vals.shape[1]]
+    return vals[:, : pw * channels].reshape(ph, pw, channels)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Minimal PNG decode, pure stdlib (zlib) + numpy: 8-bit depth,
-    non-interlaced, gray/RGB/RGBA (alpha dropped), all five scanline
-    filters (None/Sub/Up/Average/Paeth). Interlaced, paletted and
-    16-bit PNGs still raise — that tail genuinely needs a real codec
-    library."""
+    """PNG decode, pure stdlib (zlib) + numpy, covering the full static
+    feature matrix: bit depths 1/2/4/8/16, gray / RGB / gray+alpha /
+    RGBA / PALETTED (PLTE lookup), all five scanline filters, and Adam7
+    interlacing (7 sub-images reassembled on the pass grid). Alpha is
+    dropped and 16-bit narrows to the high byte — the feature kernels
+    take uint8. APNG animation chunks are ignored (first frame wins)."""
     import struct
     import zlib
 
@@ -164,6 +300,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     idat = b""
+    plte = None
     w = h = depth = color_type = interlace = None
     try:
         while pos < len(payload):
@@ -175,6 +312,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", body
                 )
+            elif tag == b"PLTE":
+                plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
             elif tag == b"IDAT":
                 idat += body
             elif tag == b"IEND":
@@ -183,56 +322,52 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("corrupt PNG chunk structure") from e
     if w is None:
         raise ValueError("PNG missing IHDR")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if depth != 8 or channels is None or interlace != 0:
-        raise NotImplementedError(
-            f"decode_png: only 8-bit non-interlaced gray/RGB/RGBA "
-            f"(depth={depth}, color_type={color_type}, interlace={interlace})"
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None or interlace not in (0, 1):
+        raise ValueError(
+            f"bad PNG header (color_type={color_type}, interlace={interlace})"
         )
+    valid_depths = {
+        0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+        4: (8, 16), 6: (8, 16),
+    }[color_type]
+    if depth not in valid_depths:
+        raise ValueError(f"bad PNG depth {depth} for color type {color_type}")
+    if color_type == 3 and plte is None:
+        raise ValueError("paletted PNG missing PLTE")
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         # corrupt-stream contract shared with the GIF/JPEG codecs:
         # malformed payloads raise ValueError, never a library error
         raise ValueError("corrupt PNG stream (zlib)") from e
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("PNG pixel data truncated")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for x in range(channels, stride):
-                cur[x] = (cur[x] + cur[x - channels]) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            cur = line
-            for x in range(stride):
-                left = int(cur[x - channels]) if x >= channels else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                c = int(prev[x - channels]) if x >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        out[y] = cur
-        prev = cur
-    img = out.reshape(h, w, channels)
+
+    dtype = np.uint16 if depth == 16 else np.uint8
+    img = np.zeros((h, w, channels), dtype=dtype)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, w, h, channels, depth)
+        img = _png_samples(rows, w, channels, depth).astype(dtype)
+    else:
+        offset = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, used = _png_unfilter(raw, offset, pw, ph, channels, depth)
+            offset += used
+            img[y0::ys, x0::xs] = _png_samples(rows, pw, channels, depth)
+
+    if color_type == 3:
+        idx = img[:, :, 0]
+        if int(idx.max()) >= len(plte):
+            raise ValueError("palette index out of range")
+        return plte[idx]
+    if depth == 16:
+        img = (img >> 8).astype(np.uint8)
+    elif depth < 8 and color_type == 0:
+        # expand sub-byte gray to full 8-bit range (bit replication)
+        img = (img.astype(np.uint16) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     if channels == 1:
         return img[:, :, 0]
     if channels == 2:  # gray+alpha → gray

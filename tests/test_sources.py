@@ -486,6 +486,55 @@ def test_png_codec_roundtrip_and_filters():
     assert (multimodal.decode_png(rgba_png) == img).all()
 
 
+def test_png_full_feature_matrix():
+    """The PNG decode matrix beyond the 8-bit/sequential core: Adam7
+    interlace (both encoders), 16-bit depth (high-byte narrowing),
+    paletted color type 3 at 8/4/2-bit indices, and sub-byte grayscale
+    with bit-replicated expansion — all pure-spec, no codec library."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from amadeus_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (21, 34, 3)).astype(np.uint8)
+    g = img[..., 0]
+    assert np.array_equal(mm.decode_png(mm.encode_png(img, interlace=True)), img)
+    assert np.array_equal(mm.decode_png(mm.encode_png(g, interlace=True)), g)
+
+    img16 = (img.astype(np.uint16) << 8) | img.astype(np.uint16)
+    assert np.array_equal(mm.decode_png(mm.encode_png(img16)), img)
+    assert np.array_equal(mm.decode_png(mm.encode_png(img16, interlace=True)), img)
+
+    pal = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], np.uint8
+    )
+    pal_big = np.repeat(np.repeat(pal, 9, axis=0), 7, axis=1)  # 18x14
+    assert np.array_equal(mm.decode_png(mm.encode_png_paletted(pal_big)), pal_big)
+    assert np.array_equal(
+        mm.decode_png(mm.encode_png_paletted(pal_big, depth=2)), pal_big
+    )
+    assert np.array_equal(
+        mm.decode_png(mm.encode_png_paletted(pal_big, interlace=True, depth=4)),
+        pal_big,
+    )
+
+    g4 = (g >> 4).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", g4.shape[1], g4.shape[0], 4, 0, 0, 0, 0)
+    png4 = (
+        mm._PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(
+            b"IDAT", zlib.compress(mm._png_body(g4[:, :, None], 4, False))
+        )
+        + mm._png_chunk(b"IEND", b"")
+    )
+    exp = (g4.astype(np.uint16) * 255 // 15).astype(np.uint8)
+    assert np.array_equal(mm.decode_png(png4), exp)
+
+
 def test_orc_roundtrip_and_pushdown(spark, tmpdir_data):
     """ORC round-trip preserves rows; projection + filter reach the ORC
     scan (ReadSchema / PushedFilters) exactly like parquet."""
