@@ -36,6 +36,17 @@ def main(sf_dir: str) -> None:
     agreement = quality.filter(F.col("lang_pred") == F.col("lang")).count()
     print(f"lang-id agreement with metadata: {agreement}/{docs.count()}")
 
+    # span-level view: which token ranges are shared VERBATIM across
+    # docs (Lee et al. substring-dedup shape) — finer than whole-doc
+    # near-dup, the quantity a span-removal pass would delete
+    print("duplicated spans per language (8-token shingles):")
+    for r in dedup.duplicated_span_stats(docs).collect():
+        frac = r.dup_tokens / max(r.total_tokens, 1)
+        print(
+            f"   {r.lang}: {r.n_docs_flagged}/{r.n_docs} docs,"
+            f" {r.dup_tokens} dup tokens ({frac:.1%})"
+        )
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

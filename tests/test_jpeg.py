@@ -111,6 +111,24 @@ def test_malformed_progressive_raises():
         jpeg.decode_jpeg(bytes(enc))
 
 
+def test_progressive_corrupt_stream_contract():
+    """Random byte mutations of a progressive stream must decode, or
+    raise ValueError/NotImplementedError — never IndexError/KeyError
+    from the scan machinery (crawl data feeds this decoder)."""
+    import random
+
+    rng = random.Random(13)
+    good = bytearray(jpeg.encode_jpeg_progressive(_gradient(24, 24, seed=2), 80))
+    for _ in range(150):
+        raw = bytearray(good)
+        for _ in range(rng.randint(1, 4)):
+            raw[rng.randrange(2, len(raw))] = rng.randrange(256)
+        try:
+            jpeg.decode_jpeg(bytes(raw))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_arithmetic_still_refused():
     enc = bytearray(jpeg.encode_jpeg(_gradient(16, 16)))
     idx = enc.find(b"\xff\xc0")
