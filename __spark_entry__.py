@@ -2432,6 +2432,17 @@ def q_nested_fixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (functions/similarity.py): k-means
+    clusters restrict the pairwise comparison, then every vector with a
+    more-senior neighbor above the cosine threshold is dropped (the
+    paper's representative rule, deterministic by id). Rows-only
+    (k-means isn't SQL); semantics pinned against numpy brute force in
+    tests/test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_stats(emb, threshold=0.4)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: banded hyperplane-LSH candidate
     generation (ids-only equi-join, never BroadcastNestedLoopJoin) with
@@ -2580,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,
         "percentile_band": q_percentile_band,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

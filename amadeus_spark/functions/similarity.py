@@ -499,6 +499,88 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_stats(
+    df: DataFrame,
+    threshold: float = 0.45,
+    n_cells: int = 16,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_cell_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public): cluster embeddings with k-means, compare
+    pairs ONLY within a cluster, and drop every vector that has a
+    more-senior (lower-id) neighbor above the cosine threshold — the
+    paper's keep-one-representative rule made deterministic by id
+    order. Per label: n_vecs, n_pairs, n_dropped (all BIGINT).
+
+    Scale shape: the full pairwise comparison SemDeDup avoids is
+    restored as a per-CELL self-join — O(Σ |cell|²), controlled by
+    sizing n_cells so n/k stays bounded (the paper runs 50k clusters
+    for LAION-scale corpora). ``max_cell_size`` additionally caps any
+    runaway cell (hash-deterministic subset — a skew guard like the
+    MinHash bucket cap; capped members simply aren't dedup candidates,
+    documented recall trade). The cell fit/assignment reuse the IVF
+    machinery (bounded driver-side k-means, map-side assignment); the
+    join shuffles ids + vectors once, keyed by cell.
+
+    Rows-only by nature (k-means isn't SQL); semantics pinned by a
+    brute-force within-cluster test."""
+    base = tracked_persist(with_norm(df.select(id_col, vec_col, label_col), vec_col))
+    centroids = _fit_cells(base, vec_col, n_cells, seed, 4096, 8)
+    pairs = _assign_pairs(base, id_col, vec_col, centroids, 1)
+    cells = base.join(pairs, id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        F.col("norm").alias("nrm"), F.col(label_col).alias("lbl"), "cell",
+    )
+    if max_cell_size is not None:
+        w = Window.partitionBy("cell").orderBy(
+            F.xxhash64("id"), F.asc("id")
+        )
+        cells = (
+            cells.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_cell_size)
+            .drop("__rn")
+        )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    ds, _ = dot_frag("a.vec", "b.vec")
+    sim_pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cosine", F.expr(f"{ds} / (a.nrm * b.nrm)"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("keep"),
+            F.col("b.id").alias("drop"),
+            F.col("b.lbl").alias("lbl"),
+        )
+    )
+    per_label_pairs = sim_pairs.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("drop").alias("n_dropped"),
+    )
+    totals = base.groupBy(F.col(label_col).alias("lbl")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    return (
+        totals.join(per_label_pairs, "lbl", "left")
+        .select(
+            F.col("lbl").alias(label_col),
+            "n_vecs",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy(label_col)
+    )
+
+
 def ann_lsh_oracle(
     table: str, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> str:

@@ -56,6 +56,9 @@ ROWS_ONLY = {
     # xxhash64-addressed bitmap (no DuckDB xxhash64); self-checking
     # n_missed=0 column + exact-path parity in tests/test_bloom.py.
     "bloom_decontamination",
+    # k-means clustering isn't SQL; pinned against numpy brute force in
+    # tests/test_similarity.py.
+    "semantic_dedup",
 }
 
 

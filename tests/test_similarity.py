@@ -89,6 +89,48 @@ def test_ivf_pq_recall_monotone_in_nprobe(spark):
     assert sweep[2] >= 0.8, sweep
 
 
+def test_semantic_dedup_matches_bruteforce(spark):
+    """SemDeDup semantics pinned against numpy: same seeded centroids,
+    then brute-force within-cell cosine pairs and the drop-if-lower-id-
+    neighbor rule must reproduce every per-label count exactly."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    got = {
+        r["label"]: (r["n_vecs"], r["n_pairs"], r["n_dropped"])
+        for r in similarity.semantic_dedup_stats(emb, threshold=0.4).collect()
+    }
+
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = {int(r["vec_id"]): r["label"] for r in rows}
+    X = np.array([r["embedding"] for r in rows], dtype=float)
+    base = similarity.with_norm(emb.select("vec_id", "embedding"))
+    cent = similarity._fit_cells(base, "embedding", 16, 42, 4096, 8)
+    cell = similarity._nearest_cells(X, cent, 1)[:, 0]
+    nrm = np.linalg.norm(X, axis=1)
+    want: dict = {}
+    for lb in set(labels.values()):
+        n_vecs = sum(1 for v in labels.values() if v == lb)
+        want[lb] = [n_vecs, 0, set()]
+    order = np.argsort(ids)
+    for i_pos in range(len(ids)):
+        for j_pos in range(len(ids)):
+            i, j = order[i_pos], order[j_pos]
+            if ids[i] >= ids[j] or cell[i] != cell[j]:
+                continue
+            cos = float(X[i] @ X[j]) / (nrm[i] * nrm[j])
+            if cos >= 0.4:
+                lb = labels[int(ids[j])]
+                want[lb][1] += 1
+                want[lb][2].add(int(ids[j]))
+    exp = {
+        lb: (n, p, len(d)) for lb, (n, p, d) in want.items() if p or lb in got
+    }
+    for lb, triple in got.items():
+        assert triple == exp[lb], (lb, triple, exp[lb])
+
+
 def test_ivf_pq_scores_are_exact_cosines(spark):
     """The refine step re-ranks with EXACT cosine: every returned score
     must equal the brute-force cosine for that pair."""
