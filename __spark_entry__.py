@@ -2272,6 +2272,54 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_cluster_stats(pairs, "doc_a", "doc_b")
 
 
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (functions/dedup.py): split is
+    a hash of the near-dup CLUSTER representative, so near-duplicates
+    never straddle train and test (the eval-contamination a per-doc
+    hash split bakes in). Same SimHash pair generator as
+    neardup_clusters; the DuckDB oracle re-runs the closure as a
+    recursive CTE and the identical md5 bucketing."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, limit=200)
+    return dedup.cluster_safe_split_stats(docs, pairs)
+
+
+#: token budgets for q_token_budget_sample — bind at sf0.01 (en holds
+#: ~11.8k tokens, others ~3.5-4.1k) and harder at every larger sf.
+_TB_BUDGETS = {"en": 5000, "de": 2000, "es": 2000, "fr": 2000, "zh": 2000}
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (operators/sampling.py): per-language token
+    quotas via a two-level sharded cumsum (no whole-stratum window);
+    the oracle runs the one-level cumsum, so the hash compare verifies
+    the decomposition itself. Output: kept docs/tokens per language."""
+    docs = _t(spark, sf_dir, "documents")
+    ts, _ = dedup.toks_frag("text")
+    d = docs.select(
+        "lang", "doc_id", F.size(F.expr(ts)).cast("long").alias("n_tok")
+    )
+    kept = sampling.token_budget_sample(d, "lang", "doc_id", "n_tok", _TB_BUDGETS)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics (operators/aggregates.py): per event_type,
+    user_id key-count skew metrics — the profiling pass that sizes
+    salting/AQE thresholds before a big shuffle. WindowGroupLimit-safe
+    top-k branch; one shuffle builds the key frame."""
+    return aggregates.key_skew_profile(
+        _ev(spark, sf_dir), "event_type", "user_id", top_k=10
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via byte banding + hamming verification."""
     docs = _t(spark, sf_dir, "documents")
@@ -2470,8 +2518,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # run. Remaining rows-only queries stay in the tail (set_ops is the
     # one r4/r5 oracle query deferred to r8 — plain native set algebra,
     # the lowest-regression-risk entry of its block).
+    # LATE-R7 ADDITIONS: cluster_safe_split / token_budget_sample /
+    # key_skew_profile (oracle-checked) and semantic_dedup (rows-only,
+    # first external rows+schema check) take four gate slots; the four
+    # native-plan r4/r5-green entries (inner/left/semi-anti joins,
+    # sample_deterministic) defer below with the r8-rotation block.
     return {
         # (a) new or plan-changed in round 7 — externally unverified
+        "cluster_safe_split": q_cluster_safe_split,
+        "token_budget_sample": q_token_budget_sample,
+        "key_skew_profile": q_key_skew_profile,
+        "semantic_dedup": q_semantic_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "bloom_decontamination": q_bloom_decontamination,
         "ivf_topk": q_ivf_topk,
@@ -2519,15 +2576,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_agg": q_summary_agg,
         "group_by_pricing": q_group_by_pricing,
         "max_by": q_max_by,
-        "inner_join": q_inner_join,
-        "left_join": q_left_join,
-        "semi_anti_join": q_semi_anti_join,
-        "sample_deterministic": q_sample_deterministic,
         # new operator this round — externally unverified, takes the
         # 50th slot
         "duplicated_spans": q_duplicated_spans,
         # ---- below the 50-entry gate ----
-        # deferred one round to make room (r8 rotates them back under):
+        # deferred one round to make room (r8 rotates them back under);
+        # inner/left/semi-anti joins and sample_deterministic are native
+        # Catalyst plans green r4/r5 — the lowest-regression-risk block:
+        "inner_join": q_inner_join,
+        "left_join": q_left_join,
+        "semi_anti_join": q_semi_anti_join,
+        "sample_deterministic": q_sample_deterministic,
         "stratified_sample": q_stratified_sample,
         "set_ops": q_set_ops,
         # r6-green block — externally verified last round, re-verified
@@ -2591,7 +2650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,
         "percentile_band": q_percentile_band,
-        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3467,6 +3525,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "neardup_clusters": dedup.neardup_cluster_oracle(
             dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
+        ),
+        "cluster_safe_split": dedup.cluster_safe_split_oracle(
+            dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
+        ),
+        "token_budget_sample": f"""
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+            FROM ({sampling.token_budget_sample_oracle(
+                "(SELECT lang, doc_id, len(" + dedup.toks_frag("text")[1]
+                + ") AS n_tok FROM documents)",
+                "lang", "doc_id", "n_tok", _TB_BUDGETS,
+            )})
+            GROUP BY lang ORDER BY lang
+        """,
+        "key_skew_profile": aggregates.key_skew_profile_oracle(
+            "events", "event_type", "user_id", 10
         ),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle(

@@ -693,10 +693,11 @@ def neardup_cluster_stats(
     )
 
 
-def neardup_cluster_oracle(pairs_sql: str) -> str:
-    """DuckDB twin: transitive closure via recursive CTE (min reachable
-    id per node), same per-cluster stats. ``pairs_sql`` must yield
-    columns (doc_a, doc_b)."""
+def closure_cte(pairs_sql: str) -> str:
+    """Transitive-closure CTE chain (DuckDB recursive CTE ending in
+    ``comp(id, cluster)`` — cluster = min reachable id). ONE fragment
+    feeding every cluster-consuming oracle (iron rule 7); ``pairs_sql``
+    must yield columns (doc_a, doc_b)."""
     return f"""
 WITH RECURSIVE pair_list AS MATERIALIZED (
   SELECT doc_a, doc_b FROM ({pairs_sql})
@@ -710,11 +711,112 @@ WITH RECURSIVE pair_list AS MATERIALIZED (
   SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.id
 ), comp AS (
   SELECT id, MIN(lab) AS cluster FROM walk GROUP BY id
-)
+)"""
+
+
+def neardup_cluster_oracle(pairs_sql: str) -> str:
+    """DuckDB twin: transitive closure via recursive CTE (min reachable
+    id per node), same per-cluster stats. ``pairs_sql`` must yield
+    columns (doc_a, doc_b)."""
+    return f"""
+{closure_cte(pairs_sql)}
 SELECT cluster AS cluster_rep,
        COUNT(*) AS cluster_size,
        CAST(SUM(CASE WHEN id <> cluster THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM comp GROUP BY cluster ORDER BY cluster
+"""
+
+
+#: leakage-safe split percentages (train / val; rest = test) — shared by
+#: both dialects so the bucket boundaries can never drift apart.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10
+SPLIT_SALT = "sp1"
+
+
+def cluster_safe_split_stats(
+    docs: DataFrame,
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    id_col: str = "doc_id",
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every document is assigned a
+    split by hashing its near-dup CLUSTER representative (connected-
+    component min id; singletons are their own rep), so near-duplicate
+    documents can never straddle train and test — the contamination a
+    naive per-doc hash split bakes into an eval set. This is the
+    group-aware split discipline of published dedup pipelines (e.g.
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2021, which dedups train-vs-test by the same cluster logic).
+
+    Physical plan: the component labels cover ONLY docs that appear in
+    some pair (tiny vs the corpus — near-dup graphs are sparse), so the
+    comp frame broadcasts into a left join against the corpus; rep →
+    md5-bucket → split is map-side codegen. One aggregate on 3 groups.
+    No window anywhere. Leakage-freedom is by construction (split is a
+    function of rep alone); n_clusters per split sums to the corpus
+    total because a cluster lands in exactly one split.
+
+    Output: (split, n_docs, n_clusters, n_grouped_docs) — grouped =
+    docs whose rep differs from their own id (pair-connected docs)."""
+    comp = connected_components(pairs, a_col, b_col)
+    assigned = (
+        docs.select(F.col(id_col).alias("id"))
+        .join(F.broadcast(comp), "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("rep"))
+    )
+    hs, _ = hash32_frag(f"concat('{salt}', cast(rep as string))", "")
+    bucket = F.expr(hs) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        assigned.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("rep").alias("n_clusters"),
+            F.sum((F.col("id") != F.col("rep")).cast("bigint")).alias(
+                "n_grouped_docs"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def cluster_safe_split_oracle(
+    pairs_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    train_pct: int = SPLIT_TRAIN_PCT,
+    val_pct: int = SPLIT_VAL_PCT,
+    salt: str = SPLIT_SALT,
+) -> str:
+    """DuckDB twin — same closure CTE, same md5 bucket and boundaries."""
+    _, hd = hash32_frag("", f"'{salt}' || CAST(rep AS VARCHAR)")
+    return f"""
+{closure_cte(pairs_sql)}, assigned AS (
+  SELECT d.{id_col} AS id, COALESCE(c.cluster, d.{id_col}) AS rep
+  FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
+), bucketed AS (
+  SELECT id, rep,
+         CASE WHEN {hd} % 100 < {train_pct} THEN 'train'
+              WHEN {hd} % 100 < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split
+  FROM assigned
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_grouped_docs
+FROM bucketed GROUP BY split ORDER BY split
 """
 
 

@@ -258,3 +258,83 @@ def all_match(df: DataFrame, predicate: Column) -> bool:
 def any_match(df: DataFrame, predicate: Column) -> bool:
     """Short-circuiting ∃ (par_sink/any.rs:18-62)."""
     return not df.filter(predicate).isEmpty()
+
+
+def key_skew_profile(
+    df: DataFrame, group_col: str, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Per-group key-skew diagnostics — the pre-join/pre-agg profiling
+    pass a 100 TB pipeline runs BEFORE choosing a shuffle strategy
+    (salting width, AQE skew thresholds, broadcast candidates). Per
+    group: distinct keys, total rows, the heaviest key's row count, the
+    row fraction covered by the top-k keys, and the skew factor
+    max_key_rows x n_keys / n_rows (1.0 = perfectly uniform; the factor
+    by which the hottest shuffle partition exceeds the average).
+
+    Physical plan: ONE shuffle builds the (group, key) count frame; it
+    feeds two consumers (full-group rollup + top-k), so it persists
+    through the tracked registry. The top-k branch filters on a LITERAL
+    row_number bound, so Spark's WindowGroupLimit rule truncates every
+    map task to top_k rows per group BEFORE the window shuffle — the
+    window never sees the full key frame (same discipline as
+    mixture_sample). All outputs are exact integers plus two single
+    IEEE divisions, so the DuckDB twin is bit-identical."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+
+    per_key = tracked_persist(
+        df.groupBy(group_col, key_col).agg(F.count(F.lit(1)).alias("c"))
+    )
+    overall = per_key.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").alias("max_key_rows"),
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("c"), F.asc(key_col))
+    top = (
+        per_key.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_k)
+        .groupBy(group_col)
+        .agg(F.sum("c").cast("long").alias("topk_rows"))
+    )
+    return (
+        overall.join(top, group_col)
+        .select(
+            group_col,
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            (F.col("topk_rows") / F.col("n_rows")).alias("topk_frac"),
+            (F.col("max_key_rows") * F.col("n_keys") / F.col("n_rows")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def key_skew_profile_oracle(
+    table: str, group_col: str, key_col: str, top_k: int = 10
+) -> str:
+    """DuckDB twin of key_skew_profile — same tie-break (count desc,
+    key asc), same integer-then-one-division arithmetic."""
+    return f"""
+WITH per_key AS (
+  SELECT {group_col} AS g, {key_col} AS k, COUNT(*) AS c
+  FROM {table} GROUP BY 1, 2
+), overall AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(c) AS BIGINT) AS n_rows, MAX(c) AS max_key_rows
+  FROM per_key GROUP BY g
+), top AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS topk_rows FROM (
+    SELECT g, c, ROW_NUMBER() OVER (PARTITION BY g ORDER BY c DESC, k) AS rn
+    FROM per_key
+  ) WHERE rn <= {top_k} GROUP BY g
+)
+SELECT o.g AS {group_col}, n_keys, n_rows, max_key_rows,
+       topk_rows / n_rows AS topk_frac,
+       max_key_rows * n_keys / n_rows AS skew_factor
+FROM overall o JOIN top t ON o.g = t.g ORDER BY 1
+"""

@@ -237,3 +237,116 @@ def weighted_sample_oracle(
         ORDER BY {hd} / {weight}, {key}
         LIMIT {k}
     """
+
+
+#: token-budget sampling constants — shared by both dialects.
+TOKEN_BUDGET_SALT = "tb1"
+TOKEN_BUDGET_SHARDS = 32
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    tokens_col: str,
+    budgets: dict[str, int],
+    n_shards: int = TOKEN_BUDGET_SHARDS,
+    salt: str = TOKEN_BUDGET_SALT,
+) -> DataFrame:
+    """Token-budget mixture sampling — the training-data quota primitive
+    in TOKENS, not documents: keep the md5-permutation prefix of each
+    stratum whose running token count stays under the stratum's budget
+    (a doc is kept iff the budget is not exhausted BEFORE it, so the
+    boundary doc that crosses the budget is included — deterministic in
+    both engines). Doc-count quotas (mixture_sample) mis-size mixtures
+    when per-stratum document lengths differ; published data recipes
+    state their mixtures in tokens.
+
+    100 TB shape: a running sum per stratum cannot use one window —
+    strata are FEW (languages/sources), so a per-stratum cumsum would
+    sort whole strata through a handful of tasks, and unlike
+    mixture_sample's rank cutoff there is no WindowGroupLimit rule for
+    sum frames. The cumsum therefore decomposes into the classic
+    two-level scan:
+
+      1. shard = h div S (RANGE sharding on the permutation hash, so
+         (shard, h, key) lexicographic == global (h, key) order — a
+         modulo shard would interleave and the offsets would not
+         compose);
+      2. within-(stratum, shard) cumsum window — n_shards × strata
+         partitions, shards with the data;
+      3. per-shard token totals roll up to a TINY offsets frame
+         (n_shards rows per stratum — the only coarse window, over
+         rows, not the corpus) that broadcast-joins back.
+
+    Integer addition is associative, so two-level == one-level cumsum
+    exactly; the DuckDB oracle runs the plain one-level window and must
+    hash-match. The windowed frame feeds two consumers (shard totals +
+    the final filter), so it persists through the tracked registry."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    hs, _ = hash32_frag(f"concat('{salt}', cast({key} as string))", "")
+    shard_div = (1 << 32) // n_shards + 1
+    w_in = (
+        Window.partitionBy(stratum, "__shard")
+        .orderBy("__h", key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wd = tracked_persist(
+        df.withColumn("__h", F.expr(hs))
+        .withColumn("__shard", F.expr(f"__h div {shard_div}"))
+        .withColumn(
+            "__cum_in", F.coalesce(F.sum(tokens_col).over(w_in), F.lit(0))
+        )
+    )
+    w_off = (
+        Window.partitionBy(stratum)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        wd.groupBy(stratum, "__shard")
+        .agg(F.sum(tokens_col).alias("__st"))
+        .withColumn("__off", F.coalesce(F.sum("__st").over(w_off), F.lit(0)))
+        .select(stratum, "__shard", "__off")
+    )
+    budget = F.lit(0)
+    for s, b in budgets.items():
+        budget = F.when(F.col(stratum) == s, F.lit(b)).otherwise(budget)
+    return (
+        wd.join(F.broadcast(offsets), [stratum, "__shard"])
+        .filter((F.col("__off") + F.col("__cum_in")) < budget)
+        .drop("__h", "__shard", "__cum_in", "__off")
+    )
+
+
+def token_budget_sample_oracle(
+    table: str,
+    stratum: str,
+    key: str,
+    tokens_expr: str,
+    budgets: dict[str, int],
+    salt: str = TOKEN_BUDGET_SALT,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — the SAME permutation hash and budget CASE, but the
+    cumsum as ONE plain window per stratum: the two-level decomposition
+    is a physical-plan choice, and integer-sum associativity makes the
+    values identical, so the hash compare verifies the decomposition
+    itself."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    _, hd = hash32_frag("", f"'{salt}' || CAST({key} AS VARCHAR)")
+    cases = " ".join(f"WHEN '{s}' THEN {b}" for s, b in budgets.items())
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, COALESCE(SUM({tokens_expr}) OVER (
+                PARTITION BY {stratum} ORDER BY {hd}, {key}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS __cum
+            FROM {table}
+        ) WHERE __cum < (CASE {stratum} {cases} ELSE 0 END)
+    """

@@ -352,3 +352,81 @@ def test_temporal_join_picks_current_version(spark):
         (1, 30.0, "v2"),
         (2, 40.0, None),
     }
+
+
+def test_token_budget_boundary_doc_included(spark):
+    """The doc that CROSSES the budget is kept (cum-before < budget),
+    everything after it is dropped — verified against a naive
+    single-ordered recompute in Python."""
+    import hashlib
+
+    rows = [("en", i, 10 + (i % 7)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+    budget = 137
+    kept = sorted(
+        r["doc_id"]
+        for r in sampling.token_budget_sample(
+            df, "lang", "doc_id", "n_tok", {"en": budget}
+        ).collect()
+    )
+
+    def h(doc_id):
+        return int(
+            hashlib.md5(
+                (sampling.TOKEN_BUDGET_SALT + str(doc_id)).encode()
+            ).hexdigest()[:8],
+            16,
+        )
+
+    order = sorted(rows, key=lambda r: (h(r[1]), r[1]))
+    want, cum = [], 0
+    for _, doc_id, n in order:
+        if cum < budget:
+            want.append(doc_id)
+        cum += n
+    assert kept == sorted(want)
+    tok = {r[1]: r[2] for r in rows}
+    total = sum(tok[d] for d in kept)
+    assert total >= budget  # boundary doc included...
+    assert total - max(tok[d] for d in kept) < budget  # ...but only one
+
+
+def test_token_budget_missing_stratum_quota_zero(spark):
+    """Strata absent from the budget dict are dropped entirely."""
+    df = spark.createDataFrame(
+        [("en", 1, 5), ("de", 2, 5)], "lang string, doc_id long, n_tok long"
+    )
+    out = sampling.token_budget_sample(df, "lang", "doc_id", "n_tok", {"en": 100})
+    assert [r["lang"] for r in out.collect()] == ["en"]
+
+
+def test_key_skew_profile_crafted(spark):
+    """Known skew: key 1 holds 6 of 10 rows among 3 keys → max=6,
+    skew_factor = 6*3/10, top-2 covers 9/10."""
+    rows = [("a", 1)] * 6 + [("a", 2)] * 3 + [("a", 3)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = aggregates.key_skew_profile(df, "g", "k", top_k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_keys"], r["n_rows"], r["max_key_rows"]) == (3, 10, 6)
+    assert r["topk_frac"] == 9 / 10
+    assert r["skew_factor"] == 6 * 3 / 10
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """Every near-dup pair lands in ONE split: hand-built pair chains
+    (1-2, 2-3 → one cluster; 10-11 → another) can never straddle, and
+    the per-split cluster counts sum to the number of distinct reps."""
+    from amadeus_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 30)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = dedup.cluster_safe_split_stats(docs, pairs).collect()
+    assert sum(r["n_docs"] for r in out) == 8
+    # 5 clusters: {1,2,3}, {10,11}, and three singletons (20, 21, 30)
+    assert sum(r["n_clusters"] for r in out) == 5
+    assert sum(r["n_grouped_docs"] for r in out) == 3  # ids 2,3,11

@@ -91,7 +91,7 @@ def test_contract_oracle_coverage():
     for n in ROWS_ONLY:
         i = names.index(n)
         assert i < 50 or i >= tail, (n, i, tail)
-    assert len(in_gate) <= 4, in_gate  # oracle checks dominate the gate
+    assert len(in_gate) <= 5, in_gate  # oracle checks dominate the gate
 
 
 def test_contract_every_oracle_parses(duck):

@@ -236,3 +236,33 @@ def test_epoch_shuffle_invariance_and_epoch_sensitivity(spark, nparts):
     e1 = run(_docs(spark, 32), 1)
     assert e1 == run(_docs(spark, nparts), 1)
     assert e1 != run(_docs(spark, 32), 2)  # new epoch, new permutation
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_token_budget_partitioning_invariance(spark, nparts):
+    """The two-level sharded cumsum must equal the one-level cumsum at
+    ANY input partitioning — the decomposition is physical only."""
+    from amadeus_spark.operators import sampling
+
+    def run(np):
+        ts, _ = dedup.toks_frag("text")
+        d = _docs(spark, np).select(
+            "lang", "doc_id", F.size(F.expr(ts)).cast("long").alias("n_tok")
+        )
+        return _rows(
+            sampling.token_budget_sample(
+                d, "lang", "doc_id", "n_tok", {"en": 3000, "de": 1000}
+            ).select("lang", "doc_id", "n_tok")
+        )
+
+    assert run(32) == run(nparts)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_cluster_safe_split_partitioning_invariance(spark, nparts):
+    def run(np):
+        docs = _docs(spark, np)
+        pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, limit=200)
+        return _rows(dedup.cluster_safe_split_stats(docs, pairs))
+
+    assert run(32) == run(nparts)
