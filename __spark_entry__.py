@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from amadeus_spark.functions import dedup, gopher, retrieval, similarity, text
+from amadeus_spark.functions import dedup, dsir, gopher, retrieval, similarity, text
 from amadeus_spark.operators import (
     aggregates,
     fuzzy,
@@ -2320,6 +2320,16 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance selection (functions/dsir.py): hashed-
+    unigram likelihood ratios against the lang='en' target, corpus-wide
+    deterministic top-K, per-source selection report. The oracle
+    re-runs the identical micro-unit ratio model in DuckDB."""
+    return dsir.dsir_importance_stats(
+        _t(spark, sf_dir, "documents"), "lang = 'en'"
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via byte banding + hamming verification."""
     docs = _t(spark, sf_dir, "documents")
@@ -2528,6 +2538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
         "key_skew_profile": q_key_skew_profile,
+        "dsir_select": q_dsir_select,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "bloom_decontamination": q_bloom_decontamination,
@@ -2570,7 +2581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "event_anomaly_enrich": q_event_anomaly_enrich,
         "xml_source": q_xml_source,
-        "grouped_topn": q_grouped_topn,
         "most_distinct": q_most_distinct,
         "most_frequent": q_most_frequent,
         "summary_agg": q_summary_agg,
@@ -2587,6 +2597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join": q_left_join,
         "semi_anti_join": q_semi_anti_join,
         "sample_deterministic": q_sample_deterministic,
+        "grouped_topn": q_grouped_topn,
         "stratified_sample": q_stratified_sample,
         "set_ops": q_set_ops,
         # r6-green block — externally verified last round, re-verified
@@ -3542,6 +3553,7 @@ def oracle_sql() -> dict[str, str]:
         "key_skew_profile": aggregates.key_skew_profile_oracle(
             "events", "event_type", "user_id", 10
         ),
+        "dsir_select": dsir.dsir_importance_oracle("documents", "lang = 'en'"),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle(
             "documents", "doc_id", "text", 0.5, max_df_frac=NGRAM_MAX_DF_FRAC

@@ -6,9 +6,12 @@ the first element; Spark's aggregate seeds 0)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from amadeus_spark.functions import text
+from tests.conftest import SF_ORACLE
 
 ADVERSARIAL = [
     "",
@@ -238,3 +241,47 @@ def test_bigram_surprisal_semantics(spark):
     import math
     expect = (3 * math.floor(4 / 3 * 1e6) + 4_000_000) / 4 / 1e6
     assert r.avg_ratio == expect
+
+
+def test_dsir_targets_dominate_selection(spark):
+    """DSIR semantics: with lang='en' as the target distribution, the
+    corpus-wide top-K must be overwhelmingly English — the importance
+    ratio is exactly 'looks like the target'. Grouping by lang makes
+    the selection composition visible."""
+    from amadeus_spark.functions import dsir
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    out = {
+        r["lang"]: r
+        for r in dsir.dsir_importance_stats(
+            docs, "lang = 'en'", group_col="lang"
+        ).collect()
+    }
+    assert sum(r["n_selected"] for r in out.values()) == dsir.DSIR_TOP_K
+    # the target language must be ENRICHED in the selection relative to
+    # its corpus share (the synthetic corpus shares most vocabulary
+    # across languages, so full dominance isn't achievable by design)
+    n_docs = sum(r["n_docs"] for r in out.values())
+    en_share = out["en"]["n_docs"] / n_docs
+    sel_share = out["en"]["n_selected"] / dsir.DSIR_TOP_K
+    assert sel_share >= 1.25 * en_share, (sel_share, en_share)
+    # and the target group's mean importance exceeds every other group's
+    for lang, r in out.items():
+        if lang != "en":
+            assert out["en"]["avg_ratio"] > r["avg_ratio"], (lang, r)
+
+
+def test_dsir_partitioning_invariance(spark):
+    from amadeus_spark.functions import dsir
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+
+    def rows(np):
+        return sorted(
+            tuple(str(v) for _, v in sorted(r.asDict().items()))
+            for r in dsir.dsir_importance_stats(
+                docs.repartition(np), "lang = 'en'"
+            ).collect()
+        )
+
+    assert rows(1) == rows(13)
