@@ -2320,6 +2320,15 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (functions/dedup.py span_dedup_rewrite):
+    the rewrite step of ExactSubstr dedup — every token covered by a
+    cross-document duplicate shingle is deleted and the cleaned doc is
+    pinned per-char by md5 (line_dedup discipline). Running-max
+    coverage, no interval join."""
+    return dedup.span_dedup_rewrite(_t(spark, sf_dir, "documents"))
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-shaped importance selection (functions/dsir.py): hashed-
     unigram likelihood ratios against the lang='en' target, corpus-wide
@@ -2539,6 +2548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "key_skew_profile": q_key_skew_profile,
         "dsir_select": q_dsir_select,
+        "span_scrub": q_span_scrub,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "bloom_decontamination": q_bloom_decontamination,
@@ -2581,7 +2591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "event_anomaly_enrich": q_event_anomaly_enrich,
         "xml_source": q_xml_source,
-        "most_distinct": q_most_distinct,
         "most_frequent": q_most_frequent,
         "summary_agg": q_summary_agg,
         "group_by_pricing": q_group_by_pricing,
@@ -2598,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_anti_join": q_semi_anti_join,
         "sample_deterministic": q_sample_deterministic,
         "grouped_topn": q_grouped_topn,
+        "most_distinct": q_most_distinct,
         "stratified_sample": q_stratified_sample,
         "set_ops": q_set_ops,
         # r6-green block — externally verified last round, re-verified
@@ -3554,6 +3564,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "user_id", 10
         ),
         "dsir_select": dsir.dsir_importance_oracle("documents", "lang = 'en'"),
+        "span_scrub": dedup.span_dedup_rewrite_oracle("documents"),
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle(
             "documents", "doc_id", "text", 0.5, max_df_frac=NGRAM_MAX_DF_FRAC

@@ -1292,3 +1292,162 @@ def connected_components_star(
         nodes.join(labels, "id", "left")
         .select("id", F.coalesce("lab", F.col("id")).alias("cluster"))
     )
+
+
+def span_dedup_rewrite(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL — the rewrite step of
+    Lee et al. 2021's ExactSubstr dedup at token-shingle granularity:
+    where duplicated_span_stats measures the duplicated token mass,
+    this actually deletes every token covered by a k-shingle occurring
+    in >= ``min_docs`` documents and re-emits the cleaned document (as
+    (n_tokens, n_removed, md5-of-rewrite) per doc — the md5 keeps the
+    gate output compact while pinning the exact rewritten string, the
+    line_dedup discipline).
+
+    Physical plan (one corpus scan, everything keyed by doc or hash):
+      1. staged token arrays; two explodes off the SAME persisted base
+         (token rows + shingle starts — ~2 rows per token, never more);
+      2. dup-shingle table: one groupBy(hash) count_distinct;
+      3. coverage WITHOUT an interval join: duplicate starts (carrying
+         end = min(p+k-1, n)) union token rows, ONE running-max window
+         per doc ordered by (pos, starts-first) — a token is covered
+         iff the max end among starts at-or-before it reaches its
+         position. O(rows log rows/doc), no O(n·k) marking, no range
+         join;
+      4. rebuild: collect kept (pos, tok) per doc, sort, join — bounded
+         by document length, the same reassembly shape as line_dedup.
+    The window and the rebuild key on DOC — maximally fine, shards with
+    the data."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+
+    ts, _ = toks_frag(text_col)
+    hs, _ = hash32_frag("s", "")
+    shingle_arr = (
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(t, i, {k})))"
+    )
+    base = tracked_persist(
+        docs.select(F.col(id_col).alias("doc"), F.expr(ts).alias("t"))
+    )
+    starts = tracked_persist(
+        base.select(
+            "doc",
+            F.size("t").alias("n"),
+            F.posexplode(F.expr(shingle_arr)).alias("p0", "s"),
+        ).select("doc", "n", (F.col("p0") + 1).alias("p"), F.expr(hs).alias("h"))
+    )
+    dup = (
+        starts.groupBy("h")
+        .agg(F.count_distinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_starts = starts.join(dup, "h").select(
+        "doc",
+        F.col("p").alias("pos"),
+        F.lit(1).alias("is_start"),
+        F.least(F.col("p") + (k - 1), F.col("n")).alias("e"),
+        F.lit(None).cast("string").alias("tok"),
+    )
+    tok_rows = base.select(
+        "doc", F.posexplode("t").alias("p0", "tok")
+    ).select(
+        "doc",
+        (F.col("p0") + 1).alias("pos"),
+        F.lit(0).alias("is_start"),
+        F.lit(None).cast("bigint").alias("e"),
+        "tok",
+    )
+    w = (
+        Window.partitionBy("doc")
+        .orderBy(F.asc("pos"), F.desc("is_start"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flags = (
+        dup_starts.unionByName(tok_rows)
+        .withColumn("cend", F.max("e").over(w))
+        .filter(F.col("is_start") == 0)
+        .withColumn(
+            "is_dup", F.coalesce(F.col("cend") >= F.col("pos"), F.lit(False))
+        )
+    )
+    kept = F.when(~F.col("is_dup"), F.struct(F.col("pos"), F.col("tok")))
+    return (
+        flags.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("is_dup").cast("bigint")).alias("n_removed"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda x: x.tok
+                    ),
+                )
+            ).alias("cleaned_md5"),
+        )
+        .select(
+            F.col("doc").alias(id_col), "n_tokens", "n_removed", "cleaned_md5"
+        )
+        .orderBy(id_col)
+    )
+
+
+def span_dedup_rewrite_oracle(
+    src: str,
+    k: int = SPAN_K,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of span_dedup_rewrite — same tokenizer/shingle/hash
+    constants as duplicated_span_oracle, same starts-first running-max
+    coverage, same md5-of-reassembly (string_agg ORDER BY pos skips the
+    NULL kept-markers exactly as collect_list skips NULL structs)."""
+    _, td = toks_frag(text_col)
+    _, hd = hash32_frag("", "sl[p0]")
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc, {td} AS t FROM {src}
+), sh AS (
+  SELECT doc, len(t) AS n, sl, generate_subscripts(sl, 1) AS p0
+  FROM (
+    SELECT doc, t,
+           list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                          i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS sl
+    FROM base)
+), starts AS (
+  SELECT doc, n, p0 AS p, {hd} AS h FROM sh
+), dup AS (
+  SELECT h FROM starts GROUP BY h HAVING COUNT(DISTINCT doc) >= {min_docs}
+), marks AS (
+  SELECT doc, p AS pos, 1 AS is_start, least(p + {k - 1}, n) AS e,
+         CAST(NULL AS VARCHAR) AS tok
+  FROM starts WHERE h IN (SELECT h FROM dup)
+  UNION ALL
+  SELECT doc, p0 AS pos, 0, CAST(NULL AS BIGINT), t[p0]
+  FROM (SELECT doc, t, generate_subscripts(t, 1) AS p0 FROM base)
+), flags AS (
+  SELECT doc, pos, tok,
+         COALESCE(MAX(e) OVER (
+             PARTITION BY doc ORDER BY pos, is_start DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) >= pos, FALSE) AS is_dup, is_start
+  FROM marks
+)
+SELECT doc AS {id_col},
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       MD5(COALESCE(
+           string_agg(CASE WHEN NOT is_dup THEN tok END, ' ' ORDER BY pos),
+           '')) AS cleaned_md5
+FROM flags WHERE is_start = 0 GROUP BY doc ORDER BY doc
+"""

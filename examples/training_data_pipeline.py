@@ -73,6 +73,19 @@ def main(sf_dir: str) -> None:
     # flagged ids back as an anti-join before training.
     decon = dedup.decontamination_stats(near_unique)
 
+    # 4b. leakage-safe split: assign train/val/test by the near-dup
+    # CLUSTER representative, so near-duplicates never straddle splits
+    # (the eval contamination a per-doc hash split would bake in).
+    split_report = dedup.cluster_safe_split_stats(near_unique, pairs)
+
+    # 4c. DSIR importance selection: score docs by hashed-unigram
+    # likelihood ratio against the lang='en' target distribution.
+    from amadeus_spark.functions import dsir
+
+    dsir_report = dsir.dsir_importance_stats(
+        near_unique, "lang = 'en'", group_col="lang"
+    )
+
     # 5. PII scrub: redact before packing.
     clean = near_unique.select(
         "doc_id", "lang", text.redact_pii(F.col("text")).alias("text")
@@ -85,6 +98,17 @@ def main(sf_dir: str) -> None:
     mixed = sampling.mixture_sample(
         clean, "lang", "doc_id", 200,
         {"en": 0.4, "zh": 0.2, "es": 0.2, "de": 0.1, "fr": 0.1},
+    )
+
+    # 6b. token-budget quotas: cap each language's contribution in
+    # TOKENS (two-level sharded cumsum — no whole-stratum window).
+    ts2, _ = dedup.toks_frag("text")
+    with_tok = clean.select(
+        "lang", "doc_id", F.size(F.expr(ts2)).cast("long").alias("n_tok")
+    )
+    budgeted = sampling.token_budget_sample(
+        with_tok, "lang", "doc_id", "n_tok",
+        {"en": 4000, "zh": 1500, "es": 1500, "de": 1000, "fr": 1000},
     )
 
     # 7. deterministic epoch shuffle: every example gets a reproducible
@@ -101,6 +125,17 @@ def main(sf_dir: str) -> None:
     print(f"after near-dup:    {near_unique.count()}")
     print("decontamination report:")
     for r in decon.collect():
+        print("  ", r.asDict())
+    print("leakage-safe split:")
+    for r in split_report.collect():
+        print("  ", r.asDict())
+    print("DSIR selection by lang:")
+    for r in dsir_report.collect():
+        print("  ", r.asDict())
+    print("token-budget kept per lang:")
+    for r in (budgeted.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("docs"),
+                   F.sum("n_tok").alias("tokens")).orderBy("lang").collect()):
         print("  ", r.asDict())
     print("mixture composition:")
     for r in mixed.groupBy("lang").count().orderBy("lang").collect():

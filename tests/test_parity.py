@@ -266,3 +266,13 @@ def test_cluster_safe_split_partitioning_invariance(spark, nparts):
         return _rows(dedup.cluster_safe_split_stats(docs, pairs))
 
     assert run(32) == run(nparts)
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_span_scrub_partitioning_invariance(spark, nparts):
+    """Coverage window is per-doc totally ordered (pos, starts-first)
+    and the dup table is commutative — the rewrite md5s must be
+    identical under any partitioning."""
+    base = _rows(dedup.span_dedup_rewrite(_docs(spark, 32)))
+    other = _rows(dedup.span_dedup_rewrite(_docs(spark, nparts)))
+    assert base == other

@@ -297,3 +297,28 @@ def test_ranked_limit_queries_get_window_group_limit(spark):
     ):
         txt = plans.plan_text(fn(spark, SF_ORACLE))
         assert txt.count("WindowGroupLimit") >= 2, (fn.__name__, txt[:3000])
+
+
+def test_late_r7_ops_broadcast_their_small_sides(spark):
+    """The late-r7 operators' small frames must BROADCAST (comp labels,
+    cumsum offsets, DSIR model + selection, skew top-k): a shuffle join
+    against the corpus on any of these would be the 100x-scale mistake
+    the designs exist to avoid. Also: no nested-loop join anywhere."""
+    for fn, min_bc in (
+        (entrymod.q_cluster_safe_split, 1),
+        (entrymod.q_token_budget_sample, 1),
+        (entrymod.q_dsir_select, 2),
+        (entrymod.q_key_skew_profile, 1),
+    ):
+        df = fn(spark, SF_ORACLE)
+        txt = plans.plan_text(df)
+        assert txt.count("BroadcastHashJoin") >= min_bc, (fn.__name__, txt[:2000])
+        # the only nested-loop join allowed is the 1-row-aggregate
+        # broadcast (a Cross with a single-row build side — the repo's
+        # standard totals pattern); any keyed BNLJ is a scale bug.
+        # formatted mode puts the join type in the Arguments: line, so
+        # every BNLJ node must pair with a "BuildRight, Cross".
+        for line in txt.splitlines():
+            if "BroadcastNestedLoopJoin" in line and "Build" in line:
+                assert " Cross " in line, (fn.__name__, line)
+        plans.assert_no_python_udf(df)

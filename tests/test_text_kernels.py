@@ -285,3 +285,34 @@ def test_dsir_partitioning_invariance(spark):
         )
 
     assert rows(1) == rows(13)
+
+
+def test_span_rewrite_consistent_with_span_stats(spark):
+    """The rewrite must delete EXACTLY the token mass
+    duplicated_span_stats measures: per-doc n_removed sums (by lang)
+    equal the stats' dup_tokens, and a doc with zero removals keeps an
+    md5 equal to md5 of its space-joined tokens."""
+    import hashlib
+
+    from amadeus_spark.functions import dedup
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    stats = {
+        r["lang"]: r["dup_tokens"]
+        for r in dedup.duplicated_span_stats(docs).collect()
+    }
+    rewrite = dedup.span_dedup_rewrite(docs)
+    lang_map = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    per_lang: dict = {}
+    rows = rewrite.collect()
+    for r in rows:
+        per_lang[lang_map[r["doc_id"]]] = per_lang.get(lang_map[r["doc_id"]], 0) + r["n_removed"]
+    assert per_lang == {k: v for k, v in stats.items()}, (per_lang, stats)
+    # untouched docs: md5(rewrite) == md5(original token join)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    untouched = [r for r in rows if r["n_removed"] == 0][:20]
+    assert untouched
+    for r in untouched:
+        toks = [t for t in texts[r["doc_id"]].split(" ") if t]
+        want = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        assert r["cleaned_md5"] == want, r["doc_id"]
