@@ -120,11 +120,18 @@ def fuzzy_self_join(
     # 13% whole-query at sf0.1); equal variants hash equal so recall is
     # untouched, and a hash collision only adds a candidate pair that
     # the levenshtein verify prunes — correctness is unaffected.
-    vars_df = df.select(
-        F.col(key_col).alias("k"),
-        F.col(name_col).alias("n"),
-        F.explode(F.array_distinct(F.expr(v))).alias("v"),
-    ).select("k", "n", F.xxhash64("v").alias("hv"))
+    from amadeus_spark.cache import tracked_persist
+
+    # the variant frame feeds BOTH sides of the self-join — without a
+    # persist the scan+explode+hash subtree executes twice (CLAUDE.md
+    # multi-consumer rule; measured ~15-20% whole-query at sf0.1)
+    vars_df = tracked_persist(
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(name_col).alias("n"),
+            F.explode(F.array_distinct(F.expr(v))).alias("v"),
+        ).select("k", "n", F.xxhash64("v").alias("hv"))
+    )
     a = vars_df.alias("a")
     b = vars_df.alias("b")
     cand = (
