@@ -545,6 +545,9 @@ def semantic_dedup_stats(
             .filter(F.col("__rn") <= max_cell_size)
             .drop("__rn")
         )
+    # the cell frame feeds BOTH sides of the self-join — persist, or the
+    # assignment join + cap window execute twice (multi-consumer rule)
+    cells = tracked_persist(cells)
     a = cells.alias("a")
     b = cells.alias("b")
     ds, _ = dot_frag("a.vec", "b.vec")
