@@ -2320,6 +2320,26 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING incremental near-dup filter
+    (streaming/corpus.py): stateless HOF MinHash signatures (bit-equal
+    to the batch explode+agg plan, pinned by test), band equi-join
+    against the corpus index, exact-Jaccard verify — the directed flag
+    relation is exactly minhash_lsh_pairs symmetrized, which is what
+    the oracle asserts."""
+    from amadeus_spark.streaming import corpus as _sc
+
+    docs = _t(spark, sf_dir, "documents")
+    bands, shingles = _sc.corpus_band_index(docs)
+    # the stateless chain emits one row PER MATCHING BAND; the stream
+    # collapses them in watermark state, the batch twin with a distinct
+    return (
+        _sc.neardup_flags(docs, bands, shingles, 0.8, ts_col=None)
+        .distinct()
+        .orderBy("doc_id", "corpus_id")
+    )
+
+
 def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span REMOVAL (functions/dedup.py span_dedup_rewrite):
     the rewrite step of ExactSubstr dedup — every token covered by a
@@ -2549,6 +2569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": q_key_skew_profile,
         "dsir_select": q_dsir_select,
         "span_scrub": q_span_scrub,
+        "incremental_neardup": q_incremental_neardup,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "bloom_decontamination": q_bloom_decontamination,
@@ -2591,7 +2612,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_filter": q_perplexity_filter,
         "event_anomaly_enrich": q_event_anomaly_enrich,
         "xml_source": q_xml_source,
-        "most_frequent": q_most_frequent,
         "summary_agg": q_summary_agg,
         "group_by_pricing": q_group_by_pricing,
         "max_by": q_max_by,
@@ -2608,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": q_sample_deterministic,
         "grouped_topn": q_grouped_topn,
         "most_distinct": q_most_distinct,
+        "most_frequent": q_most_frequent,
         "stratified_sample": q_stratified_sample,
         "set_ops": q_set_ops,
         # r6-green block — externally verified last round, re-verified
@@ -3565,6 +3586,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select": dsir.dsir_importance_oracle("documents", "lang = 'en'"),
         "span_scrub": dedup.span_dedup_rewrite_oracle("documents"),
+        "incremental_neardup": f"""
+            WITH pairs AS ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)})
+            SELECT doc_a AS doc_id, doc_b AS corpus_id, jaccard FROM pairs
+            UNION ALL
+            SELECT doc_b AS doc_id, doc_a AS corpus_id, jaccard FROM pairs
+            ORDER BY doc_id, corpus_id
+        """,
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle(
             "documents", "doc_id", "text", 0.5, max_df_frac=NGRAM_MAX_DF_FRAC
