@@ -2340,6 +2340,15 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination (dedup.span_decontaminate):
+    delete exactly the probe-overlapping token spans from corpus docs
+    instead of flagging whole documents; probe set = doc_id %% 97 == 0
+    (the decontamination_stats convention); cleaned text pinned
+    per-char by md5."""
+    return dedup.span_decontaminate(_t(spark, sf_dir, "documents"))
+
+
 def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span REMOVAL (functions/dedup.py span_dedup_rewrite):
     the rewrite step of ExactSubstr dedup — every token covered by a
@@ -2619,6 +2628,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 50th slot
         "duplicated_spans": q_duplicated_spans,
         # ---- below the 50-entry gate ----
+        # new late-r7, r8 rotates under the gate (locally oracle-checked
+        # every pytest run meanwhile):
+        "decon_span_scrub": q_decon_span_scrub,
         # deferred one round to make room (r8 rotates them back under);
         # inner/left/semi-anti joins and sample_deterministic are native
         # Catalyst plans green r4/r5 — the lowest-regression-risk block:
@@ -3586,6 +3598,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsir_select": dsir.dsir_importance_oracle("documents", "lang = 'en'"),
         "span_scrub": dedup.span_dedup_rewrite_oracle("documents"),
+        "decon_span_scrub": dedup.span_decontaminate_oracle("documents"),
         "incremental_neardup": f"""
             WITH pairs AS ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)})
             SELECT doc_a AS doc_id, doc_b AS corpus_id, jaccard FROM pairs

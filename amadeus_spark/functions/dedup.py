@@ -1350,6 +1350,18 @@ def span_dedup_rewrite(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
+    return _span_rewrite_core(base, starts, dup, k, id_col)
+
+
+def _span_rewrite_core(
+    base: DataFrame, starts: DataFrame, dup: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Coverage + rewrite shared by span_dedup_rewrite (internal dup
+    table) and span_decontaminate (probe-set dup table): running-max
+    window marks covered tokens, kept tokens reassemble per doc.
+    ``base`` = (doc, t); ``starts`` = (doc, n, p, h); ``dup`` = (h)."""
+    from pyspark.sql import Window
+
     dup_starts = starts.join(dup, "h").select(
         "doc",
         F.col("p").alias("pos"),
@@ -1401,6 +1413,51 @@ def span_dedup_rewrite(
     )
 
 
+def span_decontaminate(
+    docs: DataFrame,
+    probe_mod: int = 97,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Span-level benchmark decontamination — the surgical variant of
+    decontamination_stats: instead of FLAGGING a corpus doc that shares
+    a k-shingle with the benchmark probe set, delete exactly the
+    overlapping token spans and keep the rest (the eval-overlap n-gram
+    scrub of published pre-training pipelines; dropping whole documents
+    over one boilerplate sentence wastes data). Probe set =
+    ``id % probe_mod == 0`` (the decontamination_stats convention);
+    output = per CORPUS doc (n_tokens, n_removed, cleaned_md5).
+
+    Scale: the probe shingle-hash set is tiny and BROADCASTS into the
+    starts join — the corpus never shuffles for the probe lookup; the
+    rewrite inherits _span_rewrite_core's one-window-per-doc shape."""
+    from amadeus_spark.cache import tracked_persist
+
+    ts, _ = toks_frag(text_col)
+    hs, _ = hash32_frag("s", "")
+    shingle_arr = (
+        f"transform(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(t, i, {k})))"
+    )
+    staged = tracked_persist(
+        docs.select(F.col(id_col).alias("doc"), F.expr(ts).alias("t"))
+    )
+    base = staged.filter(F.col("doc") % probe_mod != 0)
+    probe_dup = (
+        staged.filter(F.col("doc") % probe_mod == 0)
+        .select(F.explode(F.expr(shingle_arr)).alias("s"))
+        .select(F.expr(hs).alias("h"))
+        .distinct()
+    )
+    starts = base.select(
+        "doc",
+        F.size("t").alias("n"),
+        F.posexplode(F.expr(shingle_arr)).alias("p0", "s"),
+    ).select("doc", "n", (F.col("p0") + 1).alias("p"), F.expr(hs).alias("h"))
+    return _span_rewrite_core(base, starts, F.broadcast(probe_dup), k, id_col)
+
+
 def span_dedup_rewrite_oracle(
     src: str,
     k: int = SPAN_K,
@@ -1435,6 +1492,60 @@ WITH base AS (
   UNION ALL
   SELECT doc, p0 AS pos, 0, CAST(NULL AS BIGINT), t[p0]
   FROM (SELECT doc, t, generate_subscripts(t, 1) AS p0 FROM base)
+), flags AS (
+  SELECT doc, pos, tok,
+         COALESCE(MAX(e) OVER (
+             PARTITION BY doc ORDER BY pos, is_start DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) >= pos, FALSE) AS is_dup, is_start
+  FROM marks
+)
+SELECT doc AS {id_col},
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       MD5(COALESCE(
+           string_agg(CASE WHEN NOT is_dup THEN tok END, ' ' ORDER BY pos),
+           '')) AS cleaned_md5
+FROM flags WHERE is_start = 0 GROUP BY doc ORDER BY doc
+"""
+
+
+def span_decontaminate_oracle(
+    src: str,
+    probe_mod: int = 97,
+    k: int = SHINGLE_K,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of span_decontaminate — same probe convention, same
+    coverage window and reassembly as span_dedup_rewrite_oracle."""
+    _, td = toks_frag(text_col)
+    _, hd = hash32_frag("", "sl[p0]")
+    return f"""
+WITH base0 AS (
+  SELECT {id_col} AS doc, {td} AS t FROM {src}
+), sh0 AS (
+  SELECT doc, t,
+         list_transform(range(1, greatest(len(t) - {k - 1}, 1) + 1),
+                        i -> array_to_string(list_slice(t, i, i + {k - 1}), ' ')) AS sl
+  FROM base0
+), probe AS (
+  SELECT DISTINCT {hd} AS h
+  FROM (SELECT sl, generate_subscripts(sl, 1) AS p0 FROM sh0
+        WHERE doc % {probe_mod} = 0)
+), corpus AS (
+  SELECT doc, t, sl FROM sh0 WHERE doc % {probe_mod} <> 0
+), starts AS (
+  SELECT doc, n, p0 AS p, {hd} AS h
+  FROM (SELECT doc, len(t) AS n, sl, generate_subscripts(sl, 1) AS p0
+        FROM corpus)
+), marks AS (
+  SELECT doc, p AS pos, 1 AS is_start, least(p + {k - 1}, n) AS e,
+         CAST(NULL AS VARCHAR) AS tok
+  FROM starts WHERE h IN (SELECT h FROM probe)
+  UNION ALL
+  SELECT doc, p0 AS pos, 0, CAST(NULL AS BIGINT), t[p0]
+  FROM (SELECT doc, t, generate_subscripts(t, 1) AS p0 FROM corpus)
 ), flags AS (
   SELECT doc, pos, tok,
          COALESCE(MAX(e) OVER (

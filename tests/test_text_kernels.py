@@ -316,3 +316,26 @@ def test_span_rewrite_consistent_with_span_stats(spark):
         toks = [t for t in texts[r["doc_id"]].split(" ") if t]
         want = hashlib.md5(" ".join(toks).encode()).hexdigest()
         assert r["cleaned_md5"] == want, r["doc_id"]
+
+
+def test_span_decontaminate_consistent_with_flag_decon(spark):
+    """The surgical scrub and the doc-level flag must agree on WHICH
+    corpus docs overlap the probe set: n_removed > 0 exactly for the
+    docs decontamination_stats counts as contaminated."""
+    from amadeus_spark.functions import dedup
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    flags = {
+        r["lang"]: r["n_contaminated"]
+        for r in dedup.decontamination_stats(docs).collect()
+    }
+    lang_map = {
+        r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()
+    }
+    scrubbed = dedup.span_decontaminate(docs).collect()
+    per_lang: dict = {}
+    for r in scrubbed:
+        if r["n_removed"] > 0:
+            lg = lang_map[r["doc_id"]]
+            per_lang[lg] = per_lang.get(lg, 0) + 1
+    assert per_lang == {k: v for k, v in flags.items() if v}, (per_lang, flags)
