@@ -2340,6 +2340,20 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: hard-negative mining probe docs (a training micro-batch)
+_HN_QUERY_IDS = [0, 7, 21, 42, 97]
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (functions/retrieval.py): per query doc the
+    top-5 highest-BM25 OTHER docs — micro-unit integer scores so the
+    dynamic per-query term sums stay order-independent (iron rule 2);
+    WindowGroupLimit-safe per-query top-k."""
+    return retrieval.hard_negatives(
+        _t(spark, sf_dir, "documents"), _HN_QUERY_IDS, k=5
+    )
+
+
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (dedup.span_decontaminate):
     delete exactly the probe-overlapping token spans from corpus docs
@@ -2631,6 +2645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new late-r7, r8 rotates under the gate (locally oracle-checked
         # every pytest run meanwhile):
         "decon_span_scrub": q_decon_span_scrub,
+        "hard_negatives": q_hard_negatives,
         # deferred one round to make room (r8 rotates them back under);
         # inner/left/semi-anti joins and sample_deterministic are native
         # Catalyst plans green r4/r5 — the lowest-regression-risk block:
@@ -3599,6 +3614,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": dsir.dsir_importance_oracle("documents", "lang = 'en'"),
         "span_scrub": dedup.span_dedup_rewrite_oracle("documents"),
         "decon_span_scrub": dedup.span_decontaminate_oracle("documents"),
+        "hard_negatives": retrieval.hard_negatives_oracle(
+            "documents", _HN_QUERY_IDS, 5
+        ),
         "incremental_neardup": f"""
             WITH pairs AS ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)})
             SELECT doc_a AS doc_id, doc_b AS corpus_id, jaccard FROM pairs

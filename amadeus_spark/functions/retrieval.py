@@ -162,3 +162,139 @@ WITH toks AS (
 SELECT doc AS {id_col}, n_hits, ({chain}) AS score
 FROM grouped ORDER BY score DESC, {id_col} LIMIT {k}
 """
+
+
+def hard_negatives(
+    docs: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval training — for each QUERY
+    document, the top-k highest-BM25 OTHER documents (lexically close =
+    hard; the standard negatives source for dual-encoder training).
+    Output: (query_id, neg_id, n_shared BIGINT, score_us BIGINT),
+    ordered (query_id, score desc, neg_id).
+
+    Scoring is the module's rational-idf BM25, with one extra exactness
+    device: each (query, term, candidate) contribution is floored to
+    INTEGER MICRO-UNITS before the per-pair sum — a query doc's term
+    set is dynamic, so the fixed-order addition chain bm25_topk uses is
+    unavailable, and summing raw doubles is order-dependent across
+    engines (iron rule 2). Integer sums are exact in any order;
+    quantization at 1e-6 only reorders genuinely tied candidates and
+    the (score, id) tie-break is total anyway.
+
+    Scale: query docs are FEW (a training batch) — their distinct term
+    set broadcasts twice (corpus token filter + scoring join); the
+    corpus explodes once, shuffles once on (doc, term); top-k per query
+    is a literal-bound row_number → WindowGroupLimit truncates map-side.
+    The tf frame feeds dfreq AND the scoring join, so it persists."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+
+    ids = ", ".join(str(i) for i in query_ids)
+    toks_all = docs.select(
+        F.col(id_col).alias("doc"),
+        F.size(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).cast("double").alias("dl"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+        ).alias("t"),
+    )
+    qterms = (
+        toks_all.filter(F.expr(f"doc IN ({ids})"))
+        .select(F.col("doc").alias("q"), "t")
+        .distinct()
+    )
+    tf = tracked_persist(
+        toks_all.join(F.broadcast(qterms.select("t").distinct()), "t")
+        .groupBy("doc", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.first("dl").alias("dl"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(
+            F.size(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+            )
+        ).alias("avgdl"),
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    contrib = F.expr(
+        "cast(floor((" + _score_frag("tf", "dl", "avgdl", "n", "df") + ") * 1e6) as bigint)"
+    )
+    pair = (
+        tf.join(F.broadcast(dfreq), "t")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "t")
+        .filter(F.col("doc") != F.col("q"))
+        .withColumn("__c", contrib)
+        .groupBy("q", "doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum("__c").alias("score_us"),
+        )
+    )
+    w = Window.partitionBy("q").orderBy(F.desc("score_us"), F.asc("doc"))
+    return (
+        pair.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("doc").alias("neg_id"),
+            "n_shared",
+            "score_us",
+        )
+        .orderBy("query_id", F.desc("score_us"), "neg_id")
+    )
+
+
+def hard_negatives_oracle(
+    table: str,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of hard_negatives — same micro-unit contributions,
+    same tie-breaks."""
+    ids = ", ".join(str(i) for i in query_ids)
+    score = _score_frag("tf", "dl", "avgdl", "n", "df")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc,
+         CAST(len(list_filter(string_split({text_col}, ' '),
+                              x -> x <> '')) AS DOUBLE) AS dl,
+         unnest(list_filter(string_split({text_col}, ' '), x -> x <> '')) AS t
+  FROM {table}
+), qterms AS (
+  SELECT DISTINCT doc AS q, t FROM toks WHERE doc IN ({ids})
+), tf AS (
+  SELECT doc, t, CAST(COUNT(*) AS DOUBLE) AS tf, FIRST(dl) AS dl
+  FROM toks WHERE t IN (SELECT DISTINCT t FROM qterms)
+  GROUP BY doc, t
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(CAST(len(list_filter(string_split({text_col}, ' '),
+                                  x -> x <> '')) AS DOUBLE)) AS avgdl
+  FROM {table}
+), dfreq AS (
+  SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY t
+), pair AS (
+  SELECT q, doc,
+         CAST(COUNT(*) AS BIGINT) AS n_shared,
+         CAST(SUM(CAST(FLOOR(({score}) * 1e6) AS BIGINT)) AS BIGINT) AS score_us
+  FROM tf JOIN dfreq USING (t) CROSS JOIN stats JOIN qterms USING (t)
+  WHERE doc <> q
+  GROUP BY q, doc
+)
+SELECT q AS query_id, doc AS neg_id, n_shared, score_us FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY score_us DESC, doc) AS rn
+  FROM pair
+) WHERE rn <= {k}
+ORDER BY query_id, score_us DESC, neg_id
+"""

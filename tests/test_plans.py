@@ -294,6 +294,7 @@ def test_ranked_limit_queries_get_window_group_limit(spark):
         entrymod.q_stratified_sample,
         entrymod.q_grouped_topn,
         entrymod.q_key_skew_profile,
+        entrymod.q_hard_negatives,
     ):
         txt = plans.plan_text(fn(spark, SF_ORACLE))
         assert txt.count("WindowGroupLimit") >= 2, (fn.__name__, txt[:3000])

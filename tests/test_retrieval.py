@@ -69,3 +69,29 @@ def test_topk_tiebreak_deterministic(spark, corpus):
     ).collect()
     tied = [r["doc_id"] for r in rows if r["doc_id"] in (1, 3, 4)]
     assert tied == [1, 3, 4]
+
+
+def test_hard_negatives_semantics(spark):
+    """Each query doc gets exactly k negatives, never itself, every
+    negative genuinely shares terms, and scores are non-increasing."""
+    import os
+
+    from amadeus_spark.functions import retrieval
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    qids = [0, 7, 21]
+    rows = retrieval.hard_negatives(docs, qids, k=5).collect()
+    texts = {r["doc_id"]: set(r["text"].split()) for r in docs.collect()}
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(qids)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        scores = [r["score_us"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        for r in rs:
+            assert r["neg_id"] != q
+            shared = texts[q] & texts[r["neg_id"]]
+            assert len(shared) >= 1 and r["n_shared"] >= 1
