@@ -323,3 +323,23 @@ def test_late_r7_ops_broadcast_their_small_sides(spark):
             if "BroadcastNestedLoopJoin" in line and "Build" in line:
                 assert " Cross " in line, (fn.__name__, line)
         plans.assert_no_python_udf(df)
+
+
+def test_no_query_triple_scans_a_table(spark):
+    """Registry-wide multi-consumer sweep: no registered query may scan
+    the same parquet file 3+ times — a subtree feeding N consumers
+    re-executes per consumer (the CLAUDE.md rule; fuzzy_self_join and
+    semantic_dedup both shipped with this bug before their persists).
+    Two scans stay legal (dim+fact double-reads, deliberate re-reads);
+    three is always a missing persist."""
+    import re
+    from collections import Counter
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        txt = plans.plan_text(fn(spark, SF_ORACLE))
+        scans = re.findall(r"^\(\d+\) Scan parquet.*?/(\w+)\.parquet", txt, re.M)
+        c = Counter(scans)
+        if c and max(c.values()) >= 3:
+            offenders[name] = dict(c)
+    assert not offenders, offenders
