@@ -341,3 +341,43 @@ def compact_files(
         if f.endswith(".parquet")
     )
     return (len(files), after)
+
+
+def write_training_shards(
+    df: DataFrame, path: str, key: str, n_shards: int, epoch: int
+) -> None:
+    """Materialize the training corpus as ORDERED shards — the last
+    step of a data pipeline: every example gets its deterministic
+    (shard, pos) from sampling.epoch_shuffle, rows land in one
+    directory per shard SORTED by pos, and any trainer worker can open
+    exactly its shard and stream examples in the epoch order with no
+    further shuffle (the reproducible-ordering contract published data
+    recipes rely on).
+
+    Plan: one repartition keyed by shard (so a shard's rows co-locate),
+    sortWithinPartitions((shard, pos)) — a task holding several shards
+    (hash collisions) still writes each shard's file internally
+    ordered, because partitionBy splits the task's output per shard
+    AFTER the sort. Parquet preserves row order within a file."""
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.operators.sampling import epoch_shuffle
+
+    shuffled = epoch_shuffle(df, key, n_shards, epoch)
+    (
+        shuffled.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_training_shard(spark: SparkSession, path: str, shard: int) -> DataFrame:
+    """A worker's view: one shard, in epoch order. Partition pruning
+    makes this a single-directory read."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("shard") == shard)
+        .orderBy("pos")
+    )

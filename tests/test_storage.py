@@ -279,3 +279,42 @@ def test_merge_upsert_failed_swap_preserves_staging(spark, tmp_path):
         assert _os.path.isdir(tmp_dir)  # recovery copy survives
     finally:
         storage._hadoop_fs = real
+
+
+def test_training_shards_ordered_and_pruned(spark, tmp_path):
+    """write_training_shards: every shard directory holds exactly its
+    epoch_shuffle rows SORTED by pos (file order == epoch order), a
+    shard read plans a partition-pruned single-directory scan, and the
+    layout is reproducible (same epoch -> byte-identical assignment)."""
+    import os
+
+    from amadeus_spark.operators import sampling, storage
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet")).select(
+        "doc_id", "lang"
+    )
+    d = str(tmp_path / "shards")
+    storage.write_training_shards(docs, d, "doc_id", n_shards=8, epoch=3)
+
+    want = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in sampling.epoch_shuffle(docs, "doc_id", 8, 3).collect()
+    }
+    total = 0
+    for shard in range(8):
+        got = storage.read_training_shard(spark, d, shard).collect()
+        total += len(got)
+        # epoch order within the shard, and exactly the assigned rows
+        assert [r["pos"] for r in got] == list(range(1, len(got) + 1))
+        for r in got:
+            assert want[(shard, r["pos"])] == r["doc_id"]
+        # file order == epoch order without the orderBy (parquet
+        # preserves row order; the write sorted within partitions)
+        raw = spark.read.parquet(os.path.join(d, f"shard={shard}")).collect()
+        assert [r["pos"] for r in raw] == [r["pos"] for r in got]
+    assert total == len(want)
+    # partition pruning: a single shard read scans one directory
+    from amadeus_spark import plans
+
+    txt = plans.plan_text(storage.read_training_shard(spark, d, 5))
+    assert "PartitionFilters: [isnotnull(shard" in txt or "shard=5" in txt, txt[:1500]
