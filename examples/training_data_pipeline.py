@@ -119,6 +119,16 @@ def main(sf_dir: str) -> None:
     # 8. sequence packing: greedy context assembly at 512 tokens.
     packed = text.sequence_packing(clean, capacity=512)
 
+    # 9. export: ordered training shards — each shard directory holds
+    # its epoch-ordered rows; a trainer worker partition-prunes to
+    # exactly its shard.
+    import tempfile
+
+    from amadeus_spark.operators import storage
+
+    shard_dir = tempfile.mkdtemp(prefix="shards_")
+    storage.write_training_shards(mixed, shard_dir, "doc_id", n_shards=8, epoch=0)
+
     print(f"corpus:            {n0}")
     print(f"after quality:     {quality_ok.count()}")
     print(f"after exact dedup: {exact_unique.count()}")
@@ -143,6 +153,10 @@ def main(sf_dir: str) -> None:
     print("epoch-0 shard sizes:")
     for r in epoch0.groupBy("shard").count().orderBy("shard").collect():
         print("  ", r.shard, r["count"])
+    print("shard export:", shard_dir)
+    from amadeus_spark.operators.storage import read_training_shard
+    print("  shard 0 head:",
+          [r["doc_id"] for r in read_training_shard(spark, shard_dir, 0).limit(5).collect()])
     print("packed sequences:")
     for r in packed.limit(5).collect():
         print("  ", r.asDict())
