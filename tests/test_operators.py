@@ -430,3 +430,13 @@ def test_cluster_safe_split_no_leakage(spark):
     # 5 clusters: {1,2,3}, {10,11}, and three singletons (20, 21, 30)
     assert sum(r["n_clusters"] for r in out) == 5
     assert sum(r["n_grouped_docs"] for r in out) == 3  # ids 2,3,11
+
+
+def test_token_budget_extremes(spark):
+    """budget 0 keeps nothing; budget >= total keeps everything."""
+    rows = [("en", i, 10) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long, n_tok long")
+    zero = sampling.token_budget_sample(df, "lang", "doc_id", "n_tok", {"en": 0})
+    assert zero.count() == 0
+    full = sampling.token_budget_sample(df, "lang", "doc_id", "n_tok", {"en": 1000})
+    assert full.count() == 10

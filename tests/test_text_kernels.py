@@ -339,3 +339,61 @@ def test_span_decontaminate_consistent_with_flag_decon(spark):
             lg = lang_map[r["doc_id"]]
             per_lang[lg] = per_lang.get(lg, 0) + 1
     assert per_lang == {k: v for k, v in flags.items() if v}, (per_lang, flags)
+
+
+def test_span_rewrite_matches_bruteforce(spark):
+    """Randomized brute-force check of the REWRITE itself (not just the
+    stats): small-alphabet docs force dense shingle collisions, and the
+    per-doc cleaned md5 must equal a Python reimplementation of
+    'delete every position covered by a shared k-shingle'."""
+    import hashlib
+    import random
+
+    from amadeus_spark.functions import dedup as dd
+
+    k = 3
+    rng = random.Random(1234)
+    docs = [
+        (i, " ".join(rng.choice("ab") for _ in range(rng.randint(1, 12))))
+        for i in range(50)
+    ]
+    toks = {i: t.split() for i, t in docs}
+    owners: dict[str, set[int]] = {}
+
+    def starts(ts):
+        return list(range(max(len(ts) - k + 1, 1)))
+
+    for i, _ in docs:
+        for p in starts(toks[i]):
+            owners.setdefault(" ".join(toks[i][p : p + k]), set()).add(i)
+    want = {}
+    for i, _ in docs:
+        covered: set[int] = set()
+        for p in starts(toks[i]):
+            if len(owners[" ".join(toks[i][p : p + k])]) >= 2:
+                covered.update(range(p, min(p + k, max(len(toks[i]), p + 1))))
+        kept = [t for j, t in enumerate(toks[i]) if j not in covered]
+        want[i] = (
+            len(toks[i]),
+            len(covered),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_md5"])
+        for r in dd.span_dedup_rewrite(df, k=k).collect()
+    }
+    assert got == want
+
+
+def test_dsir_empty_target_degrades_gracefully(spark):
+    """A predicate matching nothing leaves a pure-Laplace model: every
+    ratio equals 1e6/(q_b+1)-ish, no crash, selection still exactly
+    top_k by the total tie-break."""
+    from amadeus_spark.functions import dsir
+
+    docs = spark.read.parquet(os.path.join(SF_ORACLE, "documents.parquet"))
+    out = dsir.dsir_importance_stats(docs, "lang = 'xx'", group_col="lang").collect()
+    assert sum(r["n_selected"] for r in out) == dsir.DSIR_TOP_K
+    assert all(r["n_docs"] > 0 for r in out)
