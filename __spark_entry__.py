@@ -2330,11 +2330,15 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadeus_spark.streaming import corpus as _sc
 
     docs = _t(spark, sf_dir, "documents")
+    # the arriving micro-batch: 1/5 of the corpus checked against the
+    # FULL historical index (the real incremental shape — the whole
+    # table on the stateless side would just re-run minhash_lsh twice)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
     bands, shingles = _sc.corpus_band_index(docs)
     # the stateless chain emits one row PER MATCHING BAND; the stream
     # collapses them in watermark state, the batch twin with a distinct
     return (
-        _sc.neardup_flags(docs, bands, shingles, 0.8, ts_col=None)
+        _sc.neardup_flags(batch, bands, shingles, 0.8, ts_col=None)
         .distinct()
         .orderBy("doc_id", "corpus_id")
     )
@@ -3618,11 +3622,14 @@ def oracle_sql() -> dict[str, str]:
             "documents", _HN_QUERY_IDS, 5
         ),
         "incremental_neardup": f"""
-            WITH pairs AS ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)})
-            SELECT doc_a AS doc_id, doc_b AS corpus_id, jaccard FROM pairs
-            UNION ALL
-            SELECT doc_b AS doc_id, doc_a AS corpus_id, jaccard FROM pairs
-            ORDER BY doc_id, corpus_id
+            WITH pairs AS ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)}),
+            sym AS (
+                SELECT doc_a AS doc_id, doc_b AS corpus_id, jaccard FROM pairs
+                UNION ALL
+                SELECT doc_b AS doc_id, doc_a AS corpus_id, jaccard FROM pairs
+            )
+            SELECT doc_id, corpus_id, jaccard FROM sym
+            WHERE doc_id % 5 = 0 ORDER BY doc_id, corpus_id
         """,
         "simhash": dedup.simhash_oracle("documents", "doc_id", "text", 8, 20),
         "ngram_jaccard": dedup.ngram_jaccard_oracle(
