@@ -2348,6 +2348,17 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HN_QUERY_IDS = [0, 7, 21, 42, 97]
 
 
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side benchmark decontamination (similarity.py): corpus
+    vectors within cosine 0.4 of any probe vector (vec_id %% 97 == 0),
+    candidates from the banded hyperplane LSH (probe bands broadcast),
+    exact-cosine verified; per-label counts. Completes the
+    decontamination family (lexical doc/span, Bloom, semantic)."""
+    return similarity.semantic_decontamination_stats(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (functions/retrieval.py): per query doc the
     top-5 highest-BM25 OTHER docs — micro-unit integer scores so the
@@ -2650,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every pytest run meanwhile):
         "decon_span_scrub": q_decon_span_scrub,
         "hard_negatives": q_hard_negatives,
+        "semantic_decontamination": q_semantic_decontamination,
         # deferred one round to make room (r8 rotates them back under);
         # inner/left/semi-anti joins and sample_deterministic are native
         # Catalyst plans green r4/r5 — the lowest-regression-risk block:
@@ -3620,6 +3632,9 @@ def oracle_sql() -> dict[str, str]:
         "decon_span_scrub": dedup.span_decontaminate_oracle("documents"),
         "hard_negatives": retrieval.hard_negatives_oracle(
             "documents", _HN_QUERY_IDS, 5
+        ),
+        "semantic_decontamination": similarity.semantic_decontamination_oracle(
+            "embeddings", 0.4
         ),
         "incremental_neardup": f"""
             WITH pairs AS ({dedup.minhash_lsh_oracle("documents", "doc_id", "text", 0.8)}),

@@ -806,3 +806,128 @@ def ivf_pq_topk(
         .select("q_id", "n_id", "cosine")
         .orderBy("q_id", F.desc("cosine"), "n_id")
     )
+
+
+def semantic_decontamination_stats(
+    df: DataFrame,
+    threshold: float = 0.45,
+    probe_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-side member of
+    the decontamination family (lexical doc-level decontamination_stats,
+    span-level span_decontaminate, map-side bloom_decontamination): a
+    corpus vector is contaminated when its cosine to ANY probe vector
+    (``id % probe_mod == 0`` stands in for the benchmark's embedded
+    eval set) reaches the threshold — paraphrased eval questions that
+    share no n-gram still land here. Output per label: n_corpus,
+    n_contaminated.
+
+    Physical plan: banded hyperplane LSH exactly as
+    embedding_neardup_pairs, but the band join is PROBE x CORPUS
+    instead of a self-join — the probe side is tiny (benchmarks), so
+    its band frame broadcasts and the corpus never shuffles for the
+    candidate stage; exact-cosine verify on candidates only; one
+    distinct + aggregate. A probe-corpus pair is missed only if all
+    ND_BANDS buckets differ (the documented LSH recall bound)."""
+    base = tracked_persist(
+        with_norm(df.select(id_col, vec_col, label_col), vec_col)
+    )
+    band_s, _ = band_buckets_frag(vec_col)
+    bands_all = base.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr("array(" + ", ".join(band_s) + ")")).alias(
+            "band_id", "bucket"
+        ),
+    )
+    probe_bands = bands_all.filter(F.col("id") % probe_mod == 0).select(
+        F.col("id").alias("pid"), "band_id", "bucket"
+    )
+    corpus_bands = bands_all.filter(F.col("id") % probe_mod != 0)
+    cand = (
+        corpus_bands.join(F.broadcast(probe_bands), ["band_id", "bucket"])
+        .select("id", "pid")
+        .distinct()
+    )
+    vc = base.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("va"),
+        F.col("norm").alias("na"), F.col(label_col).alias("lbl"),
+    )
+    vp = base.select(
+        F.col(id_col).alias("pid"), F.col(vec_col).alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    ds, _ = dot_frag("va", "vb")
+    contaminated = (
+        cand.join(vc, "id")
+        .join(F.broadcast(vp), "pid")
+        .filter(F.expr(f"{ds} / (na * nb)") >= threshold)
+        .select("id", "lbl")
+        .distinct()
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    totals = (
+        base.filter(F.col(id_col) % probe_mod != 0)
+        .groupBy(F.col(label_col).alias("lbl"))
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    return (
+        totals.join(contaminated, "lbl", "left")
+        .select(
+            F.col("lbl").cast("bigint").alias(label_col),
+            "n_corpus",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .orderBy(label_col)
+    )
+
+
+def semantic_decontamination_oracle(
+    table: str,
+    threshold: float = 0.45,
+    probe_mod: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> str:
+    """DuckDB twin — identical banding, fixed-order dot products."""
+    _, dd_self = dot_frag(vec_col, vec_col)
+    _, band_d = band_buckets_frag("vec")
+    _, dd = dot_frag("vc.vec", "vp.vec")
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT id, lbl, {j} AS band_id, {frag} AS bucket FROM base"
+        for j, frag in enumerate(band_d)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT {id_col} AS id, {vec_col} AS vec, {label_col} AS lbl,
+         sqrt({dd_self}) AS norm
+  FROM {table}
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT c.id, p.id AS pid
+  FROM bands c JOIN bands p
+    ON c.band_id = p.band_id AND c.bucket = p.bucket
+  WHERE c.id % {probe_mod} <> 0 AND p.id % {probe_mod} = 0
+), verified AS (
+  SELECT DISTINCT cand.id, vc.lbl
+  FROM cand
+  JOIN base vc ON vc.id = cand.id
+  JOIN base vp ON vp.id = cand.pid
+  WHERE {dd} / (vc.norm * vp.norm) >= {threshold}
+), contaminated AS (
+  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+  FROM verified GROUP BY lbl
+)
+SELECT CAST(t.lbl AS BIGINT) AS {label_col},
+       CAST(t.n_corpus AS BIGINT) AS n_corpus,
+       COALESCE(c.n_contaminated, 0) AS n_contaminated
+FROM (SELECT lbl, COUNT(*) AS n_corpus FROM base
+      WHERE id % {probe_mod} <> 0 GROUP BY lbl) t
+LEFT JOIN contaminated c ON t.lbl = c.lbl
+ORDER BY {label_col}
+"""

@@ -142,3 +142,25 @@ def test_ivf_pq_scores_are_exact_cosines(spark):
     for r in similarity.ivf_pq_topk(emb, QUERIES, k=5).collect():
         if (r.q_id, r.n_id) in exact:
             assert abs(r.cosine - exact[(r.q_id, r.n_id)]) < 1e-12
+
+
+def test_semantic_decontamination_precision_and_recall(spark):
+    """Exact verify means ZERO false positives vs numpy brute force;
+    banded-LSH candidates must recall >= 0.8 of the true contaminated
+    set at the gate threshold (the documented miss bound)."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=float)
+    nrm = np.linalg.norm(X, axis=1)
+    probe = ids % 97 == 0
+    sims = (X[~probe] @ X[probe].T) / np.outer(nrm[~probe], nrm[probe])
+    truth = set(ids[~probe][(sims >= 0.4).any(axis=1)])
+
+    got_rows = similarity.semantic_decontamination_stats(emb, 0.4).collect()
+    n_flagged = sum(r["n_contaminated"] for r in got_rows)
+    assert n_flagged <= len(truth)  # exact verify: no false positives
+    assert len(truth) == 0 or n_flagged >= 0.8 * len(truth), (n_flagged, len(truth))
+    assert sum(r["n_corpus"] for r in got_rows) == int((~probe).sum())
