@@ -343,3 +343,40 @@ def test_no_query_triple_scans_a_table(spark):
         if c and max(c.values()) >= 3:
             offenders[name] = dict(c)
     assert not offenders, offenders
+
+
+def test_parquet_aggregate_pushdown_capability(spark):
+    """100 TB posture: MIN/COUNT over parquet can be answered from
+    footer statistics without scanning rows — needs the DSv2 reader
+    (useV1SourceList excludes parquet) plus aggregatePushdown. Pin the
+    capability so a Spark upgrade or conf regression is caught."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(os.path.join(SF_ORACLE, "lineitem.parquet"))
+        df = li.agg(F.min("l_quantity"), F.count(F.lit(1)))
+        txt = plans.plan_text(df)
+        assert "PushedAggregation: [MIN(l_quantity), COUNT(*)]" in txt, txt[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_nested_schema_pruning(spark):
+    """Selecting one struct leaf must prune the parquet ReadSchema to
+    that leaf — reading the whole struct for a leaf projection is the
+    nested-data scale mistake."""
+    fx = spark.read.parquet(os.path.join("fixtures", "deep_struct.parquet"))
+    df = fx.select(F.col("s.name"))
+    txt = plans.plan_text(df)
+    assert "ReadSchema: struct<s:struct<name:string>>" in txt, txt[:1500]
+    # the deep sibling subtree (inner.score/deep.flag/deep.n) is pruned
+    assert "score" not in txt and "flag" not in txt
