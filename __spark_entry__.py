@@ -2557,6 +2557,17 @@ def q_nested_fixture_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (functions/bpe.py): 16 merges in
+    batched-greedy rounds over the distinct-word frequency table (the
+    fastBPE scale shape — the corpus reduces to one word-count shuffle).
+    Rows-only by nature (iterative driver loop); pinned against a
+    pure-Python reimplementation in tests/test_bpe_learn.py."""
+    from amadeus_spark.functions import bpe
+
+    return bpe.bpe_merge_frame(spark, _t(spark, sf_dir, "documents"), 16, 8)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (functions/similarity.py): k-means
     clusters restrict the pairwise comparison, then every vector with a
@@ -2735,6 +2746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "most_frequent_cms": q_most_frequent_cms,
         "reservoir_sample": q_reservoir_sample,
         "percentile_band": q_percentile_band,
+        "bpe_learn": q_bpe_learn,
     }
 
 

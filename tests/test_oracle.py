@@ -59,6 +59,9 @@ ROWS_ONLY = {
     # k-means clustering isn't SQL; pinned against numpy brute force in
     # tests/test_similarity.py.
     "semantic_dedup",
+    # iterative batched-greedy merge learning isn't SQL; pinned against
+    # a pure-Python reimplementation in tests/test_bpe_learn.py.
+    "bpe_learn",
 }
 
 
