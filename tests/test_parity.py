@@ -276,3 +276,31 @@ def test_span_scrub_partitioning_invariance(spark, nparts):
     base = _rows(dedup.span_dedup_rewrite(_docs(spark, 32)))
     other = _rows(dedup.span_dedup_rewrite(_docs(spark, nparts)))
     assert base == other
+
+
+def test_late_r7_ops_partitioning_invariance(spark):
+    """decon span scrub, semantic decontamination, and hard negatives
+    are all deterministic pipelines (portable hashes, integer sums,
+    total tie-breaks) — identical output at any input partitioning."""
+    from amadeus_spark.functions import retrieval, similarity
+
+    docs32, docs5 = _docs(spark, 32), _docs(spark, 5)
+    assert _rows(dedup.span_decontaminate(docs32)) == _rows(
+        dedup.span_decontaminate(docs5)
+    )
+    emb = spark.read.parquet(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    assert _rows(
+        similarity.semantic_decontamination_stats(emb.repartition(32), 0.4)
+    ) == _rows(similarity.semantic_decontamination_stats(emb.repartition(5), 0.4))
+    qids = [0, 7, 21]
+    assert _rows(retrieval.hard_negatives(docs32, qids, 5)) == _rows(
+        retrieval.hard_negatives(docs5, qids, 5)
+    )
+
+
+def test_bpe_learn_partitioning_invariance(spark):
+    from amadeus_spark.functions import bpe
+
+    a = bpe.learn_bpe_merges(_docs(spark, 32), 16, 8)
+    b = bpe.learn_bpe_merges(_docs(spark, 3), 16, 8)
+    assert a == b
