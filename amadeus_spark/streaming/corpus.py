@@ -160,3 +160,37 @@ def streaming_neardup_filter(
     return flags.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [id_col]
     )
+
+
+def corpus_fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Historical EXACT-dedup store: one xxhash64 content fingerprint
+    per corpus doc (the dedup.exact_dedup_stats key). At scale this is
+    the bucketed fingerprint table the pipeline maintains."""
+    return docs.select(
+        F.xxhash64(F.col(text_col)).alias("fp")
+    ).distinct()
+
+
+def streaming_exact_dedup_filter(
+    doc_stream: DataFrame,
+    corpus_fps: DataFrame,
+    watermark: str = "30 minutes",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Incremental EXACT dedup — the cheap first stage in front of the
+    near-dup filter: drop any arriving doc whose content fingerprint is
+    already in the historical store (stateless map + stream-static
+    LEFT ANTI join; the store broadcasts or pre-buckets), then drop
+    repeats WITHIN the stream via the watermark-bounded state dedup.
+    Composes: exact first (no signature cost for exact dups), the
+    survivors flow into streaming_neardup_filter."""
+    fresh = (
+        doc_stream.withColumn("fp", F.xxhash64(F.col(text_col)))
+        .join(corpus_fps, "fp", "left_anti")
+    )
+    return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )

@@ -112,3 +112,40 @@ def test_batch_twin_jaccards_match_pairwise_operator(spark):
         j = round(r["jaccard"], 12)
         assert flags[(r["doc_a"], r["doc_b"])] == j
         assert flags[(r["doc_b"], r["doc_a"])] == j
+
+
+def test_streaming_exact_dedup_filter(spark, doc_stream_dir):
+    """Docs whose exact text already exists in the historical store are
+    dropped; in-stream exact repeats emit once; novel docs all pass."""
+    corpus = _docs(spark).filter(F.col("doc_id") % 4 == 0)  # quarter known
+    fps = sc.corpus_fingerprints(corpus)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_stream_dir)
+    )
+    out = sc.streaming_exact_dedup_filter(stream, fps)
+    ev.run_to_memory_sink(out, "xd_sink")
+    got = {r["doc_id"] for r in spark.sql("SELECT doc_id FROM xd_sink").collect()}
+
+    all_docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            os.path.join(SF_SMOKE, "documents.parquet")
+        ).collect()
+    }
+    known = {hash(t) for i, t in all_docs.items() if i % 4 == 0}
+    # batch expectation: novel-text docs, one per distinct text
+    seen: set = set()
+    want = set()
+    for i in sorted(all_docs):
+        t = all_docs[i]
+        if hash(t) in known or t in seen:
+            continue
+        seen.add(t)
+        want.add(i)
+    # the stream emits ONE doc per novel fingerprint; which duplicate id
+    # survives depends on arrival order, so compare by TEXT sets
+    got_texts = sorted(all_docs[i] for i in got)
+    want_texts = sorted(all_docs[i] for i in want)
+    assert got_texts == want_texts
