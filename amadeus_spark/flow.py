@@ -146,3 +146,120 @@ class Flow:
 
     def sample_unstable(self, k: int, seed: int = 42) -> DataFrame:
         return sampling.reservoir_sample(self.df, k, seed)
+
+
+class CorpusFlow(Flow):
+    """Fluent façade over the LLM-pipeline operators (functions/dedup,
+    text, gopher, sampling) for a DOCUMENTS frame — the training-data
+    counterpart of Flow's reference combinators. Same zero-cost rule:
+    every stage delegates to the owning module and re-wraps; lazy
+    stages return CorpusFlow, report stages are terminal DataFrames.
+
+    >>> CorpusFlow(docs).quality().dedup_exact().mixture(
+    ...     200, {"en": .5, "de": .5}).to_df()
+    """
+
+    def __init__(
+        self, df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ):
+        super().__init__(df)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _wrap(self, df: DataFrame) -> "CorpusFlow":
+        return CorpusFlow(df, self.id_col, self.text_col)
+
+    # ---- lazy cleaning stages ----
+
+    def quality(self, min_tokens: int = 5, max_tokens: int = 100_000) -> "CorpusFlow":
+        """Token-count shape gate (the cheap first Gopher rule)."""
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions.dedup import toks_frag
+
+        ts, _ = toks_frag(self.text_col)
+        n = F.size(F.expr(ts))
+        return self._wrap(self.df.filter((n >= min_tokens) & (n <= max_tokens)))
+
+    def scrub_pii(self) -> "CorpusFlow":
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions import text as _text
+
+        return self._wrap(
+            self.df.withColumn(
+                self.text_col, _text.redact_pii(F.col(self.text_col))
+            )
+        )
+
+    def dedup_exact(self) -> "CorpusFlow":
+        """Keep the min-id doc per exact content fingerprint."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(F.xxhash64(F.col(self.text_col))).orderBy(
+            self.id_col
+        )
+        return self._wrap(
+            self.df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def dedup_near(self, threshold: float = 0.8, max_bucket: int | None = 500) -> "CorpusFlow":
+        """Drop every doc with a more-senior MinHash near-duplicate."""
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions import dedup as _dedup
+
+        pairs = _dedup.minhash_lsh_pairs(
+            self.df, self.id_col, self.text_col, threshold, max_bucket
+        )
+        drop = pairs.select(F.col("doc_b").alias(self.id_col)).distinct()
+        return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
+
+    def mixture(self, total_k: int, weights: dict[str, float], stratum: str = "lang") -> "CorpusFlow":
+        from amadeus_spark.operators import sampling as _sampling
+
+        return self._wrap(
+            _sampling.mixture_sample(self.df, stratum, self.id_col, total_k, weights)
+        )
+
+    def token_budget(self, budgets: dict[str, int], stratum: str = "lang") -> "CorpusFlow":
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions.dedup import toks_frag
+        from amadeus_spark.operators import sampling as _sampling
+
+        ts, _ = toks_frag(self.text_col)
+        with_n = self.df.withColumn("n_tok", F.size(F.expr(ts)).cast("long"))
+        return self._wrap(
+            _sampling.token_budget_sample(
+                with_n, stratum, self.id_col, "n_tok", budgets
+            ).drop("n_tok")
+        )
+
+    # ---- terminal reports ----
+
+    def quality_report(self) -> DataFrame:
+        from amadeus_spark.functions import gopher as _gopher
+
+        return _gopher.gopher_report(self.df, text_col=self.text_col)
+
+    def split_report(self, threshold: float = 0.8) -> DataFrame:
+        """Leakage-safe split stats over the current (cleaned) frame."""
+        from amadeus_spark.functions import dedup as _dedup
+
+        pairs = _dedup.minhash_lsh_pairs(
+            self.df, self.id_col, self.text_col, threshold, 500
+        )
+        return _dedup.cluster_safe_split_stats(
+            self.df, pairs, id_col=self.id_col
+        )
+
+    def export_shards(self, path: str, n_shards: int, epoch: int) -> None:
+        from amadeus_spark.operators import storage as _storage
+
+        _storage.write_training_shards(
+            self.df, path, self.id_col, n_shards, epoch
+        )

@@ -103,3 +103,33 @@ def test_flow_of_and_pipe(spark):
     assert f.pipe(dedup_tags).count() == 2
     assert f.cloned().count() == 3
     assert f.identity() is f
+
+
+def test_corpus_flow_chain(spark):
+    """The LLM-pipeline façade: quality -> exact dedup -> near dedup ->
+    mixture reads left-to-right and matches the operators called
+    directly; stages stay lazy, reports are terminal."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.flow import CorpusFlow
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    cf = CorpusFlow(docs).quality(min_tokens=5).dedup_exact().dedup_near(0.8)
+    assert isinstance(cf, CorpusFlow)  # lazy so far
+    out = cf.mixture(100, {"en": 0.6, "de": 0.4}).to_df()
+    comp = {r["lang"]: r["cnt"] for r in
+            out.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert comp.get("en", 0) <= 60 and comp.get("de", 0) <= 40
+    assert set(comp) <= {"en", "de"}
+
+    rep = CorpusFlow(docs).quality_report()
+    assert rep.count() > 0 and "pass_all" in rep.columns
+
+    split = CorpusFlow(docs).split_report()
+    assert sum(r["n_docs"] for r in split.collect()) == docs.count()
+
+    tb = CorpusFlow(docs).token_budget({"en": 2000, "de": 800})
+    assert set(r["lang"] for r in tb.to_df().select("lang").distinct().collect()) == {"en", "de"}
