@@ -280,3 +280,41 @@ def decontamination_bloom_stats(
         )
         .orderBy(stream_col)
     )
+
+
+def with_bloom_any_member(
+    spark: SparkSession,
+    df: DataFrame,
+    h1_arr: str,
+    h2_arr: str,
+    spec: BloomSpec,
+    out_col: str = "bloom_any",
+) -> DataFrame:
+    """Doc-level membership: TRUE iff ANY element of the row's hash
+    arrays is a (probable) member — the whole-document contamination
+    test as ONE stateless map, no explode and no per-doc aggregation
+    (which on a stream would mean update-mode state). The pandas UDF
+    flattens each Arrow batch's arrays, runs the same vectorized bit
+    tests as with_bloom_member, and ORs per row via reduceat."""
+    bc = spark.sparkContext.broadcast(spec.bitmap)
+    k, m = spec.k, spec.m_bits
+
+    @F.pandas_udf("boolean")
+    def _any(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(v) for v in h1s), dtype=np.int64, count=len(h1s))
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(h1s), dtype=bool))
+        f1 = np.concatenate([np.asarray(v, dtype=np.int64) for v in h1s if len(v)])
+        f2 = np.concatenate([np.asarray(v, dtype=np.int64) for v in h2s if len(v)])
+        bitmap = np.frombuffer(bc.value, dtype=np.uint64)
+        pos = _positions(f1, f2, k, m)
+        words = bitmap[pos >> np.uint64(6)]
+        member = (((words >> (pos & np.uint64(63))) & np.uint64(1)).all(axis=1))
+        out = np.zeros(len(h1s), dtype=bool)
+        nz = lens > 0
+        starts = np.zeros(int(nz.sum()), dtype=np.int64)
+        np.cumsum(lens[nz][:-1], out=starts[1:])
+        out[nz] = np.logical_or.reduceat(member, starts)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _any(F.col(h1_arr), F.col(h2_arr)))

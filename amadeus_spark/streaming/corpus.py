@@ -194,3 +194,34 @@ def streaming_exact_dedup_filter(
     return fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["fp"]
     )
+
+
+def streaming_bloom_decontaminate(
+    spark,
+    doc_stream: DataFrame,
+    spec,
+    text_col: str = "text",
+    out_col: str = "contaminated",
+) -> DataFrame:
+    """FULLY STATELESS streaming decontamination: the benchmark's
+    Bloom filter (built batch-side by functions/bloom.build_bloom over
+    probe shingle strings) broadcasts to every executor, each arriving
+    doc computes its shingle xxhash64 arrays in codegen and ORs the
+    vectorized bit tests in one Arrow batch — one row in, one flagged
+    row out, zero streaming state (no watermark needed). The no-false-
+    negative guarantee means a contaminated doc can never slip through;
+    ~fp_rate of clean docs are over-flagged (re-check those exact on
+    the batch side if the loss matters)."""
+    from amadeus_spark.functions.bloom import H2_SEED, with_bloom_any_member
+    from amadeus_spark.functions.dedup import SHINGLE_K, shingles_from_tokens_frag, toks_frag
+
+    stok, _ = toks_frag(text_col)
+    staged = (
+        doc_stream.withColumn("__toks", F.expr(stok))
+        .withColumn("__sh", F.expr(shingles_from_tokens_frag("__toks", SHINGLE_K)))
+        .withColumn("__h1", F.expr("transform(__sh, s -> xxhash64(s))"))
+        .withColumn("__h2", F.expr(f"transform(__sh, s -> xxhash64(s, {H2_SEED}))"))
+    )
+    return with_bloom_any_member(spark, staged, "__h1", "__h2", spec, out_col).drop(
+        "__toks", "__sh", "__h1", "__h2"
+    )

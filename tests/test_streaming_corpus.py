@@ -149,3 +149,51 @@ def test_streaming_exact_dedup_filter(spark, doc_stream_dir):
     got_texts = sorted(all_docs[i] for i in got)
     want_texts = sorted(all_docs[i] for i in want)
     assert got_texts == want_texts
+
+
+def test_streaming_bloom_decontaminate_matches_batch(spark, doc_stream_dir):
+    """Batch/stream parity for the stateless Bloom decontamination:
+    the streamed flags equal the batch run's flags row-for-row, and
+    every EXACT-overlap doc is flagged (no false negatives)."""
+    from amadeus_spark.functions import bloom as bl
+    from amadeus_spark.functions.dedup import SHINGLE_K, shingles_from_tokens_frag, toks_frag
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    stok, _ = toks_frag("text")
+    probe_sh = (
+        docs.filter(F.col("doc_id") % 97 == 0)
+        .withColumn("__toks", F.expr(stok))
+        .select(F.explode(F.expr(shingles_from_tokens_frag("__toks", SHINGLE_K))).alias("s"))
+        .distinct()
+    )
+    spec = bl.build_bloom(probe_sh, "s", max(64, probe_sh.count()), 0.01)
+
+    batch = {
+        r["doc_id"]: r["contaminated"]
+        for r in sc.streaming_bloom_decontaminate(
+            spark, _docs(spark), spec
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_stream_dir)
+    )
+    ev.run_to_memory_sink(
+        sc.streaming_bloom_decontaminate(spark, stream, spec), "bd_sink"
+    )
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in spark.sql("SELECT doc_id, contaminated FROM bd_sink").collect()
+    }
+    assert got == batch
+    # no false negatives vs exact shingle overlap
+    probes = set(r["s"] for r in probe_sh.collect())
+    for r in docs.collect():
+        toks = [t for t in r["text"].split(" ") if t]
+        sh = {
+            " ".join(toks[i : i + SHINGLE_K])
+            for i in range(max(len(toks) - SHINGLE_K + 1, 1))
+        }
+        if sh & probes:
+            assert got[r["doc_id"]], r["doc_id"]
