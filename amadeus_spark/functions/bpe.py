@@ -131,3 +131,54 @@ def bpe_merge_frame(spark, docs: DataFrame, n_merges: int = 32, batch: int = 8):
     return spark.createDataFrame(
         rows, "rank long, left string, right string, freq long"
     ).orderBy("rank")
+
+
+def encode_subword_stats(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    top_n: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the corpus with LEARNED merges and report the top-N
+    subwords — the apply half of the BPE loop. Merges apply in learn
+    order (order matters across rounds: a later merge may consume a
+    symbol an earlier one built), via the same _apply_merges_py rule
+    the learner and the test reference use.
+
+    Scale: the distinct-word table is the only frame that runs Python
+    (one mapInPandas over words, not the corpus); corpus frequencies
+    ride along as the count column; top-N via TakeOrderedAndProject.
+    Output: (subword STRING, n_words BIGINT, freq BIGINT)."""
+    ordered = [(a, b) for _, a, b, _ in sorted(merges)]
+
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.expr(f"array_append(split(w, ''), '{END}')").alias("syms"), "c"
+        )
+    )
+
+    def _apply(batches, _m=tuple(ordered)):
+        for pdf in batches:
+            pdf["syms"] = pdf["syms"].map(
+                lambda s: _apply_merges_py(list(s), list(_m))
+            )
+            yield pdf
+
+    encoded = words.mapInPandas(_apply, schema="syms array<string>, c long")
+    return (
+        encoded.select(F.explode("syms").alias("subword"), "c")
+        .groupBy("subword")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("c").cast("long").alias("freq"),
+        )
+        .orderBy(F.desc("freq"), "subword")
+        .limit(top_n)
+    )

@@ -63,3 +63,37 @@ def test_bpe_merges_are_applied_transitively(spark):
 
 
 from amadeus_spark.functions import bpe  # noqa: E402  (used in test 2)
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Applying the learned merges distributes: the top-subword stats
+    must equal the pure-Python tokenize-and-count on the same corpus."""
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    merges = bpe.learn_bpe_merges(docs, n_merges=16, batch=8)
+    got = [
+        (r["subword"], r["n_words"], r["freq"])
+        for r in bpe.encode_subword_stats(docs, merges, top_n=20).collect()
+    ]
+
+    from amadeus_spark.functions.bpe import END, _apply_merges_py
+
+    counts: Counter = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                counts[w] += 1
+    ordered = [(a, b) for _, a, b, _ in sorted(merges)]
+    # n_words counts SYMBOL OCCURRENCE ROWS over distinct words (a word
+    # containing a subword twice contributes twice); freq weights by
+    # corpus word count — mirror both
+    sub_words: Counter = Counter()
+    sub_freq: Counter = Counter()
+    for w, c in counts.items():
+        for s in _apply_merges_py(list(w) + [END], ordered):
+            sub_freq[s] += c
+            sub_words[s] += 1
+    want = sorted(
+        ((s, sub_words[s], sub_freq[s]) for s in sub_freq),
+        key=lambda t: (-t[2], t[0]),
+    )[:20]
+    assert got == want
