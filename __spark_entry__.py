@@ -2369,6 +2369,15 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (dedup.snapshot_diff_stats): per-language
+    added/removed/changed/unchanged counts between the documents table
+    and a deterministically synthesized next snapshot — the refresh
+    bookkeeping an incremental pipeline reads first."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.snapshot_diff_stats(docs, dedup.snapshot_b_frame(docs))
+
+
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (dedup.span_decontaminate):
     delete exactly the probe-overlapping token spans from corpus docs
@@ -2671,6 +2680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new late-r7, r8 rotates under the gate (locally oracle-checked
         # every pytest run meanwhile):
         "decon_span_scrub": q_decon_span_scrub,
+        "snapshot_diff": q_snapshot_diff,
         "hard_negatives": q_hard_negatives,
         "semantic_decontamination": q_semantic_decontamination,
         # deferred one round to make room (r8 rotates them back under);
@@ -3642,6 +3652,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_select": dsir.dsir_importance_oracle("documents", "lang = 'en'"),
         "span_scrub": dedup.span_dedup_rewrite_oracle("documents"),
         "decon_span_scrub": dedup.span_decontaminate_oracle("documents"),
+        "snapshot_diff": dedup.snapshot_diff_oracle("documents"),
         "hard_negatives": retrieval.hard_negatives_oracle(
             "documents", _HN_QUERY_IDS, 5
         ),

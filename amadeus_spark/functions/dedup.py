@@ -1562,3 +1562,115 @@ SELECT doc AS {id_col},
            '')) AS cleaned_md5
 FROM flags WHERE is_start = 0 GROUP BY doc ORDER BY doc
 """
+
+
+def snapshot_diff_stats(
+    snap_a: DataFrame,
+    snap_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> DataFrame:
+    """Corpus SNAPSHOT DIFF — the bookkeeping op of an incremental
+    pipeline: compare two corpus versions by id + content fingerprint
+    and report per stream how many docs were added, removed, changed
+    (same id, different content) and unchanged. What a refresh run
+    reads to decide how much re-dedup/re-index work it owes.
+
+    One full-outer join on id (ids co-partition; fingerprints are
+    md5-prefix ints computed map-side — the portable hash32, so the
+    DuckDB twin is identical), then a conditional aggregate. The stream
+    column rides from whichever side exists."""
+    ha, _ = hash32_frag(text_col, "")
+    a = snap_a.select(
+        F.col(id_col).alias("id"),
+        F.col(stream_col).alias("sa"),
+        F.expr(ha).alias("fa"),
+    )
+    b = snap_b.select(
+        F.col(id_col).alias("id"),
+        F.col(stream_col).alias("sb"),
+        F.expr(ha).alias("fb"),
+    )
+    j = a.join(b, "id", "full_outer").select(
+        F.coalesce("sb", "sa").alias(stream_col),
+        F.when(F.col("fa").isNull(), "added")
+        .when(F.col("fb").isNull(), "removed")
+        .when(F.col("fa") != F.col("fb"), "changed")
+        .otherwise("unchanged")
+        .alias("st"),
+    )
+    return (
+        j.groupBy(stream_col)
+        .agg(
+            F.sum((F.col("st") == "added").cast("bigint")).alias("n_added"),
+            F.sum((F.col("st") == "removed").cast("bigint")).alias("n_removed"),
+            F.sum((F.col("st") == "changed").cast("bigint")).alias("n_changed"),
+            F.sum((F.col("st") == "unchanged").cast("bigint")).alias("n_unchanged"),
+        )
+        .orderBy(stream_col)
+    )
+
+
+#: snapshot-B synthesis constants for the gate query — one constant set
+#: drives BOTH dialects (iron rule 7): delete ids % 13 == 0, rewrite
+#: text for ids % 17 == 0, add fresh ids (+1e6) for ids % 29 == 0.
+SNAP_DEL_MOD = 13
+SNAP_CHG_MOD = 17
+SNAP_ADD_MOD = 29
+SNAP_ADD_OFFSET = 1_000_000
+
+
+def snapshot_b_frame(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Deterministic synthetic next snapshot of the documents table."""
+    survivors = docs.filter(F.col(id_col) % SNAP_DEL_MOD != 0).withColumn(
+        text_col,
+        F.when(
+            F.col(id_col) % SNAP_CHG_MOD == 0,
+            F.concat(F.col(text_col), F.lit(" v2")),
+        ).otherwise(F.col(text_col)),
+    )
+    added = docs.filter(F.col(id_col) % SNAP_ADD_MOD == 0).withColumn(
+        id_col, F.col(id_col) + SNAP_ADD_OFFSET
+    )
+    return survivors.unionByName(added)
+
+
+def snapshot_diff_oracle(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin — same snapshot-B synthesis constants, same hash32
+    fingerprints, same status classification."""
+    _, hd = hash32_frag("", text_col)
+    return f"""
+WITH snap_b AS (
+  SELECT {id_col},
+         CASE WHEN {id_col} % {SNAP_CHG_MOD} = 0
+              THEN {text_col} || ' v2' ELSE {text_col} END AS {text_col},
+         {stream_col}
+  FROM {table} WHERE {id_col} % {SNAP_DEL_MOD} <> 0
+  UNION ALL
+  SELECT {id_col} + {SNAP_ADD_OFFSET}, {text_col}, {stream_col}
+  FROM {table} WHERE {id_col} % {SNAP_ADD_MOD} = 0
+), a AS (
+  SELECT {id_col} AS id, {stream_col} AS sa, {hd} AS fa FROM {table}
+), b AS (
+  SELECT {id_col} AS id, {stream_col} AS sb, {hd} AS fb FROM snap_b
+), j AS (
+  SELECT COALESCE(sb, sa) AS {stream_col},
+         CASE WHEN fa IS NULL THEN 'added'
+              WHEN fb IS NULL THEN 'removed'
+              WHEN fa <> fb THEN 'changed'
+              ELSE 'unchanged' END AS st
+  FROM a FULL OUTER JOIN b USING (id)
+)
+SELECT {stream_col},
+       CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j GROUP BY {stream_col} ORDER BY {stream_col}
+"""

@@ -397,3 +397,23 @@ def test_dsir_empty_target_degrades_gracefully(spark):
     out = dsir.dsir_importance_stats(docs, "lang = 'xx'", group_col="lang").collect()
     assert sum(r["n_selected"] for r in out) == dsir.DSIR_TOP_K
     assert all(r["n_docs"] > 0 for r in out)
+
+
+def test_snapshot_diff_crafted(spark):
+    """Hand-built snapshots: one add, one remove, one change, one
+    unchanged — each classified exactly once."""
+    from amadeus_spark.functions import dedup as dd
+
+    a = spark.createDataFrame(
+        [(1, "en", "keep"), (2, "en", "will change"), (3, "de", "going away")],
+        "doc_id long, lang string, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "en", "keep"), (2, "en", "changed now"), (9, "de", "brand new")],
+        "doc_id long, lang string, text string",
+    )
+    got = {
+        r["lang"]: (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"])
+        for r in dd.snapshot_diff_stats(a, b).collect()
+    }
+    assert got == {"en": (0, 0, 1, 1), "de": (1, 1, 0, 0)}
