@@ -2599,6 +2599,34 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: dual-dialect word-array fragments for the C4 page synthesis
+_C4_WORDS_SPARK = "filter(split(text, ' '), w -> w != '')"
+_C4_WORDS_DUCK = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 page cleaning (functions/c4.py, Raffel et al. 2020 §2.2):
+    line-level terminal-punctuation / min-words / 'javascript' rules and
+    page-level 'lorem ipsum' / curly-brace / min-kept-lines drops, as a
+    REWRITE whose cleaned text is checksummed per kept page. Pages are
+    synthesized deterministically from (text, doc_id) with the same
+    construction in both dialects (html_text_extract precedent) so every
+    rule branch fires on real data volumes. Map-only projection + one
+    rollup shuffle — the pre-dedup quality gate shape at 100 TB."""
+    from amadeus_spark.functions import c4
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", F.expr(_C4_WORDS_SPARK).alias("__w")
+    )
+    pages = staged.select(
+        "doc_id",
+        "lang",
+        F.expr(c4.synth_page_frag("__w", "doc_id", "spark")).alias("text"),
+    )
+    return c4.c4_report(pages)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
@@ -2621,6 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # native-plan r4/r5-green entries (inner/left/semi-anti joins,
     # sample_deterministic) defer below with the r8-rotation block.
     return {
+        # (a0) new in round 8 — externally unverified
+        "c4_quality": q_c4_quality,
         # (a) new or plan-changed in round 7 — externally unverified
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
@@ -2776,6 +2806,19 @@ def _epoch_shuffle_oracle() -> str:
                CAST(SUM(pos * {ck}) AS BIGINT) AS order_sum
         FROM ({inner}) GROUP BY shard ORDER BY shard
     """
+
+
+def _c4_quality_oracle() -> str:
+    """DuckDB twin of q_c4_quality — identical page synthesis and rule
+    constants (functions/c4.py emits both dialects from one set)."""
+    from amadeus_spark.functions import c4
+
+    page = c4.synth_page_frag("w", "doc_id", "duckdb")
+    table = (
+        f"(SELECT doc_id, lang, {page} AS text FROM "
+        f"(SELECT doc_id, lang, {_C4_WORDS_DUCK} AS w FROM documents))"
+    )
+    return c4.c4_report_oracle(table)
 
 
 def _url_dedup_oracle() -> str:
@@ -3548,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
             FROM episodes ORDER BY user_id, seq
         """,
         "html_text_extract": _html_text_extract_oracle(),
+        "c4_quality": _c4_quality_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("
