@@ -2627,6 +2627,29 @@ def q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4.c4_report(pages)
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) language resampling (operators/
+    sampling.temperature_mixture, the mT5/UniMax mixture law): quotas
+    derived from per-language corpus counts via integer-exact micro-unit
+    sqrt weights, selection by md5 permutation. Gate check: per-language
+    selected count + order-independent id checksum; the oracle recomputes
+    quota arithmetic independently (one-level window), so the broadcast
+    decomposition itself is what's verified."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(docs, "lang", "doc_id", 300, 0.5)
+    hs, _ = hash32_frag("concat('tm', cast(doc_id as string))", "")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum(F.expr(hs)).cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
@@ -2651,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a0) new in round 8 — externally unverified
         "c4_quality": q_c4_quality,
+        "temperature_mixture": q_temperature_mixture,
         # (a) new or plan-changed in round 7 — externally unverified
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
@@ -2819,6 +2843,23 @@ def _c4_quality_oracle() -> str:
         f"(SELECT doc_id, lang, {_C4_WORDS_DUCK} AS w FROM documents))"
     )
     return c4.c4_report_oracle(table)
+
+
+def _temperature_mixture_oracle() -> str:
+    """DuckDB twin of q_temperature_mixture — independent one-level
+    quota window over the same micro-unit weight fragment."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    _, hd = hash32_frag("", "'tm' || CAST(doc_id AS VARCHAR)")
+    inner = sampling.temperature_mixture_oracle(
+        "documents", "lang", "doc_id", 300, 0.5, cols="lang, doc_id"
+    )
+    return f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_selected,
+               CAST(SUM({hd}) AS BIGINT) AS id_sum
+        FROM ({inner}) GROUP BY lang ORDER BY lang
+    """
 
 
 def _url_dedup_oracle() -> str:
@@ -3592,6 +3633,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "html_text_extract": _html_text_extract_oracle(),
         "c4_quality": _c4_quality_oracle(),
+        "temperature_mixture": _temperature_mixture_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("

@@ -350,3 +350,112 @@ def token_budget_sample_oracle(
             FROM {table}
         ) WHERE __cum < (CASE {stratum} {cases} ELSE 0 END)
     """
+
+
+#: dyadic temperature exponents supported for engine-exact parity:
+#: alpha -> number of IEEE sqrt applications on the stratum count.
+#: sqrt is correctly rounded in both engines, so any sqrt CHAIN is
+#: bit-identical cross-engine; arbitrary pow(x, a) routes through
+#: exp/log and is NOT parity-safe (the perplexity_filter discipline).
+TEMPERATURE_ALPHAS = {1.0: 0, 0.5: 1, 0.25: 2}
+TEMPERATURE_SALT = "tm"
+
+
+def _temp_weight_frag(count_sql: str, alpha: float) -> str:
+    """floor(c^alpha * 1e6) as BIGINT — micro-unit weight, exact and
+    order-independent to sum. Same fragment runs in both engines."""
+    expr = f"CAST({count_sql} AS DOUBLE)"
+    for _ in range(TEMPERATURE_ALPHAS[alpha]):
+        expr = f"sqrt({expr})"
+    return f"CAST(floor({expr} * 1000000) AS BIGINT)"
+
+
+def temperature_mixture(
+    df: DataFrame,
+    stratum: str,
+    key: str,
+    total_k: int,
+    alpha: float = 0.5,
+    salt: str = TEMPERATURE_SALT,
+) -> DataFrame:
+    """Temperature-based mixture resampling (the mT5/UniMax family:
+    Xue et al. 2021 §3.1 sample language l with p_l ∝ |D_l|^alpha) —
+    unlike ``mixture_sample`` the per-stratum quotas are DERIVED FROM
+    THE DATA, not supplied: low-resource strata are up-weighted as the
+    temperature alpha drops below 1. Quota math is integer-exact in
+    micro-units (W_l = floor(c_l^alpha·1e6); quota_l = round-half-up of
+    total_k·W_l/ΣW as pure BIGINT arithmetic), so both engines agree
+    bit-for-bit; Σ quota_l may differ from total_k by < n_strata
+    (largest-remainder correction would need a global rank over strata
+    — not worth a coarse window for a sub-strata-count delta, and the
+    round-half-up rule is itself a published allocation).
+
+    Plan shape: one count aggregate over strata (tiny) → 1-row ΣW
+    aggregate cross-joined broadcast (no empty-partitionBy window, per
+    the plans sweep) → quota frame broadcast-joined onto the
+    md5-permutation rank filter. The literal ``rn <= total_k`` conjunct
+    keeps WindowGroupLimit active so map tasks truncate before the
+    shuffle; the table is scanned twice (counts + rank), never thrice.
+
+    Long headroom: total_k·W_l ≤ total_k·c_l·1e6 — exact below ~9.2e18,
+    i.e. any corpus count at total_k ≤ 1e6 with alpha ≤ 1."""
+    from pyspark.sql import Window
+
+    wfrag = _temp_weight_frag("__c", alpha)
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__c"))
+    weights = counts.select(stratum, F.expr(wfrag).alias("__w"))
+    total = weights.agg(F.sum("__w").alias("__sw"))
+    quotas = (
+        weights.crossJoin(F.broadcast(total))
+        .select(
+            stratum,
+            # round-half-up(total_k * W / S) in pure BIGINT math
+            F.expr(
+                f"CAST(({total_k} * __w * 2 + __sw) div (__sw * 2) AS BIGINT)"
+            ).alias("__quota"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    w = Window.partitionBy(stratum).orderBy(h, F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.lit(total_k))
+        .join(F.broadcast(quotas), stratum)
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
+def temperature_mixture_oracle(
+    table: str,
+    stratum: str,
+    key: str,
+    total_k: int,
+    alpha: float = 0.5,
+    salt: str = TEMPERATURE_SALT,
+    cols: str = "*",
+) -> str:
+    """DuckDB twin — same micro-unit weight fragment, same round-half-up
+    quota arithmetic, same md5 permutation."""
+    wfrag = _temp_weight_frag("__c", alpha)
+    return f"""
+        SELECT {cols} FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY {stratum}
+                ORDER BY md5('{salt}' || CAST({key} AS VARCHAR)), {key}
+            ) AS __rn
+            FROM {table}
+        ) t
+        JOIN (
+            SELECT {stratum} AS __qs,
+                   CAST(({total_k} * __w * 2 + __sw)
+                        // (__sw * 2) AS BIGINT) AS __quota
+            FROM (
+                SELECT {stratum}, {wfrag} AS __w,
+                       SUM({wfrag}) OVER () AS __sw
+                FROM (SELECT {stratum}, COUNT(*) AS __c
+                      FROM {table} GROUP BY {stratum})
+            )
+        ) q ON t.{stratum} = q.__qs
+        WHERE __rn <= __quota AND __rn <= {total_k}
+    """
