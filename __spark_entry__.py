@@ -2650,6 +2650,34 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (functions/text.chunk_docs): 64-token
+    windows at stride 48, one row per chunk, map-only explode. Gate
+    check: per-language chunk/doc/token counts plus a per-chunk content
+    checksum (doc_id ⊕ chunk_id ⊕ chunk text), so an off-by-one in any
+    slice boundary flips the hash."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = text.chunk_docs(docs, window=64, stride=48)
+    hs, _ = hash32_frag(
+        "concat(cast(doc_id as string), chr(1), cast(chunk_id as string),"
+        " chr(1), chunk_text)",
+        "",
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_chunk_tokens").alias("total_chunk_tokens"),
+            F.max("n_chunk_tokens").alias("max_chunk_tokens"),
+            F.sum(F.expr(hs)).cast("long").alias("content_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
@@ -2675,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a0) new in round 8 — externally unverified
         "c4_quality": q_c4_quality,
         "temperature_mixture": q_temperature_mixture,
+        "doc_chunking": q_doc_chunking,
         # (a) new or plan-changed in round 7 — externally unverified
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
@@ -3634,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
         "html_text_extract": _html_text_extract_oracle(),
         "c4_quality": _c4_quality_oracle(),
         "temperature_mixture": _temperature_mixture_oracle(),
+        "doc_chunking": text.chunk_stats_oracle("documents", 64, 48),
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("

@@ -649,3 +649,115 @@ SELECT {stream_col},
        MAX(sum_us / n_bg / 1e6) AS max_doc_ratio
 FROM per_doc GROUP BY {stream_col} ORDER BY {stream_col}
 """
+
+
+# ----- sliding-window chunking (context-window preparation) -----------------
+
+#: default context window / stride in tokens
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_docs(
+    df: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking — split every document's token
+    sequence into overlapping ``window``-token chunks advanced by
+    ``stride`` (the long-document preparation step before packing/
+    training; the overlap keeps context across chunk boundaries, the
+    published GPT-2/BERT "stride" evaluation shape). Complements
+    ``sequence_packing`` (which packs SHORT docs together; this splits
+    LONG docs apart).
+
+    Chunk count = 1 + ceil(max(n - window, 0) / stride) — every token is
+    covered, the final chunk may be short, and a doc shorter than one
+    window yields exactly one chunk.
+
+    Plan shape: tokens staged ONCE as an array column (HOF lambda
+    bodies re-evaluate per element — CLAUDE.md perf note), chunk ids
+    exploded from a ``sequence()``, the per-chunk slice taken AFTER the
+    explode where it's one codegen'd ``slice`` per output row. Map-only
+    (explode is pipelined, no shuffle); at 100 TB chunking fuses into
+    the feeding scan. Output: one row per chunk with ``chunk_id``,
+    ``chunk_start`` (0-based token offset), ``n_chunk_tokens``,
+    ``chunk_text``."""
+    toks = F.expr(f"filter(split({text_col}, ' '), w -> w != '')")
+    staged = df.withColumn("__toks", toks).withColumn(
+        "__n", F.size("__toks")
+    )
+    n_chunks = F.expr(
+        f"1 + CAST(ceil(greatest(__n - {window}, 0)"
+        f" / CAST({stride} AS DOUBLE)) AS INT)"
+    )
+    exploded = staged.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    )
+    chunk = F.expr(f"slice(__toks, chunk_id * {stride} + 1, {window})")
+    return (
+        exploded.withColumn("__chunk", chunk)
+        .select(
+            *df.columns,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+            F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_stats_oracle(
+    table: str = "documents",
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "lang",
+) -> str:
+    """DuckDB twin of the per-stream chunk report (same constants; the
+    chunk construction re-derived via unnest(range(...)) + list_slice).
+    Reports chunk/token counts, boundary coverage and an
+    order-independent per-chunk content checksum."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    _, hd = hash32_frag(
+        "",
+        f"CAST({id_col} AS VARCHAR) || chr(1) || CAST(chunk_id AS VARCHAR)"
+        " || chr(1) || chunk_text",
+    )
+    return f"""
+WITH staged AS (
+  SELECT {stream_col}, {id_col},
+         list_filter(string_split({text_col}, ' '), w -> w <> '') AS toks
+  FROM {table}
+), sized AS (
+  SELECT {stream_col}, {id_col}, toks, len(toks) AS n,
+         1 + CAST(ceil(greatest(len(toks) - {window}, 0)
+                       / CAST({stride} AS DOUBLE)) AS INT) AS n_chunks
+  FROM staged
+), chunks AS (
+  SELECT {stream_col}, {id_col},
+         unnest(range(0, n_chunks)) AS chunk_id, toks
+  FROM sized
+), sliced AS (
+  SELECT {stream_col}, {id_col}, chunk_id,
+         list_slice(toks, chunk_id * {stride} + 1,
+                    chunk_id * {stride} + {window}) AS chunk
+  FROM chunks
+), rows_ AS (
+  SELECT {stream_col}, {id_col}, chunk_id,
+         len(chunk) AS n_chunk_tokens,
+         array_to_string(chunk, ' ') AS chunk_text
+  FROM sliced
+)
+SELECT {stream_col},
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+       CAST(MAX(n_chunk_tokens) AS BIGINT) AS max_chunk_tokens,
+       CAST(SUM({hd}) AS BIGINT) AS content_sum
+FROM rows_ GROUP BY {stream_col} ORDER BY {stream_col}
+"""

@@ -417,3 +417,40 @@ def test_snapshot_diff_crafted(spark):
         for r in dd.snapshot_diff_stats(a, b).collect()
     }
     assert got == {"en": (0, 0, 1, 1), "de": (1, 1, 0, 0)}
+
+
+# ----- chunk_docs (sliding-window chunking) ---------------------------------
+
+
+def test_chunk_docs_boundaries(spark):
+    from amadeus_spark.functions.text import chunk_docs
+
+    def mk(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, mk(5)), (2, mk(8)), (3, mk(9)), (4, mk(20)), (5, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_docs(df, window=8, stride=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # n <= window -> exactly one chunk, full doc
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_chunk_tokens"] == 5
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 8
+    # n = window + 1 -> two chunks, second short, stride offset
+    assert len(by_doc[3]) == 2
+    assert by_doc[3][1]["chunk_start"] == 4
+    assert by_doc[3][1]["n_chunk_tokens"] == 5
+    # full coverage with overlap: chunk i covers [4i, 4i+8)
+    c4 = sorted(by_doc[4], key=lambda r: r["chunk_id"])
+    assert len(c4) == 4
+    covered = set()
+    for r in c4:
+        toks = r["chunk_text"].split(" ")
+        assert toks == [f"t{i}" for i in range(r["chunk_start"], r["chunk_start"] + len(toks))]
+        covered.update(range(r["chunk_start"], r["chunk_start"] + len(toks)))
+    assert covered == set(range(20))
+    # empty doc -> one empty chunk (documented)
+    assert len(by_doc[5]) == 1 and by_doc[5][0]["n_chunk_tokens"] == 0
