@@ -2678,6 +2678,15 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (functions/retrieval.build_postings): per
+    term df/cf and the top-5 posting head (tf desc, doc asc) serialized
+    doc:tf — the materialized batch-indexing twin of bm25_topk. Strict
+    hash: any tf, ranking, or tie-break slip rewrites a head string."""
+    docs = _t(spark, sf_dir, "documents")
+    return retrieval.build_postings(docs).orderBy("term")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
@@ -2704,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_quality": q_c4_quality,
         "temperature_mixture": q_temperature_mixture,
         "doc_chunking": q_doc_chunking,
+        "inverted_index": q_inverted_index,
         # (a) new or plan-changed in round 7 — externally unverified
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
@@ -3664,6 +3674,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_quality": _c4_quality_oracle(),
         "temperature_mixture": _temperature_mixture_oracle(),
         "doc_chunking": text.chunk_stats_oracle("documents", 64, 48),
+        "inverted_index": retrieval.build_postings_oracle("documents")
+        + " ORDER BY term",
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("

@@ -298,3 +298,119 @@ SELECT q AS query_id, doc AS neg_id, n_shared, score_us FROM (
 ) WHERE rn <= {k}
 ORDER BY query_id, score_us DESC, neg_id
 """
+
+
+# ----- inverted index (postings) build --------------------------------------
+
+#: posting-list head length retained per term
+POSTINGS_TOP_N = 5
+
+
+def build_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = POSTINGS_TOP_N,
+) -> DataFrame:
+    """Inverted-index build — the MATERIALIZED form of what bm25_topk
+    computes on the fly: one row per term with document frequency,
+    collection frequency, and the posting-list HEAD (top ``top_n`` docs
+    by tf, tie-broken by doc id) serialized as ``doc:tf`` pairs. A
+    search tier serves lookups from this table; rebuilding it is the
+    batch indexing job.
+
+    Physical plan at 100 TB: explode → per-(term, doc) count (shuffle 1,
+    keyed by the pair — co-groups each doc's duplicates map-side via
+    partial aggregation), then the tf frame PERSISTS (it feeds two
+    consumers — the tracked-registry self-join discipline) and splits:
+
+    - HEAD branch: rank window with the LITERAL ``top_n`` filter so
+      WindowGroupLimit truncates per map task before the term shuffle —
+      a stopword's shuffle volume is top_n × tasks, not its postings;
+    - STATS branch: plain groupBy(term) — partial aggregation combines
+      map-side, so the same hot term ships one partial per task.
+
+    The branches broadcast-join per term (head frame is ≤ top_n rows per
+    term). A single-window formulation would be one shuffle fewer but
+    CANNOT truncate (df/cf need every row), so every hot term's full
+    posting list would sort through one reducer — the branched shape is
+    the one that survives skew. Full posting lists for serving would be
+    written bucketed BY TERM HASH so lookups partition-prune
+    (storage.write_bucketed)."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+
+    toks = F.expr(f"filter(split({text_col}, ' '), w -> w != '')")
+    tf = tracked_persist(
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col(id_col)
+    )
+    heads = (
+        tf.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top_n)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                (-F.col("tf")).alias("nt"),
+                                F.col(id_col).alias("d"),
+                            )
+                        )
+                    ),
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["d"].cast("string"),
+                        (-x["nt"]).cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("head")
+        )
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+    )
+    return stats.join(heads, "term").select("term", "df", "cf", "head")
+
+
+def build_postings_oracle(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = POSTINGS_TOP_N,
+) -> str:
+    """DuckDB twin — same tokenization, stats and head ordering
+    (tf desc, id asc), head via filtered string_agg ORDER BY."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(list_filter(string_split({text_col}, ' '), w -> w <> ''))
+             AS term
+  FROM {table}
+), tf AS (
+  SELECT term, {id_col}, COUNT(*) AS tf FROM toks GROUP BY term, {id_col}
+), ranked AS (
+  SELECT term, {id_col}, tf,
+         ROW_NUMBER() OVER (
+             PARTITION BY term ORDER BY tf DESC, {id_col}
+         ) AS __rn
+  FROM tf
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS cf,
+       COALESCE(string_agg(
+           CASE WHEN __rn <= {top_n}
+                THEN CAST({id_col} AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+           END, ','
+           ORDER BY tf DESC, {id_col}), '') AS head
+FROM ranked GROUP BY term
+"""

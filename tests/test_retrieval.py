@@ -95,3 +95,38 @@ def test_hard_negatives_semantics(spark):
             assert r["neg_id"] != q
             shared = texts[q] & texts[r["neg_id"]]
             assert len(shared) >= 1 and r["n_shared"] >= 1
+
+
+# ----- build_postings -------------------------------------------------------
+
+
+def test_build_postings_semantics(spark):
+    from amadeus_spark.functions.retrieval import build_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),
+            (2, "a b b"),
+            (3, "a"),
+            (4, "b c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in build_postings(df, top_n=2).collect()}
+    assert rows["a"]["df"] == 3 and rows["a"]["cf"] == 5
+    # head: tf desc, doc asc, capped at top_n=2
+    assert rows["a"]["head"] == "1:3,2:1"
+    assert rows["b"]["head"] == "2:2,1:1"
+    assert rows["c"]["df"] == 1 and rows["c"]["head"] == "4:1"
+
+
+def test_build_postings_truncates_before_shuffle(spark):
+    """The literal rank bound must keep WindowGroupLimit active so
+    posting heads truncate map-side (the mixture_sample discipline)."""
+    from amadeus_spark.functions.retrieval import build_postings
+
+    df = spark.createDataFrame(
+        [(i, "x y") for i in range(50)], "doc_id long, text string"
+    )
+    plan = build_postings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
