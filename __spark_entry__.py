@@ -2687,6 +2687,34 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.build_postings(docs).orderBy("term")
 
 
+#: deterministic host-variant synthesis for the domain rollup gate —
+#: exercises case folding, subdomain depth, the co.uk-family suffix
+#: rule, single-label hosts, and both blocklist entries (same CASE in
+#: both dialects; url_dedup precedent)
+_DOMAIN_URL_CASE = """CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN concat('http://www.news.example.co.uk/p/', CAST(doc_id % 7 AS STRING))
+    WHEN 1 THEN concat('http://Blog.EXAMPLE.com/p/', CAST(doc_id % 7 AS STRING))
+    WHEN 2 THEN concat('http://spam.example/p/', CAST(doc_id % 7 AS STRING))
+    WHEN 3 THEN concat('http://a.b.tracker.net/p/', CAST(doc_id % 7 AS STRING))
+    WHEN 4 THEN concat('http://localhost/p/', CAST(doc_id % 7 AS STRING))
+    ELSE concat('http://cdn.example.com/p/', CAST(doc_id % 7 AS STRING))
+END"""
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain crawl rollup (functions/urls.registered_domain
+    + domain_report): PSL-shape label rules (last-2, or last-3 under a
+    two-level suffix), per-domain URL/host/doc counts and the blocklist
+    verdict. The frontier-policy aggregate a crawl scheduler reads."""
+    from amadeus_spark.functions import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    with_url = docs.select(
+        "doc_id", F.expr(_DOMAIN_URL_CASE).alias("url")
+    )
+    return urls.domain_report(with_url)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
@@ -2714,6 +2742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "doc_chunking": q_doc_chunking,
         "inverted_index": q_inverted_index,
+        "domain_stats": q_domain_stats,
         # (a) new or plan-changed in round 7 — externally unverified
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
@@ -2899,6 +2928,17 @@ def _temperature_mixture_oracle() -> str:
                CAST(SUM({hd}) AS BIGINT) AS id_sum
         FROM ({inner}) GROUP BY lang ORDER BY lang
     """
+
+
+def _domain_stats_oracle() -> str:
+    """DuckDB twin of q_domain_stats — the URL CASE runs VERBATIM in
+    DuckDB (concat() and the STRING type alias are shared syntax), so
+    one constant drives both dialects; same label/blocklist set."""
+    from amadeus_spark.functions import urls
+
+    return urls.domain_report_oracle(
+        f"(SELECT doc_id, {_DOMAIN_URL_CASE} AS url FROM documents)"
+    )
 
 
 def _url_dedup_oracle() -> str:
@@ -3676,6 +3716,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunking": text.chunk_stats_oracle("documents", 64, 48),
         "inverted_index": retrieval.build_postings_oracle("documents")
         + " ORDER BY term",
+        "domain_stats": _domain_stats_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("

@@ -83,3 +83,102 @@ def canonicalize_url_sql(col_sql: str) -> str:
         f"THEN '?' || array_to_string({kept}, '&') ELSE '' END"
     )
     return f"{scheme} || '://' || {host} || {path} || {qpart}"
+
+
+# ----- registered-domain extraction + domain-level rollup -------------------
+
+#: two-level public suffixes recognized without the full PSL (the
+#: high-traffic subset; a production deployment swaps in the published
+#: Public Suffix List — the RULE SHAPE is identical, the constant set
+#: grows). Kept tiny so both dialects inline it as one IN list.
+CC_SLDS = ("co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br")
+
+#: domain blocklist (crawl-pipeline deny list) — registered-domain match
+BLOCKED_DOMAINS = ("spam.example", "tracker.net")
+
+
+def registered_domain(host: Column) -> Column:
+    """Spark side: the registrable domain of a lowercased host — last
+    two labels, or last three when the final two form a recognized
+    two-level public suffix (co.uk family). Single-label hosts pass
+    through. Pure Catalyst exprs."""
+    h = F.lower(host)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    in_sld = last2.isin(*CC_SLDS)
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    return (
+        F.when(n <= 1, h)
+        .when((n >= 3) & in_sld, last3)
+        .otherwise(last2)
+    )
+
+
+def registered_domain_sql(host_sql: str) -> str:
+    """DuckDB twin — same label rules and CC_SLDS constant set."""
+    slds = ", ".join(f"'{s}'" for s in CC_SLDS)
+    h = f"lower({host_sql})"
+    parts = f"string_split({h}, '.')"
+    n = f"len({parts})"
+    last2 = f"({parts}[-2] || '.' || {parts}[-1])"
+    last3 = f"({parts}[-3] || '.' || {parts}[-2] || '.' || {parts}[-1])"
+    return f"""CASE
+        WHEN {n} <= 1 THEN {h}
+        WHEN {n} >= 3 AND {last2} IN ({slds}) THEN {last3}
+        ELSE {last2} END"""
+
+
+def domain_report(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-registered-domain crawl rollup: URL/doc counts, distinct
+    hosts, and the blocklist verdict — the frontier-policy aggregation a
+    crawl scheduler reads (politeness budgets, deny lists are per
+    REGISTERED domain, not per host). Map-only projection + one
+    aggregate; hot domains are exactly the partial-agg-friendly case."""
+    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    dom = registered_domain(host)
+    blocked = dom.isin(*BLOCKED_DOMAINS)
+    return (
+        df.select(
+            dom.alias("domain"),
+            host.alias("__host"),
+            F.col(id_col),
+            blocked.alias("__blocked"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("__host").alias("n_hosts"),
+            F.count_distinct(id_col).alias("n_docs"),
+            F.max(F.col("__blocked")).alias("blocked"),
+        )
+        .orderBy("domain")
+    )
+
+
+def domain_report_oracle(
+    table: str, url_col: str = "url", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of domain_report — same host regex, label rules and
+    blocklist constants."""
+    blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
+    host = f"lower(regexp_extract({url_col}, '{_HOST_RE}', 1))"
+    dom = registered_domain_sql(host)
+    return f"""
+WITH hosts AS (
+  SELECT {dom} AS domain, {host} AS h, {id_col} FROM {table}
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hosts,
+       CAST(COUNT(DISTINCT {id_col}) AS BIGINT) AS n_docs,
+       MAX(domain IN ({blocked})) AS blocked
+FROM hosts GROUP BY domain ORDER BY domain
+"""

@@ -62,3 +62,49 @@ def test_plan_is_pure_catalyst(spark):
         ).alias("c")
     )
     plans.assert_no_python_udf(df)
+
+
+# ----- registered_domain / domain_report ------------------------------------
+
+
+def test_registered_domain_rules(spark):
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.functions.urls import registered_domain
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("Example.COM", "example.com"),
+        ("a.b.news.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),  # bare suffix: only 2 labels -> itself
+        ("localhost", "localhost"),
+        ("cdn.tracker.net", "tracker.net"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [
+        r["d"]
+        for r in df.select(
+            registered_domain(F.col("host")).alias("d")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_domain_report_blocklist(spark):
+    from amadeus_spark.functions.urls import domain_report
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.spam.example/x"),
+            (2, "http://ok.example.com/y"),
+            (3, "http://cdn.ok.example.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["domain"]: r for r in domain_report(df).collect()}
+    assert rows["spam.example"]["blocked"] is True
+    assert rows["example.com"]["blocked"] is False
+    assert rows["example.com"]["n_urls"] == 2
+    assert rows["example.com"]["n_hosts"] == 2
+    assert rows["example.com"]["n_docs"] == 2
