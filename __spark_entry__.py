@@ -2715,6 +2715,34 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urls.domain_report(with_url)
 
 
+#: deterministic mojibake/noise synthesis for the normalization gate —
+#: smart quotes + em dash, NBSP + zero-width space, a BEL control char
+#: (chr(7): ASCII, portable — only >255 wraps in Spark), ellipsis +
+#: space runs, and an untouched branch. Shared VERBATIM by both engines.
+_NOISE_CASE = """CASE CAST(doc_id % 5 AS INT)
+    WHEN 0 THEN concat('“', text, '” — fin')
+    WHEN 1 THEN concat('a b​', text)
+    WHEN 2 THEN concat('x', chr(7), 'y ', text)
+    WHEN 3 THEN concat(text, ' …  tail  end')
+    ELSE text
+END"""
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/whitespace normalization (functions/normalize.py,
+    NFKC-lite fold family): smart quotes/dashes/ellipsis folds,
+    NBSP/zero-width/control strips, whitespace collapse — verified by
+    per-document checksum of the REWRITTEN text over deterministically
+    noised inputs (every fold branch fires). Map-only + one rollup."""
+    from amadeus_spark.functions import normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    noised = docs.select(
+        "doc_id", "lang", F.expr(_NOISE_CASE).alias("text")
+    )
+    return normalize.normalize_report(noised)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries, so the queries that most need external
@@ -2743,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "inverted_index": q_inverted_index,
         "domain_stats": q_domain_stats,
+        "text_normalize": q_text_normalize,
         # (a) new or plan-changed in round 7 — externally unverified
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
@@ -2938,6 +2967,16 @@ def _domain_stats_oracle() -> str:
 
     return urls.domain_report_oracle(
         f"(SELECT doc_id, {_DOMAIN_URL_CASE} AS url FROM documents)"
+    )
+
+
+def _text_normalize_oracle() -> str:
+    """DuckDB twin of q_text_normalize — the noise CASE is shared
+    verbatim (after resolving python-level escapes); same step table."""
+    from amadeus_spark.functions import normalize
+
+    return normalize.normalize_report_oracle(
+        f"(SELECT doc_id, lang, {_NOISE_CASE} AS text FROM documents)"
     )
 
 
@@ -3717,6 +3756,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": retrieval.build_postings_oracle("documents")
         + " ORDER BY term",
         "domain_stats": _domain_stats_oracle(),
+        "text_normalize": _text_normalize_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("
