@@ -2774,34 +2774,23 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
-    # the FIRST 50 dict entries, so the queries that most need external
-    # verification come first. ROUND-7 ROTATION (r6 verdict item 3 +
-    # advice): (a) everything NEW or with a CHANGED plan this round
-    # (fuzzy d=2, the tree-merged/hash-domain Bloom, soft-assignment
-    # IVF/IVF-PQ, NULL-on-empty compensated moments — the last three are
-    # rows-only and get their FIRST external rows+schema check here),
-    # (b) the 11 riskiest plans, which r6's layout accidentally left at
-    # positions 51+ (the advice finding) so their newest external row is
-    # r5, and (c) the r4/r5-green block that sat below the gate for two
-    # rounds (TPC-H pack + operator pack). Everything r6-green rotates
-    # below the gate; each is still oracle-verified locally every pytest
-    # run. Remaining rows-only queries stay in the tail (set_ops is the
-    # one r4/r5 oracle query deferred to r8 — plain native set algebra,
-    # the lowest-regression-risk entry of its block).
-    # LATE-R7 ADDITIONS: cluster_safe_split / token_budget_sample /
-    # key_skew_profile (oracle-checked) and semantic_dedup (rows-only,
-    # first external rows+schema check) take four gate slots; the four
-    # native-plan r4/r5-green entries (inner/left/semi-anti joins,
-    # sample_deterministic) defer below with the r8-rotation block.
+    # the FIRST 50 dict entries. ROUND-8 ROTATION: round 7's CORRECTNESS
+    # artifact was never delivered, so everything new/changed in r7 stays
+    # under the gate alongside the six new r8 operators; the r5-stale
+    # riskiest plans keep their slots; the r4/r5-green native block
+    # deferred in r7 rotates back; the remaining slots go to the oldest
+    # heavy plans from the r6-green block. Everything below the gate is
+    # still oracle-verified locally on every pytest run.
     return {
-        # (a0) new in round 8 — externally unverified
+        # (a) new in round 8 — externally unverified
         "c4_quality": q_c4_quality,
         "temperature_mixture": q_temperature_mixture,
         "doc_chunking": q_doc_chunking,
         "inverted_index": q_inverted_index,
         "domain_stats": q_domain_stats,
         "text_normalize": q_text_normalize,
-        # (a) new or plan-changed in round 7 — externally unverified
+        # (b) new or plan-changed in round 7 — kept under the gate until an
+        # external CORRECTNESS row exists (r7's artifact was not delivered)
         "cluster_safe_split": q_cluster_safe_split,
         "token_budget_sample": q_token_budget_sample,
         "key_skew_profile": q_key_skew_profile,
@@ -2814,7 +2803,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "compensated_moments": q_compensated_moments,
-        # (b) riskiest plans — newest external row is r5 (r6 advice)
+        "duplicated_spans": q_duplicated_spans,
+        "decon_span_scrub": q_decon_span_scrub,
+        "snapshot_diff": q_snapshot_diff,
+        "hard_negatives": q_hard_negatives,
+        "semantic_decontamination": q_semantic_decontamination,
+        # (c) riskiest plans — newest confirmed external row is r5
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "neardup_clusters": q_neardup_clusters,
@@ -2826,7 +2820,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_episodes": q_scd2_user_episodes,
         "weighted_sample": q_weighted_sample,
         "data_expectations": q_data_expectations,
-        # (c) newest external row is r4/r5 — two rounds stale
+        # (d) r4/r5-green natives deferred one round in r7 — rotated back
+        "inner_join": q_inner_join,
+        "left_join": q_left_join,
+        "semi_anti_join": q_semi_anti_join,
+        "sample_deterministic": q_sample_deterministic,
+        "grouped_topn": q_grouped_topn,
+        "most_distinct": q_most_distinct,
+        "most_frequent": q_most_frequent,
+        "stratified_sample": q_stratified_sample,
+        "set_ops": q_set_ops,
+        # (e) r6-green, two rounds stale — the heaviest-plan subset first
+        "equidepth_histogram": q_equidepth_histogram,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sequence_packing": q_sequence_packing,
+        "group_sink_nation": q_group_sink_nation,
+        "training_pipeline": q_training_pipeline,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "gap_fill_events": q_gap_fill_events,
+        # ---- below the 50-entry gate ----
+        # r6-green remainder + TPC-H pack (r4/r5 external rows; all still
+        # oracle-verified locally every pytest run)
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -2853,44 +2867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_agg": q_summary_agg,
         "group_by_pricing": q_group_by_pricing,
         "max_by": q_max_by,
-        # new operator this round — externally unverified, takes the
-        # 50th slot
-        "duplicated_spans": q_duplicated_spans,
-        # ---- below the 50-entry gate ----
-        # new late-r7, r8 rotates under the gate (locally oracle-checked
-        # every pytest run meanwhile):
-        "decon_span_scrub": q_decon_span_scrub,
-        "snapshot_diff": q_snapshot_diff,
-        "hard_negatives": q_hard_negatives,
-        "semantic_decontamination": q_semantic_decontamination,
-        # deferred one round to make room (r8 rotates them back under);
-        # inner/left/semi-anti joins and sample_deterministic are native
-        # Catalyst plans green r4/r5 — the lowest-regression-risk block:
-        "inner_join": q_inner_join,
-        "left_join": q_left_join,
-        "semi_anti_join": q_semi_anti_join,
-        "sample_deterministic": q_sample_deterministic,
-        "grouped_topn": q_grouped_topn,
-        "most_distinct": q_most_distinct,
-        "most_frequent": q_most_frequent,
-        "stratified_sample": q_stratified_sample,
-        "set_ops": q_set_ops,
-        # r6-green block — externally verified last round, re-verified
-        # locally by tests/test_oracle.py every pytest run
-        "equidepth_histogram": q_equidepth_histogram,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "ngram_jaccard": q_ngram_jaccard,
-        "sequence_packing": q_sequence_packing,
-        "group_sink_nation": q_group_sink_nation,
         "html_text_extract": q_html_text_extract,
         "url_dedup": q_url_dedup,
         "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
-        "gap_fill_events": q_gap_fill_events,
         "funnel_steps": q_funnel_steps,
         "cohort_retention": q_cohort_retention,
-        "fuzzy_name_match": q_fuzzy_name_match,
         "rolling_window": q_rolling_window,
         "bm25_topk": q_bm25_topk,
         "supplier_part_share": q_supplier_part_share,
@@ -2911,7 +2895,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "salted_skew_join": q_salted_skew_join,
-        "training_pipeline": q_training_pipeline,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "lang_id": q_lang_id,
