@@ -2772,6 +2772,28 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (operators/graph.py): 5 damped iterations
+    in pure BIGINT micro-units over a deterministic synthetic link graph
+    (each doc links to three modular targets — same construction in both
+    dialects). The oracle unrolls the identical recurrence as chained
+    CTEs, so the strict hash verifies every join/aggregate round.
+    Output: top-25 ranked pages, total-order tie-break."""
+    from amadeus_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    n_frame = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    base = docs.select("doc_id").crossJoin(F.broadcast(n_frame))
+    edges = base.selectExpr(
+        "doc_id AS src",
+        "stack(3, (doc_id * 7 + 1) % __n, (doc_id * 13 + 2) % __n,"
+        " (doc_id * 29 + 5) % __n) AS dst"
+    )
+    pr = graph.pagerank(edges, docs.select("doc_id"), iterations=5,
+                        node="doc_id")
+    return pr.orderBy(F.col("pr_us").desc(), "doc_id").limit(25)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
     # the FIRST 50 dict entries. ROUND-8 ROTATION: round 7's CORRECTNESS
@@ -2789,6 +2811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "domain_stats": q_domain_stats,
         "text_normalize": q_text_normalize,
+        "pagerank": q_pagerank,
         # (b) new or plan-changed in round 7 — kept under the gate until an
         # external CORRECTNESS row exists (r7's artifact was not delivered)
         "cluster_safe_split": q_cluster_safe_split,
@@ -2837,8 +2860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sink_nation": q_group_sink_nation,
         "training_pipeline": q_training_pipeline,
         "fuzzy_name_match": q_fuzzy_name_match,
-        "gap_fill_events": q_gap_fill_events,
         # ---- below the 50-entry gate ----
+        "gap_fill_events": q_gap_fill_events,
         # r6-green remainder + TPC-H pack (r4/r5 external rows; all still
         # oracle-verified locally every pytest run)
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
@@ -2990,6 +3013,24 @@ def _text_normalize_oracle() -> str:
 
     return normalize.normalize_report_oracle(
         f"(SELECT doc_id, lang, {_NOISE_CASE} AS text FROM documents)"
+    )
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB twin of q_pagerank — same edge synthesis, same unrolled
+    integer recurrence (operators/graph.pagerank_oracle)."""
+    from amadeus_spark.operators import graph
+
+    edges = """SELECT doc_id AS src,
+               unnest([(doc_id * 7 + 1) % n, (doc_id * 13 + 2) % n,
+                       (doc_id * 29 + 5) % n]) AS dst
+               FROM documents, (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                                FROM documents)"""
+    inner = graph.pagerank_oracle(
+        edges, "SELECT doc_id FROM documents", iterations=5, node="doc_id"
+    )
+    return (
+        f"SELECT * FROM ({inner}) ORDER BY pr_us DESC, doc_id LIMIT 25"
     )
 
 
@@ -3770,6 +3811,7 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY term",
         "domain_stats": _domain_stats_oracle(),
         "text_normalize": _text_normalize_oracle(),
+        "pagerank": _pagerank_oracle(),
         "url_dedup": _url_dedup_oracle(),
         "epoch_shuffle": _epoch_shuffle_oracle(),
         "mixture_sample": "SELECT lang, doc_id FROM ("
