@@ -1,0 +1,147 @@
+"""Distributed trained text classifier — hashed-feature logistic
+regression (the fastText-linear / FineWeb-classifier shape: a LINEAR
+model over hashed bag-of-words features, trained data-parallel). The
+model-BASED quality filtering family, complementing the rule-based
+gates (gopher.py, c4.py) and the importance-ratio selector (dsir.py):
+rules and ratios are fixed functions; this LEARNS weights from labeled
+examples.
+
+Architecture (all public, standard):
+- features: tokens hashed into ``dim`` buckets (hashing trick,
+  Weinberger et al. 2009), value = count, plus a bias term;
+- model: binary logistic regression;
+- training: full-batch gradient descent — each step is ONE data-parallel
+  pass (mapInPandas partial gradients over Arrow batches, summed by
+  Spark's TreeAggregate-shape ``summary`` reduction), driver applies
+  the update to the broadcast weight vector. T steps = T passes; the
+  weight vector (dim+1 doubles) is the only driver state — the classic
+  parameter-server-free data-parallel GD topology, which is how MLlib's
+  own LogisticRegression runs its aggregator.
+
+100 TB posture: each pass shuffles NOTHING (partial gradients are
+dim+1 doubles per partition, reduced tree-wise by Spark's agg); the
+corpus is scanned T times, so callers cache the featurized frame when
+memory allows, or accept scan cost (T is small). Scoring is one
+map-only pass with the weights broadcast.
+
+Determinism: float gradient sums depend on partition merge order, so
+trained weights are reproducible-in-distribution, not bit-stable —
+the registered query is rows-only BY DESIGN (the compensated_moments /
+sketch discipline); tests pin LEARNING (accuracy beats the majority
+baseline out-of-sample), not bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: feature-hash dimensionality (buckets) — 2^12 keeps the weight
+#: vector broadcast-trivial while collisions stay rare at test vocab
+DIM = 4096
+
+
+def _hash_tokens(texts: pd.Series, dim: int) -> list[dict[int, float]]:
+    # crc32: stable across processes (unlike hash()) and C-speed —
+    # the hashing trick needs uniformity, not cryptographic strength
+    from zlib import crc32
+
+    out = []
+    for t in texts:
+        counts: dict[int, float] = {}
+        for tok in str(t).split():
+            if not tok:
+                continue
+            h = crc32(tok.encode()) % dim
+            counts[h] = counts.get(h, 0.0) + 1.0
+        out.append(counts)
+    return out
+
+
+def _sigmoid(z: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-np.clip(z, -30, 30)))
+
+
+def train_hashed_lr(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    dim: int = DIM,
+    steps: int = 12,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> np.ndarray:
+    """Train binary logistic regression over hashed BoW features.
+    ``label_col`` must be 0/1. Returns the weight vector (dim weights +
+    bias at index dim). Each step is one data-parallel pass; the
+    gradient is normalized by n so ``lr`` is scale-free."""
+    data = df.select(
+        F.col(text_col).alias("__t"), F.col(label_col).cast("double").alias("__y")
+    )
+    n_total = data.count()
+    w = np.zeros(dim + 1)
+
+    for _ in range(steps):
+        bw = w  # captured by value in the closure below
+
+        def grad_pass(batches):
+            g = np.zeros(dim + 1)
+            loss = 0.0
+            n = 0
+            for pdf in batches:
+                feats = _hash_tokens(pdf["__t"], dim)
+                ys = pdf["__y"].to_numpy()
+                for fdict, y in zip(feats, ys):
+                    z = bw[dim] + sum(
+                        bw[i] * v for i, v in fdict.items()
+                    )
+                    p = float(_sigmoid(np.array([z]))[0])
+                    err = p - y
+                    for i, v in fdict.items():
+                        g[i] += err * v
+                    g[dim] += err
+                    loss += -(
+                        y * np.log(max(p, 1e-12))
+                        + (1 - y) * np.log(max(1 - p, 1e-12))
+                    )
+                    n += 1
+            yield pd.DataFrame(
+                {"g": [g.tobytes()], "loss": [loss], "n": [n]}
+            )
+
+        parts = data.mapInPandas(
+            grad_pass, schema="g binary, loss double, n long"
+        ).collect()
+        g = np.zeros(dim + 1)
+        for r in parts:
+            g += np.frombuffer(r["g"], dtype=np.float64)
+        g /= max(n_total, 1)
+        g[:dim] += l2 * w[:dim]
+        w = w - lr * g
+    return w
+
+
+def score_hashed_lr(
+    df: DataFrame, text_col: str, weights: np.ndarray, dim: int = DIM
+) -> DataFrame:
+    """Map-only scoring pass: adds ``prob`` (double) using the broadcast
+    weight vector. One Arrow-batched projection, no shuffle."""
+    w_list = [float(x) for x in weights]
+
+    def score(batches):
+        w = np.asarray(w_list)
+        for pdf in batches:
+            feats = _hash_tokens(pdf[text_col], dim)
+            zs = []
+            for fdict in feats:
+                zs.append(
+                    w[dim] + sum(w[i] * v for i, v in fdict.items())
+                )
+            out = pdf.copy()
+            out["prob"] = _sigmoid(np.asarray(zs))
+            yield out
+
+    fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
+    return df.mapInPandas(score, schema=f"{fields},prob:double")
