@@ -218,6 +218,60 @@ class CorpusFlow(Flow):
         drop = pairs.select(F.col("doc_b").alias(self.id_col)).distinct()
         return self._wrap(self.df.join(drop, self.id_col, "left_anti"))
 
+    def normalize(self) -> "CorpusFlow":
+        """NFKC-lite unicode/whitespace fold (functions/normalize.py) —
+        runs FIRST in a real chain so dedup keys see canonical text."""
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions import normalize as _norm
+
+        return self._wrap(
+            self.df.withColumn(
+                self.text_col, _norm.normalize_text(F.col(self.text_col))
+            )
+        )
+
+    def c4(self) -> "CorpusFlow":
+        """C4 line/page cleaning REWRITE (functions/c4.py): drops failing
+        pages and replaces text with the kept lines."""
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions import c4 as _c4
+
+        cleaned = _c4.c4_clean(self.df, self.text_col, self.id_col)
+        return self._wrap(
+            cleaned.filter(F.col("keep_doc"))
+            .withColumn(self.text_col, F.col("cleaned"))
+            .drop("n_lines", "n_kept_lines", "keep_doc", "cleaned")
+        )
+
+    def temperature(self, total_k: int, alpha: float = 0.5, stratum: str = "lang") -> "CorpusFlow":
+        """Temperature language resampling (UniMax law) — quotas derived
+        from the current frame's per-stratum counts."""
+        from amadeus_spark.operators import sampling as _sampling
+
+        return self._wrap(
+            _sampling.temperature_mixture(
+                self.df, stratum, self.id_col, total_k, alpha
+            )
+        )
+
+    def chunk(self, window: int = 64, stride: int = 48) -> "CorpusFlow":
+        """Sliding-window chunking: text becomes per-chunk rows (the
+        id column stays; chunk_id disambiguates)."""
+        from pyspark.sql import functions as F
+
+        from amadeus_spark.functions import text as _text
+
+        chunks = _text.chunk_docs(
+            self.df, window, stride, self.id_col, self.text_col
+        )
+        return self._wrap(
+            chunks.withColumn(self.text_col, F.col("chunk_text")).drop(
+                "chunk_text", "chunk_start", "n_chunk_tokens"
+            )
+        )
+
     def mixture(self, total_k: int, weights: dict[str, float], stratum: str = "lang") -> "CorpusFlow":
         from amadeus_spark.operators import sampling as _sampling
 

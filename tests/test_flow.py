@@ -133,3 +133,26 @@ def test_corpus_flow_chain(spark):
 
     tb = CorpusFlow(docs).token_budget({"en": 2000, "de": 800})
     assert set(r["lang"] for r in tb.to_df().select("lang").distinct().collect()) == {"en", "de"}
+
+
+def test_corpusflow_r8_stages_compose(spark):
+    """normalize -> c4 -> chunk -> temperature chain end-to-end: every
+    stage stays lazy, the terminal frame is consistent."""
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.flow import CorpusFlow
+
+    good = "alpha beta gamma delta epsilon zeta."
+    rows = [
+        (i, "en" if i % 2 else "de", "“" + good + "”\n" + good + "\n" + good)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    flow = CorpusFlow(docs).normalize().c4().chunk(window=4, stride=3)
+    df = flow.to_df()
+    assert "chunk_id" in df.columns
+    out = df.collect()
+    assert len(out) > 40  # chunking multiplies rows
+    assert all('“' not in r["text"] for r in out)  # normalized
+    picked = CorpusFlow(docs).normalize().c4().temperature(10).to_df().collect()
+    assert 0 < len(picked) <= 12
