@@ -2717,12 +2717,12 @@ def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: deterministic mojibake/noise synthesis for the normalization gate —
 #: smart quotes + em dash, NBSP + zero-width space, a BEL control char
-#: (chr(7): ASCII, portable — only >255 wraps in Spark), ellipsis +
-#: space runs, and an untouched branch. Shared VERBATIM by both engines.
+#: (chr(7): ASCII, portable — only >255 wraps in Spark) plus mojibake
+#: marker bytes, ellipsis + space runs, and an untouched branch. Shared VERBATIM by both engines.
 _NOISE_CASE = """CASE CAST(doc_id % 5 AS INT)
     WHEN 0 THEN concat('“', text, '” — fin')
     WHEN 1 THEN concat('a b​', text)
-    WHEN 2 THEN concat('x', chr(7), 'y ', text)
+    WHEN 2 THEN concat('x', chr(7), 'y aÃ©b â€™s ', text)
     WHEN 3 THEN concat(text, ' …  tail  end')
     ELSE text
 END"""

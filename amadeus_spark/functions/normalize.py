@@ -87,6 +87,9 @@ def normalize_report(
             F.sum(
                 (F.col("__raw_len") - F.length("__norm")).cast("bigint")
             ).alias("chars_removed"),
+            F.sum(mojibake_flag(F.col("__raw")).cast("bigint")).alias(
+                "n_mojibake"
+            ),
             F.sum(F.expr(hs)).cast("long").alias("content_sum"),
         )
         .orderBy(stream_col)
@@ -115,6 +118,35 @@ SELECT {stream_col},
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(CASE WHEN n <> raw THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
        CAST(SUM(raw_len - length(n)) AS BIGINT) AS chars_removed,
+       CAST(SUM(CASE WHEN {mojibake_flag_sql("raw")} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_mojibake,
        CAST(SUM({hd}) AS BIGINT) AS content_sum
 FROM staged GROUP BY {stream_col} ORDER BY {stream_col}
 """
+
+
+# ----- mojibake detection ---------------------------------------------------
+
+#: high-signal double-encoded-UTF-8 sequences (ftfy's classic cases:
+#: 'Ã©' = é through latin-1, 'â€™' = right single quote, 'â€œ'/'â€'
+#: = curly doubles, 'Â ' = NBSP remnant). Detection only — real repair
+#: needs byte-level re-encode, which is a Pandas-UDF job, not a regex.
+MOJIBAKE_MARKERS = ("Ã©", "Ã¤", "Ã¶", "Ã¼", "â€™", "â€œ", "â€\x9d", "Â ")
+
+
+def mojibake_flag(col: Column) -> Column:
+    """True when the text carries a classic double-encoding artifact."""
+    cond = None
+    for m in MOJIBAKE_MARKERS:
+        c = F.contains(col, F.lit(m))
+        cond = c if cond is None else (cond | c)
+    return cond
+
+
+def mojibake_flag_sql(col_sql: str) -> str:
+    """DuckDB twin — same marker constants."""
+    parts = []
+    for m in MOJIBAKE_MARKERS:
+        esc = m.replace("'", "''")
+        parts.append(f"contains({col_sql}, '{esc}')")
+    return "(" + " OR ".join(parts) + ")"

@@ -30,3 +30,19 @@ def test_idempotent(spark):
     noisy = "“a” —  b…\nc"
     once = _norm(spark, noisy)
     assert _norm(spark, once) == once
+
+
+def test_mojibake_detection(spark):
+    from amadeus_spark.functions.normalize import mojibake_flag
+
+    df = spark.createDataFrame(
+        [(1, "clean text"), (2, "cafÃ© bad"), (3, "itâ€™s broken")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", mojibake_flag(F.col("text")).alias("m")
+        ).collect()
+    }
+    assert got == {1: False, 2: True, 3: True}
