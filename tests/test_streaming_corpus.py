@@ -197,3 +197,43 @@ def test_streaming_bloom_decontaminate_matches_batch(spark, doc_stream_dir):
         }
         if sh & probes:
             assert got[r["doc_id"]], r["doc_id"]
+
+
+def test_stateless_cleaning_stages_batch_equals_stream(spark, doc_stream_dir):
+    """normalize_text and c4_clean are stateless projections, so they
+    must run unchanged on a stream and agree with batch row-for-row
+    (the batch==stream discipline for every new map-only operator)."""
+    from amadeus_spark.functions.c4 import c4_clean
+    from amadeus_spark.functions.normalize import normalize_text
+
+    def stage(df):
+        cleaned = c4_clean(
+            df.withColumn("text", normalize_text(F.col("text")))
+        )
+        return cleaned.select("doc_id", "keep_doc", "cleaned")
+
+    batch = {
+        r["doc_id"]: (r["keep_doc"], r["cleaned"])
+        for r in stage(spark.read.parquet(doc_stream_dir)).collect()
+    }
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_stream_dir)
+    )
+    q = (
+        stage(stream)
+        .writeStream.format("memory")
+        .queryName("clean_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["keep_doc"], r["cleaned"])
+            for r in spark.sql("SELECT * FROM clean_stream").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch and len(got) > 0
