@@ -1,0 +1,256 @@
+"""Manifest-based versioned tables — snapshot isolation, time travel,
+and stats-pruned copy-on-write upserts on plain parquet ("Delta-lite").
+
+Beyond the reference (its storage model is stateless file scans,
+SURVEY §1.3); included because a 100 TB training-data pipeline is an
+INCREMENTAL system: the corpus is re-ingested, re-deduped and re-mixed
+daily, and consumers (snapshot_diff, incremental near-dup, shard
+export) need a consistent snapshot while writers land the next
+version. This module supplies the minimal, public table-format
+contract the lakehouse formats (Delta/Iceberg/Hudi) standardize:
+
+- a table is ``root/data/commit-vN/`` parquet directories plus
+  ``root/_manifests/vN.json`` manifest files;
+- a manifest lists the data FILES of that snapshot with per-file row
+  counts and per-column min/max stats captured at commit time;
+- readers resolve a manifest (latest or pinned ``version=``) and read
+  exactly its files — writers never mutate visible state;
+- commits are optimistic: the manifest is staged and RENAMED into
+  place; rename-onto-existing fails, so two racing writers conflict
+  instead of corrupting (the merge_upsert swap discipline — all
+  mutation through the Hadoop FileSystem API, file/hdfs/s3a alike);
+- upserts are copy-on-write at FILE granularity: manifest stats prune
+  the rewrite set to files whose key range intersects the update, so
+  a 1%-of-keys update rewrites ~1% of files; untouched files are
+  carried into the new manifest BY REFERENCE (zero data movement).
+
+Stats live in the manifest, not in footers-at-read-time: at 100 TB,
+opening 10⁶ footers to plan a merge is itself a job; the manifest read
+is one small JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amadeus_spark.operators.storage import _hadoop_fs
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+
+
+def _jpath(spark: SparkSession, path: str):
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    from pyarrow import fs as pafs
+
+    uri = f"{root}/{MANIFEST_DIR}/v{version}.json"
+    fs, rel = pafs.FileSystem.from_uri(
+        uri if "://" in uri else f"file://{uri}"
+    )
+    with fs.open_input_file(rel) as f:
+        return json.loads(f.read().decode("utf-8"))
+
+
+def _write_manifest_atomic(
+    spark: SparkSession, root: str, version: int, manifest: dict
+) -> None:
+    fs, _ = _hadoop_fs(spark, root)
+    mdir = f"{root}/{MANIFEST_DIR}"
+    fs.mkdirs(_jpath(spark, mdir))
+    tmp = _jpath(spark, f"{mdir}/.tmp-{uuid.uuid4().hex}.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        out.close()
+    final = _jpath(spark, f"{mdir}/v{version}.json")
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise RuntimeError(
+            f"concurrent commit: version {version} already exists at {mdir}"
+        )
+
+
+def current_version(spark: SparkSession, root: str) -> int:
+    """Latest committed version, or -1 for a nonexistent table."""
+    fs, _ = _hadoop_fs(spark, root)
+    mdir = _jpath(spark, f"{root}/{MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return -1
+    best = -1
+    for status in fs.listStatus(mdir):
+        name = status.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            try:
+                best = max(best, int(name[1:-5]))
+            except ValueError:
+                continue
+    return best
+
+
+def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
+    """Per-file rows + min/max stats from the just-written footers —
+    read ONCE at commit time (bounded by the commit's file count),
+    then served from the manifest forever."""
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(
+        commit_dir if "://" in commit_dir else f"file://{commit_dir}"
+    )
+    entries = []
+    for info in fs.get_file_info(pafs.FileSelector(rel)):
+        if not info.path.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(fs.open_input_file(info.path)).metadata
+        stats: dict[str, list] = {}
+        schema_names = md.schema.to_arrow_schema().names
+        for ci, name in enumerate(schema_names):
+            if name not in stats_cols:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stats[name] = [min(mins), max(maxs)]
+        entries.append(
+            {
+                "path": os.path.basename(info.path),
+                "dir": os.path.basename(commit_dir.rstrip("/")),
+                "rows": md.num_rows,
+                "stats": stats,
+            }
+        )
+    return entries
+
+
+def _commit(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    keep_files: list[dict],
+    op: str,
+    stats_cols: list[str],
+) -> int:
+    version = current_version(spark, root) + 1
+    commit_dir = f"{root}/{DATA_DIR}/commit-v{version}"
+    new_files: list[dict] = []
+    if df is not None:
+        df.write.mode("errorifexists").parquet(commit_dir)
+        new_files = _file_entries(commit_dir, stats_cols)
+    manifest = {
+        "version": version,
+        "op": op,
+        "stats_cols": stats_cols,
+        "files": keep_files + new_files,
+    }
+    _write_manifest_atomic(spark, root, version, manifest)
+    return version
+
+
+def commit_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Append a new snapshot = previous files + this commit's files."""
+    cur = current_version(spark, root)
+    prev = _read_manifest(spark, root, cur) if cur >= 0 else None
+    keep = prev["files"] if prev else []
+    cols = stats_cols or (prev["stats_cols"] if prev else [])
+    return _commit(spark, root, df, keep, "append", cols)
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read — exactly the manifest's files; ``version=None``
+    resolves latest at CALL time and stays pinned (snapshot isolation:
+    later commits never leak into this DataFrame)."""
+    v = current_version(spark, root) if version is None else version
+    if v < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    man = _read_manifest(spark, root, v)
+    paths = [
+        f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in man["files"]
+    ]
+    if not paths:
+        return spark.createDataFrame([], "dummy string").limit(0)
+    return spark.read.parquet(*paths)
+
+
+def commit_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key_col: str,
+) -> tuple[int, int, int]:
+    """Copy-on-write MERGE by key with FILE-LEVEL stats pruning: only
+    files whose manifest [min,max] range of ``key_col`` intersects the
+    update's key range are rewritten (anti-join survivors + updates);
+    every other file carries over by reference. Returns (new_version,
+    files_rewritten, files_carried)."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    man = _read_manifest(spark, root, cur)
+    if key_col not in man["stats_cols"]:
+        raise ValueError(
+            f"{key_col} has no manifest stats (stats_cols="
+            f"{man['stats_cols']}); re-create the table with it"
+        )
+    bounds = updates.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    touched, kept = [], []
+    for e in man["files"]:
+        st = e["stats"].get(key_col)
+        if lo is None or st is None or (st[0] <= hi and lo <= st[1]):
+            touched.append(e)
+        else:
+            kept.append(e)
+    if touched:
+        paths = [
+            f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
+        ]
+        survivors = spark.read.parquet(*paths).join(
+            updates.select(key_col).distinct(), key_col, "left_anti"
+        )
+        merged = survivors.unionByName(updates)
+    else:
+        merged = updates
+    v = _commit(
+        spark, root, merged, kept, "upsert", man["stats_cols"]
+    )
+    return v, len(touched), len(kept)
+
+
+def history(spark: SparkSession, root: str) -> list[dict]:
+    """Commit log: version, op, file and row counts per snapshot."""
+    out = []
+    for v in range(current_version(spark, root) + 1):
+        m = _read_manifest(spark, root, v)
+        out.append(
+            {
+                "version": v,
+                "op": m["op"],
+                "n_files": len(m["files"]),
+                "n_rows": sum(e["rows"] for e in m["files"]),
+            }
+        )
+    return out

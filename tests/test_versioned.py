@@ -1,0 +1,79 @@
+"""Versioned-table contract: snapshot isolation, time travel, file-level
+stats-pruned copy-on-write, optimistic-commit conflicts."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from amadeus_spark.operators import versioned as V
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vt")
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr(
+        "id AS k", f"'{tag}' AS v"
+    )
+
+
+def test_append_time_travel_and_isolation(spark, root):
+    v0 = V.commit_append(spark, root, _df(spark, 0, 100, "a"), ["k"])
+    snap0 = V.read_version(spark, root)  # pinned at v0
+    v1 = V.commit_append(spark, root, _df(spark, 100, 150, "b"))
+    assert (v0, v1) == (0, 1)
+    # the pinned snapshot must NOT see the later commit
+    assert snap0.count() == 100
+    assert V.read_version(spark, root).count() == 150
+    assert V.read_version(spark, root, 0).count() == 100
+    hist = V.history(spark, root)
+    assert [h["op"] for h in hist] == ["append", "append"]
+    assert hist[1]["n_rows"] == 150
+
+
+def test_upsert_prunes_by_file_stats(spark, root):
+    # 4 disjoint key-range commits -> 4+ files with disjoint stats
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            _df(spark, lo, lo + 100, "base").coalesce(1), ["k"],
+        )
+    before = {
+        (e["dir"], e["path"])
+        for e in V._read_manifest(spark, root, 3)["files"]
+    }
+    updates = _df(spark, 250, 260, "new")
+    v, rewritten, carried = V.commit_upsert(spark, root, updates, "k")
+    # only the file covering [200,300) intersects the update range
+    assert rewritten == 1 and carried == 3
+    after = V._read_manifest(spark, root, v)["files"]
+    # carried files are the SAME physical files (by reference)
+    assert sum((e["dir"], e["path"]) in before for e in after) == 3
+    df = V.read_version(spark, root)
+    assert df.count() == 400
+    got = {r["k"]: r["v"] for r in df.filter("k >= 245 and k < 265").collect()}
+    assert all(got[k] == "new" for k in range(250, 260))
+    assert all(got[k] == "base" for k in list(range(245, 250)) + list(range(260, 265)))
+    # time travel still serves the pre-merge content
+    old = V.read_version(spark, root, 3)
+    assert {r["v"] for r in old.filter("k = 255").collect()} == {"base"}
+
+
+def test_concurrent_commit_conflicts(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 10, "a"), ["k"])
+    # simulate a racing writer landing v1 first
+    man = V._read_manifest(spark, root, 0)
+    man["version"] = 1
+    V._write_manifest_atomic(spark, root, 1, man)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V._write_manifest_atomic(spark, root, 1, man)
+
+
+def test_upsert_requires_stats(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 10, "a"), stats_cols=[])
+    with pytest.raises(ValueError, match="no manifest stats"):
+        V.commit_upsert(spark, root, _df(spark, 0, 1, "n"), "k")
