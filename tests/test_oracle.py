@@ -59,6 +59,12 @@ ROWS_ONLY = {
     # k-means clustering isn't SQL; pinned against numpy brute force in
     # tests/test_similarity.py.
     "semantic_dedup",
+    # merge-order-dependent sketch centroids; tests/test_tdigest.py pins
+    # rank-error and state bounds instead.
+    "tdigest_quantiles",
+    # float gradient sums are partition-order dependent; out-of-sample
+    # learning pinned in tests/test_classifier.py.
+    "quality_classifier",
     # iterative batched-greedy merge learning isn't SQL; pinned against
     # a pure-Python reimplementation in tests/test_bpe_learn.py.
     "bpe_learn",
