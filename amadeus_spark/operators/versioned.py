@@ -176,18 +176,42 @@ def commit_append(
 
 
 def read_version(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    key_range: tuple | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Snapshot read — exactly the manifest's files; ``version=None``
     resolves latest at CALL time and stays pinned (snapshot isolation:
-    later commits never leak into this DataFrame)."""
+    later commits never leak into this DataFrame).
+
+    ``key_range=(lo, hi)`` with ``key_col`` applies MANIFEST-stats file
+    skipping before the scan even plans — the read-side twin of the
+    upsert pruning: files whose [min,max] misses the range never reach
+    Spark, which at 100 TB is the difference between listing a million
+    files and reading the three that matter. (Parquet row-group skipping
+    still applies inside the files that survive; callers add the
+    matching .filter() for row-level pruning.)"""
     v = current_version(spark, root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     man = _read_manifest(spark, root, v)
-    paths = [
-        f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in man["files"]
-    ]
+    files = man["files"]
+    if key_range is not None:
+        if key_col is None or key_col not in man["stats_cols"]:
+            raise ValueError(
+                f"key_range needs key_col with manifest stats "
+                f"(stats_cols={man['stats_cols']})"
+            )
+        lo, hi = key_range
+        files = [
+            e
+            for e in files
+            if e["stats"].get(key_col) is None
+            or (e["stats"][key_col][0] <= hi and lo <= e["stats"][key_col][1])
+        ]
+    paths = [f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in files]
     if not paths:
         return spark.createDataFrame([], "dummy string").limit(0)
     return spark.read.parquet(*paths)

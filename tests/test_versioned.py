@@ -77,3 +77,19 @@ def test_upsert_requires_stats(spark, root):
     V.commit_append(spark, root, _df(spark, 0, 10, "a"), stats_cols=[])
     with pytest.raises(ValueError, match="no manifest stats"):
         V.commit_upsert(spark, root, _df(spark, 0, 1, "n"), "k")
+
+
+def test_read_side_stats_pruning(spark, root):
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            _df(spark, lo, lo + 100, "base").coalesce(1), ["k"],
+        )
+    pruned = V.read_version(spark, root, key_range=(110, 120), key_col="k")
+    # only the [100,200) file survives the manifest skip
+    assert len(pruned.inputFiles()) == 1
+    assert pruned.count() == 100
+    rows = pruned.filter("k between 110 and 120").count()
+    assert rows == 11
+    with pytest.raises(ValueError, match="key_range needs key_col"):
+        V.read_version(spark, root, key_range=(1, 2))
