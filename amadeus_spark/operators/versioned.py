@@ -264,11 +264,179 @@ def commit_upsert(
     return v, len(touched), len(kept)
 
 
+def apply_changes(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> tuple[int, int, int]:
+    """CDC changelog apply — fold a batch of keyed change events
+    (upserts + deletes) into the next snapshot, LATEST-WINS per key.
+    The lakehouse MERGE-from-changefeed shape (Delta CDF / Hudi upsert
+    / Iceberg merge-on-read compaction all materialize exactly this):
+    a 100 TB corpus is refreshed from change streams, not rebuilt.
+
+    ``changes`` carries the table's payload columns plus ``ts_col``
+    (event order) and ``op_col``; rows whose op equals ``delete_op``
+    remove the key, anything else upserts the payload. Multiple events
+    per key resolve to the single latest by (ts, op, payload) —
+    the trailing columns make the winner total-order deterministic
+    when a key carries tied timestamps.
+
+    File-level pruning as commit_upsert: only files whose manifest
+    [min,max] of ``key_col`` intersects the CHANGE KEY RANGE are
+    rewritten (survivors anti-join + surviving upserts); everything
+    else carries by reference. A delete whose key hits no file is a
+    no-op, an upsert for an absent key is an insert — no read-first
+    existence check, so the apply is one bounded job regardless of
+    table size. Returns (new_version, n_upserts, n_deletes)."""
+    from pyspark.sql import Window
+
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    man = _read_manifest(spark, root, cur)
+    if key_col not in man["stats_cols"]:
+        raise ValueError(
+            f"{key_col} has no manifest stats (stats_cols="
+            f"{man['stats_cols']})"
+        )
+    payload_cols = [c for c in changes.columns if c not in (ts_col, op_col)]
+    w = Window.partitionBy(key_col).orderBy(
+        *(
+            F.desc(c)
+            for c in [ts_col, op_col]
+            + [c for c in payload_cols if c != key_col]
+        )
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", ts_col)
+    )
+    # one pass over the (small) change batch: key bounds + op counts
+    latest = latest.persist()
+    agg = latest.agg(
+        F.min(key_col).alias("lo"),
+        F.max(key_col).alias("hi"),
+        F.sum((F.col(op_col) == delete_op).cast("bigint")).alias("nd"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi = agg["lo"], agg["hi"]
+    n_deletes = int(agg["nd"] or 0)
+    n_upserts = int(agg["n"]) - n_deletes
+    touched, kept = [], []
+    for e in man["files"]:
+        st = e["stats"].get(key_col)
+        if lo is None or st is None or (st[0] <= hi and lo <= st[1]):
+            touched.append(e)
+        else:
+            kept.append(e)
+    upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
+    if touched:
+        paths = [f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched]
+        survivors = spark.read.parquet(*paths).join(
+            latest.select(key_col).distinct(), key_col, "left_anti"
+        )
+        merged = survivors.unionByName(upserts)
+    else:
+        merged = upserts
+    v = _commit(spark, root, merged, kept, "cdc", man["stats_cols"])
+    latest.unpersist()
+    return v, n_upserts, n_deletes
+
+
+def optimize(
+    spark: SparkSession, root: str, target_mb: int = 256
+) -> tuple[int, int, int]:
+    """Small-file compaction as a COMMIT: rewrite the current
+    snapshot's data into ~``target_mb`` range-sorted files (sorted by
+    the first stats column so manifest min/max pruning tightens, not
+    degrades) and publish it as the next version. Old versions stay
+    time-travelable — compaction is a new manifest, never an in-place
+    rewrite (the versioned twin of storage.compact_files, which
+    overwrites plain directories). Returns (new_version, files_before,
+    files_after)."""
+    import math as _math
+
+    from pyarrow import fs as pafs
+
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    man = _read_manifest(spark, root, cur)
+    total = 0
+    fs_, _rel = pafs.FileSystem.from_uri(
+        root if "://" in root else f"file://{root}"
+    )
+    for e in man["files"]:
+        info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
+        total += info.size or 0
+    n_out = max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
+    df = read_version(spark, root, cur)
+    key = man["stats_cols"][0] if man["stats_cols"] else None
+    out = (
+        df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+        if key
+        else df.repartition(n_out)
+    )
+    v = _commit(spark, root, out, [], "optimize", man["stats_cols"])
+    new_files = len(_read_manifest(spark, root, v)["files"])
+    return v, len(man["files"]), new_files
+
+
+def vacuum(
+    spark: SparkSession, root: str, keep_last: int = 1
+) -> tuple[int, int]:
+    """Reclaim space: delete manifests older than the newest
+    ``keep_last`` versions and every data file no kept manifest
+    references. Time travel below the cutoff stops working — that is
+    the point (at 100 TB, carrying every historical copy-on-write
+    snapshot forever IS the storage bill). All deletion goes through
+    the Hadoop FileSystem API (file/hdfs/s3a alike). Returns
+    (manifests_deleted, data_files_deleted)."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    cutoff = cur - keep_last + 1
+    keep_refs: set[tuple[str, str]] = set()
+    for v in range(max(0, cutoff), cur + 1):
+        for e in _read_manifest(spark, root, v)["files"]:
+            keep_refs.add((e["dir"], e["path"]))
+    fs, _ = _hadoop_fs(spark, root)
+    n_manifests = 0
+    for v in range(0, max(0, cutoff)):
+        p = _jpath(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
+        if fs.exists(p):
+            fs.delete(p, False)
+            n_manifests += 1
+    n_data = 0
+    ddir = _jpath(spark, f"{root}/{DATA_DIR}")
+    if fs.exists(ddir):
+        for commit_status in fs.listStatus(ddir):
+            cname = commit_status.getPath().getName()
+            for st in fs.listStatus(commit_status.getPath()):
+                fname = st.getPath().getName()
+                if fname.endswith(".parquet") and (cname, fname) not in keep_refs:
+                    fs.delete(st.getPath(), False)
+                    n_data += 1
+            if not list(fs.listStatus(commit_status.getPath())):
+                fs.delete(commit_status.getPath(), True)
+    return n_manifests, n_data
+
+
 def history(spark: SparkSession, root: str) -> list[dict]:
-    """Commit log: version, op, file and row counts per snapshot."""
+    """Commit log: version, op, file and row counts per snapshot.
+    Versions whose manifest was vacuumed away are omitted."""
     out = []
     for v in range(current_version(spark, root) + 1):
-        m = _read_manifest(spark, root, v)
+        try:
+            m = _read_manifest(spark, root, v)
+        except (FileNotFoundError, OSError):
+            continue
         out.append(
             {
                 "version": v,

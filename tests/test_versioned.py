@@ -79,6 +79,94 @@ def test_upsert_requires_stats(spark, root):
         V.commit_upsert(spark, root, _df(spark, 0, 1, "n"), "k")
 
 
+def test_cdc_apply_latest_wins_and_prunes(spark, root):
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            _df(spark, lo, lo + 100, "base").coalesce(1), ["k"],
+        )
+    # change batch confined to [200,300): two events for k=250 (the
+    # later ts wins), deletes for k=260/275, an upsert for an ABSENT
+    # key (k=450 — inside the [300,400) stats range? no: it exceeds it,
+    # so it lands as a pure insert with no file rewrite needed beyond
+    # the range intersection), and a delete for an absent key (no-op
+    # row-wise, still counted as a delete event)
+    changes = spark.createDataFrame(
+        [
+            (250, "stale", 1, "U"),
+            (250, "fresh", 2, "U"),
+            (260, None, 1, "D"),
+            (299, "edge", 1, "U"),
+            (275, None, 1, "D"),
+            (450, "insert", 1, "U"),
+            (999, None, 1, "D"),
+        ],
+        "k long, v string, ts long, op string",
+    )
+    v, n_up, n_del = V.apply_changes(spark, root, changes, "k", "ts")
+    assert (n_up, n_del) == (3, 3)
+    man = V._read_manifest(spark, root, v)
+    # files outside [250,999] ([0,100) and [100,200)) carry by reference
+    assert sum(e["dir"] != f"commit-v{v}" for e in man["files"]) == 2
+    df = V.read_version(spark, root)
+    got = {
+        r["k"]: r["v"]
+        for r in df.filter("k in (250, 260, 275, 299, 450, 999)").collect()
+    }
+    assert got == {250: "fresh", 299: "edge", 450: "insert"}
+    # 400 base - 2 real deletes (260, 275) + 1 insert (450)
+    assert df.count() == 399
+    # time travel: pre-CDC snapshot intact
+    assert V.read_version(spark, root, v - 1).count() == 400
+
+
+def test_optimize_compacts_into_new_version(spark, root):
+    for lo in (0, 50, 100, 150):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
+        )
+    v, before, after = V.optimize(spark, root, target_mb=256)
+    assert before == 4 and after == 1
+    df = V.read_version(spark, root)
+    assert df.count() == 200
+    # stats survive compaction (range-sorted rewrite) -> pruning works
+    pruned = V.read_version(spark, root, key_range=(0, 10), key_col="k")
+    assert len(pruned.inputFiles()) == 1
+    # old version still time-travelable
+    assert V.read_version(spark, root, v - 1).count() == 200
+
+
+def test_vacuum_reclaims_unreferenced(spark, root):
+    for lo in (0, 50):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
+        )
+    V.optimize(spark, root)  # v2 references only its own files
+    n_man, n_data = V.vacuum(spark, root, keep_last=1)
+    assert n_man == 2 and n_data == 2
+    assert V.read_version(spark, root).count() == 100  # current fine
+    assert [h["version"] for h in V.history(spark, root)] == [2]
+    with pytest.raises((FileNotFoundError, OSError)):
+        V.read_version(spark, root, 0)
+
+
+def test_vacuum_keeps_referenced_carryovers(spark, root):
+    # an upsert CARRIES files from older commit dirs by reference —
+    # vacuum must not delete a carried file just because its commit
+    # directory is older than the cutoff
+    for lo in (0, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 100, "base").coalesce(1), ["k"]
+        )
+    V.commit_upsert(spark, root, _df(spark, 150, 160, "new"), "k")
+    n_man, n_data = V.vacuum(spark, root, keep_last=1)
+    assert n_man == 2
+    assert n_data == 1  # only the REWRITTEN [100,200) original dies
+    df = V.read_version(spark, root)
+    assert df.count() == 200
+    assert df.filter("k < 100").count() == 100  # carried file intact
+
+
 def test_read_side_stats_pruning(spark, root):
     for lo in (0, 100, 200, 300):
         V.commit_append(
