@@ -144,6 +144,7 @@ def _commit(
     keep_files: list[dict],
     op: str,
     stats_cols: list[str],
+    extra: dict | None = None,
 ) -> int:
     version = current_version(spark, root) + 1
     commit_dir = f"{root}/{DATA_DIR}/commit-v{version}"
@@ -156,6 +157,7 @@ def _commit(
         "op": op,
         "stats_cols": stats_cols,
         "files": keep_files + new_files,
+        **(extra or {}),
     }
     _write_manifest_atomic(spark, root, version, manifest)
     return version
@@ -272,6 +274,7 @@ def apply_changes(
     ts_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    extra_meta: dict | None = None,
 ) -> tuple[int, int, int]:
     """CDC changelog apply — fold a batch of keyed change events
     (upserts + deletes) into the next snapshot, LATEST-WINS per key.
@@ -344,7 +347,9 @@ def apply_changes(
         merged = survivors.unionByName(upserts)
     else:
         merged = upserts
-    v = _commit(spark, root, merged, kept, "cdc", man["stats_cols"])
+    v = _commit(
+        spark, root, merged, kept, "cdc", man["stats_cols"], extra_meta
+    )
     latest.unpersist()
     return v, n_upserts, n_deletes
 

@@ -443,3 +443,63 @@ def run_cdc_upsert_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cdc_versioned_sink(
+    stream_df: DataFrame,
+    root: str,
+    key_col: str,
+    ts_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    app_id: str = "cdc-stream",
+) -> None:
+    """CDC changefeed -> VERSIONED table: each micro-batch folds into
+    the manifest table as one new snapshot version
+    (operators/versioned.apply_changes — latest-wins per key, file-
+    level stats pruning, deletes honored), so downstream readers get
+    snapshot isolation and time travel over the live feed.
+
+    EXACTLY-ONCE across crash/replay by transaction metadata, the
+    public Delta ``txnAppId``/``txnVersion`` idempotency pattern: the
+    committed manifest records {app_id: epoch_id}; a replayed batch
+    whose epoch is <= the recorded high-water mark for this ``app_id``
+    is skipped instead of double-applied (foreachBatch is otherwise
+    at-least-once between the commit and the checkpoint write). The
+    txn map carries forward commit-to-commit through this sink; a
+    caveat the Delta pattern shares: restarting the stream with a NEW
+    checkpoint restarts epoch numbering at 0, so its early batches
+    read as replays — keep the checkpoint with the table, or change
+    ``app_id``. Runs with availableNow to completion."""
+    from amadeus_spark.operators import versioned as V
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        cur = V.current_version(spark, root)
+        txn: dict = {}
+        if cur >= 0:
+            man = V._read_manifest(spark, root, cur)
+            txn = dict(man.get("txn", {}))
+            if app_id in txn and epoch_id <= txn[app_id]:
+                return  # replayed batch — already committed
+        txn[app_id] = epoch_id
+        V.apply_changes(
+            spark,
+            root,
+            batch_df,
+            key_col,
+            ts_col,
+            op_col=op_col,
+            delete_op=delete_op,
+            extra_meta={"txn": txn},
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", root.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

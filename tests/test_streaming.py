@@ -318,6 +318,58 @@ def test_cdc_upsert_sink_matches_batch_merge(spark, tmp_path):
     assert before_c == after_c  # partition c never touched
 
 
+def test_cdc_versioned_sink_commits_and_replays_idempotently(spark, tmp_path):
+    """Streaming CDC -> versioned table: one manifest version per
+    micro-batch, final state == one-shot latest-wins fold, and a FULL
+    REPLAY (checkpoint lost, epochs restart) re-commits NOTHING — the
+    txn high-water mark in the manifest (Delta txnAppId/txnVersion
+    pattern) makes the sink exactly-once, not at-least-once."""
+    import shutil
+
+    from amadeus_spark.operators import versioned as V
+
+    root = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(k, "base") for k in range(10)], "k long, v string"
+    )
+    V.commit_append(spark, root, base.coalesce(1), ["k"])
+
+    ch_dir = str(tmp_path / "changes")
+    # two single-file waves in event-time order (later file = later ts)
+    spark.createDataFrame(
+        [(1, "w1", 1, "U"), (2, None, 1, "D")],
+        "k long, v string, ts long, op string",
+    ).coalesce(1).write.json(ch_dir)
+    spark.createDataFrame(
+        [(1, "w2", 2, "U"), (5, None, 2, "D"), (42, "new", 2, "U")],
+        "k long, v string, ts long, op string",
+    ).coalesce(1).write.mode("append").json(ch_dir)
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string, ts long, op string")
+            .option("maxFilesPerTrigger", 1)
+            .json(ch_dir)
+        )
+        ev.run_cdc_versioned_sink(stream, root, "k", "ts")
+
+    run()
+    v_after = V.current_version(spark, root)
+    assert v_after == 2  # base + one commit per micro-batch
+    final = {r.k: r.v for r in V.read_version(spark, root).collect()}
+    assert final[1] == "w2" and final[42] == "new"
+    assert 2 not in final and 5 not in final
+    assert len(final) == 10 - 2 + 1
+    assert V._read_manifest(spark, root, v_after)["txn"] == {"cdc-stream": 1}
+
+    # lose the checkpoint -> full replay; epochs restart at 0 and the
+    # txn guard must skip both batches (no new versions, same state)
+    shutil.rmtree(root + "__ckpt")
+    run()
+    assert V.current_version(spark, root) == v_after
+    assert {r.k: r.v for r in V.read_version(spark, root).collect()} == final
+
+
 def test_streaming_group_sample_matches_batch_sink(spark, event_stream_dir):
     """Streaming per-group exact-k sample == the batch group_by_sink
     sample over the same rows (the determinism that makes the batch
