@@ -76,20 +76,20 @@ def salted_join(
     return out.drop("__salt")
 
 
-def zorder_write(
+def zorder_layout(
     df: DataFrame,
-    path: str,
     cols: list[str],
     n_files: int = 16,
     bits_per_dim: int = 8,
-) -> None:
+) -> DataFrame:
     """Z-order (Morton-curve) data layout for multi-dimensional data
     skipping — the lakehouse OPTIMIZE ZORDER BY technique, hand-rolled
     on open Spark: map each clustering column to its quantile bucket
     (cut points from approxQuantile — a bounded driver-side array, no
     global sort), interleave the bucket bits into one Morton key, then
-    repartitionByRange + sortWithinPartitions on that key before
-    writing parquet.
+    repartitionByRange + sortWithinPartitions on that key. Returns the
+    laid-out frame; the caller writes it (plain dir via zorder_write,
+    versioned snapshot via versioned.optimize).
 
     Why it matters at 100 TB: parquet row-group pruning uses per-file
     min/max. Range-partitioning by ONE column makes only that column's
@@ -117,14 +117,25 @@ def zorder_write(
         for b in range(bits_per_dim):
             bit = F.shiftright(bucket, b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * len(cols) + d))
-    (
+    return (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits_per_dim: int = 8,
+) -> None:
+    """:func:`zorder_layout` + overwrite-write to a plain parquet dir."""
+    zorder_layout(df, cols, n_files, bits_per_dim).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def _hadoop_fs(spark: SparkSession, path: str):

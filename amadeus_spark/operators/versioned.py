@@ -355,12 +355,21 @@ def apply_changes(
 
 
 def optimize(
-    spark: SparkSession, root: str, target_mb: int = 256
+    spark: SparkSession,
+    root: str,
+    target_mb: int = 256,
+    zorder_cols: list[str] | None = None,
+    n_files: int | None = None,
 ) -> tuple[int, int, int]:
     """Small-file compaction as a COMMIT: rewrite the current
-    snapshot's data into ~``target_mb`` range-sorted files (sorted by
-    the first stats column so manifest min/max pruning tightens, not
-    degrades) and publish it as the next version. Old versions stay
+    snapshot's data into ~``target_mb`` files and publish it as the
+    next version. Default layout range-sorts by the first stats column
+    (manifest min/max pruning tightens, never degrades); with
+    ``zorder_cols`` the rewrite is Morton-interleaved instead
+    (storage.zorder_layout — the OPTIMIZE ZORDER BY shape), making
+    EVERY clustering column's per-file range narrow simultaneously,
+    and those columns join the manifest's stats_cols so read-side
+    key_range pruning works on each of them. Old versions stay
     time-travelable — compaction is a new manifest, never an in-place
     rewrite (the versioned twin of storage.compact_files, which
     overwrites plain directories). Returns (new_version, files_before,
@@ -380,15 +389,25 @@ def optimize(
     for e in man["files"]:
         info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
         total += info.size or 0
-    n_out = max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
+    # n_files overrides the size-derived count (tests / fixed layouts)
+    n_out = n_files or max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
     df = read_version(spark, root, cur)
-    key = man["stats_cols"][0] if man["stats_cols"] else None
-    out = (
-        df.repartitionByRange(n_out, key).sortWithinPartitions(key)
-        if key
-        else df.repartition(n_out)
-    )
-    v = _commit(spark, root, out, [], "optimize", man["stats_cols"])
+    stats_cols = man["stats_cols"]
+    if zorder_cols:
+        from amadeus_spark.operators.storage import zorder_layout
+
+        out = zorder_layout(df, zorder_cols, n_out)
+        stats_cols = stats_cols + [
+            c for c in zorder_cols if c not in stats_cols
+        ]
+    else:
+        key = stats_cols[0] if stats_cols else None
+        out = (
+            df.repartitionByRange(n_out, key).sortWithinPartitions(key)
+            if key
+            else df.repartition(n_out)
+        )
+    v = _commit(spark, root, out, [], "optimize", stats_cols)
     new_files = len(_read_manifest(spark, root, v)["files"])
     return v, len(man["files"]), new_files
 

@@ -136,6 +136,31 @@ def test_optimize_compacts_into_new_version(spark, root):
     assert V.read_version(spark, root, v - 1).count() == 200
 
 
+def test_optimize_zorder_prunes_on_every_dim(spark, root):
+    """OPTIMIZE ZORDER BY on a versioned table: after a Morton rewrite
+    across two DECORRELATED columns, manifest key_range pruning skips
+    files on EITHER column — the property a single-column range sort
+    cannot give (its second dim spans the full range in every file).
+    The zorder columns also join stats_cols."""
+    df = spark.range(0, 400).selectExpr(
+        "id AS k", "(id * 7) % 400 AS y", "'x' AS v"
+    )
+    V.commit_append(spark, root, df.coalesce(1), ["k"])
+    v, before, after = V.optimize(
+        spark, root, zorder_cols=["k", "y"], n_files=4
+    )
+    assert after == 4
+    man = V._read_manifest(spark, root, v)
+    assert set(man["stats_cols"]) == {"k", "y"}
+    total = len(V.read_version(spark, root).inputFiles())
+    for col in ("k", "y"):
+        hit = V.read_version(
+            spark, root, key_range=(0, 40), key_col=col
+        )
+        assert len(hit.inputFiles()) < total, col
+        assert hit.filter(f"{col} between 0 and 40").count() == 41
+
+
 def test_vacuum_reclaims_unreferenced(spark, root):
     for lo in (0, 50):
         V.commit_append(
