@@ -87,9 +87,11 @@ def train_hashed_lr(
         bw = w  # captured by value in the closure below
 
         def grad_pass(batches):
+            # gradient only — no per-row loss bookkeeping: the caller
+            # normalizes by the precomputed n_total and never read the
+            # loss/n columns, so two np.log calls per row per step were
+            # pure dead work in the innermost training loop
             g = np.zeros(dim + 1)
-            loss = 0.0
-            n = 0
             for pdf in batches:
                 feats = _hash_tokens(pdf["__t"], dim)
                 ys = pdf["__y"].to_numpy()
@@ -102,18 +104,9 @@ def train_hashed_lr(
                     for i, v in fdict.items():
                         g[i] += err * v
                     g[dim] += err
-                    loss += -(
-                        y * np.log(max(p, 1e-12))
-                        + (1 - y) * np.log(max(1 - p, 1e-12))
-                    )
-                    n += 1
-            yield pd.DataFrame(
-                {"g": [g.tobytes()], "loss": [loss], "n": [n]}
-            )
+            yield pd.DataFrame({"g": [g.tobytes()]})
 
-        parts = data.mapInPandas(
-            grad_pass, schema="g binary, loss double, n long"
-        ).collect()
+        parts = data.mapInPandas(grad_pass, schema="g binary").collect()
         g = np.zeros(dim + 1)
         for r in parts:
             g += np.frombuffer(r["g"], dtype=np.float64)

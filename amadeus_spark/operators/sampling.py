@@ -397,8 +397,12 @@ def temperature_mixture(
     keeps WindowGroupLimit active so map tasks truncate before the
     shuffle; the table is scanned twice (counts + rank), never thrice.
 
-    Long headroom: total_k·W_l ≤ total_k·c_l·1e6 — exact below ~9.2e18,
-    i.e. any corpus count at total_k ≤ 1e6 with alpha ≤ 1."""
+    Overflow: the quota numerator total_k·W_l·2 exceeds BIGINT at
+    realistic corpus scale (total_k=1e6 × a 5M-doc stratum at alpha=1
+    → 1e19 > 9.2e18; Spark 4 ANSI throws, DuckDB silently widens), so
+    the arithmetic runs in 128-bit integers in BOTH engines —
+    DECIMAL(38,0) in Spark, HUGEINT in DuckDB, exact to ~1e38 — and
+    only the final quota casts back to BIGINT."""
     from pyspark.sql import Window
 
     wfrag = _temp_weight_frag("__c", alpha)
@@ -409,9 +413,10 @@ def temperature_mixture(
         weights.crossJoin(F.broadcast(total))
         .select(
             stratum,
-            # round-half-up(total_k * W / S) in pure BIGINT math
+            # round-half-up(total_k * W / S) in exact 128-bit math
             F.expr(
-                f"CAST(({total_k} * __w * 2 + __sw) div (__sw * 2) AS BIGINT)"
+                f"CAST((CAST({total_k} AS DECIMAL(38,0)) * __w * 2 + __sw)"
+                f" div (__sw * 2) AS BIGINT)"
             ).alias("__quota"),
         )
     )
@@ -448,7 +453,7 @@ def temperature_mixture_oracle(
         ) t
         JOIN (
             SELECT {stratum} AS __qs,
-                   CAST(({total_k} * __w * 2 + __sw)
+                   CAST((CAST({total_k} AS HUGEINT) * __w * 2 + __sw)
                         // (__sw * 2) AS BIGINT) AS __quota
             FROM (
                 SELECT {stratum}, {wfrag} AS __w,

@@ -48,13 +48,23 @@ def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
 
-def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+def _arrow_fs(uri: str):
+    """pyarrow ``(fs, path)`` for a table URI. ``s3a://`` — the JVM/
+    Hadoop spelling Spark writes through — maps to pyarrow's native
+    ``s3://`` client over the SAME objects (the read_warc streaming
+    posture; pyarrow rejects the s3a scheme outright); bare paths get
+    ``file://``."""
     from pyarrow import fs as pafs
 
-    uri = f"{root}/{MANIFEST_DIR}/v{version}.json"
-    fs, rel = pafs.FileSystem.from_uri(
-        uri if "://" in uri else f"file://{uri}"
-    )
+    if uri.startswith("s3a://"):
+        uri = "s3://" + uri[len("s3a://"):]
+    elif "://" not in uri:
+        uri = f"file://{uri}"
+    return pafs.FileSystem.from_uri(uri)
+
+
+def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    fs, rel = _arrow_fs(f"{root}/{MANIFEST_DIR}/v{version}.json")
     with fs.open_input_file(rel) as f:
         return json.loads(f.read().decode("utf-8"))
 
@@ -96,36 +106,76 @@ def current_version(spark: SparkSession, root: str) -> int:
     return best
 
 
+def _stat_jsonable(v):
+    """Manifest stats must survive json.dumps AND compare consistently
+    with query bounds: native JSON scalars pass through; date/datetime
+    become ISO strings (lexicographic order == chronological order, and
+    :func:`_bound` maps query values into the same form). Anything else
+    (bytes, Decimal, ...) returns None — the column simply gets no
+    stats, which is the CONSERVATIVE direction (no stats = the file is
+    never pruned), never a crash after the data already landed."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for range pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return None
+
+
+def _bound(v):
+    """Map a pruning-bound value into manifest-stats space (see
+    :func:`_stat_jsonable`)."""
+    import datetime as _dt
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    return v
+
+
 def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
     """Per-file rows + min/max stats from the just-written footers —
     read ONCE at commit time (bounded by the commit's file count),
-    then served from the manifest forever."""
+    then served from the manifest forever. Stats come from PARQUET LEAF
+    columns matched by their dotted path (a top-level primitive's path
+    is its name) — matching by arrow top-level position misaligns as
+    soon as any earlier column is nested, silently attributing a struct
+    field's min/max to the wrong column and corrupting every pruning
+    decision downstream."""
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
 
-    fs, rel = pafs.FileSystem.from_uri(
-        commit_dir if "://" in commit_dir else f"file://{commit_dir}"
-    )
+    fs, rel = _arrow_fs(commit_dir)
     entries = []
     for info in fs.get_file_info(pafs.FileSelector(rel)):
         if not info.path.endswith(".parquet"):
             continue
         md = pq.ParquetFile(fs.open_input_file(info.path)).metadata
         stats: dict[str, list] = {}
-        schema_names = md.schema.to_arrow_schema().names
-        for ci, name in enumerate(schema_names):
-            if name not in stats_cols:
-                continue
-            mins, maxs = [], []
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    mins, maxs = [], []
-                    break
-                mins.append(st.min)
-                maxs.append(st.max)
-            if mins:
-                stats[name] = [min(mins), max(maxs)]
+        if md.num_row_groups and stats_cols:
+            leaf_paths = [
+                md.row_group(0).column(ci).path_in_schema
+                for ci in range(md.num_columns)
+            ]
+            for name in stats_cols:
+                if name not in leaf_paths:
+                    continue  # nested/absent column -> no stats
+                ci = leaf_paths.index(name)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        mins, maxs = [], []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    lo = _stat_jsonable(min(mins))
+                    hi = _stat_jsonable(max(maxs))
+                    if lo is not None and hi is not None:
+                        stats[name] = [lo, hi]
         entries.append(
             {
                 "path": os.path.basename(info.path),
@@ -146,7 +196,17 @@ def _commit(
     stats_cols: list[str],
     extra: dict | None = None,
 ) -> int:
-    version = current_version(spark, root) + 1
+    cur = current_version(spark, root)
+    version = cur + 1
+    # streaming txn high-water marks (run_cdc_versioned_sink) survive
+    # interleaved maintenance commits: carry the previous manifest's
+    # txn map forward and overlay this commit's, else an optimize/
+    # append between two micro-batches would silently drop the replay
+    # guard and re-open the at-least-once window
+    txn: dict = {}
+    if cur >= 0:
+        txn = dict(_read_manifest(spark, root, cur).get("txn", {}))
+    txn.update((extra or {}).get("txn", {}))
     commit_dir = f"{root}/{DATA_DIR}/commit-v{version}"
     new_files: list[dict] = []
     if df is not None:
@@ -159,6 +219,8 @@ def _commit(
         "files": keep_files + new_files,
         **(extra or {}),
     }
+    if txn:
+        manifest["txn"] = txn
     _write_manifest_atomic(spark, root, version, manifest)
     return version
 
@@ -206,7 +268,7 @@ def read_version(
                 f"key_range needs key_col with manifest stats "
                 f"(stats_cols={man['stats_cols']})"
             )
-        lo, hi = key_range
+        lo, hi = _bound(key_range[0]), _bound(key_range[1])
         files = [
             e
             for e in files
@@ -215,6 +277,16 @@ def read_version(
         ]
     paths = [f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in files]
     if not paths:
+        if man["files"]:
+            # every file pruned: keep the TABLE's schema (a fabricated
+            # one breaks the caller's row-level .filter()/select) by
+            # planning one real file and keeping zero of its rows
+            first = man["files"][0]
+            return (
+                spark.read.parquet(
+                    f"{root}/{DATA_DIR}/{first['dir']}/{first['path']}"
+                ).limit(0)
+            )
         return spark.createDataFrame([], "dummy string").limit(0)
     return spark.read.parquet(*paths)
 
@@ -242,7 +314,7 @@ def commit_upsert(
     bounds = updates.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
-    lo, hi = bounds["lo"], bounds["hi"]
+    lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
     touched, kept = [], []
     for e in man["files"]:
         st = e["stats"].get(key_col)
@@ -328,7 +400,7 @@ def apply_changes(
         F.sum((F.col(op_col) == delete_op).cast("bigint")).alias("nd"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
-    lo, hi = agg["lo"], agg["hi"]
+    lo, hi = _bound(agg["lo"]), _bound(agg["hi"])
     n_deletes = int(agg["nd"] or 0)
     n_upserts = int(agg["n"]) - n_deletes
     touched, kept = [], []
@@ -339,18 +411,25 @@ def apply_changes(
         else:
             kept.append(e)
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
-    if touched:
-        paths = [f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched]
-        survivors = spark.read.parquet(*paths).join(
-            latest.select(key_col).distinct(), key_col, "left_anti"
+    try:
+        if touched:
+            paths = [
+                f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
+            ]
+            survivors = spark.read.parquet(*paths).join(
+                latest.select(key_col).distinct(), key_col, "left_anti"
+            )
+            merged = survivors.unionByName(upserts)
+        else:
+            merged = upserts
+        v = _commit(
+            spark, root, merged, kept, "cdc", man["stats_cols"], extra_meta
         )
-        merged = survivors.unionByName(upserts)
-    else:
-        merged = upserts
-    v = _commit(
-        spark, root, merged, kept, "cdc", man["stats_cols"], extra_meta
-    )
-    latest.unpersist()
+    finally:
+        # unpersist on failure too: a long-lived streaming driver
+        # calling this per micro-batch would otherwise leak one cached
+        # frame per commit conflict / write failure
+        latest.unpersist()
     return v, n_upserts, n_deletes
 
 
@@ -376,16 +455,12 @@ def optimize(
     files_after)."""
     import math as _math
 
-    from pyarrow import fs as pafs
-
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     man = _read_manifest(spark, root, cur)
     total = 0
-    fs_, _rel = pafs.FileSystem.from_uri(
-        root if "://" in root else f"file://{root}"
-    )
+    fs_, _rel = _arrow_fs(root)
     for e in man["files"]:
         info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
         total += info.size or 0
@@ -428,8 +503,13 @@ def vacuum(
     cutoff = cur - keep_last + 1
     keep_refs: set[tuple[str, str]] = set()
     for v in range(max(0, cutoff), cur + 1):
-        for e in _read_manifest(spark, root, v)["files"]:
+        try:
+            man = _read_manifest(spark, root, v)
+        except (FileNotFoundError, OSError):
+            continue  # already vacuumed under a narrower keep window
+        for e in man["files"]:
             keep_refs.add((e["dir"], e["path"]))
+    kept_dirs = {d for d, _ in keep_refs}
     fs, _ = _hadoop_fs(spark, root)
     n_manifests = 0
     for v in range(0, max(0, cutoff)):
@@ -442,13 +522,23 @@ def vacuum(
     if fs.exists(ddir):
         for commit_status in fs.listStatus(ddir):
             cname = commit_status.getPath().getName()
+            if cname not in kept_dirs:
+                # no kept manifest references ANYTHING here: count its
+                # parquet files, then drop the whole directory so the
+                # _SUCCESS/.crc markers go with it (a parquet-only
+                # delete left every dir alive forever)
+                n_data += sum(
+                    1
+                    for st in fs.listStatus(commit_status.getPath())
+                    if st.getPath().getName().endswith(".parquet")
+                )
+                fs.delete(commit_status.getPath(), True)
+                continue
             for st in fs.listStatus(commit_status.getPath()):
                 fname = st.getPath().getName()
                 if fname.endswith(".parquet") and (cname, fname) not in keep_refs:
                     fs.delete(st.getPath(), False)
                     n_data += 1
-            if not list(fs.listStatus(commit_status.getPath())):
-                fs.delete(commit_status.getPath(), True)
     return n_manifests, n_data
 
 

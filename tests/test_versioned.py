@@ -192,6 +192,118 @@ def test_vacuum_keeps_referenced_carryovers(spark, root):
     assert df.filter("k < 100").count() == 100  # carried file intact
 
 
+def test_stats_align_past_nested_columns(spark, root):
+    """Manifest stats must come from the parquet LEAF column whose
+    dotted path equals the stats column — indexing by arrow top-level
+    position attributes a struct field's min/max to the key as soon as
+    a nested column precedes it, and the resulting wrong [min,max]
+    silently mis-prunes every merge (stale rows survive upserts)."""
+    df = spark.range(0, 100).selectExpr(
+        "named_struct('a', id + 1000, 'b', id + 5000) AS meta",
+        "id AS k",
+        "'x' AS v",
+    )
+    V.commit_append(spark, root, df.coalesce(1), ["k"])
+    st = V._read_manifest(spark, root, 0)["files"][0]["stats"]
+    assert st["k"] == [0, 99]  # NOT meta.b's [5000, 5099]
+    # and the merge machinery prunes correctly over it
+    V.commit_append(
+        spark,
+        root,
+        spark.range(200, 300).selectExpr(
+            "named_struct('a', id, 'b', id) AS meta", "id AS k", "'x' AS v"
+        ).coalesce(1),
+    )
+    upd = spark.range(250, 252).selectExpr(
+        "named_struct('a', id, 'b', id) AS meta", "id AS k", "'new' AS v"
+    )
+    v, rewritten, carried = V.commit_upsert(spark, root, upd, "k")
+    assert (rewritten, carried) == (1, 1)
+    got = V.read_version(spark, root)
+    assert got.filter("v = 'new'").count() == 2
+    assert got.count() == 200
+
+
+def test_pruned_to_zero_keeps_table_schema(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(1), ["k"])
+    empty = V.read_version(spark, root, key_range=(500, 600), key_col="k")
+    assert empty.columns == ["k", "v"]
+    # the row-level filter the docstring prescribes must resolve
+    assert empty.filter("k between 500 and 600").count() == 0
+
+
+def test_date_stats_prune_and_survive_json(spark, root):
+    """date/timestamp stats columns serialize as ISO strings in the
+    manifest (raw datetime crashes json.dumps AFTER the data landed)
+    and pruning bounds map into the same space."""
+    import datetime
+
+    df = spark.sql(
+        "SELECT sequence(DATE'2024-01-01', DATE'2024-01-10')[CAST(id AS INT)]"
+        " AS d, id AS k FROM range(0, 10)"
+    )
+    V.commit_append(spark, root, df.coalesce(1), ["d"])
+    st = V._read_manifest(spark, root, 0)["files"][0]["stats"]
+    assert st["d"] == ["2024-01-01", "2024-01-10"]
+    hit = V.read_version(
+        spark,
+        root,
+        key_range=(datetime.date(2024, 1, 2), datetime.date(2024, 1, 3)),
+        key_col="d",
+    )
+    assert hit.count() == 10  # file-level: the one file intersects
+    miss = V.read_version(
+        spark,
+        root,
+        key_range=(datetime.date(2025, 1, 1), datetime.date(2025, 2, 1)),
+        key_col="d",
+    )
+    assert len(miss.inputFiles()) == 0 or miss.count() == 0
+
+
+def test_vacuum_twice_with_wider_window(spark, root):
+    """A vacuum whose keep window reaches below a PREVIOUS vacuum's
+    cutoff must skip the already-deleted manifests, not crash."""
+    for lo in (0, 50, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
+        )
+    V.vacuum(spark, root, keep_last=1)  # drops manifests v0, v1
+    V.commit_append(spark, root, _df(spark, 150, 200, "a").coalesce(1))
+    n_man, n_data = V.vacuum(spark, root, keep_last=3)  # window spans v1+
+    assert n_man == 0 and n_data == 0  # nothing left to reclaim
+    assert V.read_version(spark, root).count() == 200
+
+
+def test_vacuum_removes_whole_dereferenced_dirs(spark, root):
+    import os
+
+    for lo in (0, 50):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
+        )
+    V.optimize(spark, root)
+    V.vacuum(spark, root, keep_last=1)
+    # _SUCCESS markers must not keep dereferenced commit dirs alive
+    dirs = sorted(os.listdir(f"{root}/data"))
+    assert dirs == ["commit-v2"]
+
+
+def test_txn_marks_survive_maintenance_commits(spark, root):
+    """The streaming replay guard's {app_id: epoch} high-water mark
+    carries through optimize/append commits — otherwise maintenance
+    between micro-batches silently re-opens the at-least-once window."""
+    V.commit_append(spark, root, _df(spark, 0, 50, "a").coalesce(1), ["k"])
+    ch = spark.createDataFrame(
+        [(1, "w", 1, "U")], "k long, v string, ts long, op string"
+    )
+    V.apply_changes(spark, root, ch, "k", "ts", extra_meta={"txn": {"app": 7}})
+    V.optimize(spark, root)
+    V.commit_append(spark, root, _df(spark, 100, 110, "b"))
+    cur = V.current_version(spark, root)
+    assert V._read_manifest(spark, root, cur)["txn"] == {"app": 7}
+
+
 def test_read_side_stats_pruning(spark, root):
     for lo in (0, 100, 200, 300):
         V.commit_append(
