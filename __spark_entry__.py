@@ -2987,6 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_user_episodes": q_scd2_user_episodes,
         "weighted_sample": q_weighted_sample,
         "data_expectations": q_data_expectations,
+        # new-in-r8 storage machinery — gated immediately (an external
+        # rows+schema+hash row on its FIRST round; displaces one
+        # r6-green timeseries query to position 51)
+        "cdc_apply": q_cdc_apply,
         # (d) r4/r5-green natives deferred one round in r7 — rotated back
         "inner_join": q_inner_join,
         "left_join": q_left_join,
@@ -3077,9 +3081,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_any": q_all_any,
         "sort_n_by": q_sort_n_by,
         "distinct_count": q_distinct_count,
-        # (f) new in round 8, below the gate (locally oracle-checked;
-        # rotates under the gate next round)
-        "cdc_apply": q_cdc_apply,
         # --- rows-only tail (no SQL oracle by nature) ---
         "multimodal_features": q_multimodal_features,
         "media_frame_sample": q_media_frame_sample,
