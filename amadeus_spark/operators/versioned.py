@@ -135,6 +135,17 @@ def _bound(v):
     return v
 
 
+def _manifest_schema(man: dict):
+    """StructType from the manifest's stored schema, or None for
+    manifests written before schemas were recorded."""
+    sj = man.get("schema")
+    if not sj:
+        return None
+    from pyspark.sql.types import StructType
+
+    return StructType.fromJson(json.loads(sj))
+
+
 def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
     """Per-file rows + min/max stats from the just-written footers —
     read ONCE at commit time (bounded by the commit's file count),
@@ -204,11 +215,21 @@ def _commit(
     # append between two micro-batches would silently drop the replay
     # guard and re-open the at-least-once window
     txn: dict = {}
+    prev_schema = None
     if cur >= 0:
-        txn = dict(_read_manifest(spark, root, cur).get("txn", {}))
+        prev = _read_manifest(spark, root, cur)
+        txn = dict(prev.get("txn", {}))
+        prev_schema = prev.get("schema")
     txn.update((extra or {}).get("txn", {}))
     commit_dir = f"{root}/{DATA_DIR}/commit-v{version}"
     new_files: list[dict] = []
+    # SCHEMA lives in the manifest (the lakehouse contract): readers
+    # plan against it instead of merging 10^6 footers, old files
+    # missing a later-added column surface NULLs through it, and each
+    # snapshot time-travels with the schema it was written under.
+    # This commit's DataFrame defines the snapshot's schema; a df-less
+    # commit carries the previous one.
+    schema_json = df.schema.json() if df is not None else prev_schema
     if df is not None:
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = _file_entries(commit_dir, stats_cols)
@@ -219,6 +240,8 @@ def _commit(
         "files": keep_files + new_files,
         **(extra or {}),
     }
+    if schema_json:
+        manifest["schema"] = schema_json
     if txn:
         manifest["txn"] = txn
     _write_manifest_atomic(spark, root, version, manifest)
@@ -276,11 +299,14 @@ def read_version(
             or (e["stats"][key_col][0] <= hi and lo <= e["stats"][key_col][1])
         ]
     paths = [f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in files]
+    schema = _manifest_schema(man)
     if not paths:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         if man["files"]:
-            # every file pruned: keep the TABLE's schema (a fabricated
-            # one breaks the caller's row-level .filter()/select) by
-            # planning one real file and keeping zero of its rows
+            # pre-schema manifest: keep the TABLE's schema (a
+            # fabricated one breaks the caller's row-level .filter())
+            # by planning one real file and keeping zero of its rows
             first = man["files"][0]
             return (
                 spark.read.parquet(
@@ -288,6 +314,10 @@ def read_version(
                 ).limit(0)
             )
         return spark.createDataFrame([], "dummy string").limit(0)
+    if schema is not None:
+        # plan against the MANIFEST schema: no footer merging, and
+        # files older than a later-added column read it as NULL
+        return spark.read.schema(schema).parquet(*paths)
     return spark.read.parquet(*paths)
 
 
@@ -322,14 +352,20 @@ def commit_upsert(
             touched.append(e)
         else:
             kept.append(e)
+    schema = _manifest_schema(man)
     if touched:
         paths = [
             f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
         ]
-        survivors = spark.read.parquet(*paths).join(
+        # survivors read through the manifest schema (mixed-vintage
+        # files agree on columns; schema-less sampling would pick one
+        # file's shape); allowMissingColumns lets updates ADD a column
+        # — survivors surface NULL for it (schema evolution)
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        survivors = reader.parquet(*paths).join(
             updates.select(key_col).distinct(), key_col, "left_anti"
         )
-        merged = survivors.unionByName(updates)
+        merged = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
     v = _commit(
@@ -411,15 +447,21 @@ def apply_changes(
         else:
             kept.append(e)
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
+    schema = _manifest_schema(man)
     try:
         if touched:
             paths = [
                 f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
             ]
-            survivors = spark.read.parquet(*paths).join(
+            # manifest-schema read + allowMissingColumns: same schema-
+            # evolution contract as commit_upsert (see there)
+            reader = (
+                spark.read.schema(schema) if schema is not None else spark.read
+            )
+            survivors = reader.parquet(*paths).join(
                 latest.select(key_col).distinct(), key_col, "left_anti"
             )
-            merged = survivors.unionByName(upserts)
+            merged = survivors.unionByName(upserts, allowMissingColumns=True)
         else:
             merged = upserts
         v = _commit(

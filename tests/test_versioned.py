@@ -304,6 +304,50 @@ def test_txn_marks_survive_maintenance_commits(spark, root):
     assert V._read_manifest(spark, root, cur)["txn"] == {"app": 7}
 
 
+def test_schema_evolution_add_column(spark, root):
+    """Schema lives in the manifest (no footer merging): a later
+    commit may ADD a column; old files read NULL for it through the
+    manifest schema, each snapshot time-travels with the schema it was
+    written under, and merges accept updates that carry the new
+    column."""
+    V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(1), ["k"])
+    widened = spark.range(100, 200).selectExpr(
+        "id AS k", "'b' AS v", "id * 2 AS score"
+    )
+    V.commit_append(spark, root, widened.coalesce(1))
+    cur = V.read_version(spark, root)
+    assert cur.columns == ["k", "v", "score"]
+    assert cur.filter("k < 100 AND score IS NULL").count() == 100
+    assert cur.filter("k >= 100 AND score = k * 2").count() == 100
+    # time travel: v0 still has its own 2-column shape
+    assert V.read_version(spark, root, 0).columns == ["k", "v"]
+    # CDC upsert touching an OLD file carries the new column as NULL
+    ch = spark.createDataFrame(
+        [(5, "new", 55, 1, "U")],
+        "k long, v string, score long, ts long, op string",
+    )
+    V.apply_changes(spark, root, ch, "k", "ts")
+    final = V.read_version(spark, root)
+    assert final.count() == 200
+    row = final.filter("k = 5").collect()[0]
+    assert (row["v"], row["score"]) == ("new", 55)
+    assert final.filter("k = 6 AND score IS NULL AND v = 'a'").count() == 1
+
+
+def test_pruned_to_zero_uses_manifest_schema(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(1), ["k"])
+    V.commit_append(
+        spark,
+        root,
+        spark.range(100, 110).selectExpr(
+            "id AS k", "'b' AS v", "id AS extra"
+        ).coalesce(1),
+    )
+    empty = V.read_version(spark, root, key_range=(900, 999), key_col="k")
+    assert empty.columns == ["k", "v", "extra"]
+    assert empty.count() == 0
+
+
 def test_read_side_stats_pruning(spark, root):
     for lo in (0, 100, 200, 300):
         V.commit_append(
