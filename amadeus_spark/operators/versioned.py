@@ -146,6 +146,69 @@ def _manifest_schema(man: dict):
     return StructType.fromJson(json.loads(sj))
 
 
+def _reader(spark: SparkSession, man: dict):
+    """The one schema-evolution read contract: plan against the
+    manifest schema when recorded (mixed-vintage files agree on
+    columns, old files read NULL for later-added ones, no footer
+    merging), plain reader for pre-schema manifests."""
+    schema = _manifest_schema(man)
+    return spark.read.schema(schema) if schema is not None else spark.read
+
+
+def _evolve_schema(prev_json: str | None, new_struct) -> str:
+    """Widen-only schema evolution at commit time: the table schema is
+    the previous schema plus any NEW columns this commit adds — a
+    commit whose frame is NARROWER than the table (an insert-only CDC
+    batch, a partial append) must not silently drop columns table-wide
+    for every reader planning against the manifest. A TYPE change on
+    an existing column raises HERE, before any data lands: storing it
+    would brick every subsequent read of older files at scan time
+    ('Parquet column cannot be converted'), discovered only after the
+    bad version is already current."""
+    from pyspark.sql.types import StructType
+
+    if not prev_json:
+        return new_struct.json()
+    prev_struct = StructType.fromJson(json.loads(prev_json))
+    prev_by_name = {f.name: f for f in prev_struct.fields}
+    for f in new_struct.fields:
+        pf = prev_by_name.get(f.name)
+        # compare the PHYSICAL type (simpleString) — nullability flags
+        # on nested fields legitimately differ between frames that
+        # write byte-identical parquet, and the manifest schema reads
+        # everything nullable anyway
+        if pf is not None and (
+            pf.dataType.simpleString() != f.dataType.simpleString()
+        ):
+            raise ValueError(
+                f"type change for column {f.name!r}: table has "
+                f"{pf.dataType.simpleString()}, commit has "
+                f"{f.dataType.simpleString()} — versioned tables only "
+                "ADD columns; rewrite into a new table to retype"
+            )
+    merged = list(prev_struct.fields) + [
+        f for f in new_struct.fields if f.name not in prev_by_name
+    ]
+    return StructType(merged).json()
+
+
+def _require_full_rows(table_schema, update_cols: list[str], what: str) -> None:
+    """Upserts REPLACE the whole row: an update batch that omits an
+    existing table column would silently write NULL into it for every
+    updated key (allowMissingColumns fills the gap both ways) — a
+    malformed feed must raise, not destroy. Updates may still ADD
+    columns (schema evolution is widen-only)."""
+    if table_schema is None:
+        return
+    missing = [f.name for f in table_schema.fields if f.name not in update_cols]
+    if missing:
+        raise ValueError(
+            f"{what} omits existing table columns {missing}: an upsert "
+            "replaces the WHOLE row — carry them (explicit NULLs if "
+            "intended); only NEW columns may be introduced"
+        )
+
+
 def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
     """Per-file rows + min/max stats from the just-written footers —
     read ONCE at commit time (bounded by the commit's file count),
@@ -227,9 +290,11 @@ def _commit(
     # plan against it instead of merging 10^6 footers, old files
     # missing a later-added column surface NULLs through it, and each
     # snapshot time-travels with the schema it was written under.
-    # This commit's DataFrame defines the snapshot's schema; a df-less
-    # commit carries the previous one.
-    schema_json = df.schema.json() if df is not None else prev_schema
+    # Evolution is WIDEN-ONLY (see _evolve_schema — validated BEFORE
+    # data lands); a df-less commit carries the previous schema.
+    schema_json = (
+        _evolve_schema(prev_schema, df.schema) if df is not None else prev_schema
+    )
     if df is not None:
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = _file_entries(commit_dir, stats_cols)
@@ -314,11 +379,7 @@ def read_version(
                 ).limit(0)
             )
         return spark.createDataFrame([], "dummy string").limit(0)
-    if schema is not None:
-        # plan against the MANIFEST schema: no footer merging, and
-        # files older than a later-added column read it as NULL
-        return spark.read.schema(schema).parquet(*paths)
-    return spark.read.parquet(*paths)
+    return _reader(spark, man).parquet(*paths)
 
 
 def commit_upsert(
@@ -352,17 +413,16 @@ def commit_upsert(
             touched.append(e)
         else:
             kept.append(e)
-    schema = _manifest_schema(man)
+    _require_full_rows(_manifest_schema(man), updates.columns, "updates")
     if touched:
         paths = [
             f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
         ]
-        # survivors read through the manifest schema (mixed-vintage
-        # files agree on columns; schema-less sampling would pick one
-        # file's shape); allowMissingColumns lets updates ADD a column
-        # — survivors surface NULL for it (schema evolution)
-        reader = spark.read.schema(schema) if schema is not None else spark.read
-        survivors = reader.parquet(*paths).join(
+        # survivors read through the manifest schema (_reader);
+        # allowMissingColumns lets updates ADD a column — survivors
+        # surface NULL for it (widen-only schema evolution; the
+        # omit-a-column direction raised above)
+        survivors = _reader(spark, man).parquet(*paths).join(
             updates.select(key_col).distinct(), key_col, "left_anti"
         )
         merged = survivors.unionByName(updates, allowMissingColumns=True)
@@ -447,18 +507,15 @@ def apply_changes(
         else:
             kept.append(e)
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
-    schema = _manifest_schema(man)
+    _require_full_rows(_manifest_schema(man), payload_cols, "change payload")
     try:
         if touched:
             paths = [
                 f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
             ]
-            # manifest-schema read + allowMissingColumns: same schema-
-            # evolution contract as commit_upsert (see there)
-            reader = (
-                spark.read.schema(schema) if schema is not None else spark.read
-            )
-            survivors = reader.parquet(*paths).join(
+            # manifest-schema read + allowMissingColumns: same widen-
+            # only schema-evolution contract as commit_upsert
+            survivors = _reader(spark, man).parquet(*paths).join(
                 latest.select(key_col).distinct(), key_col, "left_anti"
             )
             merged = survivors.unionByName(upserts, allowMissingColumns=True)

@@ -82,9 +82,11 @@ def main(sf_dir: str) -> None:
             after.filter("quality IS NULL").count(),
         )
 
-        # 4. maintenance: Z-order-compact on (doc_id, lang) — every
-        #    clustering column prunes — then vacuum history. The stream's
-        #    replay guard survives both (txn carries through commits).
+        # 4. maintenance: range-compact on doc_id (zorder_cols takes
+        #    several NUMERIC columns when the table has them — every
+        #    clustering column then prunes), then vacuum history. The
+        #    stream's replay guard survives both (txn carries through
+        #    commits).
         v, n_before, n_after = V.optimize(
             spark, root, zorder_cols=["doc_id"], n_files=4
         )

@@ -15,11 +15,17 @@ def main() -> int:
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old = json.load(open(old_p))
     new = json.load(open(new_p))
-    oq, nq = old.get("queries", old), new.get("queries", new)
+    if "queries" not in old or "queries" not in new:
+        raise SystemExit(
+            "both inputs need a 'queries' map (bench_results.json shape)"
+        )
+    oq, nq = old["queries"], new["queries"]
 
     def val(d, k):
         v = d[k]
-        return v if isinstance(v, (int, float)) else v.get("median")
+        if isinstance(v, (int, float)):
+            return float(v)
+        return float(v.get("median", 0.0)) if isinstance(v, dict) else 0.0
 
     shared = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))

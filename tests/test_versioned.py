@@ -334,6 +334,55 @@ def test_schema_evolution_add_column(spark, root):
     assert final.filter("k = 6 AND score IS NULL AND v = 'a'").count() == 1
 
 
+def test_narrow_commit_never_drops_columns(spark, root):
+    """Schema evolution is WIDEN-ONLY: an insert batch narrower than
+    the table (touched=[] — brand-new key range) must not shrink the
+    manifest schema and vanish a column table-wide for every reader."""
+    wide = spark.range(0, 50).selectExpr(
+        "id AS k", "'a' AS v", "id * 2 AS score"
+    )
+    V.commit_append(spark, root, wide.coalesce(1), ["k"])
+    # append a narrower frame: existing columns survive, new rows NULL
+    V.commit_append(
+        spark, root,
+        spark.range(1000, 1010).selectExpr("id AS k", "'b' AS v").coalesce(1),
+    )
+    cur = V.read_version(spark, root)
+    assert cur.columns == ["k", "v", "score"]
+    assert cur.filter("k >= 1000 AND score IS NULL").count() == 10
+    assert cur.filter("k < 50 AND score = k * 2").count() == 50
+
+
+def test_type_change_raises_before_data_lands(spark, root):
+    import os
+
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    bad = spark.range(10, 20).selectExpr("id AS k", "CAST(id AS BIGINT) AS v")
+    with pytest.raises(ValueError, match="type change for column 'v'"):
+        V.commit_append(spark, root, bad)
+    # validation fired BEFORE the write: no orphan commit dir, table intact
+    assert sorted(os.listdir(f"{root}/data")) == ["commit-v0"]
+    assert V.read_version(spark, root).count() == 10
+
+
+def test_updates_omitting_columns_raise(spark, root):
+    """Full-row-replace contract: an update batch missing an existing
+    column must raise instead of silently NULLing it for every
+    updated key (the malformed-feed failure allowMissingColumns would
+    otherwise swallow)."""
+    wide = spark.range(0, 50).selectExpr(
+        "id AS k", "'a' AS v", "id * 2 AS score"
+    )
+    V.commit_append(spark, root, wide.coalesce(1), ["k"])
+    with pytest.raises(ValueError, match="omits existing table columns"):
+        V.commit_upsert(spark, root, _df(spark, 5, 6, "new"), "k")
+    ch = spark.createDataFrame(
+        [(5, "new", 1, "U")], "k long, v string, ts long, op string"
+    )
+    with pytest.raises(ValueError, match="omits existing table columns"):
+        V.apply_changes(spark, root, ch, "k", "ts")
+
+
 def test_pruned_to_zero_uses_manifest_schema(spark, root):
     V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(1), ["k"])
     V.commit_append(
