@@ -1,4 +1,4 @@
-"""Manifest-based versioned tables — snapshot isolation, time travel,
+"""Log-structured versioned tables — snapshot isolation, time travel,
 and stats-pruned copy-on-write upserts on plain parquet ("Delta-lite").
 
 Beyond the reference (its storage model is stateless file scans,
@@ -7,26 +7,50 @@ INCREMENTAL system: the corpus is re-ingested, re-deduped and re-mixed
 daily, and consumers (snapshot_diff, incremental near-dup, shard
 export) need a consistent snapshot while writers land the next
 version. This module supplies the minimal, public table-format
-contract the lakehouse formats (Delta/Iceberg/Hudi) standardize:
+contract the lakehouse formats (Delta/Iceberg/Hudi) standardize,
+with Delta's LOG SHAPE so the metadata path itself scales to 10^6
+files:
 
-- a table is ``root/data/commit-vN/`` parquet directories plus
-  ``root/_manifests/vN.json`` manifest files;
-- a manifest lists the data FILES of that snapshot with per-file row
-  counts and per-column min/max stats captured at commit time;
-- readers resolve a manifest (latest or pinned ``version=``) and read
+- a table is ``root/data/commit-*/`` parquet directories plus a
+  ``root/_manifests/`` commit log;
+- each commit publishes ONE small JSON segment ``vN.json`` holding
+  only that commit's DELTA — the files it ADDS (with per-file row
+  counts and per-column min/max stats) and the files it REMOVES —
+  plus the table schema, txn high-water marks, and running totals.
+  Commit bytes are O(batch), never O(table);
+- every ``CHECKPOINT_EVERY`` commits the full live-file index is also
+  written as a PARQUET checkpoint (``ckpt-vN.parquet``, one row per
+  file, typed min/max stat maps) by a distributed Spark job. Readers
+  resolve a version as: nearest checkpoint ≤ v (a DataFrame scan)
+  + the ≤ CHECKPOINT_EVERY JSON segments after it — the driver never
+  materializes the full file list to plan a pruned read or a merge;
+- file skipping (read-side ``key_range`` and merge-side rewrite
+  pruning) is a DataFrame FILTER over that index, so at 10^6 files
+  the pruning work itself is distributed; only the surviving file
+  paths are collected;
+- readers resolve a snapshot (latest or pinned ``version=``) and read
   exactly its files — writers never mutate visible state;
-- commits are optimistic: the manifest is staged and RENAMED into
-  place; rename-onto-existing fails, so two racing writers conflict
-  instead of corrupting (the merge_upsert swap discipline — all
-  mutation through the Hadoop FileSystem API, file/hdfs/s3a alike);
-- upserts are copy-on-write at FILE granularity: manifest stats prune
+- commits are optimistic: the segment is staged and PUBLISHED
+  fail-if-exists. On local filesystems the publish is an
+  ``os.link`` (atomic EEXIST on POSIX — plain rename OVERWRITES on
+  file://, so two racing local writers would otherwise both
+  "commit"); on hdfs:// / s3a:// it is a Hadoop rename onto a
+  checked-absent destination (rename-onto-existing fails on HDFS;
+  conflict detection on object stores is as good as their rename);
+- data lands under a UNIQUE staging directory name
+  (``commit-vN-<uuid>``) recorded in the manifest: a crashed or
+  losing concurrent commit leaves an orphan directory that can never
+  collide with a future commit's write (vacuum reclaims it), and a
+  losing commit cleans its own staging dir up;
+- upserts are copy-on-write at FILE granularity: index stats prune
   the rewrite set to files whose key range intersects the update, so
   a 1%-of-keys update rewrites ~1% of files; untouched files are
-  carried into the new manifest BY REFERENCE (zero data movement).
+  carried into the new snapshot BY REFERENCE (zero data movement,
+  zero manifest bytes — they are simply not removed).
 
-Stats live in the manifest, not in footers-at-read-time: at 100 TB,
-opening 10⁶ footers to plan a merge is itself a job; the manifest read
-is one small JSON.
+Stats live in the log, not in footers-at-read-time: at 100 TB,
+opening 10^6 footers to plan a merge is itself a job; footers are
+read once, at commit time, for the commit's own files only.
 """
 
 from __future__ import annotations
@@ -42,6 +66,23 @@ from amadeus_spark.operators.storage import _hadoop_fs
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+
+#: Write a parquet checkpoint of the full live-file index every this
+#: many commits. Between checkpoints a reader folds at most this many
+#: small JSON segments — the knob trades commit-time checkpoint cost
+#: against read-time segment folding (Delta's checkpointInterval).
+CHECKPOINT_EVERY = 16
+
+#: One row per live data file. Min/max stats are kept in TYPE-SPLIT
+#: maps (int / double / string) so pruning compares in the column's
+#: native order inside a Catalyst filter — a single stringly-typed map
+#: would order 9 > 10.
+_INDEX_SCHEMA = (
+    "dir string, path string, rows bigint, "
+    "stats_i map<string, array<bigint>>, "
+    "stats_d map<string, array<double>>, "
+    "stats_s map<string, array<string>>"
+)
 
 
 def _jpath(spark: SparkSession, path: str):
@@ -63,7 +104,17 @@ def _arrow_fs(uri: str):
     return pafs.FileSystem.from_uri(uri)
 
 
+def _is_local(root: str) -> bool:
+    return "://" not in root or root.startswith("file://")
+
+
+def _local_path(p: str) -> str:
+    return p[len("file://"):] if p.startswith("file://") else p
+
+
 def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
+    """One commit's log segment (schema/txn/op/totals + add/remove
+    deltas) — O(batch) bytes, NOT the full file list."""
     fs, rel = _arrow_fs(f"{root}/{MANIFEST_DIR}/v{version}.json")
     with fs.open_input_file(rel) as f:
         return json.loads(f.read().decode("utf-8"))
@@ -72,13 +123,40 @@ def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
 def _write_manifest_atomic(
     spark: SparkSession, root: str, version: int, manifest: dict
 ) -> None:
+    """Publish a segment fail-if-exists: the loser of a commit race
+    gets a 'concurrent commit' error, never a silent overwrite.
+
+    Local filesystems: write-temp + ``os.link`` — link(2) is atomic
+    and fails EEXIST on POSIX. (Hadoop's RawLocalFileSystem.rename
+    DELEGATES to rename(2), which happily replaces an existing
+    destination, so the rename discipline that protects HDFS gives no
+    protection on file://.) Remote filesystems: Hadoop create-temp +
+    rename onto a checked-absent destination (atomic-no-overwrite on
+    HDFS; best-available on object stores)."""
+    payload = json.dumps(manifest).encode("utf-8")
+    if _is_local(root):
+        mdir = _local_path(f"{root}/{MANIFEST_DIR}")
+        os.makedirs(mdir, exist_ok=True)
+        tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, os.path.join(mdir, f"v{version}.json"))
+        except FileExistsError:
+            raise RuntimeError(
+                f"concurrent commit: version {version} already exists "
+                f"at {mdir}"
+            )
+        finally:
+            os.unlink(tmp)
+        return
     fs, _ = _hadoop_fs(spark, root)
     mdir = f"{root}/{MANIFEST_DIR}"
     fs.mkdirs(_jpath(spark, mdir))
     tmp = _jpath(spark, f"{mdir}/.tmp-{uuid.uuid4().hex}.json")
     out = fs.create(tmp, True)
     try:
-        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        out.write(bytearray(payload))
     finally:
         out.close()
     final = _jpath(spark, f"{mdir}/v{version}.json")
@@ -89,55 +167,91 @@ def _write_manifest_atomic(
         )
 
 
-def current_version(spark: SparkSession, root: str) -> int:
-    """Latest committed version, or -1 for a nonexistent table."""
+def _list_log(spark: SparkSession, root: str) -> tuple[set[int], set[int]]:
+    """One listing of the log dir → (segment versions, checkpoint
+    versions). O(versions), the same cost class as Delta's log
+    listing."""
     fs, _ = _hadoop_fs(spark, root)
     mdir = _jpath(spark, f"{root}/{MANIFEST_DIR}")
+    segs: set[int] = set()
+    ckpts: set[int] = set()
     if not fs.exists(mdir):
-        return -1
-    best = -1
+        return segs, ckpts
     for status in fs.listStatus(mdir):
         name = status.getPath().getName()
-        if name.startswith("v") and name.endswith(".json"):
-            try:
-                best = max(best, int(name[1:-5]))
-            except ValueError:
-                continue
-    return best
+        try:
+            if name.startswith("v") and name.endswith(".json"):
+                segs.add(int(name[1:-5]))
+            elif name.startswith("ckpt-v") and name.endswith(".parquet"):
+                ckpts.add(int(name[len("ckpt-v"):-len(".parquet")]))
+        except ValueError:
+            continue
+    return segs, ckpts
+
+
+def _ckpt_path(root: str, version: int) -> str:
+    return f"{root}/{MANIFEST_DIR}/ckpt-v{version}.parquet"
+
+
+def _ckpt_complete(spark: SparkSession, root: str, version: int) -> bool:
+    """A checkpoint is only trusted with its _SUCCESS marker — a
+    crashed checkpoint write degrades readers to folding more
+    segments, never to a partial file list."""
+    fs, _ = _hadoop_fs(spark, root)
+    return fs.exists(_jpath(spark, f"{_ckpt_path(root, version)}/_SUCCESS"))
+
+
+def current_version(spark: SparkSession, root: str) -> int:
+    """Latest committed version, or -1 for a nonexistent table."""
+    segs, _ = _list_log(spark, root)
+    return max(segs, default=-1)
 
 
 def _stat_jsonable(v):
     """Manifest stats must survive json.dumps AND compare consistently
-    with query bounds: native JSON scalars pass through; date/datetime
-    become ISO strings (lexicographic order == chronological order, and
-    :func:`_bound` maps query values into the same form). Anything else
-    (bytes, Decimal, ...) returns None — the column simply gets no
-    stats, which is the CONSERVATIVE direction (no stats = the file is
-    never pruned), never a crash after the data already landed."""
+    with query bounds: native JSON scalars pass through; NAIVE
+    date/datetime become ISO strings (lexicographic order ==
+    chronological order, and :func:`_bound` maps query values into the
+    same form). TZ-AWARE datetimes return None — pyarrow surfaces
+    UTC-adjusted parquet timestamps (e.g. outputTimestampType=
+    TIMESTAMP_MICROS) as tz-aware, whose isoformat carries a '+00:00'
+    suffix and sits in a different frame than the naive session-local
+    datetimes Spark's collect() feeds _bound; comparing the two
+    misorders even equal instants, which silently mis-prunes merges
+    (stale rows survive). No stats = the file is never pruned — the
+    CONSERVATIVE direction, like every other unsupported type (bytes,
+    Decimal, ...), never a crash after the data already landed."""
     import datetime as _dt
 
     if isinstance(v, bool) or v is None:
         return None  # bool min/max is useless for range pruning
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        return None if v.tzinfo is not None else v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return None
 
 
 def _bound(v):
     """Map a pruning-bound value into manifest-stats space (see
-    :func:`_stat_jsonable`)."""
+    :func:`_stat_jsonable`). A tz-aware bound is normalized to naive
+    UTC — best effort against TIMESTAMP_NTZ stats; tz-aware COLUMNS
+    carry no stats at all, so no pruning decision rides on it."""
     import datetime as _dt
 
-    if isinstance(v, (_dt.datetime, _dt.date)):
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, _dt.date):
         return v.isoformat()
     return v
 
 
 def _manifest_schema(man: dict):
-    """StructType from the manifest's stored schema, or None for
-    manifests written before schemas were recorded."""
+    """StructType from the segment's stored schema."""
     sj = man.get("schema")
     if not sj:
         return None
@@ -212,7 +326,7 @@ def _require_full_rows(table_schema, update_cols: list[str], what: str) -> None:
 def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
     """Per-file rows + min/max stats from the just-written footers —
     read ONCE at commit time (bounded by the commit's file count),
-    then served from the manifest forever. Stats come from PARQUET LEAF
+    then served from the log forever. Stats come from PARQUET LEAF
     columns matched by their dotted path (a top-level primitive's path
     is its name) — matching by arrow top-level position misaligns as
     soon as any earlier column is nested, silently attributing a struct
@@ -261,55 +375,263 @@ def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
     return entries
 
 
+# ---------------------------------------------------------------- log
+# resolution: nearest checkpoint + the bounded segment suffix
+
+
+def _resolve(spark: SparkSession, root: str, version: int) -> dict:
+    """Resolve a snapshot: read segment JSONs from ``version`` back to
+    the nearest usable base (a complete parquet checkpoint or a
+    ``remove_all`` rewrite commit) — at most CHECKPOINT_EVERY small
+    reads — and fold their add/remove deltas driver-side. The
+    checkpoint itself is NOT read here; it stays a lazy DataFrame
+    (see :func:`_index_df`). Returns::
+
+        {"seg": <version's segment>,  # schema / txn / op / totals
+         "ckpt": int | None,          # checkpoint base to scan, if any
+         "adds": [entry...],          # live files added since base
+         "ckpt_removes": [[dir, path]...]}  # files removed from base
+    """
+    seg = _read_manifest(spark, root, version)
+    _, ckpts = _list_log(spark, root)
+    base = max((c for c in ckpts if c <= version), default=None)
+    if base is not None and not _ckpt_complete(spark, root, base):
+        # fall back past an incomplete (crashed) checkpoint
+        base = max(
+            (
+                c
+                for c in ckpts
+                if c < base and _ckpt_complete(spark, root, c)
+            ),
+            default=None,
+        )
+    if base == version:
+        return {"seg": seg, "ckpt": base, "adds": [], "ckpt_removes": []}
+    chain = [seg]
+    w = version
+    while (
+        not chain[-1].get("remove_all")
+        and w > 0
+        and (base is None or w > base + 1)
+    ):
+        w -= 1
+        chain.append(_read_manifest(spark, root, w))
+    chain.reverse()  # oldest first
+    # a rewrite commit (optimize) resets the file set: start the fold
+    # there and ignore both the checkpoint and anything older
+    for i in range(len(chain) - 1, -1, -1):
+        if chain[i].get("remove_all"):
+            chain = chain[i:]
+            base = None
+            break
+    alive: dict[tuple[str, str], dict] = {}
+    ckpt_removes: list[list[str]] = []
+    for s in chain:
+        for d, p in s.get("remove", []):
+            if (d, p) in alive:
+                del alive[(d, p)]
+            elif base is not None:
+                ckpt_removes.append([d, p])
+        for e in s.get("add", []):
+            alive[(e["dir"], e["path"])] = e
+    return {
+        "seg": seg,
+        "ckpt": base,
+        "adds": list(alive.values()),
+        "ckpt_removes": ckpt_removes,
+    }
+
+
+def _entry_row(e: dict) -> tuple:
+    """Split an entry's JSON stats {col: [lo, hi]} into the type-split
+    maps of _INDEX_SCHEMA (a column's min/max lands in exactly one)."""
+    si: dict[str, list] = {}
+    sd: dict[str, list] = {}
+    ss: dict[str, list] = {}
+    for col, (lo, hi) in (e.get("stats") or {}).items():
+        if isinstance(lo, bool):
+            continue
+        if isinstance(lo, int) and isinstance(hi, int):
+            si[col] = [lo, hi]
+        elif isinstance(lo, (int, float)) and isinstance(hi, (int, float)):
+            sd[col] = [float(lo), float(hi)]
+        elif isinstance(lo, str) and isinstance(hi, str):
+            ss[col] = [lo, hi]
+    return (e["dir"], e["path"], e["rows"], si or None, sd or None, ss or None)
+
+
+def _index_df(spark: SparkSession, root: str, res: dict) -> DataFrame:
+    """The live-file index of a resolved snapshot as a DataFrame:
+    checkpoint parquet (distributed scan) minus the removes since it
+    (small broadcast anti-join) plus the adds since it (small local
+    relation). Pruning filters THIS — the driver never holds the full
+    file list."""
+    adds = res["adds"]
+    adds_df = (
+        spark.createDataFrame([_entry_row(e) for e in adds], _INDEX_SCHEMA)
+        if adds
+        else None
+    )
+    if res["ckpt"] is None:
+        return adds_df if adds_df is not None else spark.createDataFrame(
+            [], _INDEX_SCHEMA
+        )
+    ck = spark.read.schema(_INDEX_SCHEMA).parquet(
+        _ckpt_path(root, res["ckpt"])
+    )
+    if res["ckpt_removes"]:
+        rm = spark.createDataFrame(
+            res["ckpt_removes"], "dir string, path string"
+        )
+        ck = ck.join(F.broadcast(rm), ["dir", "path"], "left_anti")
+    return ck.unionByName(adds_df) if adds_df is not None else ck
+
+
+def _prune(index: DataFrame, key_col: str, lo, hi) -> DataFrame:
+    """Keep files whose [min,max] for ``key_col`` intersects [lo, hi],
+    files with no stats for it, and files whose stats live in a map of
+    a different type than the bound (conservative: never prune on a
+    comparison the engine can't order natively)."""
+    numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    textual = isinstance(lo, str)
+
+    def hit(m):
+        arr = F.col(m).getItem(key_col)
+        ok = (
+            (arr.getItem(0) <= F.lit(hi)) & (F.lit(lo) <= arr.getItem(1))
+            if (numeric if m != "stats_s" else textual)
+            else F.lit(True)
+        )
+        return arr.isNotNull(), ok
+
+    i_has, i_ok = hit("stats_i")
+    d_has, d_ok = hit("stats_d")
+    s_has, s_ok = hit("stats_s")
+    return index.filter(
+        F.when(i_has, i_ok)
+        .when(d_has, d_ok)
+        .when(s_has, s_ok)
+        .otherwise(F.lit(True))
+    )
+
+
+def _live_entries(spark: SparkSession, root: str, version: int) -> list[dict]:
+    """Full live-file entry list of a snapshot, collected to the
+    driver. O(files) BY DESIGN — only for maintenance (vacuum) and
+    tests; queries and merges go through :func:`_index_df`."""
+    res = _resolve(spark, root, version)
+    out = []
+    for r in _index_df(spark, root, res).collect():
+        stats: dict[str, list] = {}
+        for m in ("stats_i", "stats_d", "stats_s"):
+            for col, bounds in (r[m] or {}).items():
+                stats[col] = list(bounds)
+        out.append(
+            {"dir": r["dir"], "path": r["path"], "rows": r["rows"],
+             "stats": stats}
+        )
+    return out
+
+
+def _paths(root: str, refs) -> list[str]:
+    return [f"{root}/{DATA_DIR}/{d}/{p}" for d, p in refs]
+
+
+def _write_checkpoint(spark: SparkSession, root: str, version: int) -> None:
+    """Materialize the full live index at ``version`` as one parquet
+    checkpoint — a distributed write, amortized 1/CHECKPOINT_EVERY per
+    commit. Trusted only once its _SUCCESS marker exists."""
+    res = _resolve(spark, root, version)
+    idx = _index_df(spark, root, res)
+    idx.write.mode("overwrite").parquet(_ckpt_path(root, version))
+
+
+def _maybe_checkpoint(spark: SparkSession, root: str, version: int) -> None:
+    if CHECKPOINT_EVERY and version > 0 and version % CHECKPOINT_EVERY == 0:
+        try:
+            _write_checkpoint(spark, root, version)
+        except Exception:
+            # a failed checkpoint must never fail the already-durable
+            # commit; readers fold more segments until the next one
+            pass
+
+
 def _commit(
     spark: SparkSession,
     root: str,
-    df: DataFrame,
-    keep_files: list[dict],
+    df: DataFrame | None,
     op: str,
     stats_cols: list[str],
+    *,
+    removes: list[tuple[str, str]] | None = None,
+    remove_all: bool = False,
+    removed_rows: int = 0,
     extra: dict | None = None,
+    prev: dict | None = None,
 ) -> int:
     cur = current_version(spark, root)
     version = cur + 1
     # streaming txn high-water marks (run_cdc_versioned_sink) survive
-    # interleaved maintenance commits: carry the previous manifest's
+    # interleaved maintenance commits: carry the previous segment's
     # txn map forward and overlay this commit's, else an optimize/
     # append between two micro-batches would silently drop the replay
     # guard and re-open the at-least-once window
     txn: dict = {}
     prev_schema = None
     if cur >= 0:
-        prev = _read_manifest(spark, root, cur)
+        if prev is None or prev.get("version") != cur:
+            prev = _read_manifest(spark, root, cur)
         txn = dict(prev.get("txn", {}))
         prev_schema = prev.get("schema")
     txn.update((extra or {}).get("txn", {}))
-    commit_dir = f"{root}/{DATA_DIR}/commit-v{version}"
+    # UNIQUE staging dir: a crashed/losing writer's data can never
+    # collide with a later commit's errorifexists write (orphans are
+    # unreferenced and vacuumable)
+    commit_dir = f"{root}/{DATA_DIR}/commit-v{version}-{uuid.uuid4().hex[:8]}"
     new_files: list[dict] = []
-    # SCHEMA lives in the manifest (the lakehouse contract): readers
-    # plan against it instead of merging 10^6 footers, old files
-    # missing a later-added column surface NULLs through it, and each
-    # snapshot time-travels with the schema it was written under.
-    # Evolution is WIDEN-ONLY (see _evolve_schema — validated BEFORE
-    # data lands); a df-less commit carries the previous schema.
+    # SCHEMA lives in the log (the lakehouse contract): readers plan
+    # against it instead of merging 10^6 footers, old files missing a
+    # later-added column surface NULLs through it, and each snapshot
+    # time-travels with the schema it was written under. Evolution is
+    # WIDEN-ONLY (see _evolve_schema — validated BEFORE data lands);
+    # a df-less commit carries the previous schema.
     schema_json = (
         _evolve_schema(prev_schema, df.schema) if df is not None else prev_schema
     )
     if df is not None:
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = _file_entries(commit_dir, stats_cols)
+    removes = list(removes or [])
+    added_rows = sum(e["rows"] for e in new_files)
+    if remove_all or prev is None:
+        total_files, total_rows = len(new_files), added_rows
+    else:
+        total_files = prev["total_files"] - len(removes) + len(new_files)
+        total_rows = prev["total_rows"] - removed_rows + added_rows
     manifest = {
         "version": version,
         "op": op,
         "stats_cols": stats_cols,
-        "files": keep_files + new_files,
-        **(extra or {}),
+        "add": new_files,
+        "remove": [list(r) for r in removes],
+        "remove_all": remove_all,
+        "total_files": total_files,
+        "total_rows": total_rows,
+        **{k: v for k, v in (extra or {}).items() if k != "txn"},
     }
     if schema_json:
         manifest["schema"] = schema_json
     if txn:
         manifest["txn"] = txn
-    _write_manifest_atomic(spark, root, version, manifest)
+    try:
+        _write_manifest_atomic(spark, root, version, manifest)
+    except RuntimeError:
+        # losing writer: reclaim its never-referenced staging dir
+        if df is not None:
+            fs, _ = _hadoop_fs(spark, root)
+            fs.delete(_jpath(spark, commit_dir), True)
+        raise
+    _maybe_checkpoint(spark, root, version)
     return version
 
 
@@ -319,12 +641,12 @@ def commit_append(
     df: DataFrame,
     stats_cols: list[str] | None = None,
 ) -> int:
-    """Append a new snapshot = previous files + this commit's files."""
+    """Append a new snapshot = previous files + this commit's files.
+    The segment records only the ADDED files — O(batch) bytes."""
     cur = current_version(spark, root)
     prev = _read_manifest(spark, root, cur) if cur >= 0 else None
-    keep = prev["files"] if prev else []
     cols = stats_cols or (prev["stats_cols"] if prev else [])
-    return _commit(spark, root, df, keep, "append", cols)
+    return _commit(spark, root, df, "append", cols, prev=prev)
 
 
 def read_version(
@@ -334,52 +656,42 @@ def read_version(
     key_range: tuple | None = None,
     key_col: str | None = None,
 ) -> DataFrame:
-    """Snapshot read — exactly the manifest's files; ``version=None``
+    """Snapshot read — exactly the snapshot's files; ``version=None``
     resolves latest at CALL time and stays pinned (snapshot isolation:
     later commits never leak into this DataFrame).
 
-    ``key_range=(lo, hi)`` with ``key_col`` applies MANIFEST-stats file
-    skipping before the scan even plans — the read-side twin of the
-    upsert pruning: files whose [min,max] misses the range never reach
-    Spark, which at 100 TB is the difference between listing a million
-    files and reading the three that matter. (Parquet row-group skipping
-    still applies inside the files that survive; callers add the
-    matching .filter() for row-level pruning.)"""
+    ``key_range=(lo, hi)`` with ``key_col`` applies INDEX-stats file
+    skipping before the scan even plans, as a DataFrame filter over
+    the file index — the read-side twin of the upsert pruning: files
+    whose [min,max] misses the range never reach the scan, and only
+    the SURVIVING paths are ever collected, which at 100 TB is the
+    difference between listing a million files and reading the three
+    that matter. (Parquet row-group skipping still applies inside the
+    files that survive; callers add the matching .filter() for
+    row-level pruning, which pushes into the scan.)"""
     v = current_version(spark, root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
-    man = _read_manifest(spark, root, v)
-    files = man["files"]
+    res = _resolve(spark, root, v)
+    seg = res["seg"]
+    index = _index_df(spark, root, res)
     if key_range is not None:
-        if key_col is None or key_col not in man["stats_cols"]:
+        if key_col is None or key_col not in seg["stats_cols"]:
             raise ValueError(
                 f"key_range needs key_col with manifest stats "
-                f"(stats_cols={man['stats_cols']})"
+                f"(stats_cols={seg['stats_cols']})"
             )
         lo, hi = _bound(key_range[0]), _bound(key_range[1])
-        files = [
-            e
-            for e in files
-            if e["stats"].get(key_col) is None
-            or (e["stats"][key_col][0] <= hi and lo <= e["stats"][key_col][1])
-        ]
-    paths = [f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in files]
-    schema = _manifest_schema(man)
+        if lo is not None:
+            index = _prune(index, key_col, lo, hi)
+    refs = [(r["dir"], r["path"]) for r in index.select("dir", "path").collect()]
+    paths = _paths(root, refs)
+    schema = _manifest_schema(seg)
     if not paths:
         if schema is not None:
             return spark.createDataFrame([], schema)
-        if man["files"]:
-            # pre-schema manifest: keep the TABLE's schema (a
-            # fabricated one breaks the caller's row-level .filter())
-            # by planning one real file and keeping zero of its rows
-            first = man["files"][0]
-            return (
-                spark.read.parquet(
-                    f"{root}/{DATA_DIR}/{first['dir']}/{first['path']}"
-                ).limit(0)
-            )
         return spark.createDataFrame([], "dummy string").limit(0)
-    return _reader(spark, man).parquet(*paths)
+    return _reader(spark, seg).parquet(*paths)
 
 
 def commit_upsert(
@@ -389,49 +701,54 @@ def commit_upsert(
     key_col: str,
 ) -> tuple[int, int, int]:
     """Copy-on-write MERGE by key with FILE-LEVEL stats pruning: only
-    files whose manifest [min,max] range of ``key_col`` intersects the
+    files whose index [min,max] range of ``key_col`` intersects the
     update's key range are rewritten (anti-join survivors + updates);
-    every other file carries over by reference. Returns (new_version,
-    files_rewritten, files_carried)."""
+    every other file carries over by reference — zero data movement
+    and zero log bytes (carried files simply aren't removed). The
+    pruning is a DataFrame filter; only the TOUCHED files' paths are
+    collected. Returns (new_version, files_rewritten, files_carried)."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
-    man = _read_manifest(spark, root, cur)
-    if key_col not in man["stats_cols"]:
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    if key_col not in seg["stats_cols"]:
         raise ValueError(
             f"{key_col} has no manifest stats (stats_cols="
-            f"{man['stats_cols']}); re-create the table with it"
+            f"{seg['stats_cols']}); re-create the table with it"
         )
+    _require_full_rows(_manifest_schema(seg), updates.columns, "updates")
     bounds = updates.agg(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-    touched, kept = [], []
-    for e in man["files"]:
-        st = e["stats"].get(key_col)
-        if lo is None or st is None or (st[0] <= hi and lo <= st[1]):
-            touched.append(e)
-        else:
-            kept.append(e)
-    _require_full_rows(_manifest_schema(man), updates.columns, "updates")
+    index = _index_df(spark, root, res)
+    touched_df = index if lo is None else _prune(index, key_col, lo, hi)
+    touched = touched_df.select("dir", "path", "rows").collect()
+    n_kept = seg["total_files"] - len(touched)
     if touched:
-        paths = [
-            f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
-        ]
+        paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
         # survivors read through the manifest schema (_reader);
         # allowMissingColumns lets updates ADD a column — survivors
         # surface NULL for it (widen-only schema evolution; the
         # omit-a-column direction raised above)
-        survivors = _reader(spark, man).parquet(*paths).join(
+        survivors = _reader(spark, seg).parquet(*paths).join(
             updates.select(key_col).distinct(), key_col, "left_anti"
         )
         merged = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         merged = updates
     v = _commit(
-        spark, root, merged, kept, "upsert", man["stats_cols"]
+        spark,
+        root,
+        merged,
+        "upsert",
+        seg["stats_cols"],
+        removes=[(r["dir"], r["path"]) for r in touched],
+        removed_rows=sum(r["rows"] for r in touched),
+        prev=seg,
     )
-    return v, len(touched), len(kept)
+    return v, len(touched), n_kept
 
 
 def apply_changes(
@@ -457,7 +774,7 @@ def apply_changes(
     the trailing columns make the winner total-order deterministic
     when a key carries tied timestamps.
 
-    File-level pruning as commit_upsert: only files whose manifest
+    File-level pruning as commit_upsert: only files whose index
     [min,max] of ``key_col`` intersects the CHANGE KEY RANGE are
     rewritten (survivors anti-join + surviving upserts); everything
     else carries by reference. A delete whose key hits no file is a
@@ -469,13 +786,15 @@ def apply_changes(
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
-    man = _read_manifest(spark, root, cur)
-    if key_col not in man["stats_cols"]:
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    if key_col not in seg["stats_cols"]:
         raise ValueError(
             f"{key_col} has no manifest stats (stats_cols="
-            f"{man['stats_cols']})"
+            f"{seg['stats_cols']})"
         )
     payload_cols = [c for c in changes.columns if c not in (ts_col, op_col)]
+    _require_full_rows(_manifest_schema(seg), payload_cols, "change payload")
     w = Window.partitionBy(key_col).orderBy(
         *(
             F.desc(c)
@@ -499,30 +818,31 @@ def apply_changes(
     lo, hi = _bound(agg["lo"]), _bound(agg["hi"])
     n_deletes = int(agg["nd"] or 0)
     n_upserts = int(agg["n"]) - n_deletes
-    touched, kept = [], []
-    for e in man["files"]:
-        st = e["stats"].get(key_col)
-        if lo is None or st is None or (st[0] <= hi and lo <= st[1]):
-            touched.append(e)
-        else:
-            kept.append(e)
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
-    _require_full_rows(_manifest_schema(man), payload_cols, "change payload")
     try:
+        index = _index_df(spark, root, res)
+        touched_df = index if lo is None else _prune(index, key_col, lo, hi)
+        touched = touched_df.select("dir", "path", "rows").collect()
         if touched:
-            paths = [
-                f"{root}/{DATA_DIR}/{e['dir']}/{e['path']}" for e in touched
-            ]
+            paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
             # manifest-schema read + allowMissingColumns: same widen-
             # only schema-evolution contract as commit_upsert
-            survivors = _reader(spark, man).parquet(*paths).join(
+            survivors = _reader(spark, seg).parquet(*paths).join(
                 latest.select(key_col).distinct(), key_col, "left_anti"
             )
             merged = survivors.unionByName(upserts, allowMissingColumns=True)
         else:
             merged = upserts
         v = _commit(
-            spark, root, merged, kept, "cdc", man["stats_cols"], extra_meta
+            spark,
+            root,
+            merged,
+            "cdc",
+            seg["stats_cols"],
+            removes=[(r["dir"], r["path"]) for r in touched],
+            removed_rows=sum(r["rows"] for r in touched),
+            extra=extra_meta,
+            prev=seg,
         )
     finally:
         # unpersist on failure too: a long-lived streaming driver
@@ -542,31 +862,33 @@ def optimize(
     """Small-file compaction as a COMMIT: rewrite the current
     snapshot's data into ~``target_mb`` files and publish it as the
     next version. Default layout range-sorts by the first stats column
-    (manifest min/max pruning tightens, never degrades); with
+    (index min/max pruning tightens, never degrades); with
     ``zorder_cols`` the rewrite is Morton-interleaved instead
     (storage.zorder_layout — the OPTIMIZE ZORDER BY shape), making
     EVERY clustering column's per-file range narrow simultaneously,
-    and those columns join the manifest's stats_cols so read-side
+    and those columns join the log's stats_cols so read-side
     key_range pruning works on each of them. Old versions stay
-    time-travelable — compaction is a new manifest, never an in-place
-    rewrite (the versioned twin of storage.compact_files, which
-    overwrites plain directories). Returns (new_version, files_before,
-    files_after)."""
+    time-travelable — compaction is a new snapshot (a ``remove_all``
+    segment, which also acts as a log-fold barrier like a checkpoint),
+    never an in-place rewrite (the versioned twin of
+    storage.compact_files, which overwrites plain directories).
+    Returns (new_version, files_before, files_after)."""
     import math as _math
 
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
-    man = _read_manifest(spark, root, cur)
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
     total = 0
     fs_, _rel = _arrow_fs(root)
-    for e in man["files"]:
+    for e in _live_entries(spark, root, cur):
         info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
         total += info.size or 0
     # n_files overrides the size-derived count (tests / fixed layouts)
     n_out = n_files or max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
     df = read_version(spark, root, cur)
-    stats_cols = man["stats_cols"]
+    stats_cols = seg["stats_cols"]
     if zorder_cols:
         from amadeus_spark.operators.storage import zorder_layout
 
@@ -581,51 +903,70 @@ def optimize(
             if key
             else df.repartition(n_out)
         )
-    v = _commit(spark, root, out, [], "optimize", stats_cols)
-    new_files = len(_read_manifest(spark, root, v)["files"])
-    return v, len(man["files"]), new_files
+    v = _commit(
+        spark, root, out, "optimize", stats_cols, remove_all=True, prev=seg
+    )
+    new_files = _read_manifest(spark, root, v)["total_files"]
+    return v, seg["total_files"], new_files
 
 
 def vacuum(
     spark: SparkSession, root: str, keep_last: int = 1
 ) -> tuple[int, int]:
-    """Reclaim space: delete manifests older than the newest
-    ``keep_last`` versions and every data file no kept manifest
+    """Reclaim space: delete log segments/checkpoints older than the
+    newest ``keep_last`` versions and every data file no kept snapshot
     references. Time travel below the cutoff stops working — that is
     the point (at 100 TB, carrying every historical copy-on-write
-    snapshot forever IS the storage bill). All deletion goes through
-    the Hadoop FileSystem API (file/hdfs/s3a alike). Returns
-    (manifests_deleted, data_files_deleted)."""
+    snapshot forever IS the storage bill). Before dropping old
+    segments, a checkpoint is ensured at the cutoff version so every
+    kept snapshot stays resolvable without them (Delta's
+    checkpoint-before-log-truncation discipline). All deletion goes
+    through the Hadoop FileSystem API (file/hdfs/s3a alike).
+    Maintenance is O(files) by nature — it lists and deletes them.
+    Returns (segments_deleted, data_files_deleted)."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
-    cutoff = cur - keep_last + 1
+    cutoff = max(0, cur - keep_last + 1)
+    segs, ckpts = _list_log(spark, root)
+    if cutoff > 0 and cutoff in segs:
+        if not (cutoff in ckpts and _ckpt_complete(spark, root, cutoff)):
+            try:
+                _write_checkpoint(spark, root, cutoff)
+            except (FileNotFoundError, OSError):
+                pass  # base already vacuumed under a narrower window
     keep_refs: set[tuple[str, str]] = set()
-    for v in range(max(0, cutoff), cur + 1):
+    for v in range(cutoff, cur + 1):
         try:
-            man = _read_manifest(spark, root, v)
+            for e in _live_entries(spark, root, v):
+                keep_refs.add((e["dir"], e["path"]))
         except (FileNotFoundError, OSError):
             continue  # already vacuumed under a narrower keep window
-        for e in man["files"]:
-            keep_refs.add((e["dir"], e["path"]))
     kept_dirs = {d for d, _ in keep_refs}
     fs, _ = _hadoop_fs(spark, root)
     n_manifests = 0
-    for v in range(0, max(0, cutoff)):
+    for v in sorted(segs):
+        if v >= cutoff:
+            break
         p = _jpath(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
         if fs.exists(p):
             fs.delete(p, False)
             n_manifests += 1
+    for c in sorted(ckpts):
+        if c >= cutoff:
+            break
+        fs.delete(_jpath(spark, _ckpt_path(root, c)), True)
     n_data = 0
     ddir = _jpath(spark, f"{root}/{DATA_DIR}")
     if fs.exists(ddir):
         for commit_status in fs.listStatus(ddir):
             cname = commit_status.getPath().getName()
             if cname not in kept_dirs:
-                # no kept manifest references ANYTHING here: count its
-                # parquet files, then drop the whole directory so the
-                # _SUCCESS/.crc markers go with it (a parquet-only
-                # delete left every dir alive forever)
+                # no kept snapshot references ANYTHING here (includes
+                # orphan staging dirs from crashed/losing commits):
+                # count its parquet files, then drop the whole
+                # directory so the _SUCCESS/.crc markers go with it
+                # (a parquet-only delete left every dir alive forever)
                 n_data += sum(
                     1
                     for st in fs.listStatus(commit_status.getPath())
@@ -642,8 +983,10 @@ def vacuum(
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:
-    """Commit log: version, op, file and row counts per snapshot.
-    Versions whose manifest was vacuumed away are omitted."""
+    """Commit log: version, op, file and row counts per snapshot —
+    O(versions) segment reads (counts are running totals in each
+    segment, no file list is ever materialized). Versions whose
+    segment was vacuumed away are omitted."""
     out = []
     for v in range(current_version(spark, root) + 1):
         try:
@@ -654,8 +997,8 @@ def history(spark: SparkSession, root: str) -> list[dict]:
             {
                 "version": v,
                 "op": m["op"],
-                "n_files": len(m["files"]),
-                "n_rows": sum(e["rows"] for e in m["files"]),
+                "n_files": m["total_files"],
+                "n_rows": m["total_rows"],
             }
         )
     return out

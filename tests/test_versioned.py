@@ -44,13 +44,13 @@ def test_upsert_prunes_by_file_stats(spark, root):
         )
     before = {
         (e["dir"], e["path"])
-        for e in V._read_manifest(spark, root, 3)["files"]
+        for e in V._live_entries(spark, root, 3)
     }
     updates = _df(spark, 250, 260, "new")
     v, rewritten, carried = V.commit_upsert(spark, root, updates, "k")
     # only the file covering [200,300) intersects the update range
     assert rewritten == 1 and carried == 3
-    after = V._read_manifest(spark, root, v)["files"]
+    after = V._live_entries(spark, root, v)
     # carried files are the SAME physical files (by reference)
     assert sum((e["dir"], e["path"]) in before for e in after) == 3
     df = V.read_version(spark, root)
@@ -105,9 +105,11 @@ def test_cdc_apply_latest_wins_and_prunes(spark, root):
     )
     v, n_up, n_del = V.apply_changes(spark, root, changes, "k", "ts")
     assert (n_up, n_del) == (3, 3)
-    man = V._read_manifest(spark, root, v)
+    entries = V._live_entries(spark, root, v)
     # files outside [250,999] ([0,100) and [100,200)) carry by reference
-    assert sum(e["dir"] != f"commit-v{v}" for e in man["files"]) == 2
+    assert sum(
+        not e["dir"].startswith(f"commit-v{v}-") for e in entries
+    ) == 2
     df = V.read_version(spark, root)
     got = {
         r["k"]: r["v"]
@@ -204,7 +206,7 @@ def test_stats_align_past_nested_columns(spark, root):
         "'x' AS v",
     )
     V.commit_append(spark, root, df.coalesce(1), ["k"])
-    st = V._read_manifest(spark, root, 0)["files"][0]["stats"]
+    st = V._live_entries(spark, root, 0)[0]["stats"]
     assert st["k"] == [0, 99]  # NOT meta.b's [5000, 5099]
     # and the merge machinery prunes correctly over it
     V.commit_append(
@@ -243,7 +245,7 @@ def test_date_stats_prune_and_survive_json(spark, root):
         " AS d, id AS k FROM range(0, 10)"
     )
     V.commit_append(spark, root, df.coalesce(1), ["d"])
-    st = V._read_manifest(spark, root, 0)["files"][0]["stats"]
+    st = V._live_entries(spark, root, 0)[0]["stats"]
     assert st["d"] == ["2024-01-01", "2024-01-10"]
     hit = V.read_version(
         spark,
@@ -286,7 +288,7 @@ def test_vacuum_removes_whole_dereferenced_dirs(spark, root):
     V.vacuum(spark, root, keep_last=1)
     # _SUCCESS markers must not keep dereferenced commit dirs alive
     dirs = sorted(os.listdir(f"{root}/data"))
-    assert dirs == ["commit-v2"]
+    assert len(dirs) == 1 and dirs[0].startswith("commit-v2-")
 
 
 def test_txn_marks_survive_maintenance_commits(spark, root):
@@ -361,7 +363,8 @@ def test_type_change_raises_before_data_lands(spark, root):
     with pytest.raises(ValueError, match="type change for column 'v'"):
         V.commit_append(spark, root, bad)
     # validation fired BEFORE the write: no orphan commit dir, table intact
-    assert sorted(os.listdir(f"{root}/data")) == ["commit-v0"]
+    dirs = sorted(os.listdir(f"{root}/data"))
+    assert len(dirs) == 1 and dirs[0].startswith("commit-v0-")
     assert V.read_version(spark, root).count() == 10
 
 
@@ -411,3 +414,185 @@ def test_read_side_stats_pruning(spark, root):
     assert rows == 11
     with pytest.raises(ValueError, match="key_range needs key_col"):
         V.read_version(spark, root, key_range=(1, 2))
+
+
+def test_commit_bytes_o_batch_not_o_table(spark, root):
+    """The log is DELTA-structured: a 1-file append's segment stays the
+    same few hundred bytes no matter how many files the table already
+    holds — the whole-file-list-per-commit shape would grow every
+    segment with the table."""
+    V.commit_append(
+        spark, root, _df(spark, 0, 6400, "base").repartition(64), ["k"]
+    )
+    sizes = []
+    for i in range(3):
+        lo = 10000 + i * 10
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 10, "a").coalesce(1)
+        )
+        v = V.current_version(spark, root)
+        sizes.append(os.path.getsize(f"{root}/_manifests/v{v}.json"))
+    base_size = os.path.getsize(f"{root}/_manifests/v0.json")
+    # 1-file segments are flat as the table grows...
+    assert max(sizes) - min(sizes) < 64
+    # ...and an order of magnitude under the 64-file commit's segment
+    assert max(sizes) < base_size / 8
+    assert V.read_version(spark, root).count() == 6430
+
+
+def test_checkpoint_bounds_segment_fold(spark, root, monkeypatch):
+    """Every CHECKPOINT_EVERY commits the live index lands as one
+    parquet checkpoint; resolution reads at most that many JSON
+    segments on top of it, so reads stay O(interval) log reads even
+    after 10^4 commits — and segments BELOW a checkpoint become
+    droppable (vacuum) without breaking newer reads."""
+    from amadeus_spark.operators import versioned as Vm
+
+    monkeypatch.setattr(Vm, "CHECKPOINT_EVERY", 4)
+    for i in range(9):
+        V.commit_append(
+            spark, root, _df(spark, i * 10, i * 10 + 10, "a").coalesce(1),
+            ["k"],
+        )
+    assert V._ckpt_complete(spark, root, 4)
+    assert V._ckpt_complete(spark, root, 8)
+    # time travel between checkpoints: ckpt-4 + segments 5..6
+    assert V.read_version(spark, root, 6).count() == 70
+    # drop pre-checkpoint segments outright — newer reads are intact
+    for v in range(0, 4):
+        os.unlink(f"{root}/_manifests/v{v}.json")
+    assert V.read_version(spark, root, 8).count() == 90
+    assert V.read_version(spark, root, 5).count() == 60
+    pruned = V.read_version(spark, root, key_range=(45, 47), key_col="k")
+    assert len(pruned.inputFiles()) == 1
+
+
+def test_pruning_is_index_filter_not_driver_loop(spark, root):
+    """File skipping must work off the index DATAFRAME: with a 10^4-row
+    checkpoint where all but one entry are fabricated (their data dirs
+    don't even exist), a key_range read still plans — proof the driver
+    only ever touches the SURVIVING entries, never the full file
+    list."""
+    from amadeus_spark.operators.versioned import (
+        _INDEX_SCHEMA,
+        _ckpt_path,
+        _entry_row,
+    )
+
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            _df(spark, lo, lo + 100, "base").coalesce(1), ["k"],
+        )
+    real = V._live_entries(spark, root, 3)
+    fakes = [
+        {
+            "dir": f"commit-vX-{i:06d}",
+            "path": f"part-{i:06d}.parquet",
+            "rows": 1000,
+            "stats": {"k": [1_000_000 + i * 1000, 1_000_999 + i * 1000]},
+        }
+        for i in range(10_000)
+    ]
+    spark.createDataFrame(
+        [_entry_row(e) for e in real + fakes], _INDEX_SCHEMA
+    ).write.mode("overwrite").parquet(_ckpt_path(root, 3))
+    hit = V.read_version(spark, root, 3, key_range=(150, 160), key_col="k")
+    assert len(hit.inputFiles()) == 1
+    assert hit.count() == 100
+
+
+def test_pruned_read_pushes_residual_filter(spark, root):
+    """Depth contract for the reader: manifest stats SKIP files, and
+    the caller's row-level filter still reaches the parquet scan as a
+    pushed filter (file skipping must not break scan-level pushdown)."""
+    from amadeus_spark import plans
+
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            _df(spark, lo, lo + 100, "base").coalesce(1), ["k"],
+        )
+    df = V.read_version(
+        spark, root, key_range=(110, 120), key_col="k"
+    ).filter("k between 110 and 120")
+    assert len(df.inputFiles()) == 1  # manifest-level skip
+    txt = plans.plan_text(df)
+    assert "PushedFilters" in txt, txt
+    import re
+
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", txt).group(1)
+    assert "k" in pushed, txt
+    assert df.count() == 11
+
+
+def test_orphan_staging_dir_never_wedges_commits(spark, root):
+    """A crashed writer leaves an orphan data dir under a UNIQUE name:
+    later commits never collide with it (the old commit-vN naming
+    wedged every subsequent write with a path-exists error), and
+    vacuum reclaims it."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    orphan = f"{root}/data/commit-v1-deadbeef"
+    os.makedirs(orphan)
+    with open(f"{orphan}/part-00000.parquet", "wb") as f:
+        f.write(b"not a real parquet file")
+    # version 1 commits fine despite the crashed v1 attempt's debris
+    V.commit_append(spark, root, _df(spark, 10, 20, "b").coalesce(1))
+    assert V.read_version(spark, root).count() == 20
+    _, n_data = V.vacuum(spark, root, keep_last=1)
+    assert n_data == 1  # the orphan's file
+    assert not os.path.exists(orphan)
+
+
+def test_losing_commit_cleans_its_staging_dir(spark, root, monkeypatch):
+    from amadeus_spark.operators import versioned as Vm
+
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    # a racing writer lands v1 AFTER the loser has resolved cur=0 —
+    # freeze the loser's view of the log head to reproduce the race
+    man = V._read_manifest(spark, root, 0)
+    man["version"] = 1
+    V._write_manifest_atomic(spark, root, 1, man)
+    monkeypatch.setattr(Vm, "current_version", lambda s, r: 0)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.commit_append(spark, root, _df(spark, 10, 20, "b").coalesce(1))
+    monkeypatch.undo()
+    # the loser's staged data dir is gone — nothing to wedge or leak
+    dirs = sorted(os.listdir(f"{root}/data"))
+    assert len(dirs) == 1 and dirs[0].startswith("commit-v0-")
+
+
+def test_tz_aware_timestamp_stats_stay_conservative(spark, root):
+    """outputTimestampType=TIMESTAMP_MICROS makes pyarrow surface
+    footer stats as TZ-AWARE datetimes, which sit in a different frame
+    than the naive session-local bounds collect() feeds the pruner —
+    comparing them misorders even equal instants and silently carries
+    stale rows through merges. Contract: tz-aware stats are NOT
+    recorded (conservative: the file is never pruned), and the merge
+    stays correct."""
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        df = spark.range(0, 100).selectExpr(
+            "timestamp'2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id)"
+            " AS ts",
+            "id AS k",
+            "'base' AS v",
+        )
+        V.commit_append(spark, root, df.coalesce(1), ["ts"])
+        st = V._live_entries(spark, root, 0)[0]["stats"]
+        assert "ts" not in st  # tz-aware min/max -> no stats recorded
+        upd = spark.range(10, 20).selectExpr(
+            "timestamp'2024-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id)"
+            " AS ts",
+            "id AS k",
+            "'new' AS v",
+        )
+        v, rewritten, _ = V.commit_upsert(spark, root, upd, "ts")
+        assert rewritten == 1  # no stats -> file conservatively touched
+        out = V.read_version(spark, root)
+        assert out.count() == 100  # stale rows replaced, not duplicated
+        assert out.filter("v = 'new'").count() == 10
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
