@@ -754,19 +754,26 @@ def cluster_safe_split_stats(
     al. 2021, which dedups train-vs-test by the same cluster logic).
 
     Physical plan: the component labels cover ONLY docs that appear in
-    some pair (tiny vs the corpus — near-dup graphs are sparse), so the
-    comp frame broadcasts into a left join against the corpus; rep →
-    md5-bucket → split is map-side codegen. One aggregate on 3 groups.
-    No window anywhere. Leakage-freedom is by construction (split is a
-    function of rep alone); n_clusters per split sums to the corpus
-    total because a cluster lands in exactly one split.
+    some pair, so comp is often small — but NOT bounded: at web-crawl
+    dup rates (30-50% of docs in published pipelines) comp is
+    O(corpus), so the join strategy is deliberately left to the
+    planner. No broadcast hint is forced: AQE converts the join to a
+    broadcast-hash join at runtime when comp's measured shuffle size
+    is under the threshold (the common case), and degrades to a
+    shuffled join on doc id when it isn't — a forced hint would build
+    comp as a driver-fed broadcast relation regardless of size and
+    OOM at 100x with no AQE escape. rep → md5-bucket → split is
+    map-side codegen. One aggregate on 3 groups. No window anywhere.
+    Leakage-freedom is by construction (split is a function of rep
+    alone); n_clusters per split sums to the corpus total because a
+    cluster lands in exactly one split.
 
     Output: (split, n_docs, n_clusters, n_grouped_docs) — grouped =
     docs whose rep differs from their own id (pair-connected docs)."""
     comp = connected_components(pairs, a_col, b_col)
     assigned = (
         docs.select(F.col(id_col).alias("id"))
-        .join(F.broadcast(comp), "id", "left")
+        .join(comp, "id", "left")
         .select("id", F.coalesce("cluster", F.col("id")).alias("rep"))
     )
     hs, _ = hash32_frag(f"concat('{salt}', cast(rep as string))", "")

@@ -301,12 +301,14 @@ def test_ranked_limit_queries_get_window_group_limit(spark):
 
 
 def test_late_r7_ops_broadcast_their_small_sides(spark):
-    """The late-r7 operators' small frames must BROADCAST (comp labels,
-    cumsum offsets, DSIR model + selection, skew top-k): a shuffle join
-    against the corpus on any of these would be the 100x-scale mistake
-    the designs exist to avoid. Also: no nested-loop join anywhere."""
+    """The late-r7 operators' BOUNDED small frames must BROADCAST
+    (cumsum offsets, DSIR model + selection, skew top-k): a shuffle
+    join against the corpus on any of these would be the 100x-scale
+    mistake the designs exist to avoid. Also: no nested-loop join
+    anywhere. (cluster_safe_split's comp frame is NOT bounded — its
+    join strategy is deliberately AQE-decided; see the dedicated test
+    below.)"""
     for fn, min_bc in (
-        (entrymod.q_cluster_safe_split, 1),
         (entrymod.q_token_budget_sample, 1),
         (entrymod.q_dsir_select, 2),
         (entrymod.q_key_skew_profile, 1),
@@ -380,3 +382,28 @@ def test_nested_schema_pruning(spark):
     assert "ReadSchema: struct<s:struct<name:string>>" in txt, txt[:1500]
     # the deep sibling subtree (inner.score/deep.flag/deep.n) is pruned
     assert "score" not in txt and "flag" not in txt
+
+
+def test_cluster_safe_split_comp_join_is_aqe_decided(spark):
+    """comp (component labels) covers every doc in some near-dup pair —
+    at web-crawl dup rates that is O(corpus), so the comp<->corpus join
+    must NOT carry a forced broadcast hint: a driver-fed broadcast
+    relation OOMs at 100x with no AQE escape. Contract: no join hint in
+    the optimized logical plan (the join degrades gracefully to a
+    shuffled join on doc id when comp is large), and at THIS scale AQE
+    still converts it to a broadcast join at runtime."""
+    from amadeus_spark.functions import dedup
+
+    docs = spark.range(0, 2000).selectExpr("id AS doc_id")
+    pairs = spark.range(0, 200).selectExpr(
+        "id AS doc_a", "id + 1000 AS doc_b"
+    )
+    df = dedup.cluster_safe_split_stats(docs, pairs)
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in logical.lower(), logical
+    df.collect()
+    txt = plans.plan_text(df)
+    assert "isFinalPlan=true" in txt
+    # AQE chose broadcast for the (small here) comp side at runtime
+    assert "BroadcastHashJoin" in txt, txt[:3000]
+    plans.assert_no_python_udf(df)
