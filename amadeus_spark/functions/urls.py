@@ -29,6 +29,27 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 
+#: authority → bare host: the _HOST_RE capture is the full authority
+#: (userinfo@host:port). Domain policy (rollups, deny lists) must key
+#: on the HOST alone — 'http://example.com:8080/x' rolling up under
+#: 'com:8080', or a blocklisted domain evading BLOCKED_DOMAINS by
+#: serving on a non-default port, is a frontier-policy hole.
+_USERINFO_RE = "^[^@]*@"
+_PORT_RE = ":[0-9]*$"
+
+
+def _bare_host(authority: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(authority, _USERINFO_RE, ""), _PORT_RE, ""
+    )
+
+
+def _bare_host_sql(authority_sql: str) -> str:
+    return (
+        f"regexp_replace(regexp_replace({authority_sql}, "
+        f"'{_USERINFO_RE}', ''), '{_PORT_RE}', '')"
+    )
+
 
 def canonicalize_url(col: Column) -> Column:
     """Spark side — pure Catalyst exprs, no UDF."""
@@ -141,8 +162,13 @@ def domain_report(
     hosts, and the blocklist verdict — the frontier-policy aggregation a
     crawl scheduler reads (politeness budgets, deny lists are per
     REGISTERED domain, not per host). Map-only projection + one
-    aggregate; hot domains are exactly the partial-agg-friendly case."""
-    host = F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    aggregate; hot domains are exactly the partial-agg-friendly case.
+    The authority is stripped to the bare host (userinfo and :port
+    removed) before label splitting, mirroring canonicalize_url's port
+    handling — policy keys on the host, not the endpoint."""
+    host = _bare_host(
+        F.lower(F.regexp_extract(F.col(url_col), _HOST_RE, 1))
+    )
     dom = registered_domain(host)
     blocked = dom.isin(*BLOCKED_DOMAINS)
     return (
@@ -167,9 +193,11 @@ def domain_report_oracle(
     table: str, url_col: str = "url", id_col: str = "doc_id"
 ) -> str:
     """DuckDB twin of domain_report — same host regex, label rules and
-    blocklist constants."""
+    blocklist constants (bare-host stripping included)."""
     blocked = ", ".join(f"'{d}'" for d in BLOCKED_DOMAINS)
-    host = f"lower(regexp_extract({url_col}, '{_HOST_RE}', 1))"
+    host = _bare_host_sql(
+        f"lower(regexp_extract({url_col}, '{_HOST_RE}', 1))"
+    )
     dom = registered_domain_sql(host)
     return f"""
 WITH hosts AS (

@@ -108,3 +108,40 @@ def test_domain_report_blocklist(spark):
     assert rows["example.com"]["n_urls"] == 2
     assert rows["example.com"]["n_hosts"] == 2
     assert rows["example.com"]["n_docs"] == 2
+
+
+def test_domain_report_strips_port_and_userinfo(spark):
+    """Policy keys on the HOST: ports and userinfo in the authority
+    must not leak into the domain — 'example.com:8080' rolling up
+    under 'com:8080', or a blocklisted domain evading the deny list by
+    serving on a non-default port, is a frontier-policy hole. Both
+    dialects share the stripping fragment."""
+    import duckdb
+
+    from amadeus_spark.functions.urls import domain_report, domain_report_oracle
+
+    rows = [
+        (1, "http://example.com:8080/x"),
+        (2, "http://user:pw@example.com/y"),
+        (3, "https://example.com/z"),
+        (4, "http://www.spam.example:8081/evade"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["domain"]: r for r in domain_report(df).collect()}
+    assert set(got) == {"example.com", "spam.example"}
+    assert got["example.com"]["n_urls"] == 3
+    assert got["example.com"]["n_hosts"] == 1  # one bare host
+    assert got["spam.example"]["blocked"] is True  # port can't evade
+    # dual-dialect parity on the same rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, url VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    odf = con.sql(domain_report_oracle("t")).fetchdf()
+    orows = {r["domain"]: r for r in odf.to_dict("records")}
+    assert set(orows) == set(got)
+    for d in got:
+        assert orows[d]["n_urls"] == got[d]["n_urls"]
+        assert orows[d]["n_hosts"] == got[d]["n_hosts"]
+        assert bool(orows[d]["blocked"]) == got[d]["blocked"]
