@@ -1492,6 +1492,118 @@ def q_fuzzy_code_match_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: d=3 fuzzy gate constants, shared by BOTH dialects (iron rule 7):
+#: 16-char codes (two full-entropy 8-digit hash halves — segment
+#: blocking needs segment entropy) with PLANTED near-dup structure:
+#: customers in the same div-4 group share a base code and member
+#: r = c_custkey % 4 mutates the first r of these three positions, so
+#: every within-group pair differs at ≤ 3 positions (edit distance ≤ 3
+#: by construction); cross-group pairs are random 16-digit strings.
+FUZZY16_MUT_POS = (4, 9, 14)
+FUZZY16_HALF_MOD = 100_000_000
+
+
+def _fuzzy16_mutation_steps() -> list[tuple[int, str]]:
+    """(position, digit-salt) per mutation step — one constant list
+    drives both dialects' surgery."""
+    return [(p, f"fzM{i}") for i, p in enumerate(FUZZY16_MUT_POS, 1)]
+
+
+def _fuzzy16_spark(cust: DataFrame) -> DataFrame:
+    """(c_custkey, code, c_mktsegment) with the planted-near-dup code,
+    Spark side. Base and mutation digits are STAGED as columns (the
+    CLAUDE.md no-CSE rule: inlining the md5 base into three nested
+    mutations would re-evaluate it per reference)."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    g = "cast(c_custkey div 4 as string)"
+    h1, _ = hash32_frag(f"concat('fzA', {g})", "")
+    h2, _ = hash32_frag(f"concat('fzB', {g})", "")
+    out = cust.withColumn(
+        "b",
+        F.expr(
+            f"concat(lpad(cast({h1} % {FUZZY16_HALF_MOD} as string), 8, '0'),"
+            f" lpad(cast({h2} % {FUZZY16_HALF_MOD} as string), 8, '0'))"
+        ),
+    )
+    prev = "b"
+    for i, (pos, salt) in enumerate(_fuzzy16_mutation_steps(), 1):
+        hx, _ = hash32_frag(
+            f"concat('{salt}', cast(c_custkey as string))", ""
+        )
+        out = out.withColumn(
+            f"m{i}",
+            F.expr(
+                f"concat(substring({prev}, 1, {pos - 1}),"
+                f" cast({hx} % 10 as string), substring({prev}, {pos + 1}))"
+            ),
+        )
+        prev = f"m{i}"
+    return out.select(
+        "c_custkey",
+        F.expr(
+            "CASE c_custkey % 4 WHEN 0 THEN b WHEN 1 THEN m1"
+            " WHEN 2 THEN m2 ELSE m3 END"
+        ).alias("code"),
+        "c_mktsegment",
+    )
+
+
+def _fuzzy16_duck_cte() -> str:
+    """DuckDB CTE chain ending in c(k, n, grp) — same constants, same
+    surgery, staged through CTEs for the same no-CSE reason."""
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    g = "CAST(c_custkey // 4 AS VARCHAR)"
+    _, h1 = hash32_frag("", f"('fzA' || {g})")
+    _, h2 = hash32_frag("", f"('fzB' || {g})")
+    digit_parts = []
+    for i, (_, salt) in enumerate(_fuzzy16_mutation_steps(), 1):
+        _, hx = hash32_frag("", f"('{salt}' || CAST(c_custkey AS VARCHAR))")
+        digit_parts.append(f"CAST({hx} % 10 AS VARCHAR) AS x{i}")
+    digit_cols = ", ".join(digit_parts)
+    steps = []
+    prev = "b"
+    for i, (pos, _) in enumerate(_fuzzy16_mutation_steps(), 1):
+        steps.append(
+            f"c{i} AS (SELECT *, substr({prev}, 1, {pos - 1}) || x{i} ||"
+            f" substr({prev}, {pos + 1}) AS m{i} FROM c{i - 1})"
+        )
+        prev = f"m{i}"
+    return f"""
+g AS (
+  SELECT c_custkey, c_mktsegment,
+         lpad(CAST({h1} % {FUZZY16_HALF_MOD} AS VARCHAR), 8, '0')
+           || lpad(CAST({h2} % {FUZZY16_HALF_MOD} AS VARCHAR), 8, '0') AS b,
+         {digit_cols}
+  FROM customer
+), c0 AS (SELECT * FROM g),
+{', '.join(steps)},
+c AS (
+  SELECT c_custkey AS k, c_mktsegment AS grp,
+         CASE c_custkey % 4 WHEN 0 THEN b WHEN 1 THEN m1
+              WHEN 2 THEN m2 ELSE m3 END AS n
+  FROM c{len(FUZZY16_MUT_POS)}
+)"""
+
+
+def q_fuzzy_code_match_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-3 fuzzy self-join (operators/fuzzy.py): PIGEONHOLE
+    SEGMENT BLOCKING (PassJoin family — d+1 even segments, length-band
+    + ±d position-window substring probes, one variant equi-join),
+    complete for d ≤ 3 at O(d²) signatures per string where depth-3
+    deletion neighborhoods would cost O(L³) variants. Banded
+    levenshtein ≤ 3 verify in the codegen'd Project. The ORACLE is a
+    BRUTE-FORCE cross-levenshtein (feasible at oracle sf): it shares
+    no blocking code with the Spark side, so a blocking recall bug
+    cannot hide in a shared fragment (the fuzzy_code_match_d2
+    discipline)."""
+    cust = _fuzzy16_spark(_t(spark, sf_dir, "customer"))
+    return fuzzy.fuzzy_match_stats(
+        cust, "c_custkey", "code", "c_mktsegment", max_dist=3
+    )
+
+
 #: cohort gate query: rare events (value > 28) spread users' first-seen
 #: period across the timeline; 1-day periods give a real retention
 #: triangle (dense raw events put every user in cohort 0).
@@ -2966,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_neardup": q_incremental_neardup,
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
+        "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
         "bloom_decontamination": q_bloom_decontamination,
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3705,6 +3818,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.k AS k1, a.grp
               FROM c a JOIN c b
                 ON a.k < b.k AND levenshtein(a.n, b.n) <= 2
+            )
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_members_matched
+            FROM pairs GROUP BY grp ORDER BY grp
+        """,
+        # d=3 twin: same independent brute-force discipline — the Spark
+        # side blocks via pigeonhole segments; the oracle blocks via
+        # nothing at all (length band only, a pure correctness-neutral
+        # speedup for the quadratic loop).
+        "fuzzy_code_match_d3": f"""
+            WITH {_fuzzy16_duck_cte()},
+            pairs AS (
+              SELECT a.k AS k1, a.grp
+              FROM c a JOIN c b
+                ON a.k < b.k
+               AND abs(length(a.n) - length(b.n)) <= 3
+               AND levenshtein(a.n, b.n) <= 3
             )
             SELECT grp,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs,

@@ -88,6 +88,217 @@ def deletion_variants_frag(col_sql: str, dialect: str, depth: int = 1) -> str:
     return f"list_concat({d1}, {d2})"
 
 
+#: deepest edit budget served by segment blocking: the probe fan-out
+#: grows O(d²·(2d+1)) per string and the verify band widens with d —
+#: past this, candidate volume swamps any blocking win.
+MAX_SEGMENT_DIST = 6
+
+
+def segment_signatures_frag(col_sql: str, side: str, max_dist: int) -> str:
+    """PassJoin-style segment signatures as one Spark SQL fragment
+    (public scheme: Li/Deng/Feng 2011 partition-based signatures; the
+    q-gram/length-band family of entity-resolution blocking).
+
+    A string of length L is partitioned into ``d+1`` even contiguous
+    SEGMENTS. Pigeonhole: ≤ d edits can touch at most d segments, so
+    any pair within edit distance d shares one segment VERBATIM, its
+    position shifted by at most d (insertions/deletions before it).
+    That turns blocking into an equi-join between
+
+    - ``side='index'``: the string's own d+1 segments, tagged
+      ``L:i:text`` — O(d) signatures per string;
+    - ``side='probe'``: every substring that could equal segment i of
+      a partner of length L2 ∈ [L−d, L+d] (the LENGTH BAND), start
+      position within ±d of that segment's home — O(d²·(2d+1))
+      signatures per string, INDEPENDENT of string length.
+
+    This is the long-string complement to deletion neighborhoods:
+    deletions cost O(L^d) variants (fine for short codes/names, ruinous
+    at L≈100); segments cost O(d²) regardless of L but need segment
+    entropy — a corpus whose strings share long constant prefixes
+    degrades to big candidate buckets (verify still prunes correctly;
+    it's a cost cliff, not a recall cliff)."""
+    if side not in ("index", "probe"):
+        raise ValueError("side must be 'index' or 'probe'")
+    if not 1 <= max_dist <= MAX_SEGMENT_DIST:
+        raise ValueError(f"max_dist must be in 1..{MAX_SEGMENT_DIST}")
+    d, m, c = max_dist, max_dist + 1, col_sql
+    if side == "index":
+        return (
+            f"transform(sequence(0, {d}), i ->"
+            f" concat(cast(length({c}) as string), ':',"
+            f" cast(i as string), ':',"
+            f" substring({c}, ((i * length({c})) div {m}) + 1,"
+            f" (((i + 1) * length({c})) div {m})"
+            f" - ((i * length({c})) div {m}))))"
+        )
+    # probe: lo/hi are the clipped ±d start-position window of segment
+    # i in a partner of length L2 (sequence() DESCENDS when lo > hi in
+    # Spark, hence the explicit empty-array guard)
+    lo = f"greatest(1, ((i * L2) div {m}) + 1 - {d})"
+    hi = (
+        f"least(length({c}) - ((((i + 1) * L2) div {m})"
+        f" - ((i * L2) div {m})) + 1, ((i * L2) div {m}) + 1 + {d})"
+    )
+    return (
+        f"flatten(transform("
+        f"sequence(greatest(0, length({c}) - {d}), length({c}) + {d}),"
+        f" L2 -> flatten(transform(sequence(0, {d}), i ->"
+        f" if({hi} < {lo}, array(),"
+        f" transform(sequence({lo}, {hi}), p ->"
+        f" concat(cast(L2 as string), ':', cast(i as string), ':',"
+        f" substring({c}, p, (((i + 1) * L2) div {m})"
+        f" - ((i * L2) div {m})))))))))"
+    )
+
+
+def _probe_signatures(
+    base: DataFrame, max_dist: int, allowed_lens: DataFrame | None = None
+) -> DataFrame:
+    """Probe-side segment signatures (k, n, s) — O(d²·(2d+1)) rows per
+    string, generated via EXPLODE stages + a codegen'd projection, NOT
+    the nested-HOF fragment: Catalyst evaluates HOF lambda bodies
+    interpreted per ELEMENT (measured 2.5x whole-query on this very
+    pipeline). The HOF fragment in :func:`segment_signatures_frag`
+    remains the executable SPEC; a test pins this pipeline equal to it.
+    Duplicate signatures per row are rare for entropic strings (only
+    repeated substrings in-window) and the candidate .distinct()
+    collapses their effect, so no per-row dedup shuffle is spent.
+
+    ``allowed_lens`` (a 1-column ``L2`` frame of the partner lengths
+    that actually occur) prunes the length band against the REALIZED
+    length histogram right after the first explode — for a
+    fixed-length corpus that drops 2d/(2d+1) of all probe rows before
+    any further work. The frame is bounded by the number of distinct
+    string lengths, so the forced broadcast is safe."""
+    d, m = max_dist, max_dist + 1
+    staged = base.select(
+        "k",
+        "n",
+        F.explode(
+            F.expr(
+                f"sequence(greatest(0, length(n) - {d}), length(n) + {d})"
+            )
+        ).alias("L2"),
+    )
+    if allowed_lens is not None:
+        staged = staged.join(F.broadcast(allowed_lens), "L2", "semi")
+    return (
+        staged
+        .select(
+            "k", "n", "L2", F.explode(F.expr(f"sequence(0, {d})")).alias("i")
+        )
+        .select(
+            "k",
+            "n",
+            "L2",
+            "i",
+            F.expr(f"((i * L2) div {m}) + 1").alias("st"),
+            F.expr(
+                f"(((i + 1) * L2) div {m}) - ((i * L2) div {m})"
+            ).alias("ln"),
+        )
+        .filter(
+            F.expr(
+                f"least(length(n) - ln + 1, st + {d}) >= greatest(1, st - {d})"
+            )
+        )
+        .select(
+            "k",
+            "n",
+            "L2",
+            "i",
+            "ln",
+            F.explode(
+                F.expr(
+                    f"sequence(greatest(1, st - {d}),"
+                    f" least(length(n) - ln + 1, st + {d}))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "k",
+            "n",
+            F.expr(
+                "concat(cast(L2 as string), ':', cast(i as string), ':',"
+                " substring(n, p, ln))"
+            ).alias("s"),
+        )
+    )
+
+
+def fuzzy_self_join_segments(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    max_dist: int,
+) -> DataFrame:
+    """Segment-blocked fuzzy self-join — same output contract as
+    :func:`fuzzy_self_join` ((k1 < k2, n1, n2, dist)), complete for any
+    ``max_dist`` ≤ MAX_SEGMENT_DIST by the pigeonhole argument in
+    :func:`segment_signatures_frag`. The join is ASYMMETRIC (probe
+    substrings vs index segments), so candidates are generated in both
+    directions and canonicalized to k1 < k2 before the distinct."""
+    if not 1 <= max_dist <= MAX_SEGMENT_DIST:
+        raise ValueError(
+            f"max_dist must be in 1..{MAX_SEGMENT_DIST} for segment"
+            " blocking"
+        )
+    from amadeus_spark.cache import tracked_persist
+
+    d, m = max_dist, max_dist + 1
+    # one source scan: both sides read the persisted (k, n) frame
+    base = tracked_persist(
+        df.select(F.col(key_col).alias("k"), F.col(name_col).alias("n"))
+    )
+    # index side: d+1 short signatures per row — the HOF fragment is
+    # fine here (O(d) elements). Hash-keyed join: 8-byte shuffle keys;
+    # collisions only add verify-pruned rows (fuzzy_self_join reasons).
+    idx = base.select(
+        "k",
+        "n",
+        F.explode(
+            F.array_distinct(
+                F.expr(segment_signatures_frag("n", "index", max_dist))
+            )
+        ).alias("s"),
+    ).select("k", "n", F.xxhash64("s").alias("hv")).alias("b")
+    lens = base.select(F.length("n").alias("L2")).distinct()
+    prb = (
+        _probe_signatures(base, max_dist, allowed_lens=lens)
+        .select("k", "n", F.xxhash64("s").alias("hv"))
+        .alias("a")
+    )
+    cand = (
+        prb.join(
+            idx,
+            (F.col("a.hv") == F.col("b.hv")) & (F.col("a.k") != F.col("b.k")),
+        )
+        .select(
+            F.least("a.k", "b.k").alias("k1"),
+            F.greatest("a.k", "b.k").alias("k2"),
+            F.when(F.col("a.k") < F.col("b.k"), F.col("a.n"))
+            .otherwise(F.col("b.n"))
+            .alias("n1"),
+            F.when(F.col("a.k") < F.col("b.k"), F.col("b.n"))
+            .otherwise(F.col("a.n"))
+            .alias("n2"),
+        )
+        .distinct()
+    )
+    # banded levenshtein in the codegen'd Project + nondeterministic
+    # pin, exactly as fuzzy_self_join (the two measured traps)
+    verified = cand.select(
+        "k1",
+        "k2",
+        "n1",
+        "n2",
+        F.expr(f"levenshtein(n1, n2, {max_dist})").alias("dist"),
+    )
+    never = F.monotonically_increasing_id() < 0
+    return verified.filter((F.col("dist") >= 0) | never)
+
+
 def fuzzy_self_join(
     df: DataFrame,
     key_col: str,
@@ -97,16 +308,23 @@ def fuzzy_self_join(
     """Pairs (k1 < k2) whose names are within ``max_dist``. Returns
     (k1, k2, n1, n2, dist).
 
-    ``max_dist`` ∈ {1, 2}: d-deletion blocking is COMPLETE for
-    distance ≤ d (module docstring has the alignment argument), so the
-    depth follows the budget. Deeper budgets are refused — recall
-    would silently drop otherwise. d=2 candidates are only bounded
-    within distance 4 by the shared variant, so the banded
-    ``levenshtein ≤ 2`` verify does proportionally more pruning."""
+    ``max_dist`` ∈ {1, 2} uses d-deletion blocking (COMPLETE for
+    distance ≤ d — module docstring has the alignment argument; O(L^d)
+    variants per string). ``max_dist`` ∈ [3, MAX_SEGMENT_DIST] routes
+    to :func:`fuzzy_self_join_segments` — pigeonhole segment blocking,
+    complete for any d at O(d²) signatures per string (deletion depth
+    3 would cost O(L³) variants). Budgets beyond MAX_SEGMENT_DIST are
+    refused rather than silently under-recalled. d=2 deletion
+    candidates are only bounded within distance 4 by the shared
+    variant, so the banded ``levenshtein ≤ 2`` verify does
+    proportionally more pruning."""
+    if 3 <= max_dist <= MAX_SEGMENT_DIST:
+        return fuzzy_self_join_segments(df, key_col, name_col, max_dist)
     if max_dist not in (1, 2):
         raise ValueError(
-            "max_dist must be 1 or 2: deeper budgets need deeper deletion"
-            " neighborhoods (recall would silently drop otherwise)"
+            f"max_dist must be in 1..{MAX_SEGMENT_DIST}: deeper budgets"
+            " would need wider blocking (recall would silently drop"
+            " otherwise)"
         )
     v = deletion_variants_frag(name_col, "spark", depth=max_dist)
     # array_distinct BEFORE the explode: deleting any character of a

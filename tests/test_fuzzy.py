@@ -201,9 +201,77 @@ def test_lookup_join_matches_bruteforce(spark, d):
 def test_deeper_budget_refused(spark):
     df = spark.createDataFrame([(1, "x")], "k long, n string")
     with pytest.raises(ValueError):
-        fuzzy.fuzzy_self_join(df, "k", "n", max_dist=3)
+        fuzzy.fuzzy_self_join(
+            df, "k", "n", max_dist=fuzzy.MAX_SEGMENT_DIST + 1
+        )
     with pytest.raises(ValueError):
         fuzzy.deletion_variants_frag("n", "spark", depth=3)
+    with pytest.raises(ValueError):
+        fuzzy.fuzzy_self_join_segments(df, "k", "n", 0)
+
+
+def test_d3_completeness_vs_bruteforce(spark):
+    """d=3 routes to pigeonhole segment blocking: it must find EVERY
+    pair within edit distance 3 over random low-alphabet strings
+    (where near-pairs are dense) plus the short/empty edge strings,
+    and the banded verify must add nothing beyond."""
+    rng = random.Random(13)
+    names = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 9)))
+        for _ in range(50)
+    ] + ["", "x", "xx", "alphabetical", "alphabetize"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    got = {
+        (r["k1"], r["k2"]): r["dist"]
+        for r in fuzzy.fuzzy_self_join(df, "k", "n", max_dist=3).collect()
+    }
+    want = _brute_pairs(names, 3)
+    assert want - set(got) == set(), "segment blocking lost pairs"
+    assert set(got) == want
+    ia, ib = len(names) - 2, len(names) - 1
+    assert got[(ia, ib)] == 3  # alphabetical ~ alphabetize
+
+
+@pytest.mark.parametrize("d", [1, 2])
+def test_segments_agree_with_deletions(spark, d):
+    """Cross-validation of the two blocking schemes at the budgets both
+    serve: identical pair sets and distances on the same data."""
+    rng = random.Random(29)
+    names = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 7)))
+        for _ in range(60)
+    ] + ["", "a"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    via_del = {
+        (r["k1"], r["k2"]): r["dist"]
+        for r in fuzzy.fuzzy_self_join(df, "k", "n", max_dist=d).collect()
+    }
+    via_seg = {
+        (r["k1"], r["k2"]): r["dist"]
+        for r in fuzzy.fuzzy_self_join_segments(df, "k", "n", d).collect()
+    }
+    assert via_del == via_seg
+
+
+def test_d3_no_cartesian_in_plan(spark):
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(50)], "k long, n string"
+    )
+    plan = (
+        fuzzy.fuzzy_self_join(df, "k", "n", max_dist=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for line in plan.splitlines():
+        if "Join" in line:
+            assert "levenshtein" not in line, line
 
 
 @pytest.mark.parametrize("d", [1, 2])
@@ -224,3 +292,29 @@ def test_no_cartesian_in_plan(spark, d):
     for line in plan.splitlines():
         if "Join" in line:
             assert "levenshtein" not in line, line
+
+
+def test_probe_pipeline_matches_hof_spec(spark):
+    """The codegen explode pipeline (_probe_signatures) must emit the
+    same signature SET as the nested-HOF fragment that documents the
+    scheme — the fragment is the spec, the pipeline is the fast path."""
+    names = ["alphabet", "", "x", "ab", "zzzzzzzzzzzzzzzz", "abcabc"]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "k long, n string"
+    )
+    base = df.selectExpr("k", "n")
+    for d in (1, 3):
+        fast = {
+            (r["k"], r["s"])
+            for r in fuzzy._probe_signatures(base, d).collect()
+        }
+        spec = {
+            (r["k"], r["s"])
+            for r in base.select(
+                "k",
+                F.explode(
+                    F.expr(fuzzy.segment_signatures_frag("n", "probe", d))
+                ).alias("s"),
+            ).collect()
+        }
+        assert fast == spec, d
