@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amadeus_spark.functions import dedup, dsir, gopher, retrieval, similarity, text
+from amadeus_spark.sources import pg_golden as _pg_golden
 from amadeus_spark.operators import (
     aggregates,
     fuzzy,
@@ -1604,6 +1605,31 @@ def q_fuzzy_code_match_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_postgres_copy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY BINARY wire decoder under the gate WITHOUT a server
+    (sources/pg_golden.py): decode the COMMITTED golden byte stream
+    (documented PGCOPY format — signature, flags, per-tuple field
+    count, length-prefixed send() payloads; reference transfer
+    mechanism amadeus-postgres/src/lib.rs:245) through
+    postgres_copy._decode_pg_binary and project to gate-safe types
+    (dates/timestamps → ISO string / epoch-µs offset). The oracle is
+    the expected values as plain literals derived from the same
+    GOLDEN_ROWS constant; a test pins fixture bytes == the encoder's
+    output so the committed artifact can't drift. Driver-side decode
+    of a 612-byte stream — parallelism is not the point here; the
+    distributed COPY path (per-range psql tasks in mapInPandas) is
+    read_postgres_copy."""
+    from amadeus_spark.sources import pg_golden as G
+    from amadeus_spark.sources.postgres_copy import _decode_pg_binary
+
+    with open(G.golden_fixture_path(), "rb") as f:
+        raw = f.read()
+    pdf = _decode_pg_binary(raw, G.GOLDEN_SCHEMA)
+    pdf = pdf.astype(object).where(pdf.notna(), None)
+    rows = [G._project(tuple(r)) for r in pdf.itertuples(index=False)]
+    return spark.createDataFrame(rows, G.OUT_SCHEMA).orderBy("id")
+
+
 #: cohort gate query: rare events (value > 28) spread users' first-seen
 #: period across the timeline; 1-day periods give a real retention
 #: triangle (dense raw events put every user in cohort 0).
@@ -3079,6 +3105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
+        "postgres_copy_decode": q_postgres_copy_decode,
         "bloom_decontamination": q_bloom_decontamination,
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3824,6 +3851,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_members_matched
             FROM pairs GROUP BY grp ORDER BY grp
         """,
+        # expected literals derived from the same GOLDEN_ROWS constant
+        # the committed fixture encodes (sources/pg_golden.py)
+        "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         # d=3 twin: same independent brute-force discipline — the Spark
         # side blocks via pigeonhole segments; the oracle blocks via
         # nothing at all (length band only, a pure correctness-neutral

@@ -5,6 +5,7 @@ and read it back through the distributed COPY source)."""
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 import shutil
 import subprocess
@@ -348,3 +349,46 @@ def test_binary_wire_decoder_pure():
     assert str(r["ts"]) == "2000-01-02 00:00:00.123456"
     assert r["num"] == Decimal("-12345.6789")
     assert out.iloc[1].isna().all() or all(v is None for v in out.iloc[1])
+
+
+def test_golden_fixture_pins_encoder_and_decoder():
+    """The COMMITTED COPY BINARY fixture must byte-equal the encoder's
+    output over GOLDEN_ROWS (artifact drift guard), and decoding it
+    must reproduce GOLDEN_ROWS exactly — the serverless external-gate
+    contract of sources/pg_golden.py."""
+    import pandas as pd
+
+    from amadeus_spark.sources import pg_golden as G
+    from amadeus_spark.sources.postgres_copy import _decode_pg_binary
+
+    with open(G.golden_fixture_path(), "rb") as f:
+        raw = f.read()
+    assert raw == G.encode_copy_binary(G.GOLDEN_ROWS, G.GOLDEN_SCHEMA)
+    pdf = _decode_pg_binary(raw, G.GOLDEN_SCHEMA)
+    pdf = pdf.astype(object).where(pdf.notna(), None)
+    got = [tuple(r) for r in pdf.itertuples(index=False)]
+    assert len(got) == len(G.GOLDEN_ROWS)
+    for g, w in zip(got, G.GOLDEN_ROWS):
+        for i, (gv, wv) in enumerate(zip(g, w)):
+            if isinstance(wv, dt.datetime):
+                assert pd.Timestamp(wv) == gv, (i, gv, wv)
+            elif isinstance(wv, float):
+                assert gv == wv and str(gv) == str(wv), (i, gv, wv)
+            else:
+                assert gv == wv, (i, gv, wv)
+
+
+def test_golden_projection_dual_dialect_parity():
+    """_project (Spark side) and golden_oracle_sql literals (DuckDB
+    side) must agree value-for-value under the gate's stringify
+    compare."""
+    import duckdb
+
+    from amadeus_spark.sources import pg_golden as G
+
+    want = [G._project(r) for r in G.GOLDEN_ROWS]
+    odf = duckdb.sql(G.golden_oracle_sql()).fetchdf()
+    got = [tuple(r) for r in odf.itertuples(index=False)]
+    assert [
+        tuple(str(v) for v in row) for row in got
+    ] == [tuple(str(v) for v in row) for row in want]
