@@ -2816,6 +2816,130 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: corpusflow_e2e constants, shared by both dialects (iron rule 7):
+#: every ~31st page is replaced by one CONSTANT clean page so exact
+#: dedup collapses real duplicates; the unicode tail line exercises the
+#: normalize stage consequentially (curly quotes/em-dash/ellipsis/
+#: double spaces all fold before C4 sees the page).
+CF_E2E_CONST_LINES = (
+    "First shared line is good.",
+    "Second shared line is good.",
+    "Third shared line is good.",
+)
+CF_E2E_TAIL = "“Wrap—up…” is  done."
+CF_E2E_DUP_MOD = 31
+CF_E2E_TOTAL_K = 300
+
+
+def q_corpusflow_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CorpusFlow FACADE end-to-end under the gate (flow.py): the
+    composed normalize → c4 → dedup_exact → temperature → chunk chain
+    as ONE lazy Catalyst plan, so the facade's stage wiring itself is
+    externally hash-checked (the training_pipeline precedent covers
+    manual composition; this covers the fluent path). Pages are
+    synthesized as in c4_quality, plus planted exact duplicates and a
+    unicode tail that only survives C4 because normalization folds it
+    first. The oracle recomposes every stage from the same dual-dialect
+    fragment builders (c4.py / normalize.py / sampling.py / text.py)."""
+    from amadeus_spark.flow import CorpusFlow
+    from amadeus_spark.functions import c4
+    from amadeus_spark.functions.dedup import hash32_frag
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", "lang", F.expr(_C4_WORDS_SPARK).alias("__w")
+    )
+    const_page = "\n".join(CF_E2E_CONST_LINES)
+    pages = staged.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.when(
+                F.col("doc_id") % CF_E2E_DUP_MOD == 0, F.lit(const_page)
+            ).otherwise(
+                F.expr(c4.synth_page_frag("__w", "doc_id", "spark"))
+            ),
+            F.lit("\n" + CF_E2E_TAIL),
+        ).alias("text"),
+    )
+    chunks = (
+        CorpusFlow(pages)
+        .normalize()
+        .c4()
+        .dedup_exact()
+        .temperature(CF_E2E_TOTAL_K)
+        .chunk(64, 48)
+        .to_df()
+    )
+    hs, _ = hash32_frag(
+        "concat(cast(doc_id as string), chr(1), cast(chunk_id as string),"
+        " chr(1), text)",
+        "",
+    )
+    ntok = F.expr("size(filter(split(text, ' '), w -> w != ''))").cast(
+        "long"
+    )
+    return (
+        chunks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum(ntok).alias("total_chunk_tokens"),
+            F.max(ntok).alias("max_chunk_tokens"),
+            F.sum(F.expr(hs)).cast("long").alias("content_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _corpusflow_e2e_oracle() -> str:
+    """DuckDB twin of q_corpusflow_e2e — the same five stages
+    recomposed as one CTE chain from the shared fragment builders."""
+    from amadeus_spark.functions import c4
+    from amadeus_spark.functions import normalize as _norm
+
+    synth = c4.synth_page_frag("w", "doc_id", "duckdb")
+    const_duck = " || chr(10) || ".join(
+        f"'{l}'" for l in CF_E2E_CONST_LINES
+    )
+    tail = f"'{CF_E2E_TAIL}'"
+    kept = c4.kept_lines_frag("text", "duckdb")
+    frags = c4.c4_frags("text", "kept", "duckdb")
+    sel = sampling.temperature_mixture_oracle(
+        "deduped", "lang", "doc_id", CF_E2E_TOTAL_K, 0.5,
+        cols="lang, doc_id, text",
+    )
+    upstream = f"""(
+WITH words AS (
+  SELECT doc_id, lang, {_C4_WORDS_DUCK} AS w FROM documents
+), pages AS (
+  SELECT doc_id, lang,
+         (CASE WHEN doc_id % {CF_E2E_DUP_MOD} = 0 THEN {const_duck}
+               ELSE {synth} END) || chr(10) || {tail} AS text
+  FROM words
+), normalized AS (
+  SELECT doc_id, lang, {_norm.normalize_text_sql("text")} AS text
+  FROM pages
+), staged AS (
+  SELECT lang, doc_id, text, {kept} AS kept FROM normalized
+), scored AS (
+  SELECT lang, doc_id, {frags["keep_doc"]} AS keep_doc,
+         {frags["cleaned"]} AS cleaned
+  FROM staged
+), kept_docs AS (
+  SELECT lang, doc_id, cleaned AS text FROM scored WHERE keep_doc
+), deduped AS (
+  SELECT lang, doc_id, text FROM (
+    SELECT lang, doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept_docs
+  ) WHERE rn = 1
+), selected AS ({sel})
+SELECT lang, doc_id, text FROM selected
+)"""
+    return text.chunk_stats_oracle(upstream, 64, 48)
+
+
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (functions/retrieval.build_postings): per
     term df/cf and the top-5 posting head (tf desc, doc asc) serialized
@@ -3106,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
         "postgres_copy_decode": q_postgres_copy_decode,
+        "corpusflow_e2e": q_corpusflow_e2e,
         "bloom_decontamination": q_bloom_decontamination,
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
@@ -3854,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
         # expected literals derived from the same GOLDEN_ROWS constant
         # the committed fixture encodes (sources/pg_golden.py)
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
+        "corpusflow_e2e": _corpusflow_e2e_oracle(),
         # d=3 twin: same independent brute-force discipline — the Spark
         # side blocks via pigeonhole segments; the oracle blocks via
         # nothing at all (length band only, a pure correctness-neutral
