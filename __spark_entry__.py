@@ -3210,73 +3210,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # heavy plans from the r6-green block. Everything below the gate is
     # still oracle-verified locally on every pytest run.
     return {
-        # (a) new in round 8 — externally unverified
-        "c4_quality": q_c4_quality,
-        "temperature_mixture": q_temperature_mixture,
-        "doc_chunking": q_doc_chunking,
-        "inverted_index": q_inverted_index,
-        "domain_stats": q_domain_stats,
-        "text_normalize": q_text_normalize,
-        "pagerank": q_pagerank,
-        # (b) new or plan-changed in round 7 — kept under the gate until an
-        # external CORRECTNESS row exists (r7's artifact was not delivered)
-        "cluster_safe_split": q_cluster_safe_split,
-        "token_budget_sample": q_token_budget_sample,
-        "key_skew_profile": q_key_skew_profile,
-        "dsir_select": q_dsir_select,
-        "span_scrub": q_span_scrub,
-        "incremental_neardup": q_incremental_neardup,
-        "semantic_dedup": q_semantic_dedup,
-        "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
+        # Ordering is deliberate: the driver's CORRECTNESS gate verifies
+        # only the FIRST 50 dict entries. ROUND-9 ROTATION: every query
+        # was green in the r8 gate or the r1-r8 union, so the window
+        # goes to (a) the three new r9 queries, (b) the six rows-only
+        # queries that have NEVER had an external row, (c) everything
+        # whose code changed this round (versioned-table log rework,
+        # cluster_safe_split AQE join, bare-host domain rollup, fuzzy
+        # routing), (d) the five rows-only queries whose newest external
+        # row is r2, and (e,f) the 29 oracle-checked queries whose
+        # newest external row is r4/r5 plus the three oldest r6 greens.
+        # Everything below the marker is still oracle-verified locally
+        # on every pytest run.
         "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
         "postgres_copy_decode": q_postgres_copy_decode,
         "corpusflow_e2e": q_corpusflow_e2e,
-        "bloom_decontamination": q_bloom_decontamination,
-        "ivf_topk": q_ivf_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "compensated_moments": q_compensated_moments,
-        "duplicated_spans": q_duplicated_spans,
-        "decon_span_scrub": q_decon_span_scrub,
-        "snapshot_diff": q_snapshot_diff,
-        "hard_negatives": q_hard_negatives,
-        "semantic_decontamination": q_semantic_decontamination,
-        # (c) riskiest plans — newest confirmed external row is r5
-        "minhash_lsh": q_minhash_lsh,
-        "simhash": q_simhash,
-        "neardup_clusters": q_neardup_clusters,
-        "embedding_neardup": q_embedding_neardup,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh": q_ann_lsh,
-        "variant_props": q_variant_props,
-        "percentiles": q_percentiles,
-        "scd2_user_episodes": q_scd2_user_episodes,
-        "weighted_sample": q_weighted_sample,
-        "data_expectations": q_data_expectations,
-        # new-in-r8 storage machinery — gated immediately (an external
-        # rows+schema+hash row on its FIRST round; displaces one
-        # r6-green timeseries query to position 51)
+        "mp4_frame_plan": q_mp4_frame_plan,
+        "mp3_segment_plan": q_mp3_segment_plan,
+        "percentile_band": q_percentile_band,
+        "bpe_learn": q_bpe_learn,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "quality_classifier": q_quality_classifier,
         "cdc_apply": q_cdc_apply,
-        # (d) r4/r5-green natives deferred one round in r7 — rotated back
-        "inner_join": q_inner_join,
-        "left_join": q_left_join,
-        "semi_anti_join": q_semi_anti_join,
-        "sample_deterministic": q_sample_deterministic,
-        "grouped_topn": q_grouped_topn,
-        "most_distinct": q_most_distinct,
-        "most_frequent": q_most_frequent,
-        "stratified_sample": q_stratified_sample,
-        "set_ops": q_set_ops,
-        # (e) r6-green, two rounds stale — the heaviest-plan subset first
-        "equidepth_histogram": q_equidepth_histogram,
-        "ngram_jaccard": q_ngram_jaccard,
-        "sequence_packing": q_sequence_packing,
-        "group_sink_nation": q_group_sink_nation,
-        "training_pipeline": q_training_pipeline,
+        "snapshot_diff": q_snapshot_diff,
+        "cluster_safe_split": q_cluster_safe_split,
+        "domain_stats": q_domain_stats,
+        "url_dedup": q_url_dedup,
+        "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "fuzzy_name_match": q_fuzzy_name_match,
-        # ---- below the 50-entry gate ----
-        "gap_fill_events": q_gap_fill_events,
-        # r6-green remainder + TPC-H pack (r4/r5 external rows; all still
-        # oracle-verified locally every pytest run)
+        "approx_distinct": q_approx_distinct,
+        "media_frame_sample": q_media_frame_sample,
+        "most_frequent_cms": q_most_frequent_cms,
+        "multimodal_features": q_multimodal_features,
+        "reservoir_sample": q_reservoir_sample,
+        "summary_agg": q_summary_agg,
+        "group_by_pricing": q_group_by_pricing,
+        "max_by": q_max_by,
+        "line_dedup": q_line_dedup,
+        "perplexity_filter": q_perplexity_filter,
+        "event_anomaly_enrich": q_event_anomaly_enrich,
+        "xml_source": q_xml_source,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q3_shipping": q_tpch_q3_shipping,
         "tpch_q4_priority": q_tpch_q4_priority,
@@ -3296,17 +3269,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_global": q_tpch_q22_global,
-        "line_dedup": q_line_dedup,
-        "perplexity_filter": q_perplexity_filter,
-        "event_anomaly_enrich": q_event_anomaly_enrich,
-        "xml_source": q_xml_source,
-        "summary_agg": q_summary_agg,
-        "group_by_pricing": q_group_by_pricing,
-        "max_by": q_max_by,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "gap_fill_events": q_gap_fill_events,
+        # ---- below the 50-entry gate ----
+        "c4_quality": q_c4_quality,
+        "temperature_mixture": q_temperature_mixture,
+        "doc_chunking": q_doc_chunking,
+        "inverted_index": q_inverted_index,
+        "text_normalize": q_text_normalize,
+        "pagerank": q_pagerank,
+        "token_budget_sample": q_token_budget_sample,
+        "key_skew_profile": q_key_skew_profile,
+        "dsir_select": q_dsir_select,
+        "span_scrub": q_span_scrub,
+        "incremental_neardup": q_incremental_neardup,
+        "semantic_dedup": q_semantic_dedup,
+        "bloom_decontamination": q_bloom_decontamination,
+        "ivf_topk": q_ivf_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "compensated_moments": q_compensated_moments,
+        "duplicated_spans": q_duplicated_spans,
+        "decon_span_scrub": q_decon_span_scrub,
+        "hard_negatives": q_hard_negatives,
+        "semantic_decontamination": q_semantic_decontamination,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "neardup_clusters": q_neardup_clusters,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh": q_ann_lsh,
+        "variant_props": q_variant_props,
+        "percentiles": q_percentiles,
+        "scd2_user_episodes": q_scd2_user_episodes,
+        "weighted_sample": q_weighted_sample,
+        "data_expectations": q_data_expectations,
+        "inner_join": q_inner_join,
+        "left_join": q_left_join,
+        "semi_anti_join": q_semi_anti_join,
+        "sample_deterministic": q_sample_deterministic,
+        "grouped_topn": q_grouped_topn,
+        "most_distinct": q_most_distinct,
+        "most_frequent": q_most_frequent,
+        "stratified_sample": q_stratified_sample,
+        "set_ops": q_set_ops,
+        "equidepth_histogram": q_equidepth_histogram,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sequence_packing": q_sequence_packing,
+        "group_sink_nation": q_group_sink_nation,
+        "training_pipeline": q_training_pipeline,
         "html_text_extract": q_html_text_extract,
-        "url_dedup": q_url_dedup,
         "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
         "funnel_steps": q_funnel_steps,
@@ -3346,18 +3358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_any": q_all_any,
         "sort_n_by": q_sort_n_by,
         "distinct_count": q_distinct_count,
-        # --- rows-only tail (no SQL oracle by nature) ---
-        "multimodal_features": q_multimodal_features,
-        "media_frame_sample": q_media_frame_sample,
-        "mp4_frame_plan": q_mp4_frame_plan,
-        "mp3_segment_plan": q_mp3_segment_plan,
-        "approx_distinct": q_approx_distinct,
-        "most_frequent_cms": q_most_frequent_cms,
-        "reservoir_sample": q_reservoir_sample,
-        "percentile_band": q_percentile_band,
-        "bpe_learn": q_bpe_learn,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "quality_classifier": q_quality_classifier,
     }
 
 
