@@ -3284,11 +3284,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "span_scrub": q_span_scrub,
         "incremental_neardup": q_incremental_neardup,
-        "semantic_dedup": q_semantic_dedup,
-        "bloom_decontamination": q_bloom_decontamination,
-        "ivf_topk": q_ivf_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
-        "compensated_moments": q_compensated_moments,
         "duplicated_spans": q_duplicated_spans,
         "decon_span_scrub": q_decon_span_scrub,
         "hard_negatives": q_hard_negatives,
@@ -3358,6 +3353,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_any": q_all_any,
         "sort_n_by": q_sort_n_by,
         "distinct_count": q_distinct_count,
+        "semantic_dedup": q_semantic_dedup,
+        "bloom_decontamination": q_bloom_decontamination,
+        "ivf_topk": q_ivf_topk,
+        "ivf_pq_topk": q_ivf_pq_topk,
+        "compensated_moments": q_compensated_moments,
     }
 
 

@@ -858,18 +858,28 @@ def optimize(
     target_mb: int = 256,
     zorder_cols: list[str] | None = None,
     n_files: int | None = None,
+    small_file_mb: float | None = None,
 ) -> tuple[int, int, int]:
-    """Small-file compaction as a COMMIT: rewrite the current
-    snapshot's data into ~``target_mb`` files and publish it as the
-    next version. Default layout range-sorts by the first stats column
-    (index min/max pruning tightens, never degrades); with
-    ``zorder_cols`` the rewrite is Morton-interleaved instead
-    (storage.zorder_layout — the OPTIMIZE ZORDER BY shape), making
-    EVERY clustering column's per-file range narrow simultaneously,
-    and those columns join the log's stats_cols so read-side
-    key_range pruning works on each of them. Old versions stay
-    time-travelable — compaction is a new snapshot (a ``remove_all``
-    segment, which also acts as a log-fold barrier like a checkpoint),
+    """Small-file compaction as a COMMIT: rewrite data into
+    ~``target_mb`` files and publish the next version. Default layout
+    range-sorts by the first stats column (index min/max pruning
+    tightens, never degrades); with ``zorder_cols`` the rewrite is
+    Morton-interleaved instead (storage.zorder_layout — the OPTIMIZE
+    ZORDER BY shape), making EVERY clustering column's per-file range
+    narrow simultaneously, and those columns join the log's stats_cols
+    so read-side key_range pruning works on each of them.
+
+    ``small_file_mb`` makes the compaction INCREMENTAL (the Delta
+    OPTIMIZE posture): only files below the threshold are read and
+    rewritten; right-sized files carry by reference — at 100 TB a
+    daily append stream leaves thousands of small files next to
+    terabytes of already-compacted data, and rewriting the latter per
+    OPTIMIZE run would be a full-table job. ``None`` (and any zorder
+    rewrite, which re-clusters globally) compacts everything — that
+    full rewrite publishes a ``remove_all`` segment, which also acts
+    as a log-fold barrier like a checkpoint.
+
+    Old versions stay time-travelable — compaction is a new snapshot,
     never an in-place rewrite (the versioned twin of
     storage.compact_files, which overwrites plain directories).
     Returns (new_version, files_before, files_after)."""
@@ -880,15 +890,31 @@ def optimize(
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
-    total = 0
+    incremental = small_file_mb is not None and not zorder_cols
     fs_, _rel = _arrow_fs(root)
+    sized = []
     for e in _live_entries(spark, root, cur):
         info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
-        total += info.size or 0
+        sized.append((e, info.size or 0))
+    if incremental:
+        rewrite = [
+            (e, sz)
+            for e, sz in sized
+            if sz < small_file_mb * 1024 * 1024
+        ]
+        if len(rewrite) <= 1:
+            return cur, seg["total_files"], seg["total_files"]
+    else:
+        rewrite = sized
+    total = sum(sz for _, sz in rewrite)
     # n_files overrides the size-derived count (tests / fixed layouts)
     n_out = n_files or max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
-    df = read_version(spark, root, cur)
     stats_cols = seg["stats_cols"]
+    if incremental:
+        paths = _paths(root, [(e["dir"], e["path"]) for e, _ in rewrite])
+        df = _reader(spark, seg).parquet(*paths)
+    else:
+        df = read_version(spark, root, cur)
     if zorder_cols:
         from amadeus_spark.operators.storage import zorder_layout
 
@@ -904,7 +930,19 @@ def optimize(
             else df.repartition(n_out)
         )
     v = _commit(
-        spark, root, out, "optimize", stats_cols, remove_all=True, prev=seg
+        spark,
+        root,
+        out,
+        "optimize",
+        stats_cols,
+        remove_all=not incremental,
+        removes=[(e["dir"], e["path"]) for e, _ in rewrite]
+        if incremental
+        else None,
+        removed_rows=sum(e["rows"] for e, _ in rewrite)
+        if incremental
+        else 0,
+        prev=seg,
     )
     new_files = _read_manifest(spark, root, v)["total_files"]
     return v, seg["total_files"], new_files

@@ -100,7 +100,10 @@ def test_contract_oracle_coverage():
     for n in ROWS_ONLY:
         i = names.index(n)
         assert i < 50 or i >= tail, (n, i, tail)
-    assert len(in_gate) <= 5, in_gate  # oracle checks dominate the gate
+    # oracle checks dominate the gate: the r9 rotation deliberately
+    # pushes 11 (the 6 never-externally-checked + the 5 last checked
+    # in r2) through the window at once; steady state is a handful
+    assert len(in_gate) <= 11, in_gate
 
 
 def test_contract_every_oracle_parses(duck):

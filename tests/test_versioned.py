@@ -596,3 +596,47 @@ def test_tz_aware_timestamp_stats_stay_conservative(spark, root):
         assert out.filter("v = 'new'").count() == 10
     finally:
         spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+
+def test_incremental_optimize_carries_right_sized_files(spark, root):
+    """small_file_mb makes OPTIMIZE incremental (the Delta posture):
+    only sub-threshold files are read and rewritten; right-sized files
+    carry by reference — at 100 TB a full-table rewrite per OPTIMIZE
+    run would be the scale bug."""
+    # one "big" file (10k rows) + four tiny ones
+    V.commit_append(
+        spark, root, _df(spark, 0, 10000, "big").coalesce(1), ["k"]
+    )
+    for lo in (20000, 20010, 20020, 20030):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 10, "tiny").coalesce(1)
+        )
+    big_ref = {
+        (e["dir"], e["path"])
+        for e in V._live_entries(spark, root, 0)
+    }
+    # threshold far below the big file's size but above the tiny ones:
+    # pick byte sizes from disk to stay robust across parquet versions
+    import os as _os
+
+    sizes = sorted(
+        _os.path.getsize(_os.path.join(r, f))
+        for r, _, fs in _os.walk(f"{root}/data")
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    thresh_mb = (sizes[-1] - 1) / (1024 * 1024)  # everything but the max
+    v, before, after = V.optimize(
+        spark, root, n_files=1, small_file_mb=thresh_mb
+    )
+    assert before == 5 and after == 2  # 4 tiny -> 1, big carried
+    entries = V._live_entries(spark, root, v)
+    assert big_ref & {(e["dir"], e["path"]) for e in entries}  # by reference
+    df = V.read_version(spark, root)
+    assert df.count() == 10040
+    assert df.filter("v = 'big'").count() == 10000
+    # nothing to do when <=1 small file: same version returned
+    v2, b2, a2 = V.optimize(spark, root, small_file_mb=0.000001)
+    assert v2 == v and b2 == a2 == 2
+    # time travel across the incremental compaction still works
+    assert V.read_version(spark, root, v - 1).count() == 10040
