@@ -66,6 +66,7 @@ from amadeus_spark.operators.storage import _hadoop_fs
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
+CDF_DIR = "_change_data"
 
 #: Write a parquet checkpoint of the full live-file index every this
 #: many commits. Between checkpoints a reader folds at most this many
@@ -568,6 +569,7 @@ def _commit(
     removed_rows: int = 0,
     extra: dict | None = None,
     prev: dict | None = None,
+    cdf: DataFrame | None = None,
 ) -> int:
     cur = current_version(spark, root)
     version = cur + 1
@@ -601,6 +603,23 @@ def _commit(
     if df is not None:
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = _file_entries(commit_dir, stats_cols)
+    # changefeed capture (Delta CDF shape): change rows are written
+    # AT COMMIT TIME, when the merge already knows which rows changed
+    # — reconstructing them later would mean diffing whole snapshots.
+    # Appends need no copy (their add files ARE the inserts, recorded
+    # as cdf="add"); a compaction changes nothing logically ("none");
+    # merge ops stage an explicit change-row directory. Like the data
+    # staging dir, the CDF dir carries the version + a uuid so a
+    # losing commit's leftovers can never collide and are vacuumable.
+    cdf_mark: str | dict | None = None
+    if cdf is not None:
+        cdf_dir = f"v{version}-{uuid.uuid4().hex[:8]}"
+        cdf.write.mode("errorifexists").parquet(f"{root}/{CDF_DIR}/{cdf_dir}")
+        cdf_mark = {"dir": cdf_dir}
+    elif op == "append":
+        cdf_mark = "add"
+    elif op == "optimize":
+        cdf_mark = "none"
     removes = list(removes or [])
     added_rows = sum(e["rows"] for e in new_files)
     if remove_all or prev is None:
@@ -623,13 +642,19 @@ def _commit(
         manifest["schema"] = schema_json
     if txn:
         manifest["txn"] = txn
+    if cdf_mark is not None:
+        manifest["cdf"] = cdf_mark
     try:
         _write_manifest_atomic(spark, root, version, manifest)
     except RuntimeError:
-        # losing writer: reclaim its never-referenced staging dir
+        # losing writer: reclaim its never-referenced staging dirs
+        fs, _ = _hadoop_fs(spark, root)
         if df is not None:
-            fs, _ = _hadoop_fs(spark, root)
             fs.delete(_jpath(spark, commit_dir), True)
+        if isinstance(cdf_mark, dict):
+            fs.delete(
+                _jpath(spark, f"{root}/{CDF_DIR}/{cdf_mark['dir']}"), True
+            )
         raise
     _maybe_checkpoint(spark, root, version)
     return version
@@ -699,6 +724,7 @@ def commit_upsert(
     root: str,
     updates: DataFrame,
     key_col: str,
+    changefeed: bool = False,
 ) -> tuple[int, int, int]:
     """Copy-on-write MERGE by key with FILE-LEVEL stats pruning: only
     files whose index [min,max] range of ``key_col`` intersects the
@@ -706,7 +732,12 @@ def commit_upsert(
     every other file carries over by reference — zero data movement
     and zero log bytes (carried files simply aren't removed). The
     pruning is a DataFrame filter; only the TOUCHED files' paths are
-    collected. Returns (new_version, files_rewritten, files_carried)."""
+    collected. Returns (new_version, files_rewritten, files_carried).
+
+    ``changefeed=True`` records change rows for :func:`table_changes`
+    (``insert`` / ``update_preimage`` / ``update_postimage`` — an
+    upsert never deletes); see :func:`apply_changes` for the capture
+    contract."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -726,28 +757,61 @@ def commit_upsert(
     touched_df = index if lo is None else _prune(index, key_col, lo, hi)
     touched = touched_df.select("dir", "path", "rows").collect()
     n_kept = seg["total_files"] - len(touched)
-    if touched:
-        paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
-        # survivors read through the manifest schema (_reader);
-        # allowMissingColumns lets updates ADD a column — survivors
-        # surface NULL for it (widen-only schema evolution; the
-        # omit-a-column direction raised above)
-        survivors = _reader(spark, seg).parquet(*paths).join(
-            updates.select(key_col).distinct(), key_col, "left_anti"
+    cached = []
+    cdf_frame = None
+    try:
+        if touched:
+            paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
+            # survivors read through the manifest schema (_reader);
+            # allowMissingColumns lets updates ADD a column — survivors
+            # surface NULL for it (widen-only schema evolution; the
+            # omit-a-column direction raised above)
+            touched_read = _reader(spark, seg).parquet(*paths)
+            if changefeed:
+                touched_read = touched_read.persist()
+                cached.append(touched_read)
+            survivors = touched_read.join(
+                updates.select(key_col).distinct(), key_col, "left_anti"
+            )
+            merged = survivors.unionByName(updates, allowMissingColumns=True)
+            if changefeed:
+                pre = touched_read.join(
+                    updates.select(key_col), key_col, "left_semi"
+                ).persist()
+                cached.append(pre)
+                ch_pre = pre.withColumn(
+                    "_change_type", F.lit("update_preimage")
+                )
+                upd_keys = pre.select(key_col)
+                ch_post = updates.join(
+                    upd_keys, key_col, "left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ch_ins = updates.join(
+                    upd_keys, key_col, "left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                cdf_frame = ch_pre.unionByName(
+                    ch_post, allowMissingColumns=True
+                ).unionByName(ch_ins, allowMissingColumns=True)
+        else:
+            merged = updates
+            if changefeed:
+                cdf_frame = updates.withColumn(
+                    "_change_type", F.lit("insert")
+                )
+        v = _commit(
+            spark,
+            root,
+            merged,
+            "upsert",
+            seg["stats_cols"],
+            removes=[(r["dir"], r["path"]) for r in touched],
+            removed_rows=sum(r["rows"] for r in touched),
+            prev=seg,
+            cdf=cdf_frame,
         )
-        merged = survivors.unionByName(updates, allowMissingColumns=True)
-    else:
-        merged = updates
-    v = _commit(
-        spark,
-        root,
-        merged,
-        "upsert",
-        seg["stats_cols"],
-        removes=[(r["dir"], r["path"]) for r in touched],
-        removed_rows=sum(r["rows"] for r in touched),
-        prev=seg,
-    )
+    finally:
+        for c in cached:
+            c.unpersist()
     return v, len(touched), n_kept
 
 
@@ -760,6 +824,7 @@ def apply_changes(
     op_col: str = "op",
     delete_op: str = "D",
     extra_meta: dict | None = None,
+    changefeed: bool = False,
 ) -> tuple[int, int, int]:
     """CDC changelog apply — fold a batch of keyed change events
     (upserts + deletes) into the next snapshot, LATEST-WINS per key.
@@ -780,7 +845,17 @@ def apply_changes(
     else carries by reference. A delete whose key hits no file is a
     no-op, an upsert for an absent key is an insert — no read-first
     existence check, so the apply is one bounded job regardless of
-    table size. Returns (new_version, n_upserts, n_deletes)."""
+    table size. Returns (new_version, n_upserts, n_deletes).
+
+    ``changefeed=True`` additionally records the commit's CHANGE ROWS
+    (Delta CDF semantics: ``insert`` / ``update_preimage`` /
+    ``update_postimage`` / ``delete``, preimages taken from the
+    touched files, a delete of an absent key emits nothing) for
+    :func:`table_changes` — captured here, at merge time, because the
+    merge is the only moment the pre/post split is known without
+    diffing snapshots. Cost: the touched-file read is persisted (it
+    feeds survivors AND preimages — one scan) plus one bounded write
+    of O(change batch) rows."""
     from pyspark.sql import Window
 
     cur = current_version(spark, root)
@@ -819,20 +894,54 @@ def apply_changes(
     n_deletes = int(agg["nd"] or 0)
     n_upserts = int(agg["n"]) - n_deletes
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
+    cached = [latest]
     try:
         index = _index_df(spark, root, res)
         touched_df = index if lo is None else _prune(index, key_col, lo, hi)
         touched = touched_df.select("dir", "path", "rows").collect()
+        cdf_frame = None
         if touched:
             paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
             # manifest-schema read + allowMissingColumns: same widen-
             # only schema-evolution contract as commit_upsert
-            survivors = _reader(spark, seg).parquet(*paths).join(
+            touched_read = _reader(spark, seg).parquet(*paths)
+            if changefeed:
+                # one scan feeds survivors AND preimages
+                touched_read = touched_read.persist()
+                cached.append(touched_read)
+            survivors = touched_read.join(
                 latest.select(key_col).distinct(), key_col, "left_anti"
             )
             merged = survivors.unionByName(upserts, allowMissingColumns=True)
+            if changefeed:
+                pre = touched_read.join(
+                    latest.select(key_col, op_col), key_col, "inner"
+                ).persist()
+                cached.append(pre)
+                ch_pre = pre.select(
+                    *[F.col(c) for c in pre.columns if c != op_col],
+                    F.when(F.col(op_col) == delete_op, F.lit("delete"))
+                    .otherwise(F.lit("update_preimage"))
+                    .alias("_change_type"),
+                )
+                upd_keys = pre.select(key_col)
+                ch_post = upserts.join(
+                    upd_keys, key_col, "left_semi"
+                ).withColumn("_change_type", F.lit("update_postimage"))
+                ch_ins = upserts.join(
+                    upd_keys, key_col, "left_anti"
+                ).withColumn("_change_type", F.lit("insert"))
+                cdf_frame = ch_pre.unionByName(
+                    ch_post, allowMissingColumns=True
+                ).unionByName(ch_ins, allowMissingColumns=True)
         else:
             merged = upserts
+            if changefeed:
+                # empty touch set: every non-delete is an insert,
+                # every delete hit an absent key (no change row)
+                cdf_frame = upserts.withColumn(
+                    "_change_type", F.lit("insert")
+                )
         v = _commit(
             spark,
             root,
@@ -843,12 +952,14 @@ def apply_changes(
             removed_rows=sum(r["rows"] for r in touched),
             extra=extra_meta,
             prev=seg,
+            cdf=cdf_frame,
         )
     finally:
         # unpersist on failure too: a long-lived streaming driver
         # calling this per micro-batch would otherwise leak one cached
         # frame per commit conflict / write failure
-        latest.unpersist()
+        for c in cached:
+            c.unpersist()
     return v, n_upserts, n_deletes
 
 
@@ -994,6 +1105,21 @@ def vacuum(
         if c >= cutoff:
             break
         fs.delete(_jpath(spark, _ckpt_path(root, c)), True)
+    # change-data dirs: keep only those a KEPT segment references —
+    # covers vacuumed-away versions AND orphans from losing commits
+    kept_cdf: set[str] = set()
+    for v in range(cutoff, cur + 1):
+        try:
+            mark = _read_manifest(spark, root, v).get("cdf")
+        except (FileNotFoundError, OSError):
+            continue
+        if isinstance(mark, dict):
+            kept_cdf.add(mark["dir"])
+    cdir = _jpath(spark, f"{root}/{CDF_DIR}")
+    if fs.exists(cdir):
+        for st in fs.listStatus(cdir):
+            if st.getPath().getName() not in kept_cdf:
+                fs.delete(st.getPath(), True)
     n_data = 0
     ddir = _jpath(spark, f"{root}/{DATA_DIR}")
     if fs.exists(ddir):
@@ -1018,6 +1144,78 @@ def vacuum(
                     fs.delete(st.getPath(), False)
                     n_data += 1
     return n_manifests, n_data
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    starting_version: int = 0,
+    ending_version: int | None = None,
+) -> DataFrame:
+    """Change data feed read (Delta's ``table_changes``): the
+    row-level changes committed in ``[starting_version,
+    ending_version]`` (inclusive; default = current at call time), as
+    the table's columns plus ``_change_type`` (``insert`` /
+    ``update_preimage`` / ``update_postimage`` / ``delete``) and
+    ``_commit_version``. This is the incremental-consumer contract: a
+    downstream pipeline (index refresh, near-dup re-probe, shard
+    re-export) polls ``current_version``, reads exactly the delta
+    since its last high-water mark, and never rescans the table.
+
+    Per commit the cost is O(that commit's changes): appends read
+    their own add files (no copy was made — they ARE the inserts),
+    compactions contribute nothing (no logical change), and merge
+    commits read the change directory captured at commit time.
+    Mixed-vintage change files are planned against each commit's own
+    manifest schema and unioned by name, so the feed spans schema
+    evolution (older changes read NULL for later-added columns).
+    Raises for a merge commit recorded without ``changefeed=True`` —
+    its pre/post split is unrecoverable after the fact — and for
+    vacuumed versions (their log segments are gone)."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    end = cur if ending_version is None else ending_version
+    if end > cur:
+        raise ValueError(f"ending_version {end} > current version {cur}")
+    frames: list[DataFrame] = []
+    for v in range(starting_version, end + 1):
+        seg = _read_manifest(spark, root, v)
+        mark = seg.get("cdf")
+        if mark == "none":
+            continue
+        if mark == "add" or (mark is None and seg["op"] == "append"):
+            paths = _paths(
+                root, [(e["dir"], e["path"]) for e in seg.get("add", [])]
+            )
+            if not paths:
+                continue
+            df = _reader(spark, seg).parquet(*paths).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        elif isinstance(mark, dict):
+            schema = _manifest_schema(seg)
+            rd = spark.read
+            if schema is not None:
+                from pyspark.sql.types import StringType
+
+                rd = rd.schema(schema.add("_change_type", StringType()))
+            df = rd.parquet(f"{root}/{CDF_DIR}/{mark['dir']}")
+        else:
+            raise ValueError(
+                f"version {v} ({seg['op']}) has no changefeed data — "
+                "commit it with changefeed=True to make it readable "
+                "as changes"
+            )
+        frames.append(df.withColumn("_commit_version", F.lit(v)))
+    if not frames:
+        return spark.createDataFrame(
+            [], "_change_type string, _commit_version bigint"
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:

@@ -640,3 +640,118 @@ def test_incremental_optimize_carries_right_sized_files(spark, root):
     assert v2 == v and b2 == a2 == 2
     # time travel across the incremental compaction still works
     assert V.read_version(spark, root, v - 1).count() == 10040
+
+
+# ------------------------------------------------------------- CDF
+
+
+def _changes(rows):
+    return rows  # readability marker for the expected-change asserts
+
+
+def test_changefeed_append_and_cdc(spark, root):
+    V.commit_append(
+        spark, root, _df(spark, 0, 10, "base").coalesce(1), ["k"]
+    )
+    ch = spark.createDataFrame(
+        [(5, "upd", 1, "U"), (20, "new", 1, "U"), (7, None, 1, "D"),
+         (99, None, 1, "D")],
+        "k bigint, v string, ts bigint, op string",
+    )
+    v, nu, nd = V.apply_changes(spark, root, ch, "k", "ts", changefeed=True)
+    got = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in V.table_changes(spark, root).collect()
+    )
+    exp = sorted(
+        [(0, "insert", k, "base") for k in range(10)]
+        + _changes(
+            [
+                (1, "update_preimage", 5, "base"),
+                (1, "update_postimage", 5, "upd"),
+                (1, "insert", 20, "new"),
+                (1, "delete", 7, "base"),
+                # delete of absent key 99: NO change row
+            ]
+        )
+    )
+    assert got == exp
+    # range-filtered read: only the merge commit
+    only_v1 = V.table_changes(spark, root, starting_version=v)
+    assert only_v1.count() == 4
+
+
+def test_changefeed_upsert_splits_insert_vs_update(spark, root):
+    V.commit_append(
+        spark, root, _df(spark, 0, 10, "base").coalesce(1), ["k"]
+    )
+    upd = _df(spark, 8, 12, "new")  # 8,9 exist; 10,11 are inserts
+    V.commit_upsert(spark, root, upd, "k", changefeed=True)
+    got = sorted(
+        (r["_change_type"], r["k"])
+        for r in V.table_changes(spark, root, starting_version=1).collect()
+    )
+    assert got == sorted(
+        [
+            ("insert", 10), ("insert", 11),
+            ("update_preimage", 8), ("update_preimage", 9),
+            ("update_postimage", 8), ("update_postimage", 9),
+        ]
+    )
+
+
+def test_changefeed_optimize_silent_merge_without_flag_raises(spark, root):
+    for lo in (0, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 100, "a").coalesce(1), ["k"]
+        )
+    V.optimize(spark, root, n_files=1)  # v2: no logical change
+    assert (
+        V.table_changes(spark, root, starting_version=2).count() == 0
+    )
+    # a merge committed WITHOUT changefeed is unrecoverable: raise
+    V.commit_upsert(spark, root, _df(spark, 0, 5, "x"), "k")
+    with pytest.raises(ValueError, match="changefeed"):
+        V.table_changes(spark, root, starting_version=3).count()
+    # but the earlier range still reads fine
+    assert V.table_changes(spark, root, 0, 2).count() == 200
+
+
+def test_changefeed_spans_schema_evolution(spark, root):
+    V.commit_append(
+        spark, root, _df(spark, 0, 5, "a").coalesce(1), ["k"]
+    )
+    widened = spark.range(3, 7).selectExpr(
+        "id AS k", "'b' AS v", "id * 10 AS extra"
+    )
+    V.commit_upsert(spark, root, widened, "k", changefeed=True)
+    feed = V.table_changes(spark, root)
+    # old insert rows surface NULL for the later-added column
+    assert "extra" in feed.columns
+    olds = feed.filter("_commit_version = 0").collect()
+    assert all(r["extra"] is None for r in olds)
+    news = {
+        r["k"]: r["extra"]
+        for r in feed.filter(
+            "_change_type IN ('insert', 'update_postimage')"
+            " AND _commit_version = 1"
+        ).collect()
+    }
+    assert news == {3: 30, 4: 40, 5: 50, 6: 60}
+
+
+def test_vacuum_reclaims_stale_change_data(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    for i in range(3):
+        V.commit_upsert(
+            spark, root, _df(spark, i, i + 2, f"u{i}"), "k",
+            changefeed=True,
+        )
+    cdf_root = os.path.join(root, V.CDF_DIR)
+    assert len(os.listdir(cdf_root)) == 3
+    V.vacuum(spark, root, keep_last=1)
+    # only the newest version's change dir survives
+    assert len(os.listdir(cdf_root)) == 1
+    assert V.table_changes(
+        spark, root, starting_version=3
+    ).count() > 0
