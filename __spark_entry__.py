@@ -2410,6 +2410,20 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_cluster_stats(pairs, "doc_a", "doc_b")
 
 
+def q_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per near-dup cluster (functions/dedup.py
+    cluster_keep_best_stats — the RefinedWeb/FineWeb keep-one-
+    representative step): SimHash pairs → connected components → keep
+    the longest doc per cluster (ties toward the lowest id) via a
+    single partial-aggregable padded-key MIN — no per-cluster window,
+    so a web-scale boilerplate cluster combines map-side. The DuckDB
+    oracle re-runs the closure as a recursive CTE and the identical
+    argmax encoding."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=8, limit=200)
+    return dedup.cluster_keep_best_stats(docs, pairs)
+
+
 def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (functions/dedup.py): split is
     a hash of the near-dup CLUSTER representative, so near-duplicates
@@ -3349,6 +3363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "snapshot_diff": q_snapshot_diff,
         "cluster_safe_split": q_cluster_safe_split,
+        "cluster_keep_best": q_cluster_keep_best,
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
@@ -3385,8 +3400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_global": q_tpch_q22_global,
         "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         # ---- below the 50-entry gate ----
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "gap_fill_events": q_gap_fill_events,
         "c4_quality": q_c4_quality,
         "temperature_mixture": q_temperature_mixture,
@@ -4449,6 +4464,9 @@ def oracle_sql() -> dict[str, str]:
             dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
         ),
         "cluster_safe_split": dedup.cluster_safe_split_oracle(
+            dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
+        ),
+        "cluster_keep_best": dedup.cluster_keep_best_oracle(
             dedup.simhash_oracle("documents", "doc_id", "text", 8, 200)
         ),
         "token_budget_sample": f"""

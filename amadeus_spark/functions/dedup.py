@@ -797,6 +797,136 @@ def cluster_safe_split_stats(
     )
 
 
+#: padded-key width for cluster_keep_best's argmax encoding — scores
+#: and ids must fit in [0, 10^KEEP_BEST_PAD); the key is
+#: lpad(inverted score) || lpad(id), so MIN(key) picks the max-score,
+#: then min-id row with a single associative aggregate in BOTH
+#: dialects (DuckDB's arg_max rejects composite sort values, and a
+#: per-cluster window would sort a web-scale boilerplate cluster
+#: through one task — padded-min keeps the whole argmax map-side).
+KEEP_BEST_PAD = 12
+_KEEP_BEST_CAP = 10**KEEP_BEST_PAD - 1
+
+
+def keep_best_key_frag(score_sql: str, id_sql: str) -> str:
+    """The shared argmax-encoding fragment (identical text in Spark SQL
+    and DuckDB — concat/lpad/cast agree): MIN() of it over a cluster
+    yields 'keep the highest score, break ties toward the lowest id'."""
+    return (
+        f"concat(lpad(cast({_KEEP_BEST_CAP} - ({score_sql}) as string),"
+        f" {KEEP_BEST_PAD}, '0'),"
+        f" lpad(cast({id_sql} as string), {KEEP_BEST_PAD}, '0'))"
+    )
+
+
+def cluster_keep_best_stats(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_sql: str = "length(text)",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Canonical-document selection per near-dup cluster — the KEEP
+    step published pipelines (RefinedWeb, FineWeb) run after
+    clustering: from each connected component keep exactly ONE
+    representative, the document maximizing ``score_sql`` (default:
+    longest text; ties break toward the lowest id), drop the rest.
+    Singletons (docs in no pair) keep themselves.
+
+    Physical plan: component labels join onto the corpus (strategy
+    left to AQE — comp is O(paired docs) and unbounded at web-crawl
+    dup rates, the cluster_safe_split lesson), then ONE partial-
+    aggregable groupBy(rep) computes size, total score and the argmax
+    via MIN of the padded key (see :func:`keep_best_key_frag`) — no
+    per-cluster window, so a million-doc boilerplate cluster combines
+    map-side instead of sorting through one task. A second tiny
+    groupBy rolls clusters up by size.
+
+    ``score_sql`` must be a non-negative BIGINT expression below
+    10^KEEP_BEST_PAD. Output: one row per cluster_size with cluster
+    count, kept/dropped score mass and keep-id bounds — BIGINT-only,
+    deterministic order."""
+    comp = connected_components(pairs, a_col, b_col)
+    key = keep_best_key_frag("__score", "id")
+    assigned = (
+        docs.selectExpr(
+            f"{id_col} AS id", f"cast({score_sql} as bigint) AS __score"
+        )
+        .join(comp, "id", "left")
+        .select(
+            "id", "__score", F.coalesce("cluster", F.col("id")).alias("rep")
+        )
+    )
+    per = assigned.groupBy("rep").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min(F.expr(key)).alias("__key"),
+        F.sum("__score").alias("__total"),
+    ).select(
+        "cluster_size",
+        (
+            F.lit(_KEEP_BEST_CAP)
+            - F.expr(f"cast(substring(__key, 1, {KEEP_BEST_PAD}) as bigint)")
+        ).alias("kept_score"),
+        F.expr(
+            f"cast(substring(__key, {KEEP_BEST_PAD + 1},"
+            f" {KEEP_BEST_PAD}) as bigint)"
+        ).alias("keep_id"),
+        F.col("__total"),
+    )
+    return (
+        per.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("kept_score").alias("sum_kept_score"),
+            F.sum(F.col("__total") - F.col("kept_score")).alias(
+                "sum_dropped_score"
+            ),
+            F.min("keep_id").alias("min_keep_id"),
+            F.max("keep_id").alias("max_keep_id"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def cluster_keep_best_oracle(
+    pairs_sql: str,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    score_sql: str = "length(text)",
+) -> str:
+    """DuckDB twin — same closure CTE, same padded-key argmax."""
+    key = keep_best_key_frag("score", "id")
+    return f"""
+{closure_cte(pairs_sql)}, assigned AS (
+  SELECT d.{id_col} AS id, CAST({score_sql} AS BIGINT) AS score,
+         COALESCE(c.cluster, d.{id_col}) AS rep
+  FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
+), per AS (
+  SELECT rep, COUNT(*) AS cluster_size,
+         MIN({key}) AS key,
+         SUM(score) AS total
+  FROM assigned
+  GROUP BY rep
+), win AS (
+  SELECT cluster_size,
+         {_KEEP_BEST_CAP} - CAST(substring(key, 1, {KEEP_BEST_PAD})
+             AS BIGINT) AS kept_score,
+         CAST(substring(key, {KEEP_BEST_PAD + 1}, {KEEP_BEST_PAD})
+             AS BIGINT) AS keep_id,
+         total
+  FROM per
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(kept_score) AS BIGINT) AS sum_kept_score,
+       CAST(SUM(total - kept_score) AS BIGINT) AS sum_dropped_score,
+       CAST(MIN(keep_id) AS BIGINT) AS min_keep_id,
+       CAST(MAX(keep_id) AS BIGINT) AS max_keep_id
+FROM win GROUP BY 1 ORDER BY 1
+"""
+
+
 def cluster_safe_split_oracle(
     pairs_sql: str,
     table: str = "documents",

@@ -432,6 +432,37 @@ def test_cluster_safe_split_no_leakage(spark):
     assert sum(r["n_grouped_docs"] for r in out) == 3  # ids 2,3,11
 
 
+def test_cluster_keep_best_argmax_and_ties(spark):
+    """Keep-one-per-cluster: the padded-key argmax keeps the HIGHEST
+    score, ties break toward the LOWEST id, singletons keep themselves,
+    and dropped score mass is exactly the cluster remainder."""
+    from amadeus_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: scores 5,9,9 -> keep id 2 (tie 9 vs 9)
+        # cluster {10,11}: scores 4,7 -> keep id 11
+        # singleton 20: keeps itself
+        [(1, "aaaaa"), (2, "bbbbbbbbb"), (3, "ccccccccc"),
+         (10, "dddd"), (11, "eeeeeee"), (20, "ff")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["cluster_size"]: r
+        for r in dedup.cluster_keep_best_stats(docs, pairs).collect()
+    }
+    assert out[3]["n_clusters"] == 1
+    assert out[3]["sum_kept_score"] == 9
+    assert out[3]["sum_dropped_score"] == 5 + 9
+    assert out[3]["min_keep_id"] == out[3]["max_keep_id"] == 2
+    assert out[2]["sum_kept_score"] == 7
+    assert out[2]["min_keep_id"] == 11
+    assert out[1]["n_clusters"] == 1 and out[1]["sum_kept_score"] == 2
+    assert out[1]["sum_dropped_score"] == 0
+
+
 def test_token_budget_extremes(spark):
     """budget 0 keeps nothing; budget >= total keeps everything."""
     rows = [("en", i, 10) for i in range(1, 11)]
