@@ -1,0 +1,116 @@
+"""WebDataset tar-shard source: golden-fixture drift pin, stdlib-
+tarfile parity (independent oracle), long-name extensions, the
+distributed index path, sample grouping, and the corrupt-stream
+contract."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import tarfile
+
+import pytest
+
+from amadeus_spark.sources import wds_golden as G
+from amadeus_spark.sources.webdataset import (
+    build_tar,
+    iter_tar_members,
+    read_webdataset_index,
+    sample_plans,
+    split_sample_key,
+)
+
+
+def test_fixture_bytes_pinned_to_builder():
+    """The committed shards must be exactly build_tar(GOLDEN) — any
+    drift in layout constants, writer, or committed bytes fails."""
+    for shard in G.GOLDEN:
+        with open(os.path.join(G.fixture_dir(), shard), "rb") as f:
+            assert f.read() == build_tar(G.members(shard)), shard
+
+
+def test_parser_matches_stdlib_tarfile():
+    for shard in G.GOLDEN:
+        raw = build_tar(G.members(shard))
+        std = [
+            (m.name, m.offset_data, m.size)
+            for m in tarfile.open(fileobj=io.BytesIO(raw)).getmembers()
+        ]
+        ours = [
+            (m["member"], m["offset"], m["size"])
+            for m in iter_tar_members(io.BytesIO(raw))
+        ]
+        assert std == ours
+
+
+@pytest.mark.parametrize("fmt", [tarfile.GNU_FORMAT, tarfile.PAX_FORMAT])
+def test_long_names_gnu_and_pax(fmt):
+    """Real shards carry >100-char paths via GNU 'L' members or pax
+    'x' headers — both must resolve to the true member name."""
+    buf = io.BytesIO()
+    long_name = "deep/" + "x" * 120 + "/000009.jpg"
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as w:
+        info = tarfile.TarInfo(long_name)
+        data = b"abc" * 100
+        info.size = len(data)
+        w.addfile(info, io.BytesIO(data))
+    buf.seek(0)
+    ms = list(iter_tar_members(buf))
+    assert [(m["member"], m["size"]) for m in ms] == [(long_name, 300)]
+
+
+def test_sample_key_grammar():
+    assert split_sample_key("000123.jpg") == ("000123", "jpg")
+    assert split_sample_key("a/b/000123.seg.png") == ("a/b/000123", "seg.png")
+    assert split_sample_key("METADATA") == (None, None)
+
+
+def test_truncated_header_raises():
+    raw = build_tar(G.members("golden-000.tar"))
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_tar_members(io.BytesIO(raw[: len(raw) - 1536 - 200])))
+
+
+def test_distributed_index_matches_expected(spark):
+    paths = [os.path.join(G.fixture_dir(), s) for s in G.GOLDEN]
+    idx = read_webdataset_index(spark, paths)
+    got = sorted(
+        (os.path.basename(r["shard"]), r["member"], r["sample_key"],
+         r["slot"], r["offset"], r["size"])
+        for r in idx.collect()
+    )
+    assert got == sorted(G.expected_index())
+
+
+def test_gzip_shard_read_discard_path(spark, tmp_path):
+    """.tar.gz shards go through the read-discard skip (no seek on
+    gzip) and must index identically."""
+    shard = "golden-000.tar"
+    gz = tmp_path / (shard + ".gz")
+    gz.write_bytes(gzip.compress(build_tar(G.members(shard))))
+    got = sorted(
+        (r["member"], r["offset"], r["size"])
+        for r in read_webdataset_index(spark, str(gz)).collect()
+    )
+    exp = sorted(
+        (m, o, sz)
+        for s, m, _, _, o, sz in G.expected_index()
+        if s == shard
+    )
+    assert got == exp
+
+
+def test_sample_plans_groups_and_drops_slotless(spark):
+    paths = [os.path.join(G.fixture_dir(), s) for s in G.GOLDEN]
+    plans = sample_plans(read_webdataset_index(spark, paths)).collect()
+    by_key = {r["sample_key"]: r for r in plans}
+    # METADATA (slotless) joined no sample
+    assert set(by_key) == {f"{i:06d}" for i in range(5)}
+    s1 = by_key["000001"]
+    assert s1["n_slots"] == 3
+    assert [s["slot"] for s in s1["slots"]] == ["jpg", "seg.png", "txt"]
+    assert s1["sample_bytes"] == 512 + 0 + 77
+    # byte ranges in each plan match the flat index
+    s4 = by_key["000004"]
+    assert s4["sample_bytes"] == 2048 + 13 + 257
