@@ -241,6 +241,72 @@ def read_webdataset_index(
     return src.mapInPandas(_index_map, INDEX_SCHEMA)
 
 
+FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("member", T.StringType(), False),
+        T.StructField("sample_key", T.StringType(), True),
+        T.StructField("slot", T.StringType(), True),
+        T.StructField("size", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def _fetch_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from amadeus_spark.sources.warc import _open_raw
+
+    for pdf in batches:
+        for shard, grp in pdf.groupby("shard", sort=False):
+            rows = []
+            # index offsets are DECOMPRESSED-stream positions: on a
+            # .gz shard a raw seek lands in compressed bytes and
+            # silently reads garbage — refuse up front
+            if shard.endswith(".gz"):
+                raise ValueError(
+                    f"{shard}: ranged fetch needs a seekable "
+                    "uncompressed shard — decompress .tar.gz first, "
+                    "or re-shard plain .tar (the WebDataset norm)"
+                )
+            f = _open_raw(shard)
+            try:
+                # ascending offsets: strictly forward seeks —
+                # sequential I/O locally, coalescible range GETs on an
+                # object store
+                for r in grp.sort_values("offset").itertuples(index=False):
+                    f.seek(r.offset)
+                    data = f.read(r.size)
+                    if len(data) != r.size:
+                        raise ValueError(
+                            f"{shard}:{r.member}: short read "
+                            f"({len(data)} of {r.size} bytes)"
+                        )
+                    rows.append(
+                        (shard, r.member, r.sample_key, r.slot, r.size, data)
+                    )
+            finally:
+                f.close()
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard", "member", "sample_key", "slot", "size", "content"
+                ],
+            )
+
+
+def fetch_members(index: DataFrame, n_tasks: int | None = None) -> DataFrame:
+    """Materialize the planned byte windows: seek+read each member's
+    payload (the ranged-read primitive the index exists to feed —
+    decoders and feature extractors hang off ``content``). Rows are
+    repartitioned BY SHARD so a task opens each shard once and reads
+    it forward; ``n_tasks`` caps the fan-out (default: one task per
+    shard via hash partitioning)."""
+    parts = n_tasks or index.sparkSession.sparkContext.defaultParallelism
+    return index.repartition(parts, "shard").mapInPandas(
+        _fetch_map, FETCH_SCHEMA
+    )
+
+
 def sample_plans(index: DataFrame) -> DataFrame:
     """Roll the member index up into WebDataset SAMPLES: one row per
     (shard, sample_key) with the slot → byte-range list a decoder

@@ -114,3 +114,36 @@ def test_sample_plans_groups_and_drops_slotless(spark):
     # byte ranges in each plan match the flat index
     s4 = by_key["000004"]
     assert s4["sample_bytes"] == 2048 + 13 + 257
+
+
+def test_fetch_members_round_trips_payloads(spark):
+    from amadeus_spark.sources.webdataset import (
+        fetch_members,
+        read_webdataset_index,
+    )
+
+    paths = [os.path.join(G.fixture_dir(), s) for s in G.GOLDEN]
+    fetched = fetch_members(read_webdataset_index(spark, paths)).collect()
+    exp = {
+        (s, n): G.payload(s, n, sz)
+        for s in G.GOLDEN
+        for n, sz in G.GOLDEN[s]
+    }
+    assert len(fetched) == len(exp)
+    for r in fetched:
+        shard = os.path.basename(r["shard"])
+        assert bytes(r["content"]) == exp[(shard, r["member"])], r["member"]
+
+
+def test_fetch_refuses_gzip(spark, tmp_path):
+    from amadeus_spark.sources.webdataset import (
+        fetch_members,
+        read_webdataset_index,
+    )
+
+    shard = "golden-000.tar"
+    gz = tmp_path / (shard + ".gz")
+    gz.write_bytes(gzip.compress(build_tar(G.members(shard))))
+    idx = read_webdataset_index(spark, str(gz))
+    with pytest.raises(Exception, match="seekable"):
+        fetch_members(idx).collect()
