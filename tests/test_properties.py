@@ -251,3 +251,49 @@ def test_scd2_matches_python_reference(spark):
             )
             want.add((k, i + 1, v, dur))
     assert got == want
+
+
+_member_names = st.lists(
+    st.text(
+        alphabet="abcdefghij0123456789._-/",
+        min_size=1,
+        max_size=40,
+    ).filter(
+        lambda s: not s.startswith("/")
+        and "//" not in s
+        and not s.endswith("/")
+        and s.strip(".") != ""
+    ),
+    min_size=0,
+    max_size=12,
+    unique=True,
+)
+_payloads = st.binary(min_size=0, max_size=1400)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_member_names, st.data())
+def test_tar_build_parse_round_trip(names, data):
+    """build_tar → iter_tar_members is the identity on (name, size),
+    offsets land payloads exactly, and stdlib tarfile agrees — for
+    arbitrary member lists incl. empty payloads and block-boundary
+    sizes."""
+    import io
+    import tarfile
+
+    from amadeus_spark.sources.webdataset import build_tar, iter_tar_members
+
+    members = [(n, data.draw(_payloads)) for n in names]
+    raw = build_tar(members)
+    parsed = list(iter_tar_members(io.BytesIO(raw)))
+    assert [(m["member"], m["size"]) for m in parsed] == [
+        (n, len(d)) for n, d in members
+    ]
+    for m, (_, d) in zip(parsed, members):
+        assert raw[m["offset"] : m["offset"] + m["size"]] == d
+    if members:
+        std = [
+            (t.name, t.offset_data, t.size)
+            for t in tarfile.open(fileobj=io.BytesIO(raw)).getmembers()
+        ]
+        assert std == [(m["member"], m["offset"], m["size"]) for m in parsed]
