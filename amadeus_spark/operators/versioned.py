@@ -569,7 +569,7 @@ def _commit(
     removed_rows: int = 0,
     extra: dict | None = None,
     prev: dict | None = None,
-    cdf: DataFrame | None = None,
+    cdf: DataFrame | str | None = None,
 ) -> int:
     cur = current_version(spark, root)
     version = cur + 1
@@ -607,14 +607,31 @@ def _commit(
     # AT COMMIT TIME, when the merge already knows which rows changed
     # — reconstructing them later would mean diffing whole snapshots.
     # Appends need no copy (their add files ARE the inserts, recorded
-    # as cdf="add"); a compaction changes nothing logically ("none");
-    # merge ops stage an explicit change-row directory. Like the data
-    # staging dir, the CDF dir carries the version + a uuid so a
-    # losing commit's leftovers can never collide and are vacuumable.
+    # as cdf="add") unless the caller wants a STREAMABLE feed; a
+    # compaction changes nothing logically ("none"); merge ops stage
+    # an explicit change-row directory. Change files carry
+    # ``_commit_version`` IN the data (not just the path) so a
+    # Structured Streaming file source over _change_data/ needs no
+    # custom source code. Like the data staging dir, the CDF dir
+    # carries the version + a uuid so a losing commit's leftovers can
+    # never collide and are vacuumable.
     cdf_mark: str | dict | None = None
+    if isinstance(cdf, str) and cdf == "from_add":
+        # streamable append: re-read the JUST-COMMITTED files (cheaper
+        # than re-running an expensive upstream plan twice) and copy
+        # them into the feed as inserts
+        cdf = (
+            spark.read.parquet(commit_dir).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            if new_files
+            else None
+        )
     if cdf is not None:
         cdf_dir = f"v{version}-{uuid.uuid4().hex[:8]}"
-        cdf.write.mode("errorifexists").parquet(f"{root}/{CDF_DIR}/{cdf_dir}")
+        cdf.withColumn("_commit_version", F.lit(version)).write.mode(
+            "errorifexists"
+        ).parquet(f"{root}/{CDF_DIR}/{cdf_dir}")
         cdf_mark = {"dir": cdf_dir}
     elif op == "append":
         cdf_mark = "add"
@@ -665,13 +682,26 @@ def commit_append(
     root: str,
     df: DataFrame,
     stats_cols: list[str] | None = None,
+    changefeed: bool = False,
 ) -> int:
     """Append a new snapshot = previous files + this commit's files.
-    The segment records only the ADDED files — O(batch) bytes."""
+    The segment records only the ADDED files — O(batch) bytes.
+
+    ``changefeed=True`` additionally COPIES the batch into
+    ``_change_data/`` as insert rows (read back from the
+    just-committed files, not recomputed). Batch :func:`table_changes`
+    never needs this — an append's add files ARE its inserts — but a
+    STREAMING consumer (:func:`stream_table_changes`, a plain file
+    source over _change_data/) only sees what lands there; opt in on
+    tables feeding one, at the cost of one extra copy of each append
+    batch."""
     cur = current_version(spark, root)
     prev = _read_manifest(spark, root, cur) if cur >= 0 else None
     cols = stats_cols or (prev["stats_cols"] if prev else [])
-    return _commit(spark, root, df, "append", cols, prev=prev)
+    return _commit(
+        spark, root, df, "append", cols, prev=prev,
+        cdf="from_add" if changefeed else None,
+    )
 
 
 def read_version(
@@ -1190,16 +1220,25 @@ def table_changes(
             )
             if not paths:
                 continue
-            df = _reader(spark, seg).parquet(*paths).withColumn(
-                "_change_type", F.lit("insert")
+            df = (
+                _reader(spark, seg)
+                .parquet(*paths)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v))
             )
         elif isinstance(mark, dict):
+            # _change_type AND _commit_version live IN the files (the
+            # streamable-feed contract)
             schema = _manifest_schema(seg)
             rd = spark.read
             if schema is not None:
-                from pyspark.sql.types import StringType
+                from pyspark.sql.types import LongType, StringType
 
-                rd = rd.schema(schema.add("_change_type", StringType()))
+                rd = rd.schema(
+                    schema.add("_change_type", StringType()).add(
+                        "_commit_version", LongType()
+                    )
+                )
             df = rd.parquet(f"{root}/{CDF_DIR}/{mark['dir']}")
         else:
             raise ValueError(
@@ -1207,7 +1246,7 @@ def table_changes(
                 "commit it with changefeed=True to make it readable "
                 "as changes"
             )
-        frames.append(df.withColumn("_commit_version", F.lit(v)))
+        frames.append(df)
     if not frames:
         return spark.createDataFrame(
             [], "_change_type string, _commit_version bigint"
@@ -1216,6 +1255,44 @@ def table_changes(
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
+    """The changefeed as a STRUCTURED STREAMING source — a plain file
+    source over ``_change_data/``, possible because change files carry
+    ``_change_type`` and ``_commit_version`` in the data. Each commit
+    with ``changefeed=True`` lands new files there; the file source
+    discovers them, the stream checkpoint guarantees each file is
+    processed exactly once, and downstream gets the same rows batch
+    :func:`table_changes` would return for those versions — no custom
+    source machinery, Spark's own listing/offset code does the work.
+
+    Feed completeness is the TABLE's responsibility: only commits made
+    with ``changefeed=True`` (including appends — see
+    :func:`commit_append`) appear in the stream; a compaction
+    contributes nothing, as it should. Schema is pinned at call time
+    from the current manifest (file sources stream one fixed schema).
+    Combine with ``.trigger(availableNow=True)`` for the poll-and-
+    drain incremental-consumer loop, or a continuous trigger for a
+    live pipeline."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    from pyspark.sql.types import LongType, StringType
+
+    schema = _manifest_schema(_read_manifest(spark, root, cur))
+    if schema is None:
+        raise ValueError(
+            f"{root}: table has no manifest schema to stream with"
+        )
+    schema = schema.add("_change_type", StringType()).add(
+        "_commit_version", LongType()
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{root}/{CDF_DIR}/*")
+    )
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:

@@ -755,3 +755,50 @@ def test_vacuum_reclaims_stale_change_data(spark, root):
     assert V.table_changes(
         spark, root, starting_version=3
     ).count() > 0
+
+
+def test_stream_table_changes_exactly_once(spark, root, tmp_path):
+    """The file-source changefeed stream: an availableNow drain sees
+    exactly the committed change rows; a second drain over the SAME
+    checkpoint after more commits sees ONLY the new ones (file-source
+    exactly-once), and the union equals batch table_changes."""
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        rows: list = []
+
+        def sink(batch_df, _bid):
+            rows.extend(
+                (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+                for r in batch_df.collect()
+            )
+
+        q = (
+            V.stream_table_changes(spark, root)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(rows)
+
+    V.commit_append(
+        spark, root, _df(spark, 0, 5, "a").coalesce(1), ["k"],
+        changefeed=True,
+    )
+    first = drain()
+    assert first == sorted([(0, "insert", k, "a") for k in range(5)])
+    # more commits: an upsert with CDF and a no-feed compaction
+    V.commit_upsert(spark, root, _df(spark, 4, 7, "b"), "k", changefeed=True)
+    V.optimize(spark, root, n_files=1)
+    second = drain()
+    assert all(r[0] == 1 for r in second)  # ONLY the new commit's rows
+    assert ("insert", 5) in {(t, k) for _, t, k, _ in second}
+    assert ("update_postimage", 4) in {(t, k) for _, t, k, _ in second}
+    # stream union == batch feed (memory sink appends across drains)
+    batch = sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+        for r in V.table_changes(spark, root).collect()
+    )
+    assert sorted(first + second) == batch
