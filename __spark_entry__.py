@@ -1646,6 +1646,7 @@ def q_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amadeus_spark.sources import webdataset as W
     from amadeus_spark.sources import wds_golden as WG
 
+    _tune(spark)
     paths = [os.path.join(WG.fixture_dir(), s) for s in WG.GOLDEN]
     idx = W.read_webdataset_index(spark, paths)
     return idx.withColumn(
