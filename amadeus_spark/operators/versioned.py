@@ -516,6 +516,61 @@ def _prune(index: DataFrame, key_col: str, lo, hi) -> DataFrame:
     )
 
 
+def _entry_hit(e: dict, key_col: str, lo, hi) -> bool:
+    """Driver-side twin of :func:`_prune` with IDENTICAL semantics
+    (keep when no stats, keep when the stat type can't be compared to
+    the bound natively, else closed-interval intersection) — the
+    no-checkpoint fast path's predicate. Parity with _prune is pinned
+    by test_driver_prune_matches_index_prune."""
+    bounds = (e.get("stats") or {}).get(key_col)
+    if not bounds:
+        return True
+    slo, shi = bounds
+    if isinstance(slo, bool) or isinstance(shi, bool):
+        return True
+    numeric = isinstance(lo, (int, float)) and not isinstance(lo, bool)
+    if isinstance(slo, str) and isinstance(shi, str):
+        if not isinstance(lo, str):
+            return True
+    elif isinstance(slo, (int, float)) and isinstance(shi, (int, float)):
+        if not numeric:
+            return True
+    else:
+        return True
+    return slo <= hi and lo <= shi
+
+
+def _pruned_refs(
+    spark: SparkSession,
+    root: str,
+    res: dict,
+    key_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> list[tuple]:
+    """File refs ``(dir, path, rows)`` of a resolved snapshot,
+    optionally pruned to ``[lo, hi]`` on ``key_col``. HYBRID pruning:
+    a snapshot with no checkpoint base has its full entry list ALREADY
+    on the driver (the bounded segment fold) — filtering it through a
+    DataFrame would launch a Spark job to scan a handful of in-memory
+    rows (~0.5 s of pure job-launch overhead per merge/read, measured
+    on the cdc_apply round-trip). Checkpointed snapshots — the
+    10^6-file regime the checkpoint exists for — go through the index
+    DataFrame so the driver only ever touches SURVIVORS."""
+    if res["ckpt"] is None:
+        adds = res["adds"]
+        if lo is not None and key_col is not None:
+            adds = [e for e in adds if _entry_hit(e, key_col, lo, hi)]
+        return [(e["dir"], e["path"], e["rows"]) for e in adds]
+    index = _index_df(spark, root, res)
+    if lo is not None and key_col is not None:
+        index = _prune(index, key_col, lo, hi)
+    return [
+        (r["dir"], r["path"], r["rows"])
+        for r in index.select("dir", "path", "rows").collect()
+    ]
+
+
 def _live_entries(spark: SparkSession, root: str, version: int) -> list[dict]:
     """Full live-file entry list of a snapshot, collected to the
     driver. O(files) BY DESIGN — only for maintenance (vacuum) and
@@ -729,7 +784,7 @@ def read_version(
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, v)
     seg = res["seg"]
-    index = _index_df(spark, root, res)
+    lo = hi = None
     if key_range is not None:
         if key_col is None or key_col not in seg["stats_cols"]:
             raise ValueError(
@@ -737,10 +792,8 @@ def read_version(
                 f"(stats_cols={seg['stats_cols']})"
             )
         lo, hi = _bound(key_range[0]), _bound(key_range[1])
-        if lo is not None:
-            index = _prune(index, key_col, lo, hi)
-    refs = [(r["dir"], r["path"]) for r in index.select("dir", "path").collect()]
-    paths = _paths(root, refs)
+    refs = _pruned_refs(spark, root, res, key_col, lo, hi)
+    paths = _paths(root, [(d, p) for d, p, _ in refs])
     schema = _manifest_schema(seg)
     if not paths:
         if schema is not None:
@@ -783,15 +836,13 @@ def commit_upsert(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-    index = _index_df(spark, root, res)
-    touched_df = index if lo is None else _prune(index, key_col, lo, hi)
-    touched = touched_df.select("dir", "path", "rows").collect()
+    touched = _pruned_refs(spark, root, res, key_col, lo, hi)
     n_kept = seg["total_files"] - len(touched)
     cached = []
     cdf_frame = None
     try:
         if touched:
-            paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
+            paths = _paths(root, [(d, pth) for d, pth, _ in touched])
             # survivors read through the manifest schema (_reader);
             # allowMissingColumns lets updates ADD a column — survivors
             # surface NULL for it (widen-only schema evolution; the
@@ -834,8 +885,8 @@ def commit_upsert(
             merged,
             "upsert",
             seg["stats_cols"],
-            removes=[(r["dir"], r["path"]) for r in touched],
-            removed_rows=sum(r["rows"] for r in touched),
+            removes=[(d, pth) for d, pth, _ in touched],
+            removed_rows=sum(n for _, _, n in touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -931,7 +982,7 @@ def apply_changes(
         touched = touched_df.select("dir", "path", "rows").collect()
         cdf_frame = None
         if touched:
-            paths = _paths(root, [(r["dir"], r["path"]) for r in touched])
+            paths = _paths(root, [(d, pth) for d, pth, _ in touched])
             # manifest-schema read + allowMissingColumns: same widen-
             # only schema-evolution contract as commit_upsert
             touched_read = _reader(spark, seg).parquet(*paths)
@@ -978,8 +1029,8 @@ def apply_changes(
             merged,
             "cdc",
             seg["stats_cols"],
-            removes=[(r["dir"], r["path"]) for r in touched],
-            removed_rows=sum(r["rows"] for r in touched),
+            removes=[(d, pth) for d, pth, _ in touched],
+            removed_rows=sum(n for _, _, n in touched),
             extra=extra_meta,
             prev=seg,
             cdf=cdf_frame,

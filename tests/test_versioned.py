@@ -802,3 +802,38 @@ def test_stream_table_changes_exactly_once(spark, root, tmp_path):
         for r in V.table_changes(spark, root).collect()
     )
     assert sorted(first + second) == batch
+
+
+def test_driver_prune_matches_index_prune(spark):
+    """The no-checkpoint fast path (_entry_hit) must keep EXACTLY the
+    entries the index-DataFrame filter (_prune) keeps — across typed
+    stats (int/double/string), missing stats, bool stats, and
+    type-mismatched bounds (conservative keep)."""
+    from amadeus_spark.operators.versioned import (
+        _INDEX_SCHEMA,
+        _entry_hit,
+        _entry_row,
+        _prune,
+    )
+
+    entries = [
+        {"dir": "d", "path": "a", "rows": 1, "stats": {"k": [0, 10]}},
+        {"dir": "d", "path": "b", "rows": 1, "stats": {"k": [11, 20]}},
+        {"dir": "d", "path": "c", "rows": 1, "stats": {"k": [5.5, 9.5]}},
+        {"dir": "d", "path": "e", "rows": 1, "stats": {"k": [25.0, 30.0]}},
+        {"dir": "d", "path": "f", "rows": 1, "stats": {}},
+        {"dir": "d", "path": "g", "rows": 1, "stats": {"k": ["a", "m"]}},
+        {"dir": "d", "path": "h", "rows": 1, "stats": {"k": [True, True]}},
+        {"dir": "d", "path": "i", "rows": 1, "stats": {"j": [0, 100]}},
+    ]
+    idx = spark.createDataFrame(
+        [_entry_row(e) for e in entries], _INDEX_SCHEMA
+    )
+    for lo, hi in [(3, 12), (21, 24), (0.0, 6.0), ("b", "c"), ("n", "z")]:
+        df_kept = {
+            r["path"] for r in _prune(idx, "k", lo, hi).collect()
+        }
+        drv_kept = {
+            e["path"] for e in entries if _entry_hit(e, "k", lo, hi)
+        }
+        assert df_kept == drv_kept, (lo, hi, df_kept, drv_kept)
