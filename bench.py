@@ -116,6 +116,19 @@ def main() -> None:
 
     queries = entrymod.queries()
 
+    # Probe mode: SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts the run to
+    # the named queries under the EXACT bench protocol (fresh-JVM
+    # chunk, sf-scale warm-up, gc, fair-share reps) — the isolated
+    # re-measure tool for watch-list items; ad-hoc probe scripts skip
+    # the protocol and have misattributed drift before.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            raise SystemExit(f"unknown queries: {unknown}")
+        queries = {n: queries[n] for n in names}
+
     # Warm-then-time PER QUERY (not one global warm-up pass): warming all
     # queries before timing any compiles ~2 codegen'd plan sets per query
     # up front, and late heavy queries then run against a JIT code cache
