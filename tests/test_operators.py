@@ -471,3 +471,23 @@ def test_token_budget_extremes(spark):
     assert zero.count() == 0
     full = sampling.token_budget_sample(df, "lang", "doc_id", "n_tok", {"en": 1000})
     assert full.count() == 10
+
+
+def test_cluster_keep_best_plan_has_no_window(spark):
+    """The argmax must stay a partial-aggregable MIN — no Window
+    operator anywhere in the plan (a per-cluster window would sort a
+    giant boilerplate cluster through one task), and the padded-key
+    MIN must appear as a hash aggregate with a partial phase."""
+    from amadeus_spark import plans
+    from amadeus_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "t" * (i % 7 + 1)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    txt = plans.plan_text(dedup.cluster_keep_best_stats(docs, pairs))
+    assert "Window" not in txt, txt
+    assert "partial_min" in txt or "HashAggregate" in txt, txt
