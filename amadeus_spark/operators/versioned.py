@@ -1325,7 +1325,12 @@ def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
     from the current manifest (file sources stream one fixed schema).
     Combine with ``.trigger(availableNow=True)`` for the poll-and-
     drain incremental-consumer loop, or a continuous trigger for a
-    live pipeline."""
+    live pipeline.
+
+    Retention caveat (same as Delta CDF): :func:`vacuum` deletes
+    change dirs outside its keep window — a consumer lagging further
+    behind than the table's retention fails on the missing files. Size
+    ``keep_last`` to cover the slowest consumer's lag."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -1344,6 +1349,28 @@ def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{root}/{CDF_DIR}/*")
     )
+
+
+def commit_with_retry(fn, attempts: int = 3):
+    """Optimistic-concurrency retry loop: run ``fn()`` (a closure over
+    commit_append / commit_upsert / apply_changes — each re-resolves
+    the CURRENT snapshot at call time, so a retry merges against the
+    winner's table state, never a stale one) and re-invoke it when it
+    loses a commit race. This is the whole client-side story of
+    optimistic concurrency — the loser's work is recomputed against
+    the new snapshot, exactly Delta's conflict-retry semantics for
+    non-overlapping writers. Raises the last conflict after
+    ``attempts`` losses (persistent contention needs coordination, not
+    more retries)."""
+    last: Exception | None = None
+    for _ in range(attempts):
+        try:
+            return fn()
+        except RuntimeError as e:
+            if "concurrent commit" not in str(e):
+                raise
+            last = e
+    raise last
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:

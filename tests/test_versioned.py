@@ -837,3 +837,45 @@ def test_driver_prune_matches_index_prune(spark):
             e["path"] for e in entries if _entry_hit(e, "k", lo, hi)
         }
         assert df_kept == drv_kept, (lo, hi, df_kept, drv_kept)
+
+
+def test_commit_with_retry_wins_after_race(spark, root, monkeypatch):
+    """A writer losing the publish race retries against the WINNER'S
+    snapshot: the interposed commit's rows survive and the retried
+    upsert applies on top — Delta's optimistic-concurrency semantics."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+
+    calls = {"n": 0}
+    real_write = V._write_manifest_atomic
+
+    def racing_write(sp, rt, version, manifest):
+        # first attempt: an interposed writer lands this version first
+        if calls["n"] == 0:
+            calls["n"] += 1
+            interposed = dict(V._read_manifest(sp, rt, 0))
+            interposed["version"] = version
+            real_write(sp, rt, version, interposed)  # the winner
+        return real_write(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racing_write)
+    v = V.commit_with_retry(
+        lambda: V.commit_upsert(spark, root, _df(spark, 5, 8, "new"), "k")
+    )[0]
+    assert v == 2  # lost v1 to the interposed writer, retried at v2
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] == "new" for k in (5, 6, 7))
+    assert all(got[k] == "a" for k in (0, 1, 2, 3, 4, 8, 9))
+
+
+def test_commit_with_retry_exhausts(spark, root, monkeypatch):
+    V.commit_append(spark, root, _df(spark, 0, 5, "a"), ["k"])
+
+    def always_lose(*a, **k):
+        raise RuntimeError("concurrent commit: simulated")
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", always_lose)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.commit_with_retry(
+            lambda: V.commit_upsert(spark, root, _df(spark, 0, 1, "x"), "k"),
+            attempts=2,
+        )
