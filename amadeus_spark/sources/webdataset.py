@@ -193,15 +193,32 @@ def split_sample_key(member: str) -> tuple[str | None, str | None]:
     return (f"{d}/{key}" if d else key), slot
 
 
-def _open_for_index(path: str):
-    from amadeus_spark.sources.warc import _open_raw
+def _open_random(path: str):
+    """Executor-side RANDOM-ACCESS open: local files via builtin open,
+    object stores via pyarrow ``open_input_file`` (seekable; seeks
+    become range GETs) — ``open_input_stream`` (the warc posture) is
+    forward-only and raises on the header-hopping seeks."""
+    if "://" not in path and not path.startswith("file:/"):
+        return open(path, "rb")
+    if path.startswith("file:"):
+        local = path[len("file:"):]
+        while local.startswith("//"):
+            local = local[1:]
+        return open(local, "rb")
+    import pyarrow.fs as pafs
 
-    raw = _open_raw(path)
+    fs, rel = pafs.FileSystem.from_uri(path)
+    return fs.open_input_file(rel)
+
+
+def _open_for_index(path: str):
     if path.endswith(".gz"):
         import gzip
 
-        return gzip.GzipFile(fileobj=raw)
-    return raw
+        from amadeus_spark.sources.warc import _open_raw
+
+        return gzip.GzipFile(fileobj=_open_raw(path))
+    return _open_random(path)
 
 
 def _index_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -254,8 +271,6 @@ FETCH_SCHEMA = T.StructType(
 
 
 def _fetch_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from amadeus_spark.sources.warc import _open_raw
-
     for pdf in batches:
         for shard, grp in pdf.groupby("shard", sort=False):
             rows = []
@@ -268,7 +283,7 @@ def _fetch_map(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "uncompressed shard — decompress .tar.gz first, "
                     "or re-shard plain .tar (the WebDataset norm)"
                 )
-            f = _open_raw(shard)
+            f = _open_random(shard)
             try:
                 # ascending offsets: strictly forward seeks —
                 # sequential I/O locally, coalescible range GETs on an

@@ -206,3 +206,43 @@ def test_object_store_read_is_streamed_not_buffered(s3_server):
     stream = fs.open_input_stream(rel)
     recs = list(warc._record_stream(stream))
     assert [r["url"] for r in recs] == ["http://a.example/", "http://b.example/"]
+
+
+def test_webdataset_index_and_fetch_from_object_store(spark, s3_server):
+    """WebDataset over s3://: the indexer header-hops a tar OBJECT via
+    pyarrow streaming in the Python worker, and fetch_members range-
+    reads the payload windows — byte-identical to the golden layout.
+    This is the 100 TB ingest posture: shards live in a bucket, tasks
+    open their own objects, nothing routes through the driver."""
+    from amadeus_spark.sources import wds_golden as G
+    from amadeus_spark.sources.webdataset import (
+        build_tar,
+        fetch_members,
+        read_webdataset_index,
+    )
+
+    port = s3_server
+    client = _client(port)
+    shard = "golden-000.tar"
+    client.put_object(
+        Bucket=BUCKET,
+        Key=f"wds/{shard}",
+        Body=build_tar(G.members(shard)),
+    )
+    uri = _uri(port, f"wds/{shard}")
+    # explicit list: manifest-driven reads bypass driver-side Hadoop
+    # globbing (no s3 scheme in this JVM — the warc s3 posture)
+    idx = read_webdataset_index(spark, [uri])
+    got = sorted(
+        (r["member"], r["offset"], r["size"]) for r in idx.collect()
+    )
+    exp = sorted(
+        (m, o, sz)
+        for s, m, _, _, o, sz in G.expected_index()
+        if s == shard
+    )
+    assert got == exp
+    fetched = fetch_members(idx).collect()
+    pay = {r["member"]: bytes(r["content"]) for r in fetched}
+    for name, data in G.members(shard):
+        assert pay[name] == data, name

@@ -304,3 +304,18 @@ def test_bpe_learn_partitioning_invariance(spark):
     a = bpe.learn_bpe_merges(_docs(spark, 32), 16, 8)
     b = bpe.learn_bpe_merges(_docs(spark, 3), 16, 8)
     assert a == b
+
+
+@pytest.mark.parametrize("nparts", [1, 7])
+def test_cluster_keep_best_partitioning_invariance(spark, nparts):
+    """The padded-key argmax is a commutative MIN and the rollup is a
+    plain aggregate — identical output under any partitioning."""
+
+    def run(np):
+        docs = _docs(spark, np)
+        pairs = dedup.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=8, limit=200
+        )
+        return _rows(dedup.cluster_keep_best_stats(docs, pairs))
+
+    assert run(32) == run(nparts)
