@@ -797,23 +797,30 @@ def cluster_safe_split_stats(
     )
 
 
-#: padded-key width for cluster_keep_best's argmax encoding — scores
-#: and ids must fit in [0, 10^KEEP_BEST_PAD); the key is
-#: lpad(inverted score) || lpad(id), so MIN(key) picks the max-score,
-#: then min-id row with a single associative aggregate in BOTH
-#: dialects (DuckDB's arg_max rejects composite sort values, and a
-#: per-cluster window would sort a web-scale boilerplate cluster
-#: through one task — padded-min keeps the whole argmax map-side).
-KEEP_BEST_PAD = 12
-_KEEP_BEST_CAP = 10**KEEP_BEST_PAD - 1
+#: padded-key width for cluster_keep_best's argmax encoding — wide
+#: enough for the FULL non-negative int64 range (int64 max is 19
+#: digits), so no realistic score or id can overflow the fixed-width
+#: decimal and silently corrupt the ordering (lpad TRUNCATES an
+#: overlong number — the failure would be a wrong winner, not an
+#: error). The key is lpad(inverted score) || lpad(id), so MIN(key)
+#: picks the max-score, then min-id row with a single associative
+#: aggregate in BOTH dialects (DuckDB's arg_max rejects composite
+#: sort values, and a per-cluster window would sort a web-scale
+#: boilerplate cluster through one task — padded-min keeps the whole
+#: argmax map-side).
+KEEP_BEST_PAD = 19
+_KEEP_BEST_CAP = 2**63 - 1  # int64 max: cap - score never overflows
 
 
 def keep_best_key_frag(score_sql: str, id_sql: str) -> str:
     """The shared argmax-encoding fragment (identical text in Spark SQL
-    and DuckDB — concat/lpad/cast agree): MIN() of it over a cluster
-    yields 'keep the highest score, break ties toward the lowest id'."""
+    and DuckDB — concat/lpad/cast/greatest agree): MIN() of it over a
+    cluster yields 'keep the highest score, break ties toward the
+    lowest id'. Scores are clamped at 0 (a negative score would make
+    cap - score overflow int64); ids must be non-negative."""
     return (
-        f"concat(lpad(cast({_KEEP_BEST_CAP} - ({score_sql}) as string),"
+        f"concat(lpad(cast({_KEEP_BEST_CAP} - "
+        f"greatest(cast({score_sql} as bigint), 0) as string),"
         f" {KEEP_BEST_PAD}, '0'),"
         f" lpad(cast({id_sql} as string), {KEEP_BEST_PAD}, '0'))"
     )
@@ -843,9 +850,11 @@ def cluster_keep_best_stats(
     map-side instead of sorting through one task. A second tiny
     groupBy rolls clusters up by size.
 
-    ``score_sql`` must be a non-negative BIGINT expression below
-    10^KEEP_BEST_PAD. Output: one row per cluster_size with cluster
-    count, kept/dropped score mass and keep-id bounds — BIGINT-only,
+    ``score_sql`` may be any int64 expression (negatives clamp to 0 in
+    the ranking and in the winner's reported kept_score; cluster score
+    TOTALS stay raw — both dialects share the same formulas either
+    way). Output: one row per cluster_size with cluster count,
+    kept/dropped score mass and keep-id bounds — BIGINT-only,
     deterministic order."""
     comp = connected_components(pairs, a_col, b_col)
     key = keep_best_key_frag("__score", "id")

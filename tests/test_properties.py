@@ -297,3 +297,39 @@ def test_tar_build_parse_round_trip(names, data):
             for t in tarfile.open(fileobj=io.BytesIO(raw)).getmembers()
         ]
         assert std == [(m["member"], m["offset"], m["size"]) for m in parsed]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 9),  # cluster label
+            st.integers(min_value=0, max_value=2**63 - 1),  # score
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_keep_best_key_is_argmax(rows):
+    """MIN of the padded key == (max score, then min id) argmax for the
+    FULL non-negative int64 score range — incl. int64 max, zero, and
+    values longer than 12 digits (the pre-fix lpad-truncation zone)."""
+    from amadeus_spark.functions.dedup import (
+        _KEEP_BEST_CAP,
+        KEEP_BEST_PAD,
+    )
+
+    def key(score, i):
+        return (
+            str(_KEEP_BEST_CAP - max(score, 0)).rjust(KEEP_BEST_PAD, "0")
+            + str(i).rjust(KEEP_BEST_PAD, "0")
+        )
+
+    by_cluster: dict[int, list] = {}
+    for i, (c, s) in enumerate(rows):
+        by_cluster.setdefault(c, []).append((i, s))
+    for members in by_cluster.values():
+        want = min(members, key=lambda t: (-t[1], t[0]))[0]
+        got_key = min(key(s, i) for i, s in members)
+        got = int(got_key[KEEP_BEST_PAD:])
+        assert got == want
