@@ -6,6 +6,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from amadeus_spark.operators import versioned as V
 
@@ -879,3 +880,31 @@ def test_commit_with_retry_exhausts(spark, root, monkeypatch):
             lambda: V.commit_upsert(spark, root, _df(spark, 0, 1, "x"), "k"),
             attempts=2,
         )
+
+
+def test_changefeed_spans_checkpoint_boundary(spark, root, monkeypatch):
+    """table_changes reads SEGMENTS, not the checkpointed file index:
+    a feed crossing a checkpoint boundary (and a compaction) must
+    return every commit's changes."""
+    monkeypatch.setattr(V, "CHECKPOINT_EVERY", 4)
+    V.commit_append(
+        spark, root, _df(spark, 0, 4, "a").coalesce(1), ["k"],
+        changefeed=True,
+    )
+    for i in range(5):  # versions 1..5 cross the v4 checkpoint
+        V.commit_upsert(
+            spark, root, _df(spark, i, i + 2, f"u{i}"), "k",
+            changefeed=True,
+        )
+    feed = V.table_changes(spark, root)
+    per_v = {
+        r["_commit_version"]: r["cnt"]
+        for r in feed.groupBy("_commit_version")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert set(per_v) == set(range(6))
+    assert per_v[0] == 4  # the streamable append's inserts
+    # every upsert of 2 keys yields >= 2 change rows (post + pre/ins)
+    assert all(per_v[v] >= 2 for v in range(1, 6))
+
