@@ -797,33 +797,74 @@ def cluster_safe_split_stats(
     )
 
 
-#: padded-key width for cluster_keep_best's argmax encoding — wide
-#: enough for the FULL non-negative int64 range (int64 max is 19
-#: digits), so no realistic score or id can overflow the fixed-width
-#: decimal and silently corrupt the ordering (lpad TRUNCATES an
-#: overlong number — the failure would be a wrong winner, not an
-#: error). The key is lpad(inverted score) || lpad(id), so MIN(key)
-#: picks the max-score, then min-id row with a single associative
-#: aggregate in BOTH dialects (DuckDB's arg_max rejects composite
-#: sort values, and a per-cluster window would sort a web-scale
-#: boilerplate cluster through one task — padded-min keeps the whole
-#: argmax map-side).
+#: padded-magnitude width for cluster_keep_best's argmax encoding —
+#: wide enough for any int64 magnitude (19 digits), so no score or id
+#: can overflow the fixed-width decimal and silently corrupt the
+#: ordering (lpad TRUNCATES an overlong number — the failure would be
+#: a wrong winner, not an error). The key is
+#: ``sign || lpad(score magnitude) || sign || lpad(id magnitude)``
+#: (40 chars), covering the FULL SIGNED int64 range of both fields —
+#: see :func:`keep_best_key_frag` for the overflow-free mappings.
+#: MIN(key) picks the max-score, then min-id row with a single
+#: associative aggregate in BOTH dialects (DuckDB's arg_max rejects
+#: composite sort values, and a per-cluster window would sort a
+#: web-scale boilerplate cluster through one task — padded-min keeps
+#: the whole argmax map-side).
 KEEP_BEST_PAD = 19
-_KEEP_BEST_CAP = 2**63 - 1  # int64 max: cap - score never overflows
+_KEEP_BEST_CAP = 2**63 - 1  # int64 max
 
 
 def keep_best_key_frag(score_sql: str, id_sql: str) -> str:
-    """The shared argmax-encoding fragment (identical text in Spark SQL
-    and DuckDB — concat/lpad/cast/greatest agree): MIN() of it over a
-    cluster yields 'keep the highest score, break ties toward the
-    lowest id'. Scores are clamped at 0 (a negative score would make
-    cap - score overflow int64); ids must be non-negative."""
+    """The argmax-encoding fragment (identical text in Spark SQL and
+    DuckDB — concat/lpad/cast/case agree): MIN() of it over a cluster
+    yields 'keep the highest score, break ties toward the lowest id',
+    valid over the FULL SIGNED int64 range of both score and id.
+
+    Score: bucket '0' = non-negative (beats '1' = negative), magnitude
+    ``cap - s`` (descending-in-s) for s >= 0 and ``(-1) - s`` for
+    s < 0 — the latter maps [int64min, -1] onto [0, int64max] without
+    the ``cap - s`` overflow that used to force clamping negatives to
+    0 (every negative-score doc tied and "best" degenerated to lowest
+    id). Id: bucket '0' = negative (sorts before non-negative, as
+    integers do), magnitude ``(i + cap) + 1`` for i < 0 (overflow-free
+    incl. int64min) and ``i`` for i >= 0 — ascending, so MIN breaks
+    ties toward the lowest id. Inverses in :func:`_keep_best_decode`.
+
+    Both inputs are inlined VERBATIM multiple times — pass simple
+    column references (Catalyst does not CSE inlined subexpressions;
+    stage computed scores as a column first)."""
+    s = f"cast({score_sql} as bigint)"
+    i = f"cast({id_sql} as bigint)"
     return (
-        f"concat(lpad(cast({_KEEP_BEST_CAP} - "
-        f"greatest(cast({score_sql} as bigint), 0) as string),"
-        f" {KEEP_BEST_PAD}, '0'),"
-        f" lpad(cast({id_sql} as string), {KEEP_BEST_PAD}, '0'))"
+        f"concat("
+        f"case when {s} >= 0 then concat('0', "
+        f"lpad(cast({_KEEP_BEST_CAP} - {s} as string), {KEEP_BEST_PAD}, '0'))"
+        f" else concat('1', "
+        f"lpad(cast((-1) - {s} as string), {KEEP_BEST_PAD}, '0')) end, "
+        f"case when {i} >= 0 then concat('1', "
+        f"lpad(cast({i} as string), {KEEP_BEST_PAD}, '0'))"
+        f" else concat('0', "
+        f"lpad(cast(({i} + {_KEEP_BEST_CAP}) + 1 as string),"
+        f" {KEEP_BEST_PAD}, '0')) end)"
     )
+
+
+def _keep_best_decode(key_sql: str) -> tuple[str, str]:
+    """Inverse of :func:`keep_best_key_frag`: ``(score_sql, id_sql)``
+    decoding the winning key back to the kept row's score and id
+    (same overflow-free arithmetic, run on ONE row per cluster)."""
+    p = KEEP_BEST_PAD
+    smag = f"cast(substring({key_sql}, 2, {p}) as bigint)"
+    imag = f"cast(substring({key_sql}, {p + 3}, {p}) as bigint)"
+    score = (
+        f"case when substring({key_sql}, 1, 1) = '0' "
+        f"then {_KEEP_BEST_CAP} - {smag} else (-1) - {smag} end"
+    )
+    ident = (
+        f"case when substring({key_sql}, {p + 2}, 1) = '1' "
+        f"then {imag} else ({imag} - {_KEEP_BEST_CAP}) - 1 end"
+    )
+    return score, ident
 
 
 def cluster_keep_best_stats(
@@ -850,12 +891,13 @@ def cluster_keep_best_stats(
     map-side instead of sorting through one task. A second tiny
     groupBy rolls clusters up by size.
 
-    ``score_sql`` may be any int64 expression (negatives clamp to 0 in
-    the ranking and in the winner's reported kept_score; cluster score
-    TOTALS stay raw — both dialects share the same formulas either
-    way). Output: one row per cluster_size with cluster count,
-    kept/dropped score mass and keep-id bounds — BIGINT-only,
-    deterministic order."""
+    ``score_sql`` may be any int64 expression — the encoding covers
+    the FULL SIGNED range of both score and id (see
+    :func:`keep_best_key_frag`; negatives used to clamp to 0, which
+    degenerated every negative-score cluster's "best" to lowest id).
+    Output: one row per cluster_size with cluster count, kept/dropped
+    score mass and keep-id bounds — BIGINT-only, deterministic
+    order."""
     comp = connected_components(pairs, a_col, b_col)
     key = keep_best_key_frag("__score", "id")
     assigned = (
@@ -867,20 +909,15 @@ def cluster_keep_best_stats(
             "id", "__score", F.coalesce("cluster", F.col("id")).alias("rep")
         )
     )
+    dec_score, dec_id = _keep_best_decode("__key")
     per = assigned.groupBy("rep").agg(
         F.count(F.lit(1)).alias("cluster_size"),
         F.min(F.expr(key)).alias("__key"),
         F.sum("__score").alias("__total"),
     ).select(
         "cluster_size",
-        (
-            F.lit(_KEEP_BEST_CAP)
-            - F.expr(f"cast(substring(__key, 1, {KEEP_BEST_PAD}) as bigint)")
-        ).alias("kept_score"),
-        F.expr(
-            f"cast(substring(__key, {KEEP_BEST_PAD + 1},"
-            f" {KEEP_BEST_PAD}) as bigint)"
-        ).alias("keep_id"),
+        F.expr(dec_score).alias("kept_score"),
+        F.expr(dec_id).alias("keep_id"),
         F.col("__total"),
     )
     return (
@@ -904,8 +941,12 @@ def cluster_keep_best_oracle(
     id_col: str = "doc_id",
     score_sql: str = "length(text)",
 ) -> str:
-    """DuckDB twin — same closure CTE, same padded-key argmax."""
-    key = keep_best_key_frag("score", "id")
+    """DuckDB twin — same closure CTE, but the argmax is derived
+    INDEPENDENTLY of :func:`keep_best_key_frag`: MAX(score) per
+    cluster, then MIN(id) among the max-score rows via a self-join.
+    A bug in the shared key encoding cannot hide from the gate (the
+    fuzzy_code_match_d3 oracle-independence discipline); fragment
+    parity itself is pinned by tests/test_properties.py."""
     return f"""
 {closure_cte(pairs_sql)}, assigned AS (
   SELECT d.{id_col} AS id, CAST({score_sql} AS BIGINT) AS score,
@@ -913,18 +954,16 @@ def cluster_keep_best_oracle(
   FROM {table} d LEFT JOIN comp c ON d.{id_col} = c.id
 ), per AS (
   SELECT rep, COUNT(*) AS cluster_size,
-         MIN({key}) AS key,
+         MAX(score) AS kept_score,
          SUM(score) AS total
   FROM assigned
   GROUP BY rep
 ), win AS (
-  SELECT cluster_size,
-         {_KEEP_BEST_CAP} - CAST(substring(key, 1, {KEEP_BEST_PAD})
-             AS BIGINT) AS kept_score,
-         CAST(substring(key, {KEEP_BEST_PAD + 1}, {KEEP_BEST_PAD})
-             AS BIGINT) AS keep_id,
-         total
-  FROM per
+  SELECT p.rep, p.cluster_size, p.kept_score, p.total,
+         MIN(a.id) AS keep_id
+  FROM per p JOIN assigned a
+    ON a.rep = p.rep AND a.score = p.kept_score
+  GROUP BY 1, 2, 3, 4
 )
 SELECT cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters,

@@ -113,12 +113,75 @@ def _local_path(p: str) -> str:
     return p[len("file://"):] if p.startswith("file://") else p
 
 
+def _sub_uri(root: str, rel: str) -> str:
+    """``root``/``rel`` with any query string kept at the END — object-
+    store roots carry the connection spec (endpoint/scheme/region) as
+    query params, so naive concatenation would splice the path INTO the
+    region value."""
+    if "?" in root:
+        base, q = root.split("?", 1)
+        return f"{base.rstrip('/')}/{rel}?{q}"
+    return f"{root.rstrip('/')}/{rel}"
+
+
 def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     """One commit's log segment (schema/txn/op/totals + add/remove
     deltas) — O(batch) bytes, NOT the full file list."""
-    fs, rel = _arrow_fs(f"{root}/{MANIFEST_DIR}/v{version}.json")
+    fs, rel = _arrow_fs(_sub_uri(root, f"{MANIFEST_DIR}/v{version}.json"))
     with fs.open_input_file(rel) as f:
         return json.loads(f.read().decode("utf-8"))
+
+
+def _is_s3(root: str) -> bool:
+    return root.startswith("s3://") or root.startswith("s3a://")
+
+
+def _s3_split(uri: str):
+    """Parse an ``s3://`` / ``s3a://`` object URI of the repo's
+    connection-spec-in-the-path form (credentials in the authority,
+    endpoint/scheme/region as query params — the same shape
+    :func:`_arrow_fs` feeds ``pyarrow.fs.FileSystem.from_uri``) into
+    ``(boto3 client kwargs, bucket, key)``. A bare
+    ``s3://bucket/key`` yields empty kwargs → ambient credentials."""
+    from urllib.parse import parse_qs, urlsplit
+
+    sp = urlsplit(uri if uri.startswith("s3://") else "s3://" + uri[len("s3a://"):])
+    q = {k: v[0] for k, v in parse_qs(sp.query).items()}
+    kwargs: dict = {}
+    if sp.username:
+        kwargs["aws_access_key_id"] = sp.username
+        kwargs["aws_secret_access_key"] = sp.password or ""
+    if "endpoint_override" in q:
+        scheme = q.get("scheme", "https")
+        kwargs["endpoint_url"] = f"{scheme}://{q['endpoint_override']}"
+    if "region" in q:
+        kwargs["region_name"] = q["region"]
+    return kwargs, sp.hostname, sp.path.lstrip("/")
+
+
+def _s3_put_if_absent(uri: str, payload: bytes) -> None:
+    """Conditional PUT (``If-None-Match: *``) — S3's native
+    compare-and-swap (GA Aug 2024; the primitive Delta's S3 commit
+    coordinator exists to approximate). Exactly one of N racing
+    writers succeeds; every loser gets HTTP 412, surfaced as the
+    'concurrent commit' conflict. No lock files, no LogStore service."""
+    import boto3
+    from botocore.exceptions import ClientError
+
+    kwargs, bucket, key = _s3_split(uri)
+    client = boto3.client("s3", **kwargs)
+    try:
+        client.put_object(
+            Bucket=bucket, Key=key, Body=payload, IfNoneMatch="*"
+        )
+    except ClientError as e:
+        status = e.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        code = e.response.get("Error", {}).get("Code", "")
+        if status == 412 or code in ("PreconditionFailed", "ConditionalRequestConflict"):
+            raise RuntimeError(
+                f"concurrent commit: {uri} already exists"
+            ) from e
+        raise
 
 
 def _write_manifest_atomic(
@@ -131,10 +194,24 @@ def _write_manifest_atomic(
     and fails EEXIST on POSIX. (Hadoop's RawLocalFileSystem.rename
     DELEGATES to rename(2), which happily replaces an existing
     destination, so the rename discipline that protects HDFS gives no
-    protection on file://.) Remote filesystems: Hadoop create-temp +
-    rename onto a checked-absent destination (atomic-no-overwrite on
-    HDFS; best-available on object stores)."""
+    protection on file://.) Object stores (s3:// / s3a://): a
+    CONDITIONAL PUT (If-None-Match: *) — S3-native compare-and-swap,
+    atomic server-side; the exists()+rename window that used to be the
+    best-available here let two racing writers both "commit" the same
+    version (race test: tests/test_object_store.py). Other remote
+    filesystems (hdfs://): Hadoop create-temp + rename onto a
+    checked-absent destination (atomic-no-overwrite on HDFS)."""
     payload = json.dumps(manifest).encode("utf-8")
+    if _is_s3(root):
+        try:
+            import boto3  # noqa: F401
+        except ImportError:
+            pass  # no boto3 → fall through to Hadoop best-available
+        else:
+            _s3_put_if_absent(
+                _sub_uri(root, f"{MANIFEST_DIR}/v{version}.json"), payload
+            )
+            return
     if _is_local(root):
         mdir = _local_path(f"{root}/{MANIFEST_DIR}")
         os.makedirs(mdir, exist_ok=True)
@@ -626,7 +703,16 @@ def _commit(
     prev: dict | None = None,
     cdf: DataFrame | str | None = None,
 ) -> int:
-    cur = current_version(spark, root)
+    # The commit version is PINNED to the snapshot the caller resolved
+    # (prev) — never re-read at publish time. Re-reading would silently
+    # absorb a commit that landed between snapshot resolution and
+    # publish: the merge's removes/survivor rewrite were planned
+    # against the OLD snapshot, so publishing over the interposed
+    # commit resurrects its removed rows / drops its adds. Pinning
+    # makes any interposed commit COLLIDE on the version file instead,
+    # surfacing as the "concurrent commit" conflict commit_with_retry
+    # exists to catch — the optimistic-concurrency contract.
+    cur = prev["version"] if prev is not None else current_version(spark, root)
     version = cur + 1
     # streaming txn high-water marks (run_cdc_versioned_sink) survive
     # interleaved maintenance commits: carry the previous segment's
@@ -636,7 +722,7 @@ def _commit(
     txn: dict = {}
     prev_schema = None
     if cur >= 0:
-        if prev is None or prev.get("version") != cur:
+        if prev is None:
             prev = _read_manifest(spark, root, cur)
         txn = dict(prev.get("txn", {}))
         prev_schema = prev.get("schema")
@@ -977,9 +1063,12 @@ def apply_changes(
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
     cached = [latest]
     try:
-        index = _index_df(spark, root, res)
-        touched_df = index if lo is None else _prune(index, key_col, lo, hi)
-        touched = touched_df.select("dir", "path", "rows").collect()
+        # hybrid pruning (same path as commit_upsert/read_version):
+        # driver-side entry filter below a checkpoint — a CDC
+        # micro-batch must not pay a createDataFrame+collect job to
+        # filter a handful of in-memory entries; index-DataFrame
+        # _prune above it (lo=None → all files)
+        touched = _pruned_refs(spark, root, res, key_col, lo, hi)
         cdf_frame = None
         if touched:
             paths = _paths(root, [(d, pth) for d, pth, _ in touched])
@@ -1163,8 +1252,25 @@ def vacuum(
         if not (cutoff in ckpts and _ckpt_complete(spark, root, cutoff)):
             try:
                 _write_checkpoint(spark, root, cutoff)
-            except (FileNotFoundError, OSError):
-                pass  # base already vacuumed under a narrower window
+            except Exception as exc:
+                # Swallowing is only safe when the cutoff's base is
+                # ALREADY gone (a prior vacuum under a narrower keep
+                # window) — then there is nothing left to protect.
+                # Any other failure (pyarrow surfaces transient I/O
+                # as OSError too) must ABORT before a single delete:
+                # truncating segments below an unwritten checkpoint
+                # would destroy the only recoverable base for every
+                # kept version — the opposite of the checkpoint-
+                # before-log-truncation discipline.
+                try:
+                    _resolve(spark, root, cutoff)
+                except (FileNotFoundError, OSError):
+                    pass  # base already vacuumed under a narrower window
+                else:
+                    raise RuntimeError(
+                        f"vacuum aborted: checkpoint at v{cutoff} "
+                        f"failed ({exc}); nothing was deleted"
+                    ) from exc
     keep_refs: set[tuple[str, str]] = set()
     for v in range(cutoff, cur + 1):
         try:
@@ -1344,6 +1450,11 @@ def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
     schema = schema.add("_change_type", StringType()).add(
         "_commit_version", LongType()
     )
+    # a consumer may attach BEFORE the first changefeed commit lands:
+    # ensure _change_data/ exists so the file source starts (empty)
+    # instead of failing path-does-not-exist at stream start
+    fs, _ = _hadoop_fs(spark, root)
+    fs.mkdirs(_jpath(spark, f"{root}/{CDF_DIR}"))
     return (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")

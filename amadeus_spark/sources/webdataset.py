@@ -313,9 +313,14 @@ def fetch_members(index: DataFrame, n_tasks: int | None = None) -> DataFrame:
     """Materialize the planned byte windows: seek+read each member's
     payload (the ranged-read primitive the index exists to feed —
     decoders and feature extractors hang off ``content``). Rows are
-    repartitioned BY SHARD so a task opens each shard once and reads
-    it forward; ``n_tasks`` caps the fan-out (default: one task per
-    shard via hash partitioning)."""
+    repartitioned BY SHARD so each task opens a shard at most once and
+    reads it forward. Default task count is the session's
+    defaultParallelism: with more shards than that (or hash
+    collisions) several shards COLOCATE in one task — still one
+    open + forward read per shard, just serialized. For a full
+    one-task-per-shard fan-out pass ``n_tasks=<shard count>`` (the
+    caller that built the index knows it; deriving it here would
+    re-execute the index's tar-header scan for a count)."""
     parts = n_tasks or index.sparkSession.sparkContext.defaultParallelism
     return index.repartition(parts, "shard").mapInPandas(
         _fetch_map, FETCH_SCHEMA

@@ -208,6 +208,60 @@ def test_object_store_read_is_streamed_not_buffered(s3_server):
     assert [r["url"] for r in recs] == ["http://a.example/", "http://b.example/"]
 
 
+def test_versioned_commit_race_on_object_store(s3_server):
+    """Racing manifest publishes on S3: the conditional PUT
+    (If-None-Match: *) makes exactly ONE of N simultaneous writers win
+    version 1; every loser raises 'concurrent commit' and the stored
+    segment is byte-intact (the winner's, never a torn or last-writer-
+    wins overwrite). This closes the exists()+rename window that let
+    two racing writers both 'commit' the same version — the silent
+    lost-commit hole on the one layer pitched for 100 TB. The publish
+    is a pure driver-side HTTP CAS: no Spark session involved (spark
+    arg unused on the s3 branch), no lock files, no LogStore service."""
+    import threading
+
+    from amadeus_spark.operators import versioned as V
+
+    port = s3_server
+    client = _client(port)
+    bucket = "commit-race-bucket"
+    client.create_bucket(Bucket=bucket)
+    q = f"?endpoint_override=127.0.0.1:{port}&scheme=http&region=us-east-1"
+    root = f"s3://{KEY_ID}:{SECRET}@{bucket}/table{q}"
+
+    n = 4
+    barrier = threading.Barrier(n)
+    results: list = [None] * n
+
+    def writer(i: int) -> None:
+        manifest = {"version": 1, "writer": i, "add": [], "remove": []}
+        barrier.wait()
+        try:
+            V._write_manifest_atomic(None, root, 1, manifest)
+            results[i] = "won"
+        except RuntimeError as e:
+            assert "concurrent commit" in str(e)
+            results[i] = "conflict"
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1
+    assert results.count("conflict") == n - 1
+    # the stored segment is the winner's, intact, and readable through
+    # the same pyarrow path every reader uses
+    stored = V._read_manifest(None, root, 1)
+    assert stored["writer"] == results.index("won")
+    # a later retry (commit_with_retry's re-resolve) lands version 2
+    V._write_manifest_atomic(None, root, 2, {"version": 2})
+    assert _keys(client, bucket, "table/_manifests/") == {
+        "table/_manifests/v1.json",
+        "table/_manifests/v2.json",
+    }
+
+
 def test_webdataset_index_and_fetch_from_object_store(spark, s3_server):
     """WebDataset over s3://: the indexer header-hops a tar OBJECT via
     pyarrow streaming in the Python worker, and fetch_members range-

@@ -463,6 +463,36 @@ def test_cluster_keep_best_argmax_and_ties(spark):
     assert out[1]["sum_dropped_score"] == 0
 
 
+def test_cluster_keep_best_negative_scores(spark):
+    """Negative scores rank properly (the pre-widening encoding
+    clamped them to 0, degenerating every negative cluster's winner to
+    lowest-id): the least-negative doc wins, mixed-sign clusters keep
+    the positive max, and dropped mass stays the raw remainder."""
+    from amadeus_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        # cluster {1,2,3}: scores -5,-2,-9 -> keep id 2 (max = -2)
+        # cluster {10,11}: scores -4,3 -> keep id 11 (positive beats)
+        [(1, -5), (2, -2), (3, -9), (10, -4), (11, 3)],
+        "doc_id long, s long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["cluster_size"]: r
+        for r in dedup.cluster_keep_best_stats(
+            docs, pairs, score_sql="s"
+        ).collect()
+    }
+    assert out[3]["sum_kept_score"] == -2
+    assert out[3]["min_keep_id"] == out[3]["max_keep_id"] == 2
+    assert out[3]["sum_dropped_score"] == -14
+    assert out[2]["sum_kept_score"] == 3
+    assert out[2]["min_keep_id"] == 11
+    assert out[2]["sum_dropped_score"] == -4
+
+
 def test_token_budget_extremes(spark):
     """budget 0 keeps nothing; budget >= total keeps everything."""
     rows = [("en", i, 10) for i in range(1, 11)]

@@ -299,37 +299,78 @@ def test_tar_build_parse_round_trip(names, data):
         assert std == [(m["member"], m["offset"], m["size"]) for m in parsed]
 
 
+def _keep_best_py_key(score: int, i: int) -> str:
+    """Python mirror of keep_best_key_frag's signed encoding."""
+    from amadeus_spark.functions.dedup import _KEEP_BEST_CAP, KEEP_BEST_PAD
+
+    s = (
+        "0" + str(_KEEP_BEST_CAP - score).rjust(KEEP_BEST_PAD, "0")
+        if score >= 0
+        else "1" + str((-1) - score).rjust(KEEP_BEST_PAD, "0")
+    )
+    ii = (
+        "1" + str(i).rjust(KEEP_BEST_PAD, "0")
+        if i >= 0
+        else "0" + str((i + _KEEP_BEST_CAP) + 1).rjust(KEEP_BEST_PAD, "0")
+    )
+    return s + ii
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     st.lists(
         st.tuples(
             st.integers(0, 9),  # cluster label
-            st.integers(min_value=0, max_value=2**63 - 1),  # score
+            st.integers(  # score: FULL SIGNED int64 range
+                min_value=-(2**63), max_value=2**63 - 1
+            ),
         ),
         min_size=1,
         max_size=30,
     )
 )
 def test_keep_best_key_is_argmax(rows):
-    """MIN of the padded key == (max score, then min id) argmax for the
-    FULL non-negative int64 score range — incl. int64 max, zero, and
-    values longer than 12 digits (the pre-fix lpad-truncation zone)."""
-    from amadeus_spark.functions.dedup import (
-        _KEEP_BEST_CAP,
-        KEEP_BEST_PAD,
-    )
-
-    def key(score, i):
-        return (
-            str(_KEEP_BEST_CAP - max(score, 0)).rjust(KEEP_BEST_PAD, "0")
-            + str(i).rjust(KEEP_BEST_PAD, "0")
-        )
-
+    """MIN of the padded key == (max score, then min id) argmax for
+    the FULL SIGNED int64 score range — incl. int64 min/max, zero,
+    negatives (the pre-fix clamp zone, where every negative-score doc
+    tied at 0), and NEGATIVE ids (the id half of the encoding)."""
     by_cluster: dict[int, list] = {}
-    for i, (c, s) in enumerate(rows):
-        by_cluster.setdefault(c, []).append((i, s))
+    for n, (c, s) in enumerate(rows):
+        by_cluster.setdefault(c, []).append((n - 15, s))  # ids go negative
     for members in by_cluster.values():
         want = min(members, key=lambda t: (-t[1], t[0]))[0]
-        got_key = min(key(s, i) for i, s in members)
-        got = int(got_key[KEEP_BEST_PAD:])
+        got = min(members, key=lambda t: _keep_best_py_key(t[1], t[0]))[0]
         assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2**63), 2**63 - 1),  # score
+            st.integers(-(2**63), 2**63 - 1),  # id
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_keep_best_frag_duckdb_matches_python_mirror(rows):
+    """The SQL fragment text itself (as DuckDB executes it) agrees
+    with the Python mirror on full-signed-range scores AND ids — this
+    pins the fragment's arithmetic now that the gate oracle derives
+    its argmax independently of it."""
+    import duckdb
+
+    from amadeus_spark.functions.dedup import keep_best_key_frag
+
+    con = duckdb.connect()
+    frag = keep_best_key_frag("score", "id")
+    con.execute(
+        "CREATE TABLE t (score BIGINT, id BIGINT)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    got = [r[0] for r in con.execute(
+        f"SELECT {frag} FROM t ORDER BY rowid"
+    ).fetchall()]
+    want = [_keep_best_py_key(s, i) for s, i in rows]
+    assert got == want

@@ -908,3 +908,129 @@ def test_changefeed_spans_checkpoint_boundary(spark, root, monkeypatch):
     # every upsert of 2 keys yields >= 2 change rows (post + pre/ins)
     assert all(per_v[v] >= 2 for v in range(1, 6))
 
+
+def test_interposed_commit_surfaces_as_conflict(spark, root, monkeypatch):
+    """The commit version is PINNED to the resolved snapshot: a commit
+    that lands between a writer's snapshot resolution and its publish
+    must COLLIDE on the version file ('concurrent commit'), never be
+    silently absorbed by a publish-time re-read — absorption would
+    resurrect the interposed commit's removed rows / drop its adds
+    (the merge was planned against the older snapshot)."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    real = V._pruned_refs
+    state = {"done": False}
+
+    def hook(*a, **k):
+        # fires after the outer upsert resolved its snapshot (v0) but
+        # before it publishes — the ADVICE race window
+        if not state["done"]:
+            state["done"] = True
+            V.commit_upsert(
+                spark, root, _df(spark, 5, 8, "mid").coalesce(1), "k"
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(V, "_pruned_refs", hook)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.commit_upsert(spark, root, _df(spark, 0, 3, "new"), "k")
+    # the interposed writer's commit is intact; the loser left nothing
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert got[5] == got[6] == got[7] == "mid"
+    assert got[0] == "a"  # loser's update never landed
+    assert V.current_version(spark, root) == 1
+
+
+def test_vacuum_aborts_when_checkpoint_fails(spark, root, monkeypatch):
+    """checkpoint-before-log-truncation: a FAILED cutoff checkpoint
+    (pyarrow surfaces transient I/O as OSError) must ABORT the vacuum
+    before any deletion — truncating segments below an unwritten
+    checkpoint would destroy the only recoverable base for every kept
+    version."""
+    for lo in (0, 50, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
+        )
+
+    def broken_ckpt(*a, **k):
+        raise OSError("transient I/O failure")
+
+    monkeypatch.setattr(V, "_write_checkpoint", broken_ckpt)
+    with pytest.raises(RuntimeError, match="vacuum aborted"):
+        V.vacuum(spark, root, keep_last=1)
+    # nothing was deleted: every version still resolves
+    for v in range(3):
+        assert V.read_version(spark, root, version=v).count() == (v + 1) * 50
+
+
+def test_stream_attaches_before_first_changefeed_commit(spark, root, tmp_path):
+    """A consumer may attach to the changefeed BEFORE any changefeed
+    commit lands: the stream starts (empty _change_data/), and the
+    first changefeed commit's rows arrive on the next drain — not a
+    path-does-not-exist failure at stream start."""
+    V.commit_append(spark, root, _df(spark, 0, 5, "a").coalesce(1), ["k"])
+    ckpt = str(tmp_path / "ckpt")
+    rows: list = []
+
+    def drain():
+        q = (
+            V.stream_table_changes(spark, root)
+            .writeStream.foreachBatch(
+                lambda b, _id: rows.extend(
+                    (r["_commit_version"], r["_change_type"], r["k"])
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()  # attaches with zero changefeed commits
+    assert rows == []
+    V.commit_upsert(spark, root, _df(spark, 0, 2, "b"), "k", changefeed=True)
+    drain()
+    assert {(t, k) for _, t, k in rows} >= {("update_postimage", 0)}
+
+
+def test_vacuum_undrained_changefeed_documented_loss(spark, root, tmp_path):
+    """CDF retention contract (Delta's): vacuum reclaims change dirs
+    outside the keep window WITHOUT consulting stream checkpoints. A
+    change file the lagging consumer never discovered is LOST SILENTLY
+    (the file source simply never lists it); the stream itself keeps
+    running and sees later commits. Size keep_last to cover the
+    slowest consumer's lag."""
+    ckpt = str(tmp_path / "ckpt")
+    rows: list = []
+
+    def drain():
+        q = (
+            V.stream_table_changes(spark, root)
+            .writeStream.foreachBatch(
+                lambda b, _id: rows.extend(
+                    (r["_commit_version"], r["_change_type"], r["k"])
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    V.commit_append(
+        spark, root, _df(spark, 0, 5, "a").coalesce(1), ["k"], changefeed=True
+    )
+    drain()
+    assert len(rows) == 5  # v0 inserts drained
+    rows.clear()
+    # v1 lands while the consumer is detached ... and is vacuumed away
+    V.commit_upsert(spark, root, _df(spark, 0, 2, "b"), "k", changefeed=True)
+    V.commit_append(
+        spark, root, _df(spark, 10, 12, "c").coalesce(1), changefeed=True
+    )  # v2
+    V.vacuum(spark, root, keep_last=1)  # keep window = v2 only
+    drain()
+    versions = {v for v, _, _ in rows}
+    assert 1 not in versions  # v1's undrained changes: silently lost
+    assert 2 in versions  # the kept commit still arrives
