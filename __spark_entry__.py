@@ -1654,6 +1654,60 @@ def q_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard", "offset")
 
 
+def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset WRITE side (sources/webdataset.write_webdataset_shards
+    — the img2dataset output half): shard the GOLDEN members through
+    the REAL distributed writer (two-level size-balanced cut, one task
+    per shard, GNU-longname-capable deterministic tar emission,
+    write-time index + parquet sidecars), then RE-INDEX the written
+    tars with the distributed parser and emit that. The oracle replays
+    the layout CONTRACT sequentially (wds_golden.expected_written_index
+    — global key order, cumulative-bytes cuts, within-shard ordering,
+    tar header arithmetic), independent of the distributed cumsum, the
+    writer's bookkeeping AND the parser — three mechanisms pinned by
+    one expectation. Write-time index == re-index is separately pinned
+    by tests. Materializes eagerly BY NATURE (a writer is an action —
+    the cdc_apply posture); shards live under a per-call tempdir
+    removed before returning."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from amadeus_spark.sources import webdataset as W
+    from amadeus_spark.sources import wds_golden as WG
+
+    _tune(spark)
+    rows = [
+        (k, s, bytearray(c)) for k, s, c in WG.writer_members()
+    ]
+    df = spark.createDataFrame(
+        rows, "sample_key string, slot string, content binary"
+    )
+    tmp = tempfile.mkdtemp(prefix="amadeus_wds_rt_")
+    try:
+        W.write_webdataset_shards(
+            df, tmp, target_shard_bytes=WG.WRITE_TARGET
+        ).count()
+        shards = sorted(_glob.glob(os.path.join(tmp, "*.tar")))
+        got = W.read_webdataset_index(spark, shards).collect()
+        out = [
+            (
+                os.path.basename(r["shard"]),
+                r["member"],
+                r["sample_key"],
+                r["slot"],
+                r["offset"],
+                r["size"],
+            )
+            for r in got
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(out, W.INDEX_SCHEMA).orderBy(
+        "shard", "offset"
+    )
+
+
 #: cohort gate query: rare events (value > 28) spread users' first-seen
 #: period across the timeline; 1-day periods give a real retention
 #: triangle (dense raw events put every user in cohort 0).
@@ -3353,27 +3407,73 @@ def _table_changes_oracle() -> str:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate: the driver's CORRECTNESS gate verifies only
-    # the FIRST 50 dict entries. ROUND-8 ROTATION: round 7's CORRECTNESS
-    # artifact was never delivered, so everything new/changed in r7 stays
-    # under the gate alongside the six new r8 operators; the r5-stale
-    # riskiest plans keep their slots; the r4/r5-green native block
-    # deferred in r7 rotates back; the remaining slots go to the oldest
-    # heavy plans from the r6-green block. Everything below the gate is
-    # still oracle-verified locally on every pytest run.
     return {
         # Ordering is deliberate: the driver's CORRECTNESS gate verifies
-        # only the FIRST 50 dict entries. ROUND-9 ROTATION: every query
-        # was green in the r8 gate or the r1-r8 union, so the window
-        # goes to (a) the three new r9 queries, (b) the six rows-only
-        # queries that have NEVER had an external row, (c) everything
-        # whose code changed this round (versioned-table log rework,
-        # cluster_safe_split AQE join, bare-host domain rollup, fuzzy
-        # routing), (d) the five rows-only queries whose newest external
-        # row is r2, and (e,f) the 29 oracle-checked queries whose
-        # newest external row is r4/r5 plus the three oldest r6 greens.
+        # only the FIRST 50 dict entries. ROUND-10 ROTATION: the union
+        # r1-r9 has zero failures, so the window goes to (a) the new
+        # round-trip writer gate plus everything whose code or oracle
+        # changed this round (keep-best signed-range encoding +
+        # independent argmax oracle; the versioned-table family over
+        # the pinned-snapshot/conditional-put commit layer), (b) two
+        # rows-only entries whose newest external rows check is r8
+        # (the <=4 rows-only allowance, cycling), and (c) all 43
+        # oracle-checked queries whose newest external hash-green is
+        # r6 (the r6 operator pack: native block, windows/timeseries,
+        # html/url, text-quality, cloudfront/warc) — after this round
+        # no oracle-checked query's newest green is older than r8.
         # Everything below the marker is still oracle-verified locally
         # on every pytest run.
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "cluster_keep_best": q_cluster_keep_best,
+        "cdc_apply": q_cdc_apply,
+        "table_changes": q_table_changes,
+        "snapshot_diff": q_snapshot_diff,
+        "semantic_dedup": q_semantic_dedup,
+        "bloom_decontamination": q_bloom_decontamination,
+        "all_any": q_all_any,
+        "asof_join": q_asof_join,
+        "bm25_topk": q_bm25_topk,
+        "bpe_token_stats": q_bpe_token_stats,
+        "chain_union": q_chain_union,
+        "cloudfront_logs": q_cloudfront_logs,
+        "cohort_retention": q_cohort_retention,
+        "cube": q_cube,
+        "decontamination": q_decontamination,
+        "distinct_count": q_distinct_count,
+        "epoch_shuffle": q_epoch_shuffle,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "flat_map": q_flat_map,
+        "fold_udaf": q_fold_udaf,
+        "funnel_steps": q_funnel_steps,
+        "gap_fill_events": q_gap_fill_events,
+        "gopher_quality": q_gopher_quality,
+        "histogram": q_histogram,
+        "hourly_events": q_hourly_events,
+        "html_text_extract": q_html_text_extract,
+        "json_props": q_json_props,
+        "lang_id": q_lang_id,
+        "map_filter": q_map_filter,
+        "mixture_sample": q_mixture_sample,
+        "nested_array_ops": q_nested_array_ops,
+        "nested_fixture_read": q_nested_fixture_read,
+        "nested_struct_map": q_nested_struct_map,
+        "pii_scrub": q_pii_scrub,
+        "pivot": q_pivot,
+        "range_join": q_range_join,
+        "repetition_filter": q_repetition_filter,
+        "rolling_window": q_rolling_window,
+        "rollup": q_rollup,
+        "salted_skew_join": q_salted_skew_join,
+        "sessionization": q_sessionization,
+        "sort_n_by": q_sort_n_by,
+        "supplier_part_share": q_supplier_part_share,
+        "time_rollup": q_time_rollup,
+        "token_stats": q_token_stats,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "warc_stats": q_warc_stats,
+        "window_functions": q_window_functions,
+        # ---- below the 50-entry gate ----
         "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
         "postgres_copy_decode": q_postgres_copy_decode,
         "webdataset_index": q_webdataset_index,
@@ -3384,11 +3484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         "tdigest_quantiles": q_tdigest_quantiles,
         "quality_classifier": q_quality_classifier,
-        "cdc_apply": q_cdc_apply,
-        "table_changes": q_table_changes,
-        "snapshot_diff": q_snapshot_diff,
         "cluster_safe_split": q_cluster_safe_split,
-        "cluster_keep_best": q_cluster_keep_best,
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
@@ -3424,10 +3520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_global": q_tpch_q22_global,
-        # ---- below the 50-entry gate ----
-        "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "gap_fill_events": q_gap_fill_events,
         "c4_quality": q_c4_quality,
         "temperature_mixture": q_temperature_mixture,
         "doc_chunking": q_doc_chunking,
@@ -3468,48 +3560,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "group_sink_nation": q_group_sink_nation,
         "training_pipeline": q_training_pipeline,
-        "html_text_extract": q_html_text_extract,
-        "mixture_sample": q_mixture_sample,
-        "epoch_shuffle": q_epoch_shuffle,
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
-        "rolling_window": q_rolling_window,
-        "bm25_topk": q_bm25_topk,
-        "supplier_part_share": q_supplier_part_share,
-        "rollup": q_rollup,
-        "cube": q_cube,
-        "nested_array_ops": q_nested_array_ops,
-        "nested_struct_map": q_nested_struct_map,
-        "nested_fixture_read": q_nested_fixture_read,
-        "cloudfront_logs": q_cloudfront_logs,
-        "warc_stats": q_warc_stats,
-        "pivot": q_pivot,
-        "json_props": q_json_props,
-        "fold_udaf": q_fold_udaf,
-        "hourly_events": q_hourly_events,
-        "time_rollup": q_time_rollup,
-        "window_functions": q_window_functions,
-        "sessionization": q_sessionization,
-        "asof_join": q_asof_join,
-        "range_join": q_range_join,
-        "salted_skew_join": q_salted_skew_join,
-        "token_stats": q_token_stats,
-        "bpe_token_stats": q_bpe_token_stats,
-        "lang_id": q_lang_id,
-        "pii_scrub": q_pii_scrub,
-        "decontamination": q_decontamination,
-        "repetition_filter": q_repetition_filter,
-        "gopher_quality": q_gopher_quality,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "map_filter": q_map_filter,
-        "flat_map": q_flat_map,
-        "chain_union": q_chain_union,
-        "histogram": q_histogram,
-        "all_any": q_all_any,
-        "sort_n_by": q_sort_n_by,
-        "distinct_count": q_distinct_count,
-        "semantic_dedup": q_semantic_dedup,
-        "bloom_decontamination": q_bloom_decontamination,
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "compensated_moments": q_compensated_moments,
@@ -4135,6 +4185,7 @@ def oracle_sql() -> dict[str, str]:
         # the committed fixture encodes (sources/pg_golden.py)
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),
+        "webdataset_roundtrip": _wds_golden.oracle_roundtrip_sql(),
         "corpusflow_e2e": _corpusflow_e2e_oracle(),
         # d=3 twin: same independent brute-force discipline — the Spark
         # side blocks via pigeonhole segments; the oracle blocks via

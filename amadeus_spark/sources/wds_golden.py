@@ -75,6 +75,111 @@ def expected_index() -> list[tuple]:
     return rows
 
 
+#: round-trip gate shard-cut target: small enough that the GOLDEN
+#: members split across several shards (the cut logic is exercised),
+#: large enough that samples stay whole.
+WRITE_TARGET = 4096
+
+
+def writer_members() -> list[tuple[str, str | None, bytes]]:
+    """The GOLDEN members as the WRITER's input rows (sample_key,
+    slot, content) — slotless metadata members ride with their name as
+    the key and a NULL slot (member_name() writes the bare name
+    back)."""
+    from amadeus_spark.sources.webdataset import split_sample_key
+
+    rows = []
+    for shard, mlist in GOLDEN.items():
+        for name, size in mlist:
+            key, slot = split_sample_key(name)
+            if key is None:
+                key, slot = name, None
+            rows.append((key, slot, payload(shard, name, size)))
+    return rows
+
+
+def _tar_member_bytes(name: str, size: int) -> int:
+    """One member's on-tar footprint, re-derived independently of the
+    writer: header block, GNU longname blocks for >100-byte names,
+    payload padded to 512."""
+    nb = len(name.encode("utf-8"))
+    blocks = 1
+    if nb > 100:
+        blocks += 1 + -(-(nb + 1) // 512)
+    return 512 * blocks + size + (-size) % 512
+
+
+def expected_written_index(target: int = WRITE_TARGET) -> list[tuple]:
+    """Sequential replay of write_webdataset_shards' LAYOUT CONTRACT
+    (global sample_key order, size-balanced cuts at cumulative-bytes
+    div target, within-shard (key, slot nulls-first) order, tar header
+    arithmetic) — independent of the distributed two-level cumsum, the
+    writer's offset bookkeeping AND the parser, so the round-trip gate
+    pins three mechanisms against one expectation. Rows: (shard
+    basename, member, sample_key, slot, offset, size)."""
+    from amadeus_spark.sources.webdataset import split_sample_key
+
+    mem = writer_members()
+    per: dict[str, int] = {}
+    for key, slot, data in mem:
+        name = key if slot is None else f"{key}.{slot}"
+        per[key] = per.get(key, 0) + _tar_member_bytes(name, len(data))
+    cum = 0
+    shard_of: dict[str, int] = {}
+    for key in sorted(per):
+        shard_of[key] = cum // target
+        cum += per[key]
+    by_shard: dict[int, list] = {}
+    for key, slot, data in mem:
+        by_shard.setdefault(shard_of[key], []).append((key, slot, data))
+    rows = []
+    for sid in sorted(by_shard):
+        pos = 0
+        ordered = sorted(
+            by_shard[sid],
+            key=lambda t: (t[0], t[1] is not None, t[1] or ""),
+        )
+        for key, slot, data in ordered:
+            name = key if slot is None else f"{key}.{slot}"
+            hdr = _tar_member_bytes(name, 0)  # headers + zero payload
+            ikey, islot = split_sample_key(name)
+            rows.append(
+                (
+                    f"shard-{sid:05d}.tar",
+                    name,
+                    ikey,
+                    islot,
+                    pos + hdr,
+                    len(data),
+                )
+            )
+            pos += hdr + len(data) + (-len(data)) % 512
+    return rows
+
+
+def _values_sql(rows: list[tuple]) -> str:
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS VARCHAR)"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return f"CAST({v} AS BIGINT)"
+
+    return ",\n".join(f"({', '.join(lit(v) for v in r)})" for r in rows)
+
+
+def oracle_roundtrip_sql() -> str:
+    """The replayed written-then-reindexed layout as literal VALUES —
+    the webdataset_roundtrip gate oracle."""
+    rows = _values_sql(expected_written_index())
+    return f"""
+        SELECT * FROM (VALUES
+{rows}
+        ) AS t(shard, member, sample_key, slot, "offset", size)
+        ORDER BY shard, "offset"
+    """
+
+
 def oracle_sql() -> str:
     """The expected index as literal VALUES — BIGINT/STRING only,
     ordered like the gate query."""

@@ -23,6 +23,8 @@ contain (GNU 'L' longname, pax 'x' path override).
 
 from __future__ import annotations
 
+import io
+import os
 import posixpath
 from collections.abc import Iterable, Iterator
 
@@ -57,20 +59,7 @@ def _ustar_header(name: str, size: int) -> bytes:
     nb = name.encode("utf-8")
     if len(nb) > 100:
         raise ValueError(f"name too long for plain ustar fixture: {name!r}")
-    hdr = bytearray(BLOCK)
-    hdr[0 : len(nb)] = nb
-    hdr[100:108] = b"0000644\x00"
-    hdr[108:116] = b"0000000\x00"
-    hdr[116:124] = b"0000000\x00"
-    hdr[124:136] = (b"%011o" % size) + b"\x00"
-    hdr[136:148] = b"00000000000\x00"
-    hdr[148:156] = b" " * 8  # checksum field counts as spaces
-    hdr[156] = ord("0")
-    hdr[257:263] = b"ustar\x00"
-    hdr[263:265] = b"00"
-    chk = sum(hdr)
-    hdr[148:155] = (b"%06o" % chk) + b"\x00"
-    return bytes(hdr)
+    return _gnu_header(nb, size, b"0")
 
 
 def build_tar(members: list[tuple[str, bytes]]) -> bytes:
@@ -83,6 +72,253 @@ def build_tar(members: list[tuple[str, bytes]]) -> bytes:
         out += b"\x00" * ((-len(data)) % BLOCK)
     out += b"\x00" * (2 * BLOCK)
     return bytes(out)
+
+
+def _member_blocks(name: str, data: bytes) -> bytes:
+    """Header block(s) + 512-padded payload for ONE member, emitting a
+    GNU 'L' longname member first when the name exceeds ustar's
+    100-byte field (iter_tar_members already parses it — writer and
+    parser close over the same grammar). Deterministic bytes: zeroed
+    metadata, like :func:`_ustar_header`."""
+    nb = name.encode("utf-8")
+    out = bytearray()
+    if len(nb) > 100:
+        link = nb + b"\x00"
+        out += _gnu_header(b"././@LongLink", len(link), b"L")
+        out += link + b"\x00" * ((-len(link)) % BLOCK)
+        head = nb[:100]
+    else:
+        head = nb
+    out += _gnu_header(head, len(data), b"0")
+    out += data
+    out += b"\x00" * ((-len(data)) % BLOCK)
+    return bytes(out)
+
+
+def _gnu_header(name_bytes: bytes, size: int, typeflag: bytes) -> bytes:
+    """A ustar header block with an arbitrary typeflag (the '0'
+    regular-member case is :func:`_ustar_header`'s grammar)."""
+    hdr = bytearray(BLOCK)
+    hdr[0 : len(name_bytes)] = name_bytes
+    hdr[100:108] = b"0000644\x00"
+    hdr[108:116] = b"0000000\x00"
+    hdr[116:124] = b"0000000\x00"
+    hdr[124:136] = (b"%011o" % size) + b"\x00"
+    hdr[136:148] = b"00000000000\x00"
+    hdr[148:156] = b" " * 8
+    hdr[156] = typeflag[0]
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    chk = sum(hdr)
+    hdr[148:155] = (b"%06o" % chk) + b"\x00"
+    return bytes(hdr)
+
+
+def member_name(sample_key: str, slot: str | None) -> str:
+    """Writer-side member naming — the inverse of
+    :func:`split_sample_key`: ``key.slot``, or the bare key for
+    slotless metadata members (no dot → joins no sample on re-read)."""
+    return sample_key if slot is None else f"{sample_key}.{slot}"
+
+
+#: SQL fragment for one member's on-tar byte footprint (header block,
+#: GNU longname blocks when the UTF-8 name exceeds 100 bytes, payload
+#: padded to 512) — the balance arithmetic the shard cut runs on. MUST
+#: mirror _member_blocks exactly; pinned by the round-trip tests.
+def _member_bytes_frag(name_sql: str, size_sql: str) -> str:
+    nb = f"octet_length({name_sql})"
+    long_blocks = (
+        f"(case when {nb} > 100 then 1 + (({nb} + 1 + {BLOCK - 1}) "
+        f"div {BLOCK}) else 0 end)"
+    )
+    return (
+        f"cast({BLOCK} * (1 + {long_blocks}) + {size_sql} "
+        f"+ (({BLOCK} - {size_sql} % {BLOCK}) % {BLOCK}) as bigint)"
+    )
+
+
+def _open_write(path: str):
+    """Executor-side write open: local files via builtin open (the
+    caller renames into place), object stores via pyarrow
+    ``open_output_stream`` (a PUT — object stores have no rename, and
+    a re-attempted task rewrites the same deterministic bytes)."""
+    if "://" not in path or path.startswith("file:"):
+        local = path
+        if path.startswith("file:"):
+            local = path[len("file:"):]
+            while local.startswith("//"):
+                local = local[1:]
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local + ".__tmp__", "wb"), local
+    import pyarrow.fs as pafs
+
+    fs, rel = pafs.FileSystem.from_uri(path)
+    return fs.open_output_stream(rel), None
+
+
+def write_webdataset_shards(
+    members: DataFrame,
+    out_dir: str,
+    target_shard_bytes: int = 1 << 30,
+    prefix: str = "shard",
+) -> DataFrame:
+    """Distributed WebDataset shard WRITER — the other half of the
+    LAION pipeline (img2dataset's output side): materialize a corpus
+    of (``sample_key``, ``slot``, ``content binary``) members as
+    deterministic tar shards plus a write-time index.
+
+    Layout contract (what the round-trip oracle replays): samples are
+    assigned to shards in GLOBAL ``sample_key`` order with
+    size-balanced cuts — a sample starts shard ``k`` when the total
+    on-tar bytes of all samples before it reaches ``k *
+    target_shard_bytes`` (samples never split across shards; the
+    boundary sample overshoots). Within a shard, members are written
+    sorted by (``sample_key``, ``slot`` nulls-first); names over 100
+    UTF-8 bytes get GNU longname headers (the parser's 'L' grammar).
+
+    100 TB shape: the global cut needs a corpus-wide running sum of
+    per-sample bytes, which must NOT sort the corpus through one
+    window — it decomposes into the token_budget_sample two-level
+    scan: range-partition samples by key, within-partition cumsum
+    (one window per range), and a TINY per-range totals frame whose
+    prefix sums come from a triangular self-join (O(P²) rows for P
+    partitions — no single-partition window anywhere), broadcast back.
+    Each shard is then written by one task: sorted members, streamed
+    header+payload emission, write-time (offset, size) bookkeeping —
+    identical arithmetic to the indexer, but emitted for free — plus
+    an img2dataset-style ``.index.parquet`` SIDECAR per shard so a
+    later reader never re-scans tar headers. Local writes go through
+    tmp + atomic rename; object-store writes are idempotent PUTs of
+    deterministic bytes (a retried task rewrites the same content).
+
+    Returns the write-time index (INDEX_SCHEMA; ``shard`` = full
+    path). LAZY: materializing the returned frame IS the write job —
+    count it, sink it, or feed it onward (sidecars land beside each
+    shard as its task completes)."""
+    from pyspark.sql import Window
+
+    from amadeus_spark.cache import tracked_persist
+
+    spark = members.sparkSession
+    sized = members.select(
+        "sample_key",
+        "slot",
+        "content",
+        F.expr(
+            _member_bytes_frag(
+                "case when slot is null then sample_key "
+                "else concat(sample_key, '.', slot) end",
+                "octet_length(content)",
+            )
+        ).alias("__mb"),
+    )
+    n_ranges = max(2, spark.sparkContext.defaultParallelism)
+    per_sample = (
+        sized.groupBy("sample_key")
+        .agg(F.sum("__mb").alias("__sb"))
+        .repartitionByRange(n_ranges, "sample_key")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy("sample_key")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cumd = tracked_persist(
+        per_sample.withColumn(
+            "__cum_in", F.coalesce(F.sum("__sb").over(w_in), F.lit(0))
+        )
+    )
+    totals = cumd.groupBy("__pid").agg(F.sum("__sb").alias("__pt"))
+    # prefix sums of the per-range totals: a triangular self-join on a
+    # frame of n_ranges rows — O(P²) pairs, never a single-partition
+    # window (the plans-sweep contract)
+    offs = (
+        totals.alias("a")
+        .join(
+            F.broadcast(totals.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__pt"), F.lit(0)).alias("__off"))
+    )
+    assign = (
+        cumd.join(F.broadcast(offs), "__pid")
+        .select(
+            "sample_key",
+            ((F.col("__off") + F.col("__cum_in")) / F.lit(target_shard_bytes))
+            .cast("bigint")
+            .alias("__shard"),
+        )
+    )
+
+    out_root = out_dir.rstrip("/")
+
+    def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard_id = int(pdf["__shard"].iloc[0])
+        path = f"{out_root}/{prefix}-{shard_id:05d}.tar"
+        pdf = pdf.sort_values(
+            ["sample_key", "slot"], na_position="first", kind="mergesort"
+        )
+        rows = []
+        pos = 0
+        sink, local_final = _open_write(path)
+        try:
+            for r in pdf.itertuples(index=False):
+                name = member_name(r.sample_key, r.slot)
+                data = bytes(r.content)
+                blob = _member_blocks(name, data)
+                sink.write(blob)
+                # index (key, slot) re-derived from the NAME so the
+                # write-time index is byte-equal to a later re-index:
+                # a slotless metadata member reads back key=None
+                key, slot = split_sample_key(name)
+                # payload starts after every header block of this member
+                rows.append(
+                    (
+                        path,
+                        name,
+                        key,
+                        slot,
+                        pos + (len(blob) - (len(data) + (-len(data)) % BLOCK)),
+                        len(data),
+                    )
+                )
+                pos += len(blob)
+            sink.write(b"\x00" * (2 * BLOCK))
+        finally:
+            sink.close()
+        if local_final is not None:
+            os.replace(local_final + ".__tmp__", local_final)
+        idx = pd.DataFrame(
+            rows,
+            columns=["shard", "member", "sample_key", "slot", "offset", "size"],
+        )
+        # img2dataset-style sidecar: the write-time index, durable next
+        # to the shard, so later readers skip the tar-header scan
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        buf = io.BytesIO()
+        pq.write_table(pa.Table.from_pandas(idx, preserve_index=False), buf)
+        side, side_final = _open_write(
+            f"{out_root}/{prefix}-{shard_id:05d}.index.parquet"
+        )
+        try:
+            side.write(buf.getvalue())
+        finally:
+            side.close()
+        if side_final is not None:
+            os.replace(side_final + ".__tmp__", side_final)
+        return idx
+
+    return (
+        sized.drop("__mb")
+        .join(assign, "sample_key")
+        .groupBy("__shard")
+        .applyInPandas(_write_group, INDEX_SCHEMA)
+    )
 
 
 # ------------------------------------------------------------ parser

@@ -189,3 +189,135 @@ def test_tar_shard_to_real_jpeg_decode_end_to_end(spark, tmp_path):
     row = extract_features(media, fake=False).collect()[0]
     assert row["feature"] == decode_image(jpg)
     assert row["n_bytes"] == len(jpg)
+
+
+# ------------------------------------------------------------- writer
+
+
+def _writer_df(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(sample_key=k, slot=s, content=bytearray(c))
+            for k, s, c in G.writer_members()
+        ],
+        "sample_key string, slot string, content binary",
+    )
+
+
+def test_write_shards_round_trip(spark, tmp_path):
+    """write_webdataset_shards → read_webdataset_index round trip:
+    the write-time index is byte-equal to a later re-index (incl. the
+    slotless metadata member reading back key=None), every payload
+    survives, and the per-shard .index.parquet sidecars carry the same
+    rows."""
+    import glob
+
+    import duckdb
+
+    from amadeus_spark.sources.webdataset import (
+        fetch_members,
+        write_webdataset_shards,
+    )
+
+    out = str(tmp_path / "wds")
+    written = write_webdataset_shards(
+        _writer_df(spark), out, target_shard_bytes=G.WRITE_TARGET
+    ).collect()
+    shards = sorted(glob.glob(os.path.join(out, "*.tar")))
+    assert len(shards) > 1  # the cut actually split the corpus
+    idx = read_webdataset_index(spark, shards)
+    a = sorted(tuple(r) for r in written)
+    b = sorted(tuple(r) for r in idx.collect())
+    assert a == b
+    fetched = {
+        r["member"]: bytes(r["content"]) for r in fetch_members(idx).collect()
+    }
+    orig = {n: d for s in G.GOLDEN for n, d in G.members(s)}
+    assert fetched == orig
+    side = duckdb.sql(
+        f"SELECT member, \"offset\", size FROM "
+        f"read_parquet('{out}/*.index.parquet') ORDER BY member, \"offset\""
+    ).fetchall()
+    assert side == sorted((r["member"], r["offset"], r["size"]) for r in written)
+
+
+def test_written_layout_matches_sequential_replay(spark, tmp_path):
+    """The distributed layout (two-level cumsum cut + per-task write)
+    equals wds_golden.expected_written_index's SEQUENTIAL replay — the
+    same independence discipline as expected_index vs the parser."""
+    import glob
+
+    from amadeus_spark.sources.webdataset import write_webdataset_shards
+
+    out = str(tmp_path / "wds")
+    written = write_webdataset_shards(
+        _writer_df(spark), out, target_shard_bytes=G.WRITE_TARGET
+    ).collect()
+    got = sorted(
+        (os.path.basename(r["shard"]), r["member"], r["sample_key"],
+         r["slot"], r["offset"], r["size"])
+        for r in written
+    )
+    assert got == sorted(G.expected_written_index())
+
+
+def test_written_shards_parse_with_stdlib(spark, tmp_path):
+    """Independent oracle: stdlib tarfile fully parses the written
+    shards and agrees on (name, payload offset, size) — incl. GNU
+    longname members for >100-byte names."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from amadeus_spark.sources.webdataset import write_webdataset_shards
+
+    long_key = "deep/" + "y" * 130
+    df = _writer_df(spark).unionByName(
+        spark.createDataFrame(
+            [Row(sample_key=long_key, slot="jpg", content=bytearray(b"zz"))],
+            "sample_key string, slot string, content binary",
+        )
+    )
+    out = str(tmp_path / "wds")
+    written = write_webdataset_shards(
+        df, out, target_shard_bytes=G.WRITE_TARGET
+    ).collect()
+    std = []
+    for shard in sorted(glob.glob(os.path.join(out, "*.tar"))):
+        with tarfile.open(shard) as tf:
+            std += [
+                (os.path.basename(shard), m.name, m.offset_data, m.size)
+                for m in tf.getmembers()
+            ]
+    ours = sorted(
+        (os.path.basename(r["shard"]), r["member"], r["offset"], r["size"])
+        for r in written
+    )
+    assert sorted(std) == ours
+    assert any(n == f"{long_key}.jpg" for _, n, _, _ in std)
+
+
+def test_writer_cut_is_partitioning_invariant(spark, tmp_path):
+    """The shard assignment is a function of the DATA (global key
+    order + byte arithmetic), not of the input's physical layout:
+    1-partition and 7-partition inputs produce identical indexes."""
+    from amadeus_spark.sources.webdataset import write_webdataset_shards
+
+    outs = []
+    for i, parts in enumerate((1, 7)):
+        out = str(tmp_path / f"wds{i}")
+        written = write_webdataset_shards(
+            _writer_df(spark).repartition(parts),
+            out,
+            target_shard_bytes=G.WRITE_TARGET,
+        ).collect()
+        outs.append(
+            sorted(
+                (os.path.basename(r["shard"]), r["member"], r["offset"],
+                 r["size"])
+                for r in written
+            )
+        )
+    assert outs[0] == outs[1]
