@@ -241,15 +241,17 @@ def _png_unfilter(raw: bytes, offset: int, pw: int, ph: int,
             cur = line
         elif ftype == 1:  # Sub
             cur = line
+            # int() promotions: a uint8 scalar add overflows (numpy
+            # warns in a codec hot loop); & 0xFF is the spec's mod-256
             for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif ftype == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
             cur = line
             for x in range(stride):
                 left = int(cur[x - bpp]) if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line
             for x in range(stride):
@@ -259,7 +261,7 @@ def _png_unfilter(raw: bytes, offset: int, pw: int, ph: int,
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
+                cur[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y] = cur

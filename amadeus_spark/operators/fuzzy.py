@@ -227,23 +227,115 @@ def _probe_signatures(
     )
 
 
+#: skew ratio (top bucket / uniform expectation) above which a corpus
+#: is considered segment-degenerate; 8 separates the measured regimes
+#: by orders of magnitude (entropic corpora sit near 1-3, a constant-
+#: prefix corpus reaches ~n/segments).
+SEGMENT_SKEW_RATIO = 8.0
+
+
+def segment_skew_probe(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int,
+    sample: int = 4096,
+) -> dict:
+    """Cheap diagnostic for the long-shared-prefix COST CLIFF of
+    segment blocking (module docstring: segments need ENTROPY — a
+    corpus whose strings share long constant prefixes funnels most
+    rows into a few signature buckets, and candidate volume grows with
+    the SQUARE of bucket size; recall is never affected, only cost).
+
+    One bounded job over a deterministic ``sample`` of rows (hash-
+    ordered TakeOrdered, so the probe is stable run-to-run): build the
+    index-side signatures, bucket them, and compare the top bucket to
+    the uniform expectation. Returns ``{rows, signatures,
+    distinct_signatures, top_bucket, expected_bucket, skew,
+    degenerate}`` — ``skew = top_bucket / expected_bucket``,
+    ``degenerate = skew > SEGMENT_SKEW_RATIO and top_bucket > 2``.
+    A degenerate probe means: shorten max_dist, use deletion blocking
+    (d <= 2, length-robust), or strip the constant prefix before
+    joining."""
+    base = (
+        df.select(F.col(name_col).alias("n"))
+        .orderBy(F.xxhash64(name_col))
+        .limit(sample)
+    )
+    sigs = base.select(
+        F.explode(
+            F.array_distinct(
+                F.expr(segment_signatures_frag("n", "index", max_dist))
+            )
+        ).alias("s")
+    )
+    row = (
+        sigs.groupBy("s")
+        .count()
+        .agg(
+            F.sum("count").alias("total"),
+            F.count(F.lit(1)).alias("distinct"),
+            F.max("count").alias("top"),
+        )
+        .collect()[0]
+    )
+    total = row["total"] or 0
+    distinct = row["distinct"] or 0
+    top = row["top"] or 0
+    expected = total / distinct if distinct else 0.0
+    skew = (top / expected) if expected else 0.0
+    return {
+        "signatures": total,
+        "distinct_signatures": distinct,
+        "top_bucket": top,
+        "expected_bucket": expected,
+        "skew": skew,
+        "degenerate": skew > SEGMENT_SKEW_RATIO and top > 2,
+    }
+
+
 def fuzzy_self_join_segments(
     df: DataFrame,
     key_col: str,
     name_col: str,
     max_dist: int,
+    skew_probe: bool = False,
 ) -> DataFrame:
     """Segment-blocked fuzzy self-join — same output contract as
     :func:`fuzzy_self_join` ((k1 < k2, n1, n2, dist)), complete for any
     ``max_dist`` ≤ MAX_SEGMENT_DIST by the pigeonhole argument in
     :func:`segment_signatures_frag`. The join is ASYMMETRIC (probe
     substrings vs index segments), so candidates are generated in both
-    directions and canonicalized to k1 < k2 before the distinct."""
+    directions and canonicalized to k1 < k2 before the distinct.
+
+    ``skew_probe=True`` runs :func:`segment_skew_probe` first (one
+    bounded job) and emits a UserWarning when the corpus is segment-
+    degenerate (long shared prefixes → few huge candidate buckets —
+    a cost cliff, never a recall loss). Off by default: the probe is
+    an extra job, and the caller who knows the corpus is entropic
+    shouldn't pay it."""
     if not 1 <= max_dist <= MAX_SEGMENT_DIST:
         raise ValueError(
             f"max_dist must be in 1..{MAX_SEGMENT_DIST} for segment"
             " blocking"
         )
+    if skew_probe:
+        stats = segment_skew_probe(df, name_col, max_dist)
+        if stats["degenerate"]:
+            import warnings
+
+            warnings.warn(
+                "segment blocking is degenerate on this corpus: top "
+                f"signature bucket holds {stats['top_bucket']} of "
+                f"{stats['signatures']} sampled signatures "
+                f"({stats['skew']:.1f}x the uniform expectation — "
+                f"threshold {SEGMENT_SKEW_RATIO}). Long shared "
+                "prefixes funnel rows into few buckets and candidate "
+                "volume grows quadratically with bucket size. Consider "
+                "max_dist <= 2 (deletion blocking), stripping the "
+                "constant prefix, or pre-bucketing by a higher-entropy "
+                "key.",
+                stacklevel=2,
+            )
     from amadeus_spark.cache import tracked_persist
 
     d, m = max_dist, max_dist + 1

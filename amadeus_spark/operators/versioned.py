@@ -30,13 +30,16 @@ files:
   paths are collected;
 - readers resolve a snapshot (latest or pinned ``version=``) and read
   exactly its files — writers never mutate visible state;
-- commits are optimistic: the segment is staged and PUBLISHED
-  fail-if-exists. On local filesystems the publish is an
-  ``os.link`` (atomic EEXIST on POSIX — plain rename OVERWRITES on
-  file://, so two racing local writers would otherwise both
-  "commit"); on hdfs:// / s3a:// it is a Hadoop rename onto a
-  checked-absent destination (rename-onto-existing fails on HDFS;
-  conflict detection on object stores is as good as their rename);
+- commits are optimistic: the commit version is PINNED to the
+  writer's resolved snapshot and the segment is PUBLISHED
+  fail-if-exists, so any interposed commit collides on the version
+  file and surfaces as a 'concurrent commit' conflict (retryable via
+  commit_with_retry) instead of being silently absorbed. On local
+  filesystems the publish is an ``os.link`` (atomic EEXIST on POSIX —
+  plain rename OVERWRITES on file://); on s3:// / s3a:// it is an
+  S3 CONDITIONAL PUT (``If-None-Match: *`` — native server-side
+  compare-and-swap; race test in tests/test_object_store.py); on
+  hdfs:// a Hadoop rename onto a checked-absent destination;
 - data lands under a UNIQUE staging directory name
   (``commit-vN-<uuid>``) recorded in the manifest: a crashed or
   losing concurrent commit leaves an orphan directory that can never
@@ -51,6 +54,15 @@ files:
 Stats live in the log, not in footers-at-read-time: at 100 TB,
 opening 10^6 footers to plan a merge is itself a job; footers are
 read once, at commit time, for the commit's own files only.
+
+CDF RETENTION CONTRACT (Delta's semantics): ``vacuum`` reclaims
+change-data directories outside the keep window WITHOUT consulting
+stream checkpoints. A ``stream_table_changes`` consumer lagging past
+the keep window silently loses the vacuumed commits' change rows (the
+file source simply never lists them) and keeps running on later
+commits — size ``keep_last`` to cover the slowest consumer's lag
+(pinned by tests/test_versioned.py::
+test_vacuum_undrained_changefeed_documented_loss).
 """
 
 from __future__ import annotations

@@ -15,21 +15,25 @@ instead of masquerading as regressions.
 
 Rep protocol: every query first runs ONCE UNREPORTED at the timed sf
 (the warm-up — it pays codegen/JIT of the exact sf-scale plan shape
-and first-touch page cache), then 1-2 TIMED reps; the reported value
-is the min of the timed reps, which are all warm — the same
-steady-state quantity median-of-3 reported when this bench ran fixed
-3 reps (median of [cold, warm, warm] = warm). Whether a query gets
-its second timed rep is decided by a CUMULATIVE FAIR-SHARE line
-(chunk budget × queries-done / chunk size), not first-come-first-
-served: the old global sequential budget let the heavy first chunk
-eat the entire allowance and degraded every later chunk to single
-COLD runs, inflating those entries 1.5-4x (two r8 runs measured
-exactly that) — an artifact, not a regression. Degradation under
-this protocol only ever costs spread precision (1 timed rep instead
-of 2); the reported number stays a warm measurement. Each chunk gets
-a budget slice proportional to its query count, so chunks can't
-starve each other; only a catastrophic overrun (2x the chunk slice)
-drops the warm-up run.
+and first-touch page cache), then 1..$SPARK_GRAFT_BENCH_REPS TIMED
+reps; the reported value is the min of the timed reps, which are all
+warm — the same steady-state quantity median-of-3 reported when this
+bench ran fixed 3 reps (median of [cold, warm, warm] = warm). Extra
+timed reps are granted while PREDICTED spend (elapsed + last rep)
+stays under a CUMULATIVE FAIR-SHARE line (10%-of-slice headstart +
+chunk budget × queries-done / chunk size; the chunk clock starts
+after JVM boot), not first-come-first-served: the old global
+sequential budget let the heavy first chunk eat the entire allowance
+and degraded every later chunk to single COLD runs, inflating those
+entries 1.5-4x (two r8 runs measured exactly that) — an artifact,
+not a regression. Degradation under this protocol only ever costs
+spread precision (1 timed rep instead of 2); the reported number
+stays a warm measurement. The TOTAL budget defaults to 5 s × the
+registry size (a fixed total quietly degraded 90/138 queries to
+reps=1 as the registry grew — sub-1.5× deltas were unmeasurable);
+each chunk gets a slice proportional to its query count, so chunks
+can't starve each other; only a catastrophic overrun (2x the chunk
+slice) drops the warm-up run.
 """
 
 from __future__ import annotations
@@ -58,7 +62,6 @@ def run_chunk(
     reps per query (the unreported warm-up run is extra)."""
     from amadeus_spark import get_spark, release_cached
 
-    t0 = time.perf_counter()
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     reps_used: dict[str, int] = {}
@@ -66,6 +69,10 @@ def run_chunk(
     # Warm up JVM + codegen so the first measured query isn't paying
     # session startup (the driver measures engine speed, not boot).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # The slice budgets QUERY work: the clock starts AFTER boot (boot
+    # is bounded — one per chunk — and counting it against the slice
+    # silently cost the first ~4 queries of every chunk their 2nd rep).
+    t0 = time.perf_counter()
 
     def one_run(fn) -> float:
         spark.catalog.clearCache()  # dedup queries persist
@@ -94,10 +101,19 @@ def run_chunk(
         # pauses land inside LATER queries' timed reps. The call itself
         # costs ~0.15 s on this heap — cheap insurance, per query.
         runs = [one_run(fn)]
-        # Second timed rep only while under the cumulative fair-share
-        # line: degradation costs spread precision, never warmth.
-        fair_line = slice_s * (i + 1) / max(1, len(chunk))
-        if reps >= 2 and time.perf_counter() - t0 < fair_line:
+        # Further timed reps only while PREDICTED spend stays under the
+        # cumulative fair-share line (the last rep's time is the
+        # estimate — an about-to-overrun heavy skips instead of blowing
+        # the tail's allowance): degradation costs spread precision,
+        # never warmth. The line gets a 10%-of-slice HEADSTART so a
+        # heavy query in the chunk's first slots can still afford its
+        # 2nd rep (the prorated line alone denies position 0 anything
+        # costlier than one per-query installment).
+        fair_line = slice_s * (0.1 + (i + 1) / max(1, len(chunk)))
+        while (
+            len(runs) < reps
+            and time.perf_counter() - t0 + runs[-1] < fair_line
+        ):
             runs.append(one_run(fn))
         reps_used[name] = len(runs)
         runs.sort()
@@ -140,11 +156,6 @@ def main() -> None:
     # single-rep timings); caches are cleared between runs so no *data*
     # survives into the timing.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    # Wall-clock budget: the driver runs this under an unknown timeout,
-    # and a timed-out bench records as a CRASH. Each chunk gets a slice
-    # proportional to its query count; inside a chunk the fair-share
-    # line decides who gets the 2nd timed rep (see run_chunk).
-    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
     bench_t0 = time.perf_counter()
     # SESSION SPLITTING, in a SUBPROCESS per chunk: ReservedCodeCacheSize
     # is hard-capped at 2 GB by HotSpot, and one long session compiling
@@ -160,6 +171,19 @@ def main() -> None:
     # BALANCED (ceil-split) so slices and code-cache pressure are even.
     chunk_cap = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "64"))
     items = list(queries.items())
+    # Wall-clock budget: the driver runs this under an unknown timeout,
+    # and a timed-out bench records as a CRASH. The default SCALES WITH
+    # THE REGISTRY (5 s/query ≈ warm-up + 2 timed reps + gc at sf0.1
+    # fleet-wide, calibrated on the r9 record: 636 s projected for 138
+    # queries) — a fixed total silently degraded 90/138 queries to
+    # reps=1 as the registry grew, making sub-1.5× per-query deltas
+    # unmeasurable. Each chunk gets a slice proportional to its query
+    # count; inside a chunk the fair-share line decides who gets the
+    # 2nd timed rep (see run_chunk).
+    budget_s = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S")
+        or max(90.0, 5.0 * len(items))
+    )
     n_chunks = max(1, math.ceil(len(items) / chunk_cap))
     chunks = _chunks(items, math.ceil(len(items) / n_chunks))
     chunk_idx = os.environ.get("SPARK_GRAFT_BENCH_CHUNK_IDX")

@@ -318,3 +318,56 @@ def test_probe_pipeline_matches_hof_spec(spark):
             ).collect()
         }
         assert fast == spec, d
+
+
+def test_segment_skew_probe_fires_on_constant_prefix(spark):
+    """The entropy guard (segment_skew_probe): a corpus of strings
+    sharing a long constant prefix funnels index segments into a few
+    huge buckets — the documented PassJoin cost cliff. The probe must
+    flag it, and skew_probe=True must warn while returning the SAME
+    pairs as the unguarded path (cost diagnostic, never a semantics
+    change)."""
+    import warnings
+
+    from amadeus_spark.operators.fuzzy import (
+        fuzzy_self_join_segments,
+        segment_skew_probe,
+    )
+
+    prefix = "COMMON-WAREHOUSE-PREFIX-0000-"
+    rows = [(i, f"{prefix}{i:04d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, n string")
+    stats = segment_skew_probe(df, "n", 3)
+    assert stats["degenerate"], stats
+    assert stats["skew"] > 8.0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        guarded = fuzzy_self_join_segments(df, "k", "n", 3, skew_probe=True)
+        got = sorted((r["k1"], r["k2"]) for r in guarded.collect())
+    assert any("degenerate" in str(w.message) for w in caught)
+    plain = fuzzy_self_join_segments(df, "k", "n", 3)
+    assert got == sorted((r["k1"], r["k2"]) for r in plain.collect())
+
+
+def test_segment_skew_probe_quiet_on_entropic_corpus(spark):
+    """Hash-entropic strings spread segments near-uniformly: the probe
+    must NOT flag them and skew_probe=True must stay silent."""
+    import hashlib
+    import warnings
+
+    from amadeus_spark.operators.fuzzy import (
+        fuzzy_self_join_segments,
+        segment_skew_probe,
+    )
+
+    rows = [
+        (i, hashlib.md5(str(i).encode()).hexdigest()[:20])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k long, n string")
+    stats = segment_skew_probe(df, "n", 3)
+    assert not stats["degenerate"], stats
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        fuzzy_self_join_segments(df, "k", "n", 3, skew_probe=True).collect()
+    assert not [w for w in caught if "degenerate" in str(w.message)]
