@@ -374,3 +374,63 @@ def test_keep_best_frag_duckdb_matches_python_mirror(rows):
     ).fetchall()]
     want = [_keep_best_py_key(s, i) for s, i in rows]
     assert got == want
+
+
+_wds_names = st.text(
+    alphabet=st.sampled_from("abcxyz._-/é中"), min_size=1, max_size=40
+).filter(lambda s: not s.startswith("/") and ".." not in s)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _wds_names,
+            st.one_of(st.none(), st.sampled_from(["jpg", "txt", "seg.png"])),
+            st.binary(max_size=1300),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_writer_member_blocks_round_trip(members, force_long):
+    """The writer's per-member tar emission (_member_blocks, incl. GNU
+    longname for >100-byte names) round-trips through BOTH the repo
+    parser and stdlib tarfile, and its byte footprint matches the
+    independent replay arithmetic (wds_golden._tar_member_bytes) that
+    the shard-cut balance and the SQL fragment mirror."""
+    import io
+    import tarfile
+
+    from amadeus_spark.sources.webdataset import (
+        BLOCK,
+        _member_blocks,
+        iter_tar_members,
+        member_name,
+    )
+    from amadeus_spark.sources.wds_golden import _tar_member_bytes
+
+    stream = bytearray()
+    expect = []
+    pos = 0
+    for i, (key, slot, data) in enumerate(members):
+        if force_long and i == 0:
+            key = "deep/" + "x" * 120 + key  # exercise the 'L' path
+        name = member_name(key, slot)
+        blob = _member_blocks(name, data)
+        assert len(blob) == _tar_member_bytes(name, len(data))
+        hdr_bytes = len(blob) - (len(data) + (-len(data)) % BLOCK)
+        expect.append((name, pos + hdr_bytes, len(data), data))
+        stream += blob
+        pos += len(blob)
+    stream += b"\x00" * (2 * BLOCK)
+    ours = list(iter_tar_members(io.BytesIO(bytes(stream))))
+    assert [(m["member"], m["offset"], m["size"]) for m in ours] == [
+        (n, o, s) for n, o, s, _ in expect
+    ]
+    with tarfile.open(fileobj=io.BytesIO(bytes(stream))) as tf:
+        std = [(m.name, m.offset_data, m.size) for m in tf.getmembers()]
+        payloads = [tf.extractfile(m).read() for m in tf.getmembers()]
+    assert std == [(n, o, s) for n, o, s, _ in expect]
+    assert payloads == [d for _, _, _, d in expect]

@@ -321,3 +321,42 @@ def test_writer_cut_is_partitioning_invariant(spark, tmp_path):
             )
         )
     assert outs[0] == outs[1]
+
+
+def test_member_bytes_frag_matches_python(spark):
+    """The Spark SQL footprint fragment (_member_bytes_frag — what the
+    distributed shard cut sums) equals the Python arithmetic both the
+    writer's emission (len(_member_blocks)) and the gate replay
+    (wds_golden._tar_member_bytes) use — incl. multibyte names around
+    the 100-BYTE longname threshold (octet_length, not char length)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from amadeus_spark.sources.webdataset import (
+        _member_blocks,
+        _member_bytes_frag,
+    )
+
+    cases = [
+        ("a.jpg", 0),
+        ("a.jpg", 1),
+        ("a.jpg", 511),
+        ("a.jpg", 512),
+        ("a.jpg", 513),
+        ("x" * 100 + ".txt", 7),          # name > 100 bytes: longname
+        ("x" * 96 + ".txt", 7),           # exactly 100: plain header
+        ("é" * 51 + ".txt", 3),           # 102 UTF-8 bytes, 55 chars
+        ("中" * 33 + ".json", 1025),       # 99 bytes + slot > 100
+        ("x" * 300 + ".bin", 64),         # longname needs 2 payload blocks
+    ]
+    df = spark.createDataFrame(
+        [Row(name=n, size=s) for n, s in cases], "name string, size long"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            F.expr(_member_bytes_frag("name", "size")).alias("b")
+        ).collect()
+    ]
+    want = [len(_member_blocks(n, b"\x00" * s)) for n, s in cases]
+    assert got == want
