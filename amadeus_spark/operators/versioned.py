@@ -1426,7 +1426,9 @@ def table_changes(
     return out
 
 
-def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
+def stream_table_changes(
+    spark: SparkSession, root: str, starting_version: int | None = None
+) -> DataFrame:
     """The changefeed as a STRUCTURED STREAMING source — a plain file
     source over ``_change_data/``, possible because change files carry
     ``_change_type`` and ``_commit_version`` in the data. Each commit
@@ -1444,6 +1446,15 @@ def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
     Combine with ``.trigger(availableNow=True)`` for the poll-and-
     drain incremental-consumer loop, or a continuous trigger for a
     live pipeline.
+
+    ``starting_version`` (Delta's ``startingVersion``): deliver only
+    changes from that commit on. The horizon is a ROW filter on
+    ``_commit_version`` — older change files are still listed and
+    read ONCE by the first drain (their rows drop in the filter),
+    because a file-stream glob cannot express "version >= N" over
+    ``v{N}-<uuid>`` dir names; the one-time cost is bounded by the
+    table's retention window (vacuum reclaims old change dirs), after
+    which the checkpoint never revisits them.
 
     Retention caveat (same as Delta CDF): :func:`vacuum` deletes
     change dirs outside its keep window — a consumer lagging further
@@ -1467,11 +1478,14 @@ def stream_table_changes(spark: SparkSession, root: str) -> DataFrame:
     # instead of failing path-does-not-exist at stream start
     fs, _ = _hadoop_fs(spark, root)
     fs.mkdirs(_jpath(spark, f"{root}/{CDF_DIR}"))
-    return (
+    feed = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{root}/{CDF_DIR}/*")
     )
+    if starting_version is not None:
+        feed = feed.filter(F.col("_commit_version") >= starting_version)
+    return feed
 
 
 def commit_with_retry(fn, attempts: int = 3):

@@ -1034,3 +1034,40 @@ def test_vacuum_undrained_changefeed_documented_loss(spark, root, tmp_path):
     versions = {v for v, _, _ in rows}
     assert 1 not in versions  # v1's undrained changes: silently lost
     assert 2 in versions  # the kept commit still arrives
+
+def test_stream_changes_starting_version(spark, root, tmp_path):
+    """starting_version (Delta's startingVersion): a consumer
+    attaching at version N sees no rows below N — older change files
+    are read once and row-filtered — and commits AFTER attach still
+    arrive on later drains."""
+    V.commit_append(
+        spark, root, _df(spark, 0, 4, "a").coalesce(1), ["k"], changefeed=True
+    )
+    for i, tag in enumerate(("b", "c")):
+        V.commit_upsert(
+            spark, root, _df(spark, i, i + 2, tag), "k", changefeed=True
+        )
+    ckpt = str(tmp_path / "ckpt")
+    rows: list = []
+
+    def drain():
+        q = (
+            V.stream_table_changes(spark, root, starting_version=2)
+            .writeStream.foreachBatch(
+                lambda b, _id: rows.extend(
+                    (r["_commit_version"], r["_change_type"], r["k"])
+                    for r in b.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert rows and {v for v, _, _ in rows} == {2}
+    rows.clear()
+    V.commit_upsert(spark, root, _df(spark, 9, 11, "d"), "k", changefeed=True)
+    drain()
+    assert {v for v, _, _ in rows} == {3}
