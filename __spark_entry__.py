@@ -3478,22 +3478,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postgres_copy_decode": q_postgres_copy_decode,
         "webdataset_index": q_webdataset_index,
         "corpusflow_e2e": q_corpusflow_e2e,
-        "mp4_frame_plan": q_mp4_frame_plan,
-        "mp3_segment_plan": q_mp3_segment_plan,
-        "percentile_band": q_percentile_band,
-        "bpe_learn": q_bpe_learn,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "quality_classifier": q_quality_classifier,
         "cluster_safe_split": q_cluster_safe_split,
         "domain_stats": q_domain_stats,
         "url_dedup": q_url_dedup,
         "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
         "fuzzy_name_match": q_fuzzy_name_match,
-        "approx_distinct": q_approx_distinct,
-        "media_frame_sample": q_media_frame_sample,
-        "most_frequent_cms": q_most_frequent_cms,
-        "multimodal_features": q_multimodal_features,
-        "reservoir_sample": q_reservoir_sample,
         "summary_agg": q_summary_agg,
         "group_by_pricing": q_group_by_pricing,
         "max_by": q_max_by,
@@ -3560,6 +3549,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "group_sink_nation": q_group_sink_nation,
         "training_pipeline": q_training_pipeline,
+        # rows-only (no oracle) entries: CONTIGUOUS TAIL — weakest
+        # signal last, so a truncating gate drops them first
+        "mp4_frame_plan": q_mp4_frame_plan,
+        "mp3_segment_plan": q_mp3_segment_plan,
+        "percentile_band": q_percentile_band,
+        "bpe_learn": q_bpe_learn,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "quality_classifier": q_quality_classifier,
+        "approx_distinct": q_approx_distinct,
+        "media_frame_sample": q_media_frame_sample,
+        "most_frequent_cms": q_most_frequent_cms,
+        "multimodal_features": q_multimodal_features,
+        "reservoir_sample": q_reservoir_sample,
         "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
         "compensated_moments": q_compensated_moments,
