@@ -19,21 +19,23 @@ and first-touch page cache), then 1..$SPARK_GRAFT_BENCH_REPS TIMED
 reps; the reported value is the min of the timed reps, which are all
 warm — the same steady-state quantity median-of-3 reported when this
 bench ran fixed 3 reps (median of [cold, warm, warm] = warm). Extra
-timed reps are granted while PREDICTED spend (elapsed + last rep)
-stays under a CUMULATIVE FAIR-SHARE line (10%-of-slice headstart +
-chunk budget × queries-done / chunk size; the chunk clock starts
-after JVM boot), not first-come-first-served: the old global
-sequential budget let the heavy first chunk eat the entire allowance
-and degraded every later chunk to single COLD runs, inflating those
-entries 1.5-4x (two r8 runs measured exactly that) — an artifact,
-not a regression. Degradation under this protocol only ever costs
-spread precision (1 timed rep instead of 2); the reported number
-stays a warm measurement. The TOTAL budget defaults to 5 s × the
-registry size (a fixed total quietly degraded 90/138 queries to
-reps=1 as the registry grew — sub-1.5× deltas were unmeasurable);
-each chunk gets a slice proportional to its query count, so chunks
-can't starve each other; only a catastrophic overrun (2x the chunk
-slice) drops the warm-up run.
+timed reps are granted while PREDICTED spend (elapsed + last rep as
+the estimate; the chunk clock starts after JVM boot) stays under a
+cumulative fair-share line with a 10%-of-slice headstart — and the
+TOTAL budget defaults to 7.5 s × the registry size, ~2x a normal
+run's full warm+2-rep need, so on a healthy box the line NEVER fires
+and every query gets its full reps. The line exists for pathological
+runs only: the old global sequential budget let the heavy first chunk
+eat the entire allowance and degraded every later chunk to single
+COLD runs, inflating those entries 1.5-4x (two r8 runs measured
+exactly that), while two r10 experiments showed any budget TIGHT to
+the need (uniform slope at 5 s/query, observed-mean reserve) wrongly
+starves contiguous heavy blocks whose cost exceeds their count share.
+Degradation only ever costs spread precision (1 timed rep instead of
+2); the reported number stays a warm measurement. Each chunk gets a
+slice proportional to its query count, so chunks can't starve each
+other; only a catastrophic overrun (2x the chunk slice) drops the
+warm-up run.
 """
 
 from __future__ import annotations
@@ -83,8 +85,8 @@ def run_chunk(
         return time.perf_counter() - q0
 
     for i, (name, fn) in enumerate(chunk):
-        elapsed = time.perf_counter() - t0
-        if elapsed < 2.0 * slice_s:
+        q0 = time.perf_counter()
+        if q0 - t0 < 2.0 * slice_s:
             try:
                 one_run(fn)  # WARM-UP at the timed sf — unreported;
                 # pays codegen/JIT + page cache so the timed reps are
@@ -101,14 +103,19 @@ def run_chunk(
         # pauses land inside LATER queries' timed reps. The call itself
         # costs ~0.15 s on this heap — cheap insurance, per query.
         runs = [one_run(fn)]
-        # Further timed reps only while PREDICTED spend stays under the
-        # cumulative fair-share line (the last rep's time is the
-        # estimate — an about-to-overrun heavy skips instead of blowing
-        # the tail's allowance): degradation costs spread precision,
-        # never warmth. The line gets a 10%-of-slice HEADSTART so a
-        # heavy query in the chunk's first slots can still afford its
-        # 2nd rep (the prorated line alone denies position 0 anything
-        # costlier than one per-query installment).
+        # Further timed reps only while PREDICTED spend (elapsed + the
+        # last rep as the estimate — an about-to-overrun heavy skips
+        # instead of blowing the tail's allowance) stays under the
+        # cumulative fair-share line, 10%-of-slice headstart so chunk-
+        # head heavies can afford their 2nd rep. The line exists for
+        # PATHOLOGICAL runs only (dirty machine, driver timeout risk):
+        # the budget is sized (7.5 s/query) so a normal run's full
+        # warm+2-rep need sits ~2x under every chunk's slice and
+        # nothing is ever denied — two r10 experiments showed any
+        # TIGHT line (uniform slope at 5 s/query, observed-mean
+        # reserve) wrongly starves contiguous heavy blocks whose cost
+        # exceeds their count share. Degradation costs spread
+        # precision (1 timed rep), never warmth.
         fair_line = slice_s * (0.1 + (i + 1) / max(1, len(chunk)))
         while (
             len(runs) < reps
@@ -173,16 +180,18 @@ def main() -> None:
     items = list(queries.items())
     # Wall-clock budget: the driver runs this under an unknown timeout,
     # and a timed-out bench records as a CRASH. The default SCALES WITH
-    # THE REGISTRY (5 s/query ≈ warm-up + 2 timed reps + gc at sf0.1
-    # fleet-wide, calibrated on the r9 record: 636 s projected for 138
-    # queries) — a fixed total silently degraded 90/138 queries to
-    # reps=1 as the registry grew, making sub-1.5× per-query deltas
+    # THE REGISTRY (7.5 s/query ≈ 2x the measured warm-up + 2 timed
+    # reps + gc need at sf0.1 — chunk full needs measured 129/144/202 s
+    # vs 235 s count-proportional slices, and any budget TIGHT to the
+    # need makes the fair line wrongly starve contiguous heavy blocks)
+    # — a fixed total silently degraded 90/138 queries to reps=1 as
+    # the registry grew, making sub-1.5× per-query deltas
     # unmeasurable. Each chunk gets a slice proportional to its query
     # count; inside a chunk the fair-share line decides who gets the
     # 2nd timed rep (see run_chunk).
     budget_s = float(
         os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S")
-        or max(90.0, 5.0 * len(items))
+        or max(90.0, 7.5 * len(items))
     )
     n_chunks = max(1, math.ceil(len(items) / chunk_cap))
     chunks = _chunks(items, math.ceil(len(items) / n_chunks))
