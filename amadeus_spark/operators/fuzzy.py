@@ -475,6 +475,69 @@ def fuzzy_self_join(
     return verified.filter((F.col("dist") >= 0) | never)
 
 
+def fuzzy_lookup_join_segments(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    left_name: str,
+    right_key: str,
+    right_name: str,
+    max_dist: int,
+) -> DataFrame:
+    """Cross-table fuzzy lookup via PassJoin segment blocking — the
+    d=3..MAX_SEGMENT_DIST complement to :func:`fuzzy_lookup_join`'s
+    deletion blocking, same output contract (lk, rk, ln, rn, dist).
+
+    One-directional completeness (the classic PassJoin shape): for any
+    pair within edit distance d, at least one of the RIGHT string's
+    d+1 segments is untouched by an optimal alignment and therefore
+    appears VERBATIM in the left string, position-shifted by at most
+    d — so indexing the right side's segments and probing the left
+    side's windowed substrings misses nothing. Probe fan-out is
+    O(d²·(2d+1)) per left row independent of string length, pruned
+    against the RIGHT side's realized length histogram (bounded
+    distinct lengths → safe broadcast). No persist: unlike the
+    self-join, each side is scanned exactly once."""
+    if not 1 <= max_dist <= MAX_SEGMENT_DIST:
+        raise ValueError(
+            f"max_dist must be in 1..{MAX_SEGMENT_DIST} for segment"
+            " blocking"
+        )
+    idx = right.select(
+        F.col(right_key).alias("rk"),
+        F.col(right_name).alias("rn"),
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    segment_signatures_frag(right_name, "index", max_dist)
+                )
+            )
+        ).alias("s"),
+    ).select("rk", "rn", F.xxhash64("s").alias("hv"))
+    lens = right.select(F.length(right_name).alias("L2")).distinct()
+    prb = _probe_signatures(
+        left.select(
+            F.col(left_key).alias("k"), F.col(left_name).alias("n")
+        ),
+        max_dist,
+        allowed_lens=lens,
+    ).select(
+        F.col("k").alias("lk"),
+        F.col("n").alias("ln"),
+        F.xxhash64("s").alias("hv"),
+    )
+    cand = prb.join(idx, "hv").select("lk", "rk", "ln", "rn").distinct()
+    verified = cand.select(
+        "lk",
+        "rk",
+        "ln",
+        "rn",
+        F.expr(f"levenshtein(ln, rn, {max_dist})").alias("dist"),
+    )
+    never = F.monotonically_increasing_id() < 0
+    return verified.filter((F.col("dist") >= 0) | never)
+
+
 def fuzzy_lookup_join(
     left: DataFrame,
     right: DataFrame,
@@ -495,11 +558,20 @@ def fuzzy_lookup_join(
     same O(n·L^d) explode, one variant equi-join, banded levenshtein
     verify in the codegen'd Project. When the right side is a bounded
     dictionary (the SymSpell case), its exploded variant frame is small
-    and AQE broadcasts it — the probe side then never shuffles."""
+    and AQE broadcasts it — the probe side then never shuffles.
+    ``max_dist`` in [3, MAX_SEGMENT_DIST] routes to
+    :func:`fuzzy_lookup_join_segments` (PassJoin), mirroring
+    :func:`fuzzy_self_join`'s routing."""
+    if 3 <= max_dist <= MAX_SEGMENT_DIST:
+        return fuzzy_lookup_join_segments(
+            left, right, left_key, left_name, right_key, right_name,
+            max_dist,
+        )
     if max_dist not in (1, 2):
         raise ValueError(
-            "max_dist must be 1 or 2: deeper budgets need deeper deletion"
-            " neighborhoods (recall would silently drop otherwise)"
+            f"max_dist must be in 1..{MAX_SEGMENT_DIST}: deeper budgets"
+            " would need wider blocking (recall would silently drop"
+            " otherwise)"
         )
     lv = deletion_variants_frag(left_name, "spark", depth=max_dist)
     rv = deletion_variants_frag(right_name, "spark", depth=max_dist)

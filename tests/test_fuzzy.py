@@ -149,11 +149,14 @@ def test_d2_duckdb_variants_match_spark(spark):
         assert sorted(set(dv)) == sv[n], n
 
 
-@pytest.mark.parametrize("d", [1, 2])
+@pytest.mark.parametrize("d", [1, 2, 3, 4])
 def test_lookup_join_matches_bruteforce(spark, d):
     """Cross-table lookup (probe vs dictionary): blocking completeness
     and verify exactness against brute-force levenshtein over the full
-    cross product."""
+    cross product — deletion blocking at d<=2, one-directional
+    PassJoin segment blocking at d>=3 (right side indexed, left side
+    probed; completeness is per-pair pigeonhole on the RIGHT string's
+    segments)."""
     rng = random.Random(11)
     probes = [
         "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))

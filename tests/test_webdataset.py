@@ -360,3 +360,38 @@ def test_member_bytes_frag_matches_python(spark):
     ]
     want = [len(_member_blocks(n, b"\x00" * s)) for n, s in cases]
     assert got == want
+
+
+def test_index_sidecars_match_header_scan(spark, tmp_path):
+    """The sidecar fast path (read_index_sidecars — a plain parquet
+    scan with pruning/pushdown) returns exactly the header re-scan's
+    rows over the same written shards, and feeds fetch_members
+    directly."""
+    import glob
+
+    from amadeus_spark.sources.webdataset import (
+        fetch_members,
+        read_index_sidecars,
+        write_webdataset_shards,
+    )
+
+    out = str(tmp_path / "wds")
+    write_webdataset_shards(
+        _writer_df(spark), out, target_shard_bytes=G.WRITE_TARGET
+    ).count()
+    side = read_index_sidecars(spark, out)
+    scan = read_webdataset_index(
+        spark, sorted(glob.glob(os.path.join(out, "*.tar")))
+    )
+    def rows(df):
+        return sorted(
+            tuple(str(v) for v in r) for r in df.collect()
+        )
+
+    assert rows(side) == rows(scan)
+    # the sidecar index drives ranged fetches just like the scan index
+    got = fetch_members(side.filter("slot = 'txt'")).collect()
+    orig = {n: d for s in G.GOLDEN for n, d in G.members(s)}
+    assert {r["member"]: bytes(r["content"]) for r in got} == {
+        n: d for n, d in orig.items() if n.endswith(".txt")
+    }
