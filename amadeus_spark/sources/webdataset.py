@@ -137,23 +137,74 @@ def _member_bytes_frag(name_sql: str, size_sql: str) -> str:
     )
 
 
-def _open_write(path: str):
-    """Executor-side write open: local files via builtin open (the
-    caller renames into place), object stores via pyarrow
-    ``open_output_stream`` (a PUT — object stores have no rename, and
-    a re-attempted task rewrites the same deterministic bytes)."""
-    if "://" not in path or path.startswith("file:"):
-        local = path
-        if path.startswith("file:"):
-            local = path[len("file:"):]
-            while local.startswith("//"):
-                local = local[1:]
-        os.makedirs(os.path.dirname(local), exist_ok=True)
-        return open(local + ".__tmp__", "wb"), local
-    import pyarrow.fs as pafs
+def _sub_path(root: str, rel: str) -> str:
+    """``root``/``rel`` with any query string kept at the END —
+    object-store URIs of the repo's connection-spec-in-the-path form
+    carry endpoint/scheme/region as query params, so naive
+    concatenation would splice the filename INTO the region value
+    (the versioned-manifest _sub_uri lesson)."""
+    if "?" in root:
+        base, q = root.split("?", 1)
+        return f"{base.rstrip('/')}/{rel}?{q}"
+    return f"{root.rstrip('/')}/{rel}"
 
-    fs, rel = pafs.FileSystem.from_uri(path)
-    return fs.open_output_stream(rel), None
+
+class _WriteSink:
+    """Executor-side write handle with TWO-PHASE semantics: stream
+    bytes via ``write``, ``close`` always (safe on failure — nothing
+    becomes visible), then ``publish`` ONLY on success to make the
+    object appear. Local files: tmp + atomic os.replace. s3://: an
+    in-memory buffer published as ONE atomic put_object — pyarrow's
+    S3 output stream always multiparts (a failed task could leave a
+    partial visible object, and moto can't complete multiparts), a
+    single PUT is all-or-nothing; bound: one shard ≤ 5 GB (S3's
+    single-PUT cap — target_shard_bytes sits well under it). Other
+    remote filesystems: pyarrow streaming, published at write time."""
+
+    def __init__(self, path: str):
+        self._publish = None
+        if "://" not in path or path.startswith("file:"):
+            local = path
+            if path.startswith("file:"):
+                local = path[len("file:"):]
+                while local.startswith("//"):
+                    local = local[1:]
+            os.makedirs(os.path.dirname(local), exist_ok=True)
+            tmp = local + ".__tmp__"
+            self._fh = open(tmp, "wb")
+            self._publish = lambda: os.replace(tmp, local)
+        elif path.startswith("s3://") or path.startswith("s3a://"):
+            self._fh = io.BytesIO()
+            self._data: bytes | None = None
+
+            def _put():
+                import boto3
+
+                from amadeus_spark.operators.versioned import _s3_split
+
+                kwargs, bucket, key = _s3_split(path)
+                boto3.client("s3", **kwargs).put_object(
+                    Bucket=bucket, Key=key, Body=self._data
+                )
+
+            self._publish = _put
+        else:
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(path)
+            self._fh = fs.open_output_stream(rel)
+
+    def write(self, b: bytes) -> None:
+        self._fh.write(b)
+
+    def close(self) -> None:
+        if isinstance(self._fh, io.BytesIO) and not self._fh.closed:
+            self._data = self._fh.getvalue()
+        self._fh.close()
+
+    def publish(self) -> None:
+        if self._publish is not None:
+            self._publish()
 
 
 def write_webdataset_shards(
@@ -187,9 +238,12 @@ def write_webdataset_shards(
     header+payload emission, write-time (offset, size) bookkeeping —
     identical arithmetic to the indexer, but emitted for free — plus
     an img2dataset-style ``.index.parquet`` SIDECAR per shard so a
-    later reader never re-scans tar headers. Local writes go through
-    tmp + atomic rename; object-store writes are idempotent PUTs of
-    deterministic bytes (a retried task rewrites the same content).
+    later reader never re-scans tar headers. Publication is TWO-PHASE
+    everywhere (_WriteSink): local writes go through tmp + atomic
+    rename, s3:// writes buffer and publish as ONE atomic put_object
+    on success only (never a partial visible object; a retried task
+    re-PUTs the same deterministic bytes) — shard size is bounded by
+    S3's 5 GB single-PUT cap, far above any sane target_shard_bytes.
 
     Returns the write-time index (INDEX_SCHEMA; ``shard`` = full
     path). LAZY: materializing the returned frame IS the write job —
@@ -257,13 +311,13 @@ def write_webdataset_shards(
 
     def _write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         shard_id = int(pdf["__shard"].iloc[0])
-        path = f"{out_root}/{prefix}-{shard_id:05d}.tar"
+        path = _sub_path(out_root, f"{prefix}-{shard_id:05d}.tar")
         pdf = pdf.sort_values(
             ["sample_key", "slot"], na_position="first", kind="mergesort"
         )
         rows = []
         pos = 0
-        sink, local_final = _open_write(path)
+        sink = _WriteSink(path)
         try:
             for r in pdf.itertuples(index=False):
                 name = member_name(r.sample_key, r.slot)
@@ -289,8 +343,7 @@ def write_webdataset_shards(
             sink.write(b"\x00" * (2 * BLOCK))
         finally:
             sink.close()
-        if local_final is not None:
-            os.replace(local_final + ".__tmp__", local_final)
+        sink.publish()
         idx = pd.DataFrame(
             rows,
             columns=["shard", "member", "sample_key", "slot", "offset", "size"],
@@ -320,15 +373,14 @@ def write_webdataset_shards(
             ),
             buf,
         )
-        side, side_final = _open_write(
-            f"{out_root}/{prefix}-{shard_id:05d}.index.parquet"
+        side = _WriteSink(
+            _sub_path(out_root, f"{prefix}-{shard_id:05d}.index.parquet")
         )
         try:
             side.write(buf.getvalue())
         finally:
             side.close()
-        if side_final is not None:
-            os.replace(side_final + ".__tmp__", side_final)
+        side.publish()
         return idx
 
     return (
