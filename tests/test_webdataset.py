@@ -395,3 +395,45 @@ def test_index_sidecars_match_header_scan(spark, tmp_path):
     assert {r["member"]: bytes(r["content"]) for r in got} == {
         n: d for n, d in orig.items() if n.endswith(".txt")
     }
+
+
+def test_writer_edge_semantics(spark, tmp_path):
+    """Edges pinned: an EMPTY corpus writes zero shards and returns an
+    empty index (no phantom files); duplicate (sample_key, slot) rows
+    are both written (tar permits duplicate names) and both index rows
+    round-trip with distinct offsets."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from amadeus_spark.sources.webdataset import (
+        fetch_members,
+        read_webdataset_index,
+        write_webdataset_shards,
+    )
+
+    empty = spark.createDataFrame(
+        [], "sample_key string, slot string, content binary"
+    )
+    out0 = str(tmp_path / "empty")
+    assert write_webdataset_shards(empty, out0).collect() == []
+    assert glob.glob(os.path.join(out0, "*")) == []
+
+    dup = spark.createDataFrame(
+        [
+            Row(sample_key="k", slot="jpg", content=bytearray(b"one")),
+            Row(sample_key="k", slot="jpg", content=bytearray(b"two")),
+        ],
+        "sample_key string, slot string, content binary",
+    )
+    out1 = str(tmp_path / "dup")
+    written = write_webdataset_shards(dup, out1).collect()
+    assert [r["member"] for r in written] == ["k.jpg", "k.jpg"]
+    assert len({r["offset"] for r in written}) == 2
+    idx = read_webdataset_index(
+        spark, sorted(glob.glob(os.path.join(out1, "*.tar")))
+    )
+    fetched = sorted(
+        bytes(r["content"]) for r in fetch_members(idx).collect()
+    )
+    assert fetched == [b"one", b"two"]
