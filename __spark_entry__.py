@@ -1606,6 +1606,44 @@ def q_fuzzy_code_match_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_dict_lookup_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table fuzzy LOOKUP at edit distance 3
+    (operators/fuzzy.fuzzy_lookup_join_segments — the SymSpell
+    dictionary shape at PassJoin depth): every customer's planted
+    16-digit code probed against the DICTIONARY of base codes (the
+    unmutated group representatives, c_custkey % 4 = 0), one-
+    directional segment blocking (right side's segments indexed,
+    left side's windowed substrings probed — complete per-pair by
+    pigeonhole on the dictionary string). Per market segment: pair
+    count, matched-probe count, exact levenshtein mass. The ORACLE is
+    a brute-force probe×dictionary cross-levenshtein sharing no
+    blocking code (the fuzzy_code_match_d3 independence discipline).
+    The synthesized frame feeds the probe side, the dictionary AND
+    the group rejoin — persisted, so customer is file-scanned once."""
+    from amadeus_spark.cache import tracked_persist
+
+    cust = tracked_persist(_fuzzy16_spark(_t(spark, sf_dir, "customer")))
+    dico = cust.filter("c_custkey % 4 = 0").select(
+        F.col("c_custkey").alias("dk"), F.col("code").alias("dn")
+    )
+    pairs = fuzzy.fuzzy_lookup_join(
+        cust, dico, "c_custkey", "code", "dk", "dn", max_dist=3
+    )
+    grp = cust.select(
+        F.col("c_custkey").alias("lk"), F.col("c_mktsegment").alias("grp")
+    )
+    return (
+        pairs.join(grp, "lk")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("lk").alias("n_probes_matched"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+        .orderBy("grp")
+    )
+
+
 def q_postgres_copy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COPY BINARY wire decoder under the gate WITHOUT a server
     (sources/pg_golden.py): decode the COMMITTED golden byte stream
@@ -3475,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_functions": q_window_functions,
         # ---- below the 50-entry gate ----
         "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
+        "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
         "postgres_copy_decode": q_postgres_copy_decode,
         "webdataset_index": q_webdataset_index,
         "corpusflow_e2e": q_corpusflow_e2e,
@@ -4183,6 +4222,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_members_matched
             FROM pairs GROUP BY grp ORDER BY grp
         """,
+        "fuzzy_dict_lookup_d3": f"""
+            WITH {_fuzzy16_duck_cte()},
+            d AS (SELECT k, n FROM c WHERE k % 4 = 0),
+            pairs AS (
+              SELECT p.k AS pk, p.grp, levenshtein(p.n, d.n) AS dist
+              FROM c p JOIN d
+                ON abs(length(p.n) - length(d.n)) <= 3
+               AND levenshtein(p.n, d.n) <= 3
+            )
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_probes_matched,
+                   CAST(SUM(dist) AS BIGINT) AS sum_dist
+            FROM pairs GROUP BY grp ORDER BY grp
+        """,
         # expected literals derived from the same GOLDEN_ROWS constant
         # the committed fixture encodes (sources/pg_golden.py)
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
@@ -4205,6 +4259,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs,
                    CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_members_matched
+            FROM pairs GROUP BY grp ORDER BY grp
+        """,
+        "fuzzy_dict_lookup_d3": f"""
+            WITH {_fuzzy16_duck_cte()},
+            d AS (SELECT k, n FROM c WHERE k % 4 = 0),
+            pairs AS (
+              SELECT p.k AS pk, p.grp, levenshtein(p.n, d.n) AS dist
+              FROM c p JOIN d
+                ON abs(length(p.n) - length(d.n)) <= 3
+               AND levenshtein(p.n, d.n) <= 3
+            )
+            SELECT grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_probes_matched,
+                   CAST(SUM(dist) AS BIGINT) AS sum_dist
             FROM pairs GROUP BY grp ORDER BY grp
         """,
         "cohort_retention": timeseries.cohort_retention_oracle(
