@@ -23,8 +23,10 @@ from amadeus_spark.operators import versioned as V
 from amadeus_spark.sources import wds_golden as G
 from amadeus_spark.sources.webdataset import (
     fetch_members,
+    read_index_sidecars,
     read_webdataset_index,
     sample_plans,
+    write_webdataset_shards,
 )
 
 
@@ -61,6 +63,29 @@ def main() -> None:
         feed = V.table_changes(spark, root, starting_version=v)
         print(f"v{v} changefeed ({feed.count()} rows):")
         feed.orderBy("sample_key", "slot").show(truncate=False)
+
+        # 5. RE-SHARD (the write half): fetch everything, write new
+        # size-balanced tar shards — samples kept whole, global key
+        # order, write-time index + .index.parquet sidecars — then read
+        # the index back through the sidecar FAST PATH (plain parquet
+        # scan; no tar-header re-scan)
+        out = os.path.join(work, "reshard")
+        # slotless metadata members ride with their name as the key
+        # (writer convention — they read back slotless again)
+        members = fetch_members(idx).select(
+            F.coalesce("sample_key", "member").alias("sample_key"),
+            "slot",
+            "content",
+        )
+        write_webdataset_shards(
+            members, out, target_shard_bytes=4096
+        ).count()  # materializing the index IS the write job
+        side = read_index_sidecars(spark, out)
+        print("re-sharded (sidecar fast-path index):")
+        side.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("size").alias("payload_bytes"),
+        ).orderBy("shard").show(truncate=False)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     spark.stop()
