@@ -170,7 +170,14 @@ class _WriteSink:
                 while local.startswith("//"):
                     local = local[1:]
             os.makedirs(os.path.dirname(local), exist_ok=True)
-            tmp = local + ".__tmp__"
+            # unique tmp per ATTEMPT: a speculative/retried task must
+            # never interleave writes into a shared tmp and then
+            # atomically publish the corruption (the versioned-manifest
+            # uuid-staging lesson); os.replace is last-writer-wins over
+            # identical deterministic bytes
+            import uuid as _uuid
+
+            tmp = f"{local}.__tmp__{_uuid.uuid4().hex[:8]}"
             self._fh = open(tmp, "wb")
             self._publish = lambda: os.replace(tmp, local)
         elif path.startswith("s3://") or path.startswith("s3a://"):
