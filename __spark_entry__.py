@@ -1727,6 +1727,12 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             df, tmp, target_shard_bytes=WG.WRITE_TARGET
         ).count()
         shards = sorted(_glob.glob(os.path.join(tmp, "*.tar")))
+        # GOLDEN-FIXTURE-ONLY collect-and-rewrap: the re-index must
+        # outlive the per-call tempdir the shards live in, and the
+        # member set is the bounded committed golden (dozens of rows).
+        # Do NOT copy this shape into a query over sf-scale data —
+        # storage queries there return the lazy frame and let the
+        # driver collect (the cdc_apply posture).
         got = W.read_webdataset_index(spark, shards).collect()
         out = [
             (
@@ -4259,21 +4265,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp,
                    CAST(COUNT(*) AS BIGINT) AS n_pairs,
                    CAST(COUNT(DISTINCT k1) AS BIGINT) AS n_members_matched
-            FROM pairs GROUP BY grp ORDER BY grp
-        """,
-        "fuzzy_dict_lookup_d3": f"""
-            WITH {_fuzzy16_duck_cte()},
-            d AS (SELECT k, n FROM c WHERE k % 4 = 0),
-            pairs AS (
-              SELECT p.k AS pk, p.grp, levenshtein(p.n, d.n) AS dist
-              FROM c p JOIN d
-                ON abs(length(p.n) - length(d.n)) <= 3
-               AND levenshtein(p.n, d.n) <= 3
-            )
-            SELECT grp,
-                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                   CAST(COUNT(DISTINCT pk) AS BIGINT) AS n_probes_matched,
-                   CAST(SUM(dist) AS BIGINT) AS sum_dist
             FROM pairs GROUP BY grp ORDER BY grp
         """,
         "cohort_retention": timeseries.cohort_retention_oracle(

@@ -249,7 +249,7 @@ def segment_skew_probe(
     One bounded job over a deterministic ``sample`` of rows (hash-
     ordered TakeOrdered, so the probe is stable run-to-run): build the
     index-side signatures, bucket them, and compare the top bucket to
-    the uniform expectation. Returns ``{rows, signatures,
+    the uniform expectation. Returns ``{signatures,
     distinct_signatures, top_bucket, expected_bucket, skew,
     degenerate}`` — ``skew = top_bucket / expected_bucket``,
     ``degenerate = skew > SEGMENT_SKEW_RATIO and top_bucket > 2``.
@@ -293,6 +293,29 @@ def segment_skew_probe(
     }
 
 
+def _warn_if_degenerate(df: DataFrame, name_col: str, max_dist: int):
+    """Run :func:`segment_skew_probe` and emit the cost-cliff
+    UserWarning when the corpus is segment-degenerate (long shared
+    prefixes → few huge candidate buckets — cost, never recall)."""
+    stats = segment_skew_probe(df, name_col, max_dist)
+    if stats["degenerate"]:
+        import warnings
+
+        warnings.warn(
+            "segment blocking is degenerate on this corpus: top "
+            f"signature bucket holds {stats['top_bucket']} of "
+            f"{stats['signatures']} sampled signatures "
+            f"({stats['skew']:.1f}x the uniform expectation — "
+            f"threshold {SEGMENT_SKEW_RATIO}). Long shared "
+            "prefixes funnel rows into few buckets and candidate "
+            "volume grows quadratically with bucket size. Consider "
+            "max_dist <= 2 (deletion blocking), stripping the "
+            "constant prefix, or pre-bucketing by a higher-entropy "
+            "key.",
+            stacklevel=3,
+        )
+
+
 def fuzzy_self_join_segments(
     df: DataFrame,
     key_col: str,
@@ -319,23 +342,7 @@ def fuzzy_self_join_segments(
             " blocking"
         )
     if skew_probe:
-        stats = segment_skew_probe(df, name_col, max_dist)
-        if stats["degenerate"]:
-            import warnings
-
-            warnings.warn(
-                "segment blocking is degenerate on this corpus: top "
-                f"signature bucket holds {stats['top_bucket']} of "
-                f"{stats['signatures']} sampled signatures "
-                f"({stats['skew']:.1f}x the uniform expectation — "
-                f"threshold {SEGMENT_SKEW_RATIO}). Long shared "
-                "prefixes funnel rows into few buckets and candidate "
-                "volume grows quadratically with bucket size. Consider "
-                "max_dist <= 2 (deletion blocking), stripping the "
-                "constant prefix, or pre-bucketing by a higher-entropy "
-                "key.",
-                stacklevel=2,
-            )
+        _warn_if_degenerate(df, name_col, max_dist)
     from amadeus_spark.cache import tracked_persist
 
     d, m = max_dist, max_dist + 1
@@ -483,10 +490,20 @@ def fuzzy_lookup_join_segments(
     right_key: str,
     right_name: str,
     max_dist: int,
+    skew_probe: bool | None = None,
 ) -> DataFrame:
     """Cross-table fuzzy lookup via PassJoin segment blocking — the
     d=3..MAX_SEGMENT_DIST complement to :func:`fuzzy_lookup_join`'s
     deletion blocking, same output contract (lk, rk, ln, rn, dist).
+
+    ``skew_probe``: run :func:`segment_skew_probe` on the RIGHT
+    (index) side first and warn if it is segment-degenerate. Default
+    ``None`` = ON for ``max_dist >= 5`` (probe fan-out is O(d²·(2d+1))
+    per left row, so a degenerate index at d=5..6 is the expensive
+    regime; the index side is user-supplied dictionaries where long-
+    shared-prefix corpora — URLs, file paths — are common), OFF below
+    (the probe is a bounded extra job; at small d the cliff is
+    shallow). Pass an explicit bool to override either way.
 
     One-directional completeness (the classic PassJoin shape): for any
     pair within edit distance d, at least one of the RIGHT string's
@@ -503,6 +520,10 @@ def fuzzy_lookup_join_segments(
             f"max_dist must be in 1..{MAX_SEGMENT_DIST} for segment"
             " blocking"
         )
+    if skew_probe is None:
+        skew_probe = max_dist >= 5
+    if skew_probe:
+        _warn_if_degenerate(right, right_name, max_dist)
     idx = right.select(
         F.col(right_key).alias("rk"),
         F.col(right_name).alias("rn"),

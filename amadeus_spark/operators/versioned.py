@@ -155,20 +155,27 @@ def _s3_split(uri: str):
     :func:`_arrow_fs` feeds ``pyarrow.fs.FileSystem.from_uri``) into
     ``(boto3 client kwargs, bucket, key)``. A bare
     ``s3://bucket/key`` yields empty kwargs → ambient credentials."""
-    from urllib.parse import parse_qs, urlsplit
+    from urllib.parse import parse_qs, unquote, urlsplit
 
     sp = urlsplit(uri if uri.startswith("s3://") else "s3://" + uri[len("s3a://"):])
     q = {k: v[0] for k, v in parse_qs(sp.query).items()}
     kwargs: dict = {}
     if sp.username:
-        kwargs["aws_access_key_id"] = sp.username
-        kwargs["aws_secret_access_key"] = sp.password or ""
+        # percent-decode to match pyarrow's FileSystem.from_uri: a key
+        # with %-encoded chars must authenticate identically on the
+        # read path (pyarrow) and the conditional-PUT path (boto3)
+        kwargs["aws_access_key_id"] = unquote(sp.username)
+        kwargs["aws_secret_access_key"] = unquote(sp.password or "")
     if "endpoint_override" in q:
         scheme = q.get("scheme", "https")
         kwargs["endpoint_url"] = f"{scheme}://{q['endpoint_override']}"
     if "region" in q:
         kwargs["region_name"] = q["region"]
-    return kwargs, sp.hostname, sp.path.lstrip("/")
+    # bucket from netloc, NOT .hostname (which lowercases): AWS buckets
+    # are lowercase by rule, but emulators/other stores may not be —
+    # keep the read path (pyarrow, case-preserving) and this in lockstep
+    bucket = sp.netloc.rpartition("@")[2].partition(":")[0]
+    return kwargs, bucket, sp.path.lstrip("/")
 
 
 def _s3_put_if_absent(uri: str, payload: bytes) -> None:
@@ -1460,6 +1467,19 @@ def stream_table_changes(
     change dirs outside its keep window — a consumer lagging further
     behind than the table's retention fails on the missing files. Size
     ``keep_last`` to cover the slowest consumer's lag."""
+    # Spark's file source resolves paths through Hadoop, which treats
+    # '?' as a glob char — the query-param connection-spec form the
+    # manifest I/O supports (pyarrow/boto3 side) CANNOT be expressed
+    # here. Refuse loudly instead of streaming from a mangled path;
+    # configure the object store via the session config profile
+    # (session.py) and pass the plain root.
+    if "?" in root:
+        raise ValueError(
+            "stream_table_changes requires a plain (no query-string) "
+            "root: Spark's file source cannot carry the connection "
+            "spec — configure the filesystem on the SparkSession and "
+            f"pass the bare table URI (got {root!r})"
+        )
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")

@@ -308,9 +308,14 @@ def write_webdataset_shards(
         cumd.join(F.broadcast(offs), "__pid")
         .select(
             "sample_key",
-            ((F.col("__off") + F.col("__cum_in")) / F.lit(target_shard_bytes))
-            .cast("bigint")
-            .alias("__shard"),
+            # integer `div`, NOT float /: the layout contract (and the
+            # golden expected_written_index replay) is exact floor
+            # division, and at very large cumulative byte counts a
+            # correctly-rounded double quotient landing on an integer
+            # can truncate to the wrong shard.
+            F.expr(
+                f"(__off + __cum_in) div {int(target_shard_bytes)}L"
+            ).alias("__shard"),
         )
     )
 

@@ -374,3 +374,44 @@ def test_segment_skew_probe_quiet_on_entropic_corpus(spark):
         warnings.simplefilter("always")
         fuzzy_self_join_segments(df, "k", "n", 3, skew_probe=True).collect()
     assert not [w for w in caught if "degenerate" in str(w.message)]
+
+
+def test_lookup_segments_probe_default_on_at_d5(spark):
+    """fuzzy_lookup_join_segments defaults skew_probe=None → ON at
+    max_dist >= 5 (the expensive probe-fan-out regime; the index side
+    is user dictionaries where long-shared-prefix corpora are common):
+    a degenerate DICTIONARY warns without changing the matched pairs,
+    an explicit skew_probe=False silences it, and d=3 stays probe-free
+    by default (no warning even on the same degenerate corpus)."""
+    import warnings
+
+    from amadeus_spark.operators.fuzzy import fuzzy_lookup_join_segments
+
+    prefix = "COMMON-WAREHOUSE-PREFIX-0000-"
+    dico = spark.createDataFrame(
+        [(i, f"{prefix}{i:04d}") for i in range(200)], "k long, n string"
+    )
+    probes = spark.createDataFrame(
+        [(1000 + i, f"{prefix}{i:04d}X") for i in range(0, 200, 20)],
+        "k long, n string",
+    )
+
+    def pairs(**kw):
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            got = sorted(
+                (r["lk"], r["rk"], r["dist"])
+                for r in fuzzy_lookup_join_segments(
+                    probes, dico, "k", "n", "k", "n", **kw
+                ).collect()
+            )
+        warned = any("degenerate" in str(w.message) for w in caught)
+        return got, warned
+
+    on_default, warned_default = pairs(max_dist=5)
+    assert warned_default
+    off_explicit, warned_off = pairs(max_dist=5, skew_probe=False)
+    assert not warned_off
+    assert on_default == off_explicit  # diagnostic only, never semantics
+    _, warned_d3 = pairs(max_dist=3)
+    assert not warned_d3
