@@ -718,10 +718,11 @@ def make_fake_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
-    """Deterministic media table with REAL decodable payloads: PPM and
-    PNG gradient images (alternating), WAV sine tones, RAWV frame
-    stacks."""
+def real_media_rows(n: int = 64) -> list[tuple]:
+    """Pure-Python row source for :func:`make_real_media` — the ONE
+    place the deterministic real-payload fixtures are constructed, so
+    the gate queries and the golden-oracle replay (functions/
+    media_golden.py) provably share the same input bytes."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -756,4 +757,11 @@ def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
             ]
             payload, fmt, meta = encode_rawv(frames), "rawv", {"n_frames": str(nf)}
         rows.append((i, kind, fmt, meta, payload))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def make_real_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic media table with REAL decodable payloads: PPM and
+    PNG gradient images (alternating with baseline JPEG), WAV sine
+    tones, RAWV frame stacks. Rows come from :func:`real_media_rows`."""
+    return spark.createDataFrame(real_media_rows(n), schema=MEDIA_SCHEMA)

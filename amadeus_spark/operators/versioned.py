@@ -67,8 +67,10 @@ test_vacuum_undrained_changefeed_documented_loss).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import time as _time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -146,6 +148,19 @@ def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
 
 def _is_s3(root: str) -> bool:
     return root.startswith("s3://") or root.startswith("s3a://")
+
+
+def _commit_ts(spark: SparkSession, root: str, version: int) -> float:
+    """Wall-clock commit time (epoch seconds) of ``version``: the
+    manifest's ``ts`` field, falling back to the manifest FILE's
+    modification time for pre-``ts`` tables (Delta's fallback when
+    commitInfo lacks a timestamp)."""
+    m = _read_manifest(spark, root, version)
+    if "ts" in m:
+        return float(m["ts"])
+    fs, rel = _arrow_fs(_sub_uri(root, f"{MANIFEST_DIR}/v{version}.json"))
+    mtime = fs.get_file_info(rel).mtime
+    return mtime.timestamp() if mtime is not None else 0.0
 
 
 def _s3_split(uri: str):
@@ -807,6 +822,11 @@ def _commit(
     manifest = {
         "version": version,
         "op": op,
+        # wall-clock commit timestamp (epoch seconds, UTC) — the knob
+        # time-based retention (vacuum keep_since) is sized by, like
+        # Delta's commitInfo.timestamp. Metadata only: never part of
+        # equality/conflict semantics (retried commits restamp).
+        "ts": _time.time(),
         "stats_cols": stats_cols,
         "add": new_files,
         "remove": [list(r) for r in removes],
@@ -864,16 +884,51 @@ def commit_append(
     )
 
 
+def version_as_of(
+    spark: SparkSession, root: str, ts: float | _dt.datetime
+) -> int:
+    """Timestamp time travel (Delta's ``timestampAsOf``): the newest
+    version whose commit timestamp is at-or-before ``ts`` — the
+    snapshot that was current then. O(versions-after-ts) manifest
+    reads (scan downward from current, stop at the first hit); raises
+    if ``ts`` predates the oldest RETAINED commit (vacuumed history
+    cannot be travelled to, same as version numbers below the
+    cutoff)."""
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    v = cur
+    while v >= 0:
+        try:
+            if _commit_ts(spark, root, v) <= ts:
+                return v
+        except (FileNotFoundError, OSError) as exc:
+            raise FileNotFoundError(
+                f"{root}: no retained commit at-or-before ts={ts} "
+                f"(log truncated below v{v + 1} by vacuum)"
+            ) from exc
+        v -= 1
+    raise FileNotFoundError(
+        f"{root}: table's first commit is newer than ts={ts}"
+    )
+
+
 def read_version(
     spark: SparkSession,
     root: str,
     version: int | None = None,
     key_range: tuple | None = None,
     key_col: str | None = None,
+    as_of_ts: float | _dt.datetime | None = None,
 ) -> DataFrame:
     """Snapshot read — exactly the snapshot's files; ``version=None``
     resolves latest at CALL time and stays pinned (snapshot isolation:
-    later commits never leak into this DataFrame).
+    later commits never leak into this DataFrame). ``as_of_ts``
+    (exclusive with ``version``) time-travels by wall clock via
+    :func:`version_as_of` — the read-side twin of vacuum's
+    ``keep_since`` retention knob.
 
     ``key_range=(lo, hi)`` with ``key_col`` applies INDEX-stats file
     skipping before the scan even plans, as a DataFrame filter over
@@ -884,6 +939,10 @@ def read_version(
     that matter. (Parquet row-group skipping still applies inside the
     files that survive; callers add the matching .filter() for
     row-level pruning, which pushes into the scan.)"""
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_as_of(spark, root, as_of_ts)
     v = current_version(spark, root) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -1249,23 +1308,56 @@ def optimize(
 
 
 def vacuum(
-    spark: SparkSession, root: str, keep_last: int = 1
+    spark: SparkSession,
+    root: str,
+    keep_last: int = 1,
+    keep_since: float | _dt.datetime | None = None,
 ) -> tuple[int, int]:
     """Reclaim space: delete log segments/checkpoints older than the
-    newest ``keep_last`` versions and every data file no kept snapshot
-    references. Time travel below the cutoff stops working — that is
-    the point (at 100 TB, carrying every historical copy-on-write
-    snapshot forever IS the storage bill). Before dropping old
-    segments, a checkpoint is ensured at the cutoff version so every
-    kept snapshot stays resolvable without them (Delta's
-    checkpoint-before-log-truncation discipline). All deletion goes
-    through the Hadoop FileSystem API (file/hdfs/s3a alike).
-    Maintenance is O(files) by nature — it lists and deletes them.
-    Returns (segments_deleted, data_files_deleted)."""
+    retention window and every data file no kept snapshot references.
+    Time travel below the cutoff stops working — that is the point (at
+    100 TB, carrying every historical copy-on-write snapshot forever
+    IS the storage bill).
+
+    TWO retention knobs, combined PROTECTIVELY (a version survives if
+    EITHER keeps it — Delta's version-count + time-duration pairing):
+
+    - ``keep_last``: the newest N versions (count-based).
+    - ``keep_since``: epoch seconds or a ``datetime`` — every version
+      committed at-or-after it is kept, PLUS the newest version at-or-
+      before it (the snapshot that was current then), so time travel
+      to any state as of ``keep_since`` keeps working. This is how
+      real pipelines size retention for lagging ``stream_table_changes``
+      consumers: keep_since = now − slowest_consumer_lag, the
+      wall-clock analogue of Delta's ``deletedFileRetentionDuration``.
+
+    Before dropping old segments, a checkpoint is ensured at the
+    cutoff version so every kept snapshot stays resolvable without
+    them (Delta's checkpoint-before-log-truncation discipline). All
+    deletion goes through the Hadoop FileSystem API (file/hdfs/s3a
+    alike). Maintenance is O(files) by nature — it lists and deletes
+    them. Returns (segments_deleted, data_files_deleted)."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     cutoff = max(0, cur - keep_last + 1)
+    if keep_since is not None:
+        if isinstance(keep_since, _dt.datetime):
+            keep_since = keep_since.timestamp()
+        # newest version with ts <= keep_since anchors the as-of
+        # snapshot; scan downward from cur, stopping at already-
+        # truncated log (nothing below it exists to keep)
+        v = cur
+        while v >= 0:
+            try:
+                ts = _commit_ts(spark, root, v)
+            except (FileNotFoundError, OSError):
+                v += 1  # log already truncated below here
+                break
+            if ts <= keep_since:
+                break
+            v -= 1
+        cutoff = min(cutoff, max(0, v))
     segs, ckpts = _list_log(spark, root)
     if cutoff > 0 and cutoff in segs:
         if not (cutoff in ckpts and _ckpt_complete(spark, root, cutoff)):
@@ -1547,6 +1639,8 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 "op": m["op"],
                 "n_files": m["total_files"],
                 "n_rows": m["total_rows"],
+                # wall-clock commit time (epoch s); None on pre-ts logs
+                "ts": m.get("ts"),
             }
         )
     return out

@@ -35,6 +35,13 @@ from pyspark.sql import types as T
 
 BLOCK = 512
 
+#: S3's single put_object size limit. Shard publication on s3:// is
+#: ONE atomic PUT by design (all-or-nothing — multipart could leave a
+#: partial visible object on task failure), so a shard must fit under
+#: this; the writer refuses targets above it up front and any realized
+#: shard that overshoots past it at publish time.
+S3_SINGLE_PUT_CAP = 5 * (1 << 30)
+
 INDEX_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.StringType(), False),
@@ -189,6 +196,15 @@ class _WriteSink:
 
                 from amadeus_spark.operators.versioned import _s3_split
 
+                if len(self._data) > S3_SINGLE_PUT_CAP:
+                    raise ValueError(
+                        f"shard {path} is {len(self._data)} bytes — over "
+                        f"S3's {S3_SINGLE_PUT_CAP}-byte single-PUT cap. "
+                        "Lower target_shard_bytes (atomic single-PUT "
+                        "publication is the all-or-nothing guarantee; "
+                        "multipart could leave partial visible objects "
+                        "on task failure)."
+                    )
                 kwargs, bucket, key = _s3_split(path)
                 boto3.client("s3", **kwargs).put_object(
                     Bucket=bucket, Key=key, Body=self._data
@@ -249,14 +265,36 @@ def write_webdataset_shards(
     everywhere (_WriteSink): local writes go through tmp + atomic
     rename, s3:// writes buffer and publish as ONE atomic put_object
     on success only (never a partial visible object; a retried task
-    re-PUTs the same deterministic bytes) — shard size is bounded by
-    S3's 5 GB single-PUT cap, far above any sane target_shard_bytes.
+    re-PUTs the same deterministic bytes).
+
+    EXECUTOR-MEMORY SIZING RULE: each shard task materializes the
+    whole shard twice — ``groupBy(__shard).applyInPandas`` hands the
+    task one pandas frame holding every member's bytes
+    (≈ target_shard_bytes + Arrow overhead), and the s3:// sink
+    buffers the finished tar again in memory for the atomic PUT —
+    so peak ≈ 2-2.5× ``target_shard_bytes`` PER CONCURRENT TASK. Size
+    executors accordingly (the 1 GiB default needs ~2.5 GiB headroom
+    per task slot). Hard cap: s3:// publication is a single atomic
+    PUT, so ``target_shard_bytes`` above S3's 5 GB single-PUT limit
+    is refused up front (and a realized shard that overshoots the cap
+    fails at publish with a clear error, not inside boto3).
 
     Returns the write-time index (INDEX_SCHEMA; ``shard`` = full
     path). LAZY: materializing the returned frame IS the write job —
     count it, sink it, or feed it onward (sidecars land beside each
     shard as its task completes)."""
     from pyspark.sql import Window
+
+    if (
+        out_dir.startswith(("s3://", "s3a://"))
+        and target_shard_bytes > S3_SINGLE_PUT_CAP
+    ):
+        raise ValueError(
+            f"target_shard_bytes={target_shard_bytes} exceeds S3's "
+            f"{S3_SINGLE_PUT_CAP}-byte single-PUT cap: s3:// shards "
+            "publish as ONE atomic put_object (all-or-nothing); pick "
+            "a smaller target — 1-4 GiB shards are the WebDataset norm"
+        )
 
     from amadeus_spark.cache import tracked_persist
 

@@ -39,15 +39,14 @@ def test_entry_smoke(spark):
 #: nature (sketch estimates, seeded Spark-internal sampling, KMeans,
 #: binary media decode). Anything new must justify joining this list.
 ROWS_ONLY = {
-    "multimodal_features",
-    "media_frame_sample",
+    # (the demux/codec family — mp4_frame_plan, mp3_segment_plan,
+    # media_frame_sample, multimodal_features — graduated to literal-
+    # VALUES golden oracles in r11: functions/media_golden.py)
     "approx_distinct",
     "most_frequent_cms",
     "reservoir_sample",
     "ivf_topk",
     "percentile_band",
-    "mp4_frame_plan",
-    "mp3_segment_plan",
     "ivf_pq_topk",
     # fsum-tighter-than-both-engines summation: neither DuckDB's plain
     # SUM(double) nor rounding can oracle it; test_compensated.py pins

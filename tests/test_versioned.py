@@ -1071,3 +1071,91 @@ def test_stream_changes_starting_version(spark, root, tmp_path):
     V.commit_upsert(spark, root, _df(spark, 9, 11, "d"), "k", changefeed=True)
     drain()
     assert {v for v, _, _ in rows} == {3}
+
+
+def test_vacuum_keep_since_wall_clock(spark, root, monkeypatch):
+    """Time-based retention (Delta's deletedFileRetentionDuration
+    analogue): keep_since keeps every commit at-or-after the instant
+    PLUS the newest commit at-or-before it (the snapshot current
+    then), combined PROTECTIVELY with keep_last. Commit timestamps
+    come from the manifest's ts field, stamped at commit time."""
+    import types
+
+    clock = {"now": 1000.0}
+    monkeypatch.setattr(
+        V, "_time", types.SimpleNamespace(time=lambda: clock["now"])
+    )
+    for i, t in enumerate((1000.0, 2000.0, 3000.0, 4000.0, 5000.0)):
+        clock["now"] = t
+        V.commit_append(
+            spark, root, _df(spark, i * 10, i * 10 + 10, f"t{i}").coalesce(1)
+        )
+    assert [h["ts"] for h in V.history(spark, root)] == [
+        1000.0, 2000.0, 3000.0, 4000.0, 5000.0,
+    ]
+    # keep_last=1 alone would keep only v4; keep_since=3500 anchors the
+    # as-of snapshot at v2 (ts 3000) — protective union keeps v2..v4
+    n_man, _ = V.vacuum(spark, root, keep_last=1, keep_since=3500.0)
+    assert n_man == 2  # v0, v1 truncated
+    assert V.read_version(spark, root, 2).count() == 30  # as-of works
+    assert V.read_version(spark, root, 4).count() == 50
+    with pytest.raises((FileNotFoundError, OSError)):
+        V.read_version(spark, root, 1)
+    # keep_since older than every commit → nothing further deleted
+    n_man, n_data = V.vacuum(spark, root, keep_last=1, keep_since=500.0)
+    assert n_man == 0 and n_data == 0
+    # datetime form accepted; future instant → anchor is the current
+    # version, keep_last still protects the same window
+    import datetime as dt
+
+    n_man, _ = V.vacuum(
+        spark,
+        root,
+        keep_last=2,
+        keep_since=dt.datetime.fromtimestamp(9e9),
+    )
+    assert n_man == 1  # v2 goes; v3 kept by keep_last=2
+    assert V.read_version(spark, root, 3).count() == 40
+
+
+def test_commit_ts_falls_back_to_manifest_mtime(spark, root):
+    """Pre-ts logs (manifests written before the field existed):
+    _commit_ts falls back to the manifest FILE's modification time, so
+    keep_since still works on old tables."""
+    import json as _json
+
+    V.commit_append(spark, root, _df(spark, 0, 5, "a").coalesce(1))
+    mpath = os.path.join(root, V.MANIFEST_DIR, "v0.json")
+    m = _json.load(open(mpath))
+    ts_field = m.pop("ts")
+    _json.dump(m, open(mpath, "w"))
+    got = V._commit_ts(spark, root, 0)
+    assert got > 0 and abs(got - ts_field) < 3600  # mtime ≈ commit time
+
+
+def test_read_version_as_of_timestamp(spark, root, monkeypatch):
+    """Timestamp time travel (Delta timestampAsOf): as_of_ts resolves
+    the snapshot current at that instant; between-commit instants pick
+    the earlier commit; pre-history instants and vacuumed history
+    raise."""
+    import types
+
+    clock = {"now": 0.0}
+    monkeypatch.setattr(
+        V, "_time", types.SimpleNamespace(time=lambda: clock["now"])
+    )
+    for i, t in enumerate((1000.0, 2000.0, 3000.0)):
+        clock["now"] = t
+        V.commit_append(
+            spark, root, _df(spark, i * 10, i * 10 + 10, f"t{i}").coalesce(1)
+        )
+    assert V.version_as_of(spark, root, 2500.0) == 1
+    assert V.read_version(spark, root, as_of_ts=2000.0).count() == 20
+    assert V.read_version(spark, root, as_of_ts=9e9).count() == 30
+    with pytest.raises(FileNotFoundError, match="newer than"):
+        V.version_as_of(spark, root, 500.0)
+    with pytest.raises(ValueError, match="not both"):
+        V.read_version(spark, root, version=0, as_of_ts=1000.0)
+    V.vacuum(spark, root, keep_last=1)
+    with pytest.raises(FileNotFoundError, match="truncated"):
+        V.version_as_of(spark, root, 1500.0)
