@@ -2649,6 +2649,104 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.snapshot_diff_stats(docs, dedup.snapshot_b_frame(docs))
 
 
+#: time-travel gate constants — ONE set drives the Spark table builds
+#: AND the oracle's relational snapshot reconstruction (iron rule 7).
+_TT_VAL = "CAST(o_custkey AS BIGINT)"
+_TT_BASE = "o_orderkey % 5 = 0"  # v0: append
+_TT_W1 = "o_orderkey % 5 = 1"  # v1: append
+#: v2 upsert: updates half of base (%10=0) AND inserts absent keys (%5=2)
+_TT_UP = "o_orderkey % 10 = 0 OR o_orderkey % 5 = 2"
+_TT_DELTA = 7
+
+
+def q_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp time travel end-to-end through real storage
+    (operators/versioned.py version_as_of / read_version(as_of_ts) over
+    the manifest ts field, new r11): commit three deterministic waves
+    of orders to a scratch table (append, append, half-update +
+    absent-key-insert upsert), take each commit's wall-clock ts from
+    history(), then resolve FIVE probe instants — each commit's exact
+    ts plus both midpoints — and aggregate every resolved snapshot's
+    content. The probe->version mapping is deterministic by
+    construction (at-or-before semantics: exact ts hits its own commit,
+    midpoints hit the earlier one), so the oracle reconstructs each
+    version relationally and joins it to the STATIC expected mapping —
+    a version_as_of regression (off-by-one, wrong comparison) breaks
+    the hash. Materializes eagerly BY NATURE (commits are actions; the
+    cdc_apply posture); scratch table under a per-call tempdir."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_tt_")
+    try:
+        root = os.path.join(tmp, "vt")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_TT_BASE)
+            .selectExpr("o_orderkey AS k", f"{_TT_VAL} AS val")
+            .repartitionByRange(4, "k"),
+            ["k"],
+        )
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_TT_W1).selectExpr(
+                "o_orderkey AS k", f"{_TT_VAL} AS val"
+            ),
+        )
+        V.commit_upsert(
+            spark,
+            root,
+            orders.filter(_TT_UP).selectExpr(
+                "o_orderkey AS k", f"{_TT_VAL} + {_TT_DELTA} AS val"
+            ),
+            "k",
+        )
+        ts = [h["ts"] for h in V.history(spark, root)]
+        probes = [
+            (0, ts[0]),
+            (1, (ts[0] + ts[1]) / 2),
+            (2, ts[1]),
+            (3, (ts[1] + ts[2]) / 2),
+            (4, ts[2]),
+        ]
+        frames = []
+        for pid, at in probes:
+            ver = V.version_as_of(spark, root, at)
+            frames.append(
+                V.read_version(spark, root, ver)
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.sum("val").cast("bigint").alias("sum_val"),
+                    F.min("k").cast("bigint").alias("min_k"),
+                    F.max("k").cast("bigint").alias("max_k"),
+                )
+                .select(
+                    F.lit(pid).cast("bigint").alias("probe"),
+                    F.lit(ver).cast("bigint").alias("version"),
+                    "n_rows",
+                    "sum_val",
+                    "min_k",
+                    "max_k",
+                )
+            )
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        rows = out.orderBy("probe").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "probe bigint, version bigint, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint",
+    )
+
+
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (dedup.span_decontaminate):
     delete exactly the probe-overlapping token spans from corpus docs
@@ -3456,9 +3554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # literal-VALUES golden oracles (functions/media_golden.py),
         # the WebDataset round trip over the exact-integer shard cut,
         # the never-externally-checked fuzzy_dict_lookup_d3, and
-        # table_changes over the touched commit layer — (b) three
-        # rows-only entries whose newest external rows check is r8
-        # (the <=4 allowance, cycling), and (c) all 40 oracle-checked
+        # table_changes over the touched commit layer plus the NEW
+        # time_travel_asof gate for the r11 as-of/retention feature —
+        # (b) two rows-only entries whose newest external rows check
+        # is r8 (the <=4 allowance, cycling), and (c) all 40 oracle-checked
         # queries whose newest external hash-green is r8 (TPC-H-adjacent
         # joins/set_ops, the dedup/similarity family, sampling) — after
         # this round no oracle-checked query's newest green is older
@@ -3471,9 +3570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
         "table_changes": q_table_changes,
+        "time_travel_asof": q_time_travel_asof,
         "compensated_moments": q_compensated_moments,
         "ivf_topk": q_ivf_topk,
-        "ivf_pq_topk": q_ivf_pq_topk,
         "ann_lsh": q_ann_lsh,
         "c4_quality": q_c4_quality,
         "cosine_topk": q_cosine_topk,
@@ -3607,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "semantic_dedup": q_semantic_dedup,
         "bloom_decontamination": q_bloom_decontamination,
+        "ivf_pq_topk": q_ivf_pq_topk,
     }
 
 
@@ -3749,6 +3849,48 @@ def _html_text_extract_oracle() -> str:
 #: TIMESTAMP truncates any sub-µs input — or future sub-µs data
 #: silently diverges ordering ties and epoch sums.
 _EVENTS_US = "(SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)"
+
+
+def _time_travel_asof_oracle() -> str:
+    """DuckDB twin of q_time_travel_asof — each version reconstructed
+    relationally from the SAME wave constants; the probe->version
+    mapping is the static at-or-before expectation."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_TT_VAL} AS val
+            FROM orders WHERE {_TT_BASE}
+        ), w1 AS (
+            SELECT o_orderkey AS k, {_TT_VAL} AS val
+            FROM orders WHERE {_TT_W1}
+        ), up AS (
+            SELECT o_orderkey AS k, {_TT_VAL} + {_TT_DELTA} AS val
+            FROM orders WHERE {_TT_UP}
+        ), v1 AS (
+            SELECT * FROM base UNION ALL SELECT * FROM w1
+        ), v2 AS (
+            SELECT k, val FROM v1 t
+            WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.k = t.k)
+            UNION ALL SELECT * FROM up
+        ), snaps AS (
+            SELECT 0 AS version, * FROM base
+            UNION ALL SELECT 1, * FROM v1
+            UNION ALL SELECT 2, * FROM v2
+        ), per AS (
+            SELECT version,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(val) AS BIGINT) AS sum_val,
+                   CAST(MIN(k) AS BIGINT) AS min_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM snaps GROUP BY version
+        )
+        SELECT CAST(p.probe AS BIGINT) AS probe,
+               CAST(p.version AS BIGINT) AS version,
+               n_rows, sum_val, min_k, max_k
+        FROM (VALUES (0, 0), (1, 0), (2, 1), (3, 1), (4, 2))
+             AS p(probe, version)
+        JOIN per USING (version)
+        ORDER BY probe
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4242,6 +4384,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expected literals derived from the same GOLDEN_ROWS constant
         # the committed fixture encodes (sources/pg_golden.py)
+        "time_travel_asof": _time_travel_asof_oracle(),
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),
         "webdataset_roundtrip": _wds_golden.oracle_roundtrip_sql(),
