@@ -2747,6 +2747,72 @@ def q_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+#: DML gate constants — one set drives the Spark commits AND the
+#: oracle's relational reconstruction (iron rule 7).
+_DML_VAL = "CAST(o_custkey AS BIGINT)"
+_DML_BASE = "o_orderkey % 4 = 1"
+_DML_UPD_PRED = "k % 9 = 2"
+_DML_UPD_SET = "val + k"  # sees the PRE-update row by SQL UPDATE semantics
+_DML_DEL_PRED = "val % 7 = 3"
+
+
+def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE + DELETE DML end-to-end through real storage
+    (operators/versioned.py commit_update_where / commit_delete_where,
+    new r11 — Delta's UPDATE/DELETE WHERE, the GDPR-takedown shape):
+    commit a base snapshot of orders, UPDATE a key-pattern slice (the
+    SET expression reads the pre-update row), DELETE a value-pattern
+    slice of the post-update state (so the delete predicate depends on
+    the update having applied correctly), then aggregate the FINAL
+    PARQUET STATE. The oracle reconstructs the same two statements
+    relationally (CASE for the update, NOT coalesce(p, false) for the
+    keep side), so touched-file discovery, partial-file rewrite,
+    carry-by-reference and both commits must reproduce exact SQL DML
+    semantics to hash-match. Materializes eagerly BY NATURE (commits
+    are actions; the cdc_apply posture)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_dml_")
+    try:
+        root = os.path.join(tmp, "vt")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_DML_BASE)
+            .selectExpr("o_orderkey AS k", f"{_DML_VAL} AS val")
+            .repartitionByRange(4, "k"),
+            ["k"],
+        )
+        V.commit_update_where(
+            spark, root, _DML_UPD_PRED, {"val": _DML_UPD_SET}
+        )
+        V.commit_delete_where(spark, root, _DML_DEL_PRED)
+        rows = (
+            V.read_version(spark, root)
+            .groupBy(F.expr("k % 5").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_val"),
+                F.min("k").cast("bigint").alias("min_k"),
+                F.max("k").cast("bigint").alias("max_k"),
+            )
+            .orderBy("grp")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "grp bigint, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint",
+    )
+
+
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (dedup.span_decontaminate):
     delete exactly the probe-overlapping token spans from corpus docs
@@ -3555,9 +3621,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the WebDataset round trip over the exact-integer shard cut,
         # the never-externally-checked fuzzy_dict_lookup_d3, and
         # table_changes over the touched commit layer plus the NEW
-        # time_travel_asof gate for the r11 as-of/retention feature —
-        # (b) two rows-only entries whose newest external rows check
-        # is r8 (the <=4 allowance, cycling), and (c) all 40 oracle-checked
+        # time_travel_asof and dml_delete_update gates for the r11
+        # as-of/retention and UPDATE/DELETE-WHERE features — (b) one
+        # rows-only entry whose newest external rows check is r8
+        # (the <=4 allowance, cycling), and (c) all 40 oracle-checked
         # queries whose newest external hash-green is r8 (TPC-H-adjacent
         # joins/set_ops, the dedup/similarity family, sampling) — after
         # this round no oracle-checked query's newest green is older
@@ -3571,8 +3638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
         "table_changes": q_table_changes,
         "time_travel_asof": q_time_travel_asof,
+        "dml_delete_update": q_dml_delete_update,
         "compensated_moments": q_compensated_moments,
-        "ivf_topk": q_ivf_topk,
         "ann_lsh": q_ann_lsh,
         "c4_quality": q_c4_quality,
         "cosine_topk": q_cosine_topk,
@@ -3706,6 +3773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "semantic_dedup": q_semantic_dedup,
         "bloom_decontamination": q_bloom_decontamination,
+        "ivf_topk": q_ivf_topk,
         "ivf_pq_topk": q_ivf_pq_topk,
     }
 
@@ -3890,6 +3958,32 @@ def _time_travel_asof_oracle() -> str:
              AS p(probe, version)
         JOIN per USING (version)
         ORDER BY probe
+    """
+
+
+
+def _dml_delete_update_oracle() -> str:
+    """DuckDB twin of q_dml_delete_update — the UPDATE as a CASE over
+    the pre-update row, the DELETE as the explicit keep-side filter."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_DML_VAL} AS val
+            FROM orders WHERE {_DML_BASE}
+        ), upd AS (
+            SELECT k,
+                   CASE WHEN {_DML_UPD_PRED} THEN {_DML_UPD_SET}
+                        ELSE val END AS val
+            FROM base
+        ), fin AS (
+            SELECT * FROM upd
+            WHERE NOT coalesce(({_DML_DEL_PRED}), false)
+        )
+        SELECT k % 5 AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM fin GROUP BY grp ORDER BY grp
     """
 
 
@@ -4384,6 +4478,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # expected literals derived from the same GOLDEN_ROWS constant
         # the committed fixture encodes (sources/pg_golden.py)
+        "dml_delete_update": _dml_delete_update_oracle(),
         "time_travel_asof": _time_travel_asof_oracle(),
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),

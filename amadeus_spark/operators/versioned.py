@@ -1060,6 +1060,198 @@ def commit_upsert(
     return v, len(touched), n_kept
 
 
+def _touched_by_predicate(
+    spark: SparkSession, root: str, seg: dict, refs: list[tuple], predicate
+) -> list[tuple]:
+    """The live files holding ≥1 row where ``predicate`` IS TRUE —
+    Delta's DELETE/UPDATE file-finding scan. One predicate-pushed scan
+    over the snapshot (only the predicate's columns are read; parquet
+    row-group stats skip inside files) collecting DISTINCT matched
+    file identities, O(matched files) on the driver. Files are matched
+    back to their refs by (commit-dir, filename) — commit dirs are
+    uuid-unique, filenames unique within a dir."""
+    import posixpath
+
+    paths = _paths(root, [(d, p) for d, p, _ in refs])
+    if not paths:
+        return []
+    matched = (
+        _reader(spark, seg)
+        .parquet(*paths)
+        .where(predicate)
+        .select(F.col("_metadata.file_path").alias("fp"))
+        .distinct()
+        .collect()
+    )
+    by_key = {(d, p): (d, p, n) for d, p, n in refs}
+    out = []
+    for r in matched:
+        parts = r["fp"].rstrip("/").split("/")
+        key = (parts[-2], parts[-1])
+        if key not in by_key:
+            raise RuntimeError(
+                f"matched file {r['fp']} not in the resolved snapshot "
+                "(concurrent vacuum?)"
+            )
+        out.append(by_key[key])
+    out.sort()
+    return out
+
+
+def commit_delete_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    changefeed: bool = False,
+) -> tuple[int, int, int, int]:
+    """Predicate DELETE as a COMMIT (Delta's ``DELETE FROM t WHERE p``
+    — the GDPR/takedown shape a 100 TB corpus table needs: "drop every
+    row from domain X" without knowing keys): find the files holding
+    ≥1 matching row via one predicate-pushed scan, rewrite ONLY those
+    files keeping their non-matching rows, carry every other file by
+    reference. SQL DELETE semantics exactly: a row is deleted iff the
+    predicate is TRUE — NULL-valued predicates KEEP the row (the
+    ``NOT coalesce(p, false)`` keep-side, iron rule 9's explicitness).
+
+    Returns ``(new_version, files_rewritten, files_carried,
+    rows_deleted)``; a predicate matching nothing is a NO-OP returning
+    the current version with no commit (nothing to conflict with).
+    ``changefeed=True`` records the deleted rows (``delete``) for
+    :func:`table_changes` / :func:`stream_table_changes`.
+
+    Unlike :func:`commit_upsert` there is no manifest-stats pruning —
+    the predicate is arbitrary — but the finding scan reads only the
+    predicate's columns and pushes row-group skipping, so the cost is
+    a metadata-light pass, not a rewrite."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    pred = F.expr(predicate)
+    refs = _pruned_refs(spark, root, res)
+    touched = _touched_by_predicate(spark, root, seg, refs, pred)
+    if not touched:
+        return cur, 0, len(refs), 0
+    n_kept = seg["total_files"] - len(touched)
+    paths = _paths(root, [(d, p) for d, p, _ in touched])
+    touched_read = _reader(spark, seg).parquet(*paths)
+    keep = touched_read.where(~F.coalesce(pred, F.lit(False)))
+    cached = []
+    cdf_frame = None
+    try:
+        if changefeed:
+            touched_read = touched_read.persist()
+            cached.append(touched_read)
+            keep = touched_read.where(~F.coalesce(pred, F.lit(False)))
+            cdf_frame = touched_read.where(pred).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        v = _commit(
+            spark,
+            root,
+            keep,
+            "delete",
+            seg["stats_cols"],
+            removes=[(d, p) for d, p, _ in touched],
+            removed_rows=sum(n for _, _, n in touched),
+            prev=seg,
+            cdf=cdf_frame,
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+    n_deleted = seg["total_rows"] - _read_manifest(spark, root, v)["total_rows"]
+    return v, len(touched), n_kept, n_deleted
+
+
+def commit_update_where(
+    spark: SparkSession,
+    root: str,
+    predicate: str,
+    set_exprs: dict[str, str],
+    changefeed: bool = False,
+) -> tuple[int, int, int]:
+    """Predicate UPDATE as a COMMIT (Delta's ``UPDATE t SET ... WHERE
+    p``): same touched-file discovery as :func:`commit_delete_where`,
+    rewriting each touched file as (rows where p is not TRUE,
+    unchanged) ∪ (rows where p is TRUE, with ``set_exprs`` applied).
+    SQL UPDATE semantics exactly: every SET expression sees the
+    PRE-update row (one simultaneous select, never sequential
+    withColumn), results cast back to the column's manifest type —
+    UPDATE never evolves schema. Returns ``(new_version,
+    files_rewritten, files_carried)``; no matches → NO-OP.
+    ``changefeed=True`` records ``update_preimage``/
+    ``update_postimage`` pairs."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    schema = _manifest_schema(seg)
+    fields = {f.name: f.dataType for f in schema.fields}
+    unknown = set(set_exprs) - set(fields)
+    if unknown:
+        raise ValueError(
+            f"SET columns not in the table schema: {sorted(unknown)} "
+            f"(UPDATE never evolves schema; columns: {sorted(fields)})"
+        )
+    pred = F.expr(predicate)
+
+    def apply_set(frame: DataFrame) -> DataFrame:
+        # ONE select: every SET expression evaluates against the
+        # pre-update row, then casts to the column's manifest type
+        return frame.select(
+            *[
+                (
+                    F.expr(set_exprs[f.name]).cast(f.dataType).alias(f.name)
+                    if f.name in set_exprs
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+
+    refs = _pruned_refs(spark, root, res)
+    touched = _touched_by_predicate(spark, root, seg, refs, pred)
+    if not touched:
+        return cur, 0, len(refs)
+    n_kept = seg["total_files"] - len(touched)
+    paths = _paths(root, [(d, p) for d, p, _ in touched])
+    touched_read = _reader(spark, seg).parquet(*paths)
+    cached = []
+    cdf_frame = None
+    try:
+        if changefeed:
+            touched_read = touched_read.persist()
+            cached.append(touched_read)
+        unchanged = touched_read.where(~F.coalesce(pred, F.lit(False)))
+        pre = touched_read.where(pred)
+        post = apply_set(pre)
+        merged = unchanged.unionByName(post)
+        if changefeed:
+            cdf_frame = pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            )
+        v = _commit(
+            spark,
+            root,
+            merged,
+            "update",
+            seg["stats_cols"],
+            removes=[(d, p) for d, p, _ in touched],
+            removed_rows=sum(n for _, _, n in touched),
+            prev=seg,
+            cdf=cdf_frame,
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+    return v, len(touched), n_kept
+
+
 def apply_changes(
     spark: SparkSession,
     root: str,

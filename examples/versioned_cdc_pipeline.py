@@ -1,7 +1,9 @@
 """Versioned-table lifecycle end-to-end: commit a corpus snapshot,
 stream a CDC changefeed into it (one snapshot version per micro-batch,
-exactly-once), evolve the schema, Z-order-compact, time-travel a diff,
-and vacuum — the incremental-corpus maintenance loop a daily-refresh
+exactly-once), evolve the schema, run predicate DML (DELETE WHERE — the
+takedown loop — and UPDATE WHERE), time-travel by version AND by
+wall-clock instant, Z-order-compact, and vacuum with both retention
+knobs — the incremental-corpus maintenance loop a daily-refresh
 training pipeline runs.
 
     python examples/versioned_cdc_pipeline.py [sf_dir]
@@ -82,11 +84,37 @@ def main(sf_dir: str) -> None:
             after.filter("quality IS NULL").count(),
         )
 
-        # 4. maintenance: range-compact on doc_id (zorder_cols takes
+        # 4. predicate DML (the takedown loop): DELETE every row from a
+        #    "flagged" slice without knowing keys — one predicate-pushed
+        #    scan finds the files holding matches, ONLY those rewrite —
+        #    then UPDATE a quality backfill over another slice (each SET
+        #    sees the PRE-update row; schema never evolves).
+        dv, n_rw, n_carried, n_del = V.commit_delete_where(
+            spark, root, "lang = 'de' AND doc_id % 11 = 0", changefeed=True
+        )
+        print(
+            f"v{dv}: DELETE WHERE removed {n_del} rows "
+            f"({n_rw} files rewritten, {n_carried} carried by reference)"
+        )
+        uv, n_rw, _ = V.commit_update_where(
+            spark, root, "quality IS NULL", {"quality": "CAST(0.1 AS DOUBLE)"}
+        )
+        print(f"v{uv}: UPDATE WHERE backfilled quality ({n_rw} files)")
+
+        # 5. timestamp time travel: read the table as of the instant
+        #    the CDC stream finished — the pre-takedown state.
+        ts_cdc = V.history(spark, root)[cur]["ts"]
+        asof = V.read_version(spark, root, as_of_ts=ts_cdc)
+        print(
+            f"as-of v{V.version_as_of(spark, root, ts_cdc)} rows:",
+            asof.count(), "(pre-takedown)",
+        )
+
+        # 6. maintenance: range-compact on doc_id (zorder_cols takes
         #    several NUMERIC columns when the table has them — every
-        #    clustering column then prunes), then vacuum history. The
-        #    stream's replay guard survives both (txn carries through
-        #    commits).
+        #    clustering column then prunes), then vacuum history with
+        #    BOTH retention knobs — versions newer than the CDC commit's
+        #    wall-clock instant survive keep_since even past keep_last.
         v, n_before, n_after = V.optimize(
             spark, root, zorder_cols=["doc_id"], n_files=4
         )
@@ -96,7 +124,9 @@ def main(sf_dir: str) -> None:
         )
         print("stats-pruned read plans", len(sliver.inputFiles()), "of",
               n_after, "files")
-        n_man, n_data = V.vacuum(spark, root, keep_last=2)
+        n_man, n_data = V.vacuum(
+            spark, root, keep_last=2, keep_since=ts_cdc
+        )
         print(f"vacuum: {n_man} manifests, {n_data} data files reclaimed;",
               "history now", [h["version"] for h in V.history(spark, root)])
     finally:

@@ -1159,3 +1159,114 @@ def test_read_version_as_of_timestamp(spark, root, monkeypatch):
     V.vacuum(spark, root, keep_last=1)
     with pytest.raises(FileNotFoundError, match="truncated"):
         V.version_as_of(spark, root, 1500.0)
+
+
+def test_delete_where_rewrites_only_touched_files(spark, root):
+    """Predicate DELETE: only files holding matching rows are
+    rewritten; others carry by reference; NULL predicates KEEP rows
+    (SQL DELETE semantics); non-matching predicate is a no-op."""
+    for lo in (0, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 100, "a").coalesce(1), ["k"]
+        )
+    # NULL-predicate row: v = NULL for k = 5
+    V.commit_upsert(
+        spark,
+        root,
+        spark.createDataFrame([(5, None)], "k long, v string"),
+        "k",
+    )
+    # delete WHERE v = 'a' AND k % 2 = 0 — NULL v (k=5) must survive
+    ver, n_rw, n_carried, n_del = V.commit_delete_where(
+        spark, root, "v = 'a' AND k % 2 = 0"
+    )
+    df = V.read_version(spark, root)
+    assert n_del == 100  # 200 rows, k=5 now NULL-v (odd anyway): 100 evens gone
+    assert df.count() == 100
+    assert df.filter("k % 2 = 0").count() == 0
+    assert df.filter("k = 5").count() == 1  # NULL predicate kept
+    # no-op path: nothing matches → same version, no commit
+    ver2, n_rw2, _, n_del2 = V.commit_delete_where(spark, root, "k < 0")
+    assert (ver2, n_rw2, n_del2) == (ver, 0, 0)
+    assert V.current_version(spark, root) == ver
+    # time travel still sees the pre-delete snapshot
+    assert V.read_version(spark, root, ver - 1).count() == 200
+
+
+def test_delete_where_all_rows_of_touched_file(spark, root):
+    """A file whose every row matches is removed outright (the rewrite
+    is empty for it) — totals and reads stay consistent."""
+    V.commit_append(spark, root, _df(spark, 0, 50, "a").coalesce(1), ["k"])
+    V.commit_append(spark, root, _df(spark, 50, 90, "b").coalesce(1))
+    ver, n_rw, n_carried, n_del = V.commit_delete_where(
+        spark, root, "v = 'b'"
+    )
+    assert (n_rw, n_carried, n_del) == (1, 1, 40)
+    df = V.read_version(spark, root)
+    assert df.count() == 50 and df.filter("v = 'b'").count() == 0
+
+
+def test_update_where_simultaneous_sets_and_cdf(spark, root, tmp_path):
+    """Predicate UPDATE: every SET expression sees the PRE-update row
+    (k and v swap correctly in one statement), results cast to the
+    column's type, carried files untouched; changefeed captures
+    preimage/postimage pairs and DELETE captures deleted rows —
+    drained exactly-once through the streaming feed."""
+    V.commit_append(
+        spark,
+        root,
+        spark.range(0, 20).selectExpr(
+            "id AS k", "CAST(id * 10 AS BIGINT) AS val"
+        ).coalesce(1),
+        ["k"],
+    )
+    ver, n_rw, n_carried = V.commit_update_where(
+        spark,
+        root,
+        "k >= 15",
+        {"k": "k + 100", "val": "k"},  # val must see PRE-update k
+        changefeed=True,
+    )
+    df = V.read_version(spark, root)
+    assert df.count() == 20
+    got = {r["k"]: r["val"] for r in df.collect()}
+    for k in range(15):
+        assert got[k] == k * 10
+    for k in range(15, 20):
+        assert got[k + 100] == k  # simultaneous semantics
+    # updates never evolve schema
+    with pytest.raises(ValueError, match="not in the table schema"):
+        V.commit_update_where(spark, root, "k = 0", {"nope": "1"})
+    dver, _, _, n_del = V.commit_delete_where(
+        spark, root, "k >= 115", changefeed=True
+    )
+    assert n_del == 5
+    ch = V.table_changes(spark, root, ver, dver)
+    by_type = (
+        ch.groupBy("_change_type").count().collect()
+    )
+    counts = {r["_change_type"]: r["count"] for r in by_type}
+    assert counts == {
+        "update_preimage": 5,
+        "update_postimage": 5,
+        "delete": 5,
+    }
+    # streaming feed sees the same rows exactly once
+    rows: list = []
+    q = (
+        V.stream_table_changes(spark, root, starting_version=ver)
+        .writeStream.foreachBatch(
+            lambda b, _id: rows.extend(
+                (r["_commit_version"], r["_change_type"], r["k"])
+                for r in b.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(rows) == 15
+    assert {t for _, t, _ in rows} == {
+        "update_preimage", "update_postimage", "delete"
+    }
