@@ -2755,6 +2755,12 @@ _DML_BASE = "o_orderkey % 4 = 1"
 _DML_UPD_PRED = "k % 9 = 2"
 _DML_UPD_SET = "val + k"  # sees the PRE-update row by SQL UPDATE semantics
 _DML_DEL_PRED = "val % 7 = 3"
+#: the merge-on-read legs (mode="dv", r11 session 2): a DV DELETE then
+#: a DV UPDATE chained on the rewrite legs' state — the deletion-vector
+#: anti-join read path must reproduce plain SQL semantics to hash-match
+_DML_DEL2_PRED = "k % 11 = 4"
+_DML_UPD2_PRED = "val % 13 = 6"
+_DML_UPD2_SET = "val - k"
 
 
 def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2765,12 +2771,16 @@ def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     SET expression reads the pre-update row), DELETE a value-pattern
     slice of the post-update state (so the delete predicate depends on
     the update having applied correctly), then aggregate the FINAL
-    PARQUET STATE. The oracle reconstructs the same two statements
-    relationally (CASE for the update, NOT coalesce(p, false) for the
-    keep side), so touched-file discovery, partial-file rewrite,
-    carry-by-reference and both commits must reproduce exact SQL DML
-    semantics to hash-match. Materializes eagerly BY NATURE (commits
-    are actions; the cdc_apply posture)."""
+    PARQUET STATE. Since r11 session 2 two MERGE-ON-READ legs chain on
+    top (mode="dv": a deletion-vector DELETE, then a DV UPDATE whose
+    post-images append while the pre-images DV-delete in place), so
+    the final read crosses the DV anti-join path. The oracle
+    reconstructs all four statements relationally (CASE for updates,
+    NOT coalesce(p, false) for keep sides), so touched-file discovery,
+    partial-file rewrite, carry-by-reference, DV capture/apply and all
+    four commits must reproduce exact SQL DML semantics to hash-match.
+    Materializes eagerly BY NATURE (commits are actions; the cdc_apply
+    posture)."""
     import shutil
     import tempfile
 
@@ -2792,6 +2802,12 @@ def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, root, _DML_UPD_PRED, {"val": _DML_UPD_SET}
         )
         V.commit_delete_where(spark, root, _DML_DEL_PRED)
+        # merge-on-read legs: DELETE then UPDATE via deletion vectors —
+        # no file rewrites; the final read goes through the DV anti-join
+        V.commit_delete_where(spark, root, _DML_DEL2_PRED, mode="dv")
+        V.commit_update_where(
+            spark, root, _DML_UPD2_PRED, {"val": _DML_UPD2_SET}, mode="dv"
+        )
         rows = (
             V.read_version(spark, root)
             .groupBy(F.expr("k % 5").alias("grp"))
@@ -2809,6 +2825,194 @@ def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "grp bigint, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint",
+    )
+
+
+#: MERGE gate constants — one set drives the Spark clauses AND the
+#: oracle's relational reconstruction (iron rule 7). Source keys
+#: %8==1 are matched (⊂ base's %4==1), %8==2 are not-matched inserts;
+#: 999 (odd — 1000 ≡ 0 mod 8 would make the residues unsatisfiable
+#: inside base) picks the by-source delete/update rows.
+_MG_BASE = "o_orderkey % 4 = 1"
+_MG_VAL = "CAST(o_custkey AS BIGINT)"
+_MG_SRC = "o_orderkey % 8 IN (1, 2)"
+_MG_SVAL = "CAST(o_custkey % 1000 AS BIGINT) + 7"
+_MG_DEL_MOD = 5  # matched delete: sval % 5 = 0
+_MG_INS_MOD = 3  # first insert clause: sval % 3 = 0
+_MG_NMBS_DEL = 7   # by-source delete: k % 999 = 7
+_MG_NMBS_UPD = 13  # by-source update: k % 999 = 13
+
+
+def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General MERGE INTO end-to-end through real storage
+    (operators/versioned.py commit_merge, new r11 — Delta's MERGE with
+    the full clause surface): one commit exercises a CONDITIONAL
+    matched delete, an unconditional matched update (SET sees both
+    rows: t.val + s.sval), two ORDERED not-matched insert clauses
+    (first-true wins), and not-matched-by-source delete + update —
+    with changefeed capture ON. Output = the final parquet state
+    aggregated per key-group UNION the change feed aggregated per
+    _change_type, so file pruning, clause resolution order, NULL
+    condition semantics AND the CDF pre/post split must all reproduce
+    the oracle's relational reconstruction to hash-match. Materializes
+    eagerly BY NATURE (commits are actions; the cdc_apply posture)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_mg_")
+    try:
+        root = os.path.join(tmp, "vt")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_MG_BASE)
+            .selectExpr("o_orderkey AS k", f"{_MG_VAL} AS val")
+            .repartitionByRange(4, "k"),
+            ["k"],
+        )
+        src = orders.filter(_MG_SRC).selectExpr(
+            "o_orderkey AS k", f"{_MG_SVAL} AS sval"
+        )
+        v, _, _ = V.commit_merge(
+            spark,
+            root,
+            src,
+            "k",
+            matched=[
+                {"action": "delete",
+                 "condition": f"s.sval % {_MG_DEL_MOD} = 0"},
+                {"action": "update", "set": {"val": "t.val + s.sval"}},
+            ],
+            not_matched=[
+                {"action": "insert",
+                 "condition": f"sval % {_MG_INS_MOD} = 0",
+                 "values": {"k": "k", "val": "sval"}},
+                {"action": "insert",
+                 "values": {"k": "k", "val": "sval * 2"}},
+            ],
+            not_matched_by_source=[
+                {"action": "delete",
+                 "condition": f"k % 999 = {_MG_NMBS_DEL}"},
+                {"action": "update",
+                 "condition": f"k % 999 = {_MG_NMBS_UPD}",
+                 "set": {"val": "val + 1"}},
+            ],
+            changefeed=True,
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        ]
+        state = (
+            V.read_version(spark, root)
+            .groupBy(F.expr("CAST(k % 5 AS STRING)").alias("grp"))
+            .agg(*aggs)
+            .select(F.lit("state").alias("section"), "grp", "n_rows",
+                    "sum_val", "min_k", "max_k")
+        )
+        cdf = (
+            V.table_changes(spark, root, v, v)
+            .groupBy(F.col("_change_type").alias("grp"))
+            .agg(*aggs)
+            .select(F.lit("cdf").alias("section"), "grp", "n_rows",
+                    "sum_val", "min_k", "max_k")
+        )
+        rows = state.unionByName(cdf).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "section string, grp string, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint",
+    )
+
+
+#: RESTORE gate constants (iron rule 7). Base %4==3; the upsert wave
+#: %6==1 half-updates (k≡7 mod 12 ⊂ base), half-inserts (k≡1 mod 12);
+#: the delete wave is rolled back by the restore; wave2 lands after.
+_RS_BASE = "o_orderkey % 4 = 3"
+_RS_VAL = "CAST(o_custkey AS BIGINT)"
+_RS_UP = "o_orderkey % 6 = 1"
+_RS_UP_DELTA = 100
+_RS_DEL_PRED = "val % 7 = 2"
+_RS_W2 = "o_orderkey % 12 = 6"
+
+
+def q_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE VERSION AS OF end-to-end through real storage
+    (operators/versioned.py restore_version, new r11 — Delta's
+    RESTORE): append a base, upsert a wave (half updates / half
+    inserts), DELETE a value-pattern slice, restore to the pre-delete
+    version (a BY-REFERENCE relink — no data rewrite), then append a
+    second wave on top of the restored state. Output = the final
+    state aggregated per key-group plus the history's (version → op)
+    sequence, so the restore must resurrect exactly the deleted rows
+    (and no others), preserve history, and keep accepting commits.
+    The oracle reconstructs v1 ∪ wave2 relationally and pins the op
+    sequence as literals. Materializes eagerly BY NATURE (commits are
+    actions; the cdc_apply posture)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_rs_")
+    try:
+        root = os.path.join(tmp, "vt")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_RS_BASE)
+            .selectExpr("o_orderkey AS k", f"{_RS_VAL} AS val")
+            .repartitionByRange(4, "k"),
+            ["k"],
+        )
+        V.commit_upsert(
+            spark,
+            root,
+            orders.filter(_RS_UP).selectExpr(
+                "o_orderkey AS k", f"{_RS_VAL} + {_RS_UP_DELTA} AS val"
+            ),
+            "k",
+        )
+        V.commit_delete_where(spark, root, _RS_DEL_PRED)
+        V.restore_version(spark, root, version=1)
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_RS_W2).selectExpr(
+                "o_orderkey AS k", f"{_RS_VAL} AS val"
+            ),
+        )
+        state_rows = (
+            V.read_version(spark, root)
+            .groupBy(F.expr("CAST(k % 5 AS STRING)").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_val"),
+                F.min("k").cast("bigint").alias("min_k"),
+                F.max("k").cast("bigint").alias("max_k"),
+            )
+            .select(F.lit("state").alias("section"), "grp", "n_rows",
+                    "sum_val", "min_k", "max_k")
+            .collect()
+        )
+        hist_rows = [
+            ("hist", h["op"], h["version"], -1, -1, -1)
+            for h in V.history(spark, root)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(r) for r in state_rows] + hist_rows,
+        "section string, grp string, n_rows bigint, sum_val bigint, "
         "min_k bigint, max_k bigint",
     )
 
@@ -3619,27 +3823,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — the four demux/codec queries graduating from rows-only to
         # literal-VALUES golden oracles (functions/media_golden.py),
         # the WebDataset round trip over the exact-integer shard cut,
-        # the never-externally-checked fuzzy_dict_lookup_d3, and
-        # table_changes over the touched commit layer plus the NEW
-        # time_travel_asof and dml_delete_update gates for the r11
-        # as-of/retention and UPDATE/DELETE-WHERE features — (b) one
-        # rows-only entry whose newest external rows check is r8
-        # (the <=4 allowance, cycling), and (c) all 40 oracle-checked
-        # queries whose newest external hash-green is r8 (TPC-H-adjacent
-        # joins/set_ops, the dedup/similarity family, sampling) — after
+        # the never-externally-checked fuzzy_dict_lookup_d3, and the
+        # FOUR new gates for the r11 commit-layer features:
+        # time_travel_asof (as-of/retention), dml_delete_update
+        # (UPDATE/DELETE WHERE), merge_into (full-clause MERGE with
+        # changefeed capture) and restore_table (RESTORE by
+        # reference) — and (b) all 40 oracle-checked queries whose
+        # newest external hash-green is r8 (TPC-H-adjacent joins/
+        # set_ops, the dedup/similarity family, sampling) — after
         # this round no oracle-checked query's newest green is older
-        # than r9. Everything below the marker is still oracle-verified
-        # locally on every pytest run.
+        # than r9. table_changes (r10-green, its layer covered by the
+        # four new gates) and the rows-only compensated_moments ceded
+        # their slots to merge_into/restore_table; both stay oracle-/
+        # property-verified locally on every pytest run below the
+        # marker.
         "mp4_frame_plan": q_mp4_frame_plan,
         "mp3_segment_plan": q_mp3_segment_plan,
         "media_frame_sample": q_media_frame_sample,
         "multimodal_features": q_multimodal_features,
         "webdataset_roundtrip": q_webdataset_roundtrip,
         "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
-        "table_changes": q_table_changes,
         "time_travel_asof": q_time_travel_asof,
         "dml_delete_update": q_dml_delete_update,
-        "compensated_moments": q_compensated_moments,
+        "merge_into": q_merge_into,
+        "restore_table": q_restore_table,
         "ann_lsh": q_ann_lsh,
         "c4_quality": q_c4_quality,
         "cosine_topk": q_cosine_topk,
@@ -3684,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": q_cluster_keep_best,
         "cdc_apply": q_cdc_apply,
         "snapshot_diff": q_snapshot_diff,
+        "table_changes": q_table_changes,
         "all_any": q_all_any,
         "asof_join": q_asof_join,
         "bm25_topk": q_bm25_topk,
@@ -3764,6 +3972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_global": q_tpch_q22_global,
         # rows-only (no oracle) entries: CONTIGUOUS TAIL — weakest
         # signal last, so a truncating gate drops them first
+        "compensated_moments": q_compensated_moments,
         "bpe_learn": q_bpe_learn,
         "tdigest_quantiles": q_tdigest_quantiles,
         "quality_classifier": q_quality_classifier,
@@ -3974,9 +4183,17 @@ def _dml_delete_update_oracle() -> str:
                    CASE WHEN {_DML_UPD_PRED} THEN {_DML_UPD_SET}
                         ELSE val END AS val
             FROM base
-        ), fin AS (
+        ), del1 AS (
             SELECT * FROM upd
             WHERE NOT coalesce(({_DML_DEL_PRED}), false)
+        ), del2 AS (
+            SELECT * FROM del1
+            WHERE NOT coalesce(({_DML_DEL2_PRED}), false)
+        ), fin AS (
+            SELECT k,
+                   CASE WHEN {_DML_UPD2_PRED} THEN {_DML_UPD2_SET}
+                        ELSE val END AS val
+            FROM del2
         )
         SELECT k % 5 AS grp,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3984,6 +4201,110 @@ def _dml_delete_update_oracle() -> str:
                CAST(MIN(k) AS BIGINT) AS min_k,
                CAST(MAX(k) AS BIGINT) AS max_k
         FROM fin GROUP BY grp ORDER BY grp
+    """
+
+
+def _merge_into_oracle() -> str:
+    """DuckDB twin of q_merge_into — the MERGE as a LEFT JOIN with a
+    first-true-clause CASE (matched delete > matched update;
+    by-source delete > by-source update on the unmatched side), the
+    inserts as NOT EXISTS + the ordered insert-clause CASE, and the
+    change feed re-derived from the same action typing."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_MG_VAL} AS val
+            FROM orders WHERE {_MG_BASE}
+        ), src AS (
+            SELECT o_orderkey AS k, {_MG_SVAL} AS sval
+            FROM orders WHERE {_MG_SRC}
+        ), tgt AS (
+            SELECT b.k, b.val, s.sval, s.k IS NOT NULL AS m
+            FROM base b LEFT JOIN src s ON b.k = s.k
+        ), acted AS (
+            SELECT k, val AS oldval,
+                   CASE WHEN m AND coalesce(
+                            sval % {_MG_DEL_MOD} = 0, false)
+                            THEN 'delete'
+                        WHEN m THEN 'update'
+                        WHEN k % 999 = {_MG_NMBS_DEL} THEN 'delete'
+                        WHEN k % 999 = {_MG_NMBS_UPD} THEN 'update'
+                        ELSE 'keep' END AS act,
+                   CASE WHEN m THEN val + sval
+                        WHEN k % 999 = {_MG_NMBS_UPD} THEN val + 1
+                        ELSE val END AS newval
+            FROM tgt
+        ), ins AS (
+            SELECT s.k,
+                   CASE WHEN s.sval % {_MG_INS_MOD} = 0 THEN s.sval
+                        ELSE s.sval * 2 END AS val
+            FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)
+        ), fin AS (
+            SELECT k, newval AS val FROM acted WHERE act <> 'delete'
+            UNION ALL SELECT k, val FROM ins
+        ), changes AS (
+            SELECT 'update_preimage' AS grp, k, oldval AS val
+            FROM acted WHERE act = 'update'
+            UNION ALL
+            SELECT 'update_postimage', k, newval
+            FROM acted WHERE act = 'update'
+            UNION ALL
+            SELECT 'delete', k, oldval FROM acted WHERE act = 'delete'
+            UNION ALL
+            SELECT 'insert', k, val FROM ins
+        )
+        SELECT 'state' AS section, CAST(k % 5 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM fin GROUP BY 2
+        UNION ALL
+        SELECT 'cdf', grp,
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(val) AS BIGINT),
+               CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT)
+        FROM changes GROUP BY 2
+    """
+
+
+def _restore_table_oracle() -> str:
+    """DuckDB twin of q_restore_table — the final state is v1 (base
+    overridden by the upsert wave) ∪ wave2: the delete wave must be
+    INVISIBLE (the restore rolled it back); the op sequence is pinned
+    as literals."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_RS_VAL} AS val
+            FROM orders WHERE {_RS_BASE}
+        ), up AS (
+            SELECT o_orderkey AS k, {_RS_VAL} + {_RS_UP_DELTA} AS val
+            FROM orders WHERE {_RS_UP}
+        ), v1 AS (
+            SELECT k, val FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM up u WHERE u.k = b.k)
+            UNION ALL SELECT k, val FROM up
+        ), fin AS (
+            SELECT * FROM v1
+            UNION ALL
+            SELECT o_orderkey AS k, {_RS_VAL} AS val
+            FROM orders WHERE {_RS_W2}
+        )
+        SELECT 'state' AS section, CAST(k % 5 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k
+        FROM fin GROUP BY 2
+        UNION ALL
+        SELECT section, grp, n_rows, sum_val, min_k, max_k
+        FROM (VALUES
+            ('hist', 'append', CAST(0 AS BIGINT), CAST(-1 AS BIGINT),
+             CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)),
+            ('hist', 'upsert', 1, -1, -1, -1),
+            ('hist', 'delete', 2, -1, -1, -1),
+            ('hist', 'restore', 3, -1, -1, -1),
+            ('hist', 'append', 4, -1, -1, -1)
+        ) AS h(section, grp, n_rows, sum_val, min_k, max_k)
     """
 
 
@@ -4480,6 +4801,8 @@ def oracle_sql() -> dict[str, str]:
         # the committed fixture encodes (sources/pg_golden.py)
         "dml_delete_update": _dml_delete_update_oracle(),
         "time_travel_asof": _time_travel_asof_oracle(),
+        "merge_into": _merge_into_oracle(),
+        "restore_table": _restore_table_oracle(),
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),
         "webdataset_roundtrip": _wds_golden.oracle_roundtrip_sql(),

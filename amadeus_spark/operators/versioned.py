@@ -49,7 +49,17 @@ files:
   the rewrite set to files whose key range intersects the update, so
   a 1%-of-keys update rewrites ~1% of files; untouched files are
   carried into the new snapshot BY REFERENCE (zero data movement,
-  zero manifest bytes — they are simply not removed).
+  zero manifest bytes — they are simply not removed);
+- DELETE/UPDATE also come in MERGE-ON-READ form (``mode="dv"`` —
+  Delta's deletion vectors): the matched rows' physical identities
+  ((commit dir, file, row_index)) land in a parquet under
+  ``root/_deletion_vectors/`` and the touched entries re-commit by
+  reference with the DV attached; every reader goes through ONE
+  shared path (:func:`_snapshot_read`) that anti-joins the DV rows,
+  rewrite consumers (upsert/merge/optimize) physically purge DVs as
+  a side effect of rewriting, and vacuum reclaims DV dirs no kept
+  snapshot references. Deleting 100 rows from a terabyte of files
+  moves O(100) rows, not O(files).
 
 Stats live in the log, not in footers-at-read-time: at 100 TB,
 opening 10^6 footers to plan a merge is itself a job; footers are
@@ -75,12 +85,14 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as _st
 
 from amadeus_spark.operators.storage import _hadoop_fs
 
 MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 CDF_DIR = "_change_data"
+DV_DIR = "_deletion_vectors"
 
 #: Write a parquet checkpoint of the full live-file index every this
 #: many commits. Between checkpoints a reader folds at most this many
@@ -96,7 +108,8 @@ _INDEX_SCHEMA = (
     "dir string, path string, rows bigint, "
     "stats_i map<string, array<bigint>>, "
     "stats_d map<string, array<double>>, "
-    "stats_s map<string, array<string>>"
+    "stats_s map<string, array<string>>, "
+    "dv_dir string, dv_rows bigint"
 )
 
 
@@ -569,7 +582,11 @@ def _entry_row(e: dict) -> tuple:
             sd[col] = [float(lo), float(hi)]
         elif isinstance(lo, str) and isinstance(hi, str):
             ss[col] = [lo, hi]
-    return (e["dir"], e["path"], e["rows"], si or None, sd or None, ss or None)
+    dv = e.get("dv") or {}
+    return (
+        e["dir"], e["path"], e["rows"], si or None, sd or None, ss or None,
+        dv.get("dir"), dv.get("rows"),
+    )
 
 
 def _index_df(spark: SparkSession, root: str, res: dict) -> DataFrame:
@@ -668,18 +685,45 @@ def _pruned_refs(
     on the cdc_apply round-trip). Checkpointed snapshots — the
     10^6-file regime the checkpoint exists for — go through the index
     DataFrame so the driver only ever touches SURVIVORS."""
+    return [
+        (e["dir"], e["path"], e["rows"])
+        for e in _pruned_entries(spark, root, res, key_col, lo, hi)
+    ]
+
+
+def _row_entry(r) -> dict:
+    """Index-DataFrame row -> entry dict (the inverse of _entry_row)."""
+    stats: dict[str, list] = {}
+    for m in ("stats_i", "stats_d", "stats_s"):
+        for col, bounds in (r[m] or {}).items():
+            stats[col] = list(bounds)
+    e = {"dir": r["dir"], "path": r["path"], "rows": r["rows"],
+         "stats": stats}
+    if r["dv_dir"] is not None:
+        e["dv"] = {"dir": r["dv_dir"], "rows": r["dv_rows"]}
+    return e
+
+
+def _pruned_entries(
+    spark: SparkSession,
+    root: str,
+    res: dict,
+    key_col: str | None = None,
+    lo=None,
+    hi=None,
+) -> list[dict]:
+    """Full entry dicts (dir/path/rows/stats/dv) of a resolved
+    snapshot, optionally pruned — same hybrid driver/index routing as
+    :func:`_pruned_refs` (which is now a thin view over this)."""
     if res["ckpt"] is None:
         adds = res["adds"]
         if lo is not None and key_col is not None:
             adds = [e for e in adds if _entry_hit(e, key_col, lo, hi)]
-        return [(e["dir"], e["path"], e["rows"]) for e in adds]
+        return list(adds)
     index = _index_df(spark, root, res)
     if lo is not None and key_col is not None:
         index = _prune(index, key_col, lo, hi)
-    return [
-        (r["dir"], r["path"], r["rows"])
-        for r in index.select("dir", "path", "rows").collect()
-    ]
+    return [_row_entry(r) for r in index.collect()]
 
 
 def _live_entries(spark: SparkSession, root: str, version: int) -> list[dict]:
@@ -687,21 +731,84 @@ def _live_entries(spark: SparkSession, root: str, version: int) -> list[dict]:
     driver. O(files) BY DESIGN — only for maintenance (vacuum) and
     tests; queries and merges go through :func:`_index_df`."""
     res = _resolve(spark, root, version)
-    out = []
-    for r in _index_df(spark, root, res).collect():
-        stats: dict[str, list] = {}
-        for m in ("stats_i", "stats_d", "stats_s"):
-            for col, bounds in (r[m] or {}).items():
-                stats[col] = list(bounds)
-        out.append(
-            {"dir": r["dir"], "path": r["path"], "rows": r["rows"],
-             "stats": stats}
-        )
-    return out
+    return [_row_entry(r) for r in _index_df(spark, root, res).collect()]
 
 
 def _paths(root: str, refs) -> list[str]:
     return [f"{root}/{DATA_DIR}/{d}/{p}" for d, p in refs]
+
+
+def _rm(entries: list[dict]) -> list[tuple[str, str]]:
+    return [(e["dir"], e["path"]) for e in entries]
+
+
+def _nrows(entries: list[dict]) -> int:
+    return sum(e["rows"] for e in entries)
+
+
+#: physical row identity staged by _snapshot_read(keep_identity=True):
+#: (commit dir, file name, row index within the file)
+_ID_COLS = ("__dv_dir", "__dv_path", "__dv_ri")
+
+
+def _snapshot_read(
+    spark: SparkSession,
+    root: str,
+    seg: dict,
+    entries: list[dict],
+    keep_identity: bool = False,
+) -> DataFrame | None:
+    """The LIVE rows of these entries — the one read path every
+    consumer (snapshot reads, rewrite merges, finding scans,
+    compaction) goes through once deletion vectors exist. Plain files
+    are one parquet scan; DV'd files scan with their physical row
+    identity (``_metadata.row_index`` — stable: the position within
+    the file, row-group skipping included) and ANTI-JOIN their
+    deletion-vector rows, so a delete that touched 100 rows of a 1 GiB
+    file costs a 100-row join at read time, not a file rewrite at
+    commit time. The DV frame is the deleted-row set — small by
+    construction; AQE broadcasts it (OPTIMIZE purges DVs physically
+    when it rewrites). ``keep_identity=True`` keeps the
+    (dir, path, row_index) identity columns on the output (DV writers
+    need them); returns None for an empty entry list."""
+    plain = [e for e in entries if not e.get("dv")]
+    dved = [e for e in entries if e.get("dv")]
+    frames = []
+    ident = [
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2)
+        .alias(_ID_COLS[0]),
+        F.col("_metadata.file_name").alias(_ID_COLS[1]),
+        F.col("_metadata.row_index").alias(_ID_COLS[2]),
+    ]
+    if plain:
+        df = _reader(spark, seg).parquet(
+            *_paths(root, [(e["dir"], e["path"]) for e in plain])
+        )
+        if keep_identity:
+            df = df.select("*", *ident)
+        frames.append(df)
+    if dved:
+        data = _reader(spark, seg).parquet(
+            *_paths(root, [(e["dir"], e["path"]) for e in dved])
+        ).select("*", *ident)
+        dv_dirs = sorted({e["dv"]["dir"] for e in dved})
+        dvf = spark.read.schema(
+            "dir string, path string, row_index bigint"
+        ).parquet(*[f"{root}/{DV_DIR}/{d}" for d in dv_dirs]).select(
+            F.col("dir").alias(_ID_COLS[0]),
+            F.col("path").alias(_ID_COLS[1]),
+            F.col("row_index").alias(_ID_COLS[2]),
+        )
+        live = data.join(dvf, list(_ID_COLS), "left_anti")
+        if not keep_identity:
+            live = live.drop(*_ID_COLS)
+        frames.append(live)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
 
 
 def _write_checkpoint(spark: SparkSession, root: str, version: int) -> None:
@@ -736,6 +843,8 @@ def _commit(
     extra: dict | None = None,
     prev: dict | None = None,
     cdf: DataFrame | str | None = None,
+    add_entries: list[dict] | None = None,
+    schema_json_override: str | None = None,
 ) -> int:
     # The commit version is PINNED to the snapshot the caller resolved
     # (prev) — never re-read at publish time. Re-reading would silently
@@ -765,7 +874,10 @@ def _commit(
     # collide with a later commit's errorifexists write (orphans are
     # unreferenced and vacuumable)
     commit_dir = f"{root}/{DATA_DIR}/commit-v{version}-{uuid.uuid4().hex[:8]}"
-    new_files: list[dict] = []
+    # BY-REFERENCE adds (restore): the commit re-links entries whose
+    # data files already exist under other commits' dirs — zero data
+    # movement, the entries carry their original (dir, path) identity
+    new_files: list[dict] = list(add_entries or [])
     # SCHEMA lives in the log (the lakehouse contract): readers plan
     # against it instead of merging 10^6 footers, old files missing a
     # later-added column surface NULLs through it, and each snapshot
@@ -775,9 +887,11 @@ def _commit(
     schema_json = (
         _evolve_schema(prev_schema, df.schema) if df is not None else prev_schema
     )
+    if schema_json_override is not None:
+        schema_json = schema_json_override
     if df is not None:
         df.write.mode("errorifexists").parquet(commit_dir)
-        new_files = _file_entries(commit_dir, stats_cols)
+        new_files = new_files + _file_entries(commit_dir, stats_cols)
     # changefeed capture (Delta CDF shape): change rows are written
     # AT COMMIT TIME, when the merge already knows which rows changed
     # — reconstructing them later would mean diffing whole snapshots.
@@ -956,14 +1070,14 @@ def read_version(
                 f"(stats_cols={seg['stats_cols']})"
             )
         lo, hi = _bound(key_range[0]), _bound(key_range[1])
-    refs = _pruned_refs(spark, root, res, key_col, lo, hi)
-    paths = _paths(root, [(d, p) for d, p, _ in refs])
-    schema = _manifest_schema(seg)
-    if not paths:
+    entries = _pruned_entries(spark, root, res, key_col, lo, hi)
+    out = _snapshot_read(spark, root, seg, entries)
+    if out is None:
+        schema = _manifest_schema(seg)
         if schema is not None:
             return spark.createDataFrame([], schema)
         return spark.createDataFrame([], "dummy string").limit(0)
-    return _reader(spark, seg).parquet(*paths)
+    return out
 
 
 def commit_upsert(
@@ -1000,18 +1114,19 @@ def commit_upsert(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-    touched = _pruned_refs(spark, root, res, key_col, lo, hi)
+    touched = _pruned_entries(spark, root, res, key_col, lo, hi)
     n_kept = seg["total_files"] - len(touched)
     cached = []
     cdf_frame = None
     try:
         if touched:
-            paths = _paths(root, [(d, pth) for d, pth, _ in touched])
             # survivors read through the manifest schema (_reader);
             # allowMissingColumns lets updates ADD a column — survivors
             # surface NULL for it (widen-only schema evolution; the
-            # omit-a-column direction raised above)
-            touched_read = _reader(spark, seg).parquet(*paths)
+            # omit-a-column direction raised above). _snapshot_read
+            # applies any deletion vectors, so a rewrite of a DV'd
+            # file physically purges its deleted rows.
+            touched_read = _snapshot_read(spark, root, seg, touched)
             if changefeed:
                 touched_read = touched_read.persist()
                 cached.append(touched_read)
@@ -1049,8 +1164,8 @@ def commit_upsert(
             merged,
             "upsert",
             seg["stats_cols"],
-            removes=[(d, pth) for d, pth, _ in touched],
-            removed_rows=sum(n for _, _, n in touched),
+            removes=_rm(touched),
+            removed_rows=_nrows(touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -1061,40 +1176,37 @@ def commit_upsert(
 
 
 def _touched_by_predicate(
-    spark: SparkSession, root: str, seg: dict, refs: list[tuple], predicate
-) -> list[tuple]:
-    """The live files holding ≥1 row where ``predicate`` IS TRUE —
+    spark: SparkSession, root: str, seg: dict, refs: list[dict], predicate
+) -> list[dict]:
+    """The live files holding ≥1 LIVE row where ``predicate`` IS TRUE —
     Delta's DELETE/UPDATE file-finding scan. One predicate-pushed scan
     over the snapshot (only the predicate's columns are read; parquet
-    row-group stats skip inside files) collecting DISTINCT matched
-    file identities, O(matched files) on the driver. Files are matched
-    back to their refs by (commit-dir, filename) — commit dirs are
-    uuid-unique, filenames unique within a dir."""
-    import posixpath
-
-    paths = _paths(root, [(d, p) for d, p, _ in refs])
-    if not paths:
+    row-group stats skip inside files; deletion vectors applied, so a
+    file whose only matches are already DV-deleted is NOT touched)
+    collecting DISTINCT matched file identities, O(matched files) on
+    the driver. Files are matched back to their entries by
+    (commit-dir, filename) — commit dirs are uuid-unique, filenames
+    unique within a dir."""
+    if not refs:
         return []
+    live = _snapshot_read(spark, root, seg, refs, keep_identity=True)
     matched = (
-        _reader(spark, seg)
-        .parquet(*paths)
-        .where(predicate)
-        .select(F.col("_metadata.file_path").alias("fp"))
+        live.where(predicate)
+        .select(*_ID_COLS[:2])
         .distinct()
         .collect()
     )
-    by_key = {(d, p): (d, p, n) for d, p, n in refs}
+    by_key = {(e["dir"], e["path"]): e for e in refs}
     out = []
     for r in matched:
-        parts = r["fp"].rstrip("/").split("/")
-        key = (parts[-2], parts[-1])
+        key = (r[_ID_COLS[0]], r[_ID_COLS[1]])
         if key not in by_key:
             raise RuntimeError(
-                f"matched file {r['fp']} not in the resolved snapshot "
+                f"matched file {key} not in the resolved snapshot "
                 "(concurrent vacuum?)"
             )
         out.append(by_key[key])
-    out.sort()
+    out.sort(key=lambda e: (e["dir"], e["path"]))
     return out
 
 
@@ -1103,19 +1215,35 @@ def commit_delete_where(
     root: str,
     predicate: str,
     changefeed: bool = False,
+    mode: str = "rewrite",
 ) -> tuple[int, int, int, int]:
     """Predicate DELETE as a COMMIT (Delta's ``DELETE FROM t WHERE p``
     — the GDPR/takedown shape a 100 TB corpus table needs: "drop every
     row from domain X" without knowing keys): find the files holding
-    ≥1 matching row via one predicate-pushed scan, rewrite ONLY those
-    files keeping their non-matching rows, carry every other file by
-    reference. SQL DELETE semantics exactly: a row is deleted iff the
-    predicate is TRUE — NULL-valued predicates KEEP the row (the
+    ≥1 matching row via one predicate-pushed scan, then either
+
+    - ``mode="rewrite"`` (copy-on-write, the default): rewrite ONLY
+      those files keeping their non-matching rows, carry every other
+      file by reference; or
+    - ``mode="dv"`` (merge-on-read, Delta's DELETION VECTORS): write
+      the matched rows' physical identities ((commit dir, file,
+      row_index)) as a deletion-vector parquet and re-add the touched
+      entries BY REFERENCE with the DV attached — deleting 100 rows
+      from a terabyte of files costs O(matched rows), not a rewrite.
+      Readers anti-join the DV (see :func:`_snapshot_read`);
+      :func:`optimize` purges DVs physically when it rewrites. A
+      second DV delete on the same file unions into a fresh DV (one
+      DV ref per entry). File stats stay as written — conservative,
+      never wrong.
+
+    SQL DELETE semantics exactly in both modes: a row is deleted iff
+    the predicate is TRUE — NULL-valued predicates KEEP the row (the
     ``NOT coalesce(p, false)`` keep-side, iron rule 9's explicitness).
 
     Returns ``(new_version, files_rewritten, files_carried,
-    rows_deleted)``; a predicate matching nothing is a NO-OP returning
-    the current version with no commit (nothing to conflict with).
+    rows_deleted)`` (``files_rewritten`` is 0 in dv mode — every file
+    carries); a predicate matching nothing is a NO-OP returning the
+    current version with no commit (nothing to conflict with).
     ``changefeed=True`` records the deleted rows (``delete``) for
     :func:`table_changes` / :func:`stream_table_changes`.
 
@@ -1123,19 +1251,23 @@ def commit_delete_where(
     the predicate is arbitrary — but the finding scan reads only the
     predicate's columns and pushes row-group skipping, so the cost is
     a metadata-light pass, not a rewrite."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
     pred = F.expr(predicate)
-    refs = _pruned_refs(spark, root, res)
+    refs = _pruned_entries(spark, root, res)
+    if mode == "dv":
+        return _delete_where_dv(spark, root, cur, seg, refs, pred,
+                                changefeed)
     touched = _touched_by_predicate(spark, root, seg, refs, pred)
     if not touched:
         return cur, 0, len(refs), 0
     n_kept = seg["total_files"] - len(touched)
-    paths = _paths(root, [(d, p) for d, p, _ in touched])
-    touched_read = _reader(spark, seg).parquet(*paths)
+    touched_read = _snapshot_read(spark, root, seg, touched)
     keep = touched_read.where(~F.coalesce(pred, F.lit(False)))
     cached = []
     cdf_frame = None
@@ -1153,8 +1285,8 @@ def commit_delete_where(
             keep,
             "delete",
             seg["stats_cols"],
-            removes=[(d, p) for d, p, _ in touched],
-            removed_rows=sum(n for _, _, n in touched),
+            removes=_rm(touched),
+            removed_rows=_nrows(touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -1165,12 +1297,118 @@ def commit_delete_where(
     return v, len(touched), n_kept, n_deleted
 
 
+def _delete_where_dv(
+    spark: SparkSession,
+    root: str,
+    cur: int,
+    seg: dict,
+    refs: list[dict],
+    pred,
+    changefeed: bool,
+) -> tuple[int, int, int, int]:
+    """The merge-on-read DELETE leg: one DV-applied scan finds the
+    matched LIVE rows; their identities (plus the touched files'
+    existing DV rows — each entry points at exactly ONE dv dir) land
+    in a fresh deletion-vector parquet; the touched entries re-commit
+    by reference with rows debited and the DV attached."""
+    if not refs:
+        return cur, 0, 0, 0
+    live = _snapshot_read(spark, root, seg, refs, keep_identity=True)
+    matched = live.where(F.coalesce(pred, F.lit(False)))
+    if not changefeed:
+        # column-prune the scan to predicate + identity columns
+        matched = matched.select(*_ID_COLS)
+    matched = matched.persist()
+    try:
+        per_file = {
+            (r[_ID_COLS[0]], r[_ID_COLS[1]]): r["__n"]
+            for r in matched.groupBy(*_ID_COLS[:2])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        if not per_file:
+            return cur, 0, len(refs), 0
+        by_key = {(e["dir"], e["path"]): e for e in refs}
+        touched = sorted(
+            (by_key[k] for k in per_file),
+            key=lambda e: (e["dir"], e["path"]),
+        )
+        dv_frames = [
+            matched.select(
+                F.col(_ID_COLS[0]).alias("dir"),
+                F.col(_ID_COLS[1]).alias("path"),
+                F.col(_ID_COLS[2]).alias("row_index"),
+            )
+        ]
+        with_old = [e for e in touched if e.get("dv")]
+        if with_old:
+            old = spark.read.schema(
+                "dir string, path string, row_index bigint"
+            ).parquet(*sorted(
+                {f"{root}/{DV_DIR}/{e['dv']['dir']}" for e in with_old}
+            ))
+            # keep only rows of the files re-pointing at the new DV (a
+            # dv dir is shared per commit; other files keep their ref)
+            keys = spark.createDataFrame(
+                [(e["dir"], e["path"]) for e in with_old],
+                "dir string, path string",
+            )
+            dv_frames.append(
+                old.join(F.broadcast(keys), ["dir", "path"], "left_semi")
+            )
+        dv_all = dv_frames[0]
+        for f in dv_frames[1:]:
+            dv_all = dv_all.unionByName(f)
+        dv_dir = f"v{cur + 1}-{uuid.uuid4().hex[:8]}"
+        dv_path = f"{root}/{DV_DIR}/{dv_dir}"
+        dv_all.write.mode("errorifexists").parquet(dv_path)
+        new_entries = []
+        for e in touched:
+            n_new = per_file[(e["dir"], e["path"])]
+            ne = dict(e)
+            ne["rows"] = e["rows"] - n_new
+            ne["dv"] = {
+                "dir": dv_dir,
+                "rows": (e.get("dv") or {}).get("rows", 0) + n_new,
+            }
+            new_entries.append(ne)
+        cdf_frame = (
+            matched.drop(*_ID_COLS).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            if changefeed
+            else None
+        )
+        try:
+            v = _commit(
+                spark,
+                root,
+                None,
+                "delete",
+                seg["stats_cols"],
+                removes=_rm(touched),
+                removed_rows=_nrows(touched),
+                prev=seg,
+                cdf=cdf_frame,
+                add_entries=new_entries,
+            )
+        except RuntimeError:
+            # losing writer: reclaim the never-referenced DV dir
+            fs, _ = _hadoop_fs(spark, root)
+            fs.delete(_jpath(spark, dv_path), True)
+            raise
+    finally:
+        matched.unpersist()
+    return v, 0, seg["total_files"], sum(per_file.values())
+
+
 def commit_update_where(
     spark: SparkSession,
     root: str,
     predicate: str,
     set_exprs: dict[str, str],
     changefeed: bool = False,
+    mode: str = "rewrite",
 ) -> tuple[int, int, int]:
     """Predicate UPDATE as a COMMIT (Delta's ``UPDATE t SET ... WHERE
     p``): same touched-file discovery as :func:`commit_delete_where`,
@@ -1182,7 +1420,13 @@ def commit_update_where(
     UPDATE never evolves schema. Returns ``(new_version,
     files_rewritten, files_carried)``; no matches → NO-OP.
     ``changefeed=True`` records ``update_preimage``/
-    ``update_postimage`` pairs."""
+    ``update_postimage`` pairs. ``mode="dv"`` is the merge-on-read
+    leg (Delta's deletion-vector UPDATE): matched rows DV-delete in
+    place and their post-images append as a new file — no touched
+    file rewrites, the commit moves O(matched rows); see
+    :func:`commit_delete_where` for the DV contract."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -1212,13 +1456,16 @@ def commit_update_where(
             ]
         )
 
-    refs = _pruned_refs(spark, root, res)
+    refs = _pruned_entries(spark, root, res)
+    if mode == "dv":
+        return _update_where_dv(
+            spark, root, cur, seg, refs, pred, apply_set, changefeed
+        )
     touched = _touched_by_predicate(spark, root, seg, refs, pred)
     if not touched:
         return cur, 0, len(refs)
     n_kept = seg["total_files"] - len(touched)
-    paths = _paths(root, [(d, p) for d, p, _ in touched])
-    touched_read = _reader(spark, seg).parquet(*paths)
+    touched_read = _snapshot_read(spark, root, seg, touched)
     cached = []
     cdf_frame = None
     try:
@@ -1241,8 +1488,8 @@ def commit_update_where(
             merged,
             "update",
             seg["stats_cols"],
-            removes=[(d, p) for d, p, _ in touched],
-            removed_rows=sum(n for _, _, n in touched),
+            removes=_rm(touched),
+            removed_rows=_nrows(touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -1250,6 +1497,510 @@ def commit_update_where(
         for c in cached:
             c.unpersist()
     return v, len(touched), n_kept
+
+
+def _update_where_dv(
+    spark: SparkSession,
+    root: str,
+    cur: int,
+    seg: dict,
+    refs: list[dict],
+    pred,
+    apply_set,
+    changefeed: bool,
+) -> tuple[int, int, int]:
+    """The merge-on-read UPDATE leg (Delta's DV update): the matched
+    LIVE rows are DV-deleted in place and their post-images append as
+    a NEW data file in the same commit — the touched files never
+    rewrite; the commit moves O(matched rows)."""
+    if not refs:
+        return cur, 0, 0
+    live = _snapshot_read(spark, root, seg, refs, keep_identity=True)
+    matched = live.where(F.coalesce(pred, F.lit(False))).persist()
+    try:
+        per_file = {
+            (r[_ID_COLS[0]], r[_ID_COLS[1]]): r["__n"]
+            for r in matched.groupBy(*_ID_COLS[:2])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        if not per_file:
+            return cur, 0, len(refs)
+        by_key = {(e["dir"], e["path"]): e for e in refs}
+        touched = sorted(
+            (by_key[k] for k in per_file),
+            key=lambda e: (e["dir"], e["path"]),
+        )
+        dv_frames = [
+            matched.select(
+                F.col(_ID_COLS[0]).alias("dir"),
+                F.col(_ID_COLS[1]).alias("path"),
+                F.col(_ID_COLS[2]).alias("row_index"),
+            )
+        ]
+        with_old = [e for e in touched if e.get("dv")]
+        if with_old:
+            old = spark.read.schema(
+                "dir string, path string, row_index bigint"
+            ).parquet(*sorted(
+                {f"{root}/{DV_DIR}/{e['dv']['dir']}" for e in with_old}
+            ))
+            keys = spark.createDataFrame(
+                [(e["dir"], e["path"]) for e in with_old],
+                "dir string, path string",
+            )
+            dv_frames.append(
+                old.join(F.broadcast(keys), ["dir", "path"], "left_semi")
+            )
+        dv_all = dv_frames[0]
+        for f in dv_frames[1:]:
+            dv_all = dv_all.unionByName(f)
+        dv_dir = f"v{cur + 1}-{uuid.uuid4().hex[:8]}"
+        dv_path = f"{root}/{DV_DIR}/{dv_dir}"
+        dv_all.write.mode("errorifexists").parquet(dv_path)
+        new_entries = []
+        for e in touched:
+            n_new = per_file[(e["dir"], e["path"])]
+            ne = dict(e)
+            ne["rows"] = e["rows"] - n_new
+            ne["dv"] = {
+                "dir": dv_dir,
+                "rows": (e.get("dv") or {}).get("rows", 0) + n_new,
+            }
+            new_entries.append(ne)
+        pre = matched.drop(*_ID_COLS)
+        post = apply_set(pre)
+        cdf_frame = (
+            pre.withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            )
+            if changefeed
+            else None
+        )
+        try:
+            v = _commit(
+                spark,
+                root,
+                post,
+                "update",
+                seg["stats_cols"],
+                removes=_rm(touched),
+                removed_rows=_nrows(touched),
+                prev=seg,
+                cdf=cdf_frame,
+                add_entries=new_entries,
+            )
+        except RuntimeError:
+            fs, _ = _hadoop_fs(spark, root)
+            fs.delete(_jpath(spark, dv_path), True)
+            raise
+    finally:
+        matched.unpersist()
+    return v, 0, seg["total_files"]
+
+
+def _clause_flag(cond: str | None, ctx_expr) -> "F.Column":
+    """A merge clause's applicability as a Column: the clause context
+    (matched / not-matched / not-matched-by-source) AND the user
+    condition, NULL-explicit — a NULL condition is NOT TRUE and must
+    not fire the clause (iron rule 9)."""
+    c = ctx_expr
+    if cond is not None:
+        c = c & F.coalesce(F.expr(cond), F.lit(False))
+    return c
+
+
+def commit_merge(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key_col: str,
+    matched: list[dict] | None = None,
+    not_matched: list[dict] | None = None,
+    not_matched_by_source: list[dict] | None = None,
+    changefeed: bool = False,
+) -> tuple[int, int, int]:
+    """General MERGE INTO as a COMMIT (Delta's ``MERGE`` — reference
+    has only broadcast joins, `/root/reference/amadeus-core/src/
+    par_stream/join.rs`; this is the lakehouse operator a 100 TB
+    incremental corpus pipeline upserts/expires/backfills with).
+    Matching is equality on ``key_col`` (the stats-prunable case);
+    clause lists run in order, FIRST-true clause wins per row, rows
+    hitting no clause pass through (matched) or are skipped (source):
+
+    - ``matched``: ``{"action": "update", "set": {col: expr},
+      "condition": expr|None}`` or ``{"action": "delete",
+      "condition": expr|None}``. Conditions and SET expressions see
+      BOTH rows as ``t.<col>`` / ``s.<col>`` (every SET sees the
+      pre-update row — one simultaneous select, UPDATE semantics).
+    - ``not_matched``: ``{"action": "insert", "values": {col: expr}|
+      None, "condition": expr|None}`` — expressions over the SOURCE
+      row (bare column names); ``values=None`` is ``INSERT *`` by
+      name (source must carry every table column); an explicit
+      ``values`` dict fills unlisted columns with NULL.
+    - ``not_matched_by_source``: update/delete clauses over TARGET
+      rows no source key matches — bare target column names
+      (Delta's WHEN NOT MATCHED BY SOURCE).
+
+    Copy-on-write with FILE-LEVEL pruning: files whose ``key_col``
+    stats range intersects the source's key range rewrite (plus, when
+    not_matched_by_source clauses exist, files holding >=1 row
+    matching their OR'd conditions — found by one predicate-pushed
+    scan); every other file carries by reference. Raises if >1 source
+    row matches one target row while a matched clause exists (Delta's
+    cardinality error — the result would be nondeterministic).
+    UPDATE/INSERT never evolve schema (expressions cast to the
+    manifest column type). Returns ``(new_version, files_rewritten,
+    files_carried)``. ``changefeed=True`` records ``insert`` /
+    ``update_preimage`` / ``update_postimage`` / ``delete`` rows for
+    :func:`table_changes` / :func:`stream_table_changes`."""
+    matched = list(matched or [])
+    not_matched = list(not_matched or [])
+    nmbs = list(not_matched_by_source or [])
+    if not (matched or not_matched or nmbs):
+        raise ValueError("merge needs at least one WHEN clause")
+    for cl in matched + nmbs:
+        if cl.get("action") not in ("update", "delete"):
+            raise ValueError(f"matched/by-source action must be "
+                             f"update|delete, got {cl.get('action')!r}")
+    for cl in not_matched:
+        if cl.get("action", "insert") != "insert":
+            raise ValueError("not_matched clauses can only insert")
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    if key_col not in seg["stats_cols"]:
+        raise ValueError(
+            f"{key_col} has no manifest stats (stats_cols="
+            f"{seg['stats_cols']}); re-create the table with it"
+        )
+    schema = _manifest_schema(seg)
+    fields = {f.name: f.dataType for f in schema.fields}
+    for cl in matched + nmbs:
+        unknown = set(cl.get("set") or {}) - set(fields)
+        if unknown:
+            raise ValueError(
+                f"SET columns not in the table schema: {sorted(unknown)}"
+                f" (MERGE never evolves schema; columns: {sorted(fields)})"
+            )
+    if any(cl.get("values") is None for cl in not_matched):
+        _require_full_rows(schema, source.columns, "INSERT * source")
+    # source feeds 4 consumers (bounds, cardinality check, the matched
+    # join, the insert anti-join) — persist, never re-execute upstream
+    source = source.persist()
+    cached: list[DataFrame] = [source]
+    cdf_frame = None
+    try:
+        bounds = source.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).collect()[0]
+        lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
+        refs = _pruned_entries(spark, root, res)
+        if lo is None:  # all-NULL or empty source: no key can match
+            key_files: list[dict] = []
+        else:
+            key_files = _pruned_entries(spark, root, res, key_col, lo, hi)
+        # the REWRITE set (files removed + rewritten) is distinct from
+        # the key-scan set: an insert-only merge rewrites NOTHING —
+        # key_files are only read (key column alone) to anti-join
+        rewrite: dict[tuple, dict] = {}
+        if matched or nmbs:
+            rewrite.update({(e["dir"], e["path"]): e for e in key_files})
+        if nmbs:
+            # a by-source clause can touch rows in ANY file: one
+            # predicate-pushed scan finds files holding >=1 row where
+            # the OR of the clause conditions could fire
+            conds = [cl.get("condition") for cl in nmbs]
+            if any(c is None for c in conds):
+                hit = refs
+            else:
+                pred = F.coalesce(F.expr(conds[0]), F.lit(False))
+                for c in conds[1:]:
+                    pred = pred | F.coalesce(F.expr(c), F.lit(False))
+                hit = _touched_by_predicate(spark, root, seg, refs, pred)
+            rewrite.update({(e["dir"], e["path"]): e for e in hit})
+        touched = sorted(
+            rewrite.values(), key=lambda e: (e["dir"], e["path"])
+        )
+        n_kept = seg["total_files"] - len(touched)
+        key_type = fields[key_col]
+        if key_files:
+            # DV-applied: an already-deleted row's key must neither
+            # block an insert nor trip the cardinality check
+            key_read = _snapshot_read(spark, root, seg, key_files)
+            # matched-clause cardinality: >1 source row hitting one
+            # target row makes update/delete nondeterministic (Delta
+            # raises; so do we). Only source keys that actually match
+            # count — a duplicated INSERT key is two legitimate inserts.
+            if matched:
+                dup_keys = (
+                    source.groupBy(key_col)
+                    .agg(F.count(F.lit(1)).alias("__n"))
+                    .where("__n > 1")
+                    .select(key_col)
+                )
+                if not key_read.select(key_col).join(
+                    dup_keys, key_col, "left_semi"
+                ).isEmpty():
+                    raise ValueError(
+                        "merge cardinality violation: >1 source row "
+                        f"matches one target row on {key_col} while a "
+                        "matched clause exists (nondeterministic result)"
+                    )
+            tkeys = key_read.select(key_col).distinct()
+        else:
+            tkeys = spark.createDataFrame(
+                [], _st.StructType([_st.StructField(key_col, key_type)])
+            )
+        touched_read = (
+            _snapshot_read(spark, root, seg, touched) if touched else None
+        )
+
+        # ---- rewritten target rows (matched + not-matched-by-source)
+        rewritten = None
+        upd_clauses = []  # (flag column name, set dict or None-for-delete)
+        if touched_read is not None:
+            t = touched_read
+            # stage by-source flags/values on the TARGET frame first:
+            # their expressions use bare target column names, which go
+            # ambiguous after the join (source carries the same names)
+            for i, cl in enumerate(nmbs):
+                t = t.withColumn(
+                    f"__nc_{i}", _clause_flag(cl.get("condition"), F.lit(True))
+                )
+                for col, ex in (cl.get("set") or {}).items():
+                    t = t.withColumn(
+                        f"__nv_{i}_{col}", F.expr(ex).cast(fields[col])
+                    )
+            j = t.alias("t").join(
+                source.withColumn("__s_matched", F.lit(True)).alias("s"),
+                F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
+                "left_outer",
+            )
+            is_matched = F.coalesce(F.col("s.__s_matched"), F.lit(False))
+            # first-true clause resolution: stage each clause's APPLIED
+            # flag as a column (no CSE across inlined copies otherwise)
+            prior = F.lit(False)
+            n_fl = 0
+            for i, cl in enumerate(matched):
+                fl = _clause_flag(cl.get("condition"), is_matched) & ~prior
+                j = j.withColumn(f"__fl_{n_fl}", fl)
+                prior = prior | F.col(f"__fl_{n_fl}")
+                upd_clauses.append(
+                    (f"__fl_{n_fl}",
+                     cl.get("set") if cl["action"] == "update" else None,
+                     "matched")
+                )
+                n_fl += 1
+            prior = F.lit(False)
+            for i, cl in enumerate(nmbs):
+                fl = (~is_matched) & F.col(f"t.__nc_{i}") & ~prior
+                j = j.withColumn(f"__fl_{n_fl}", fl)
+                prior = prior | F.col(f"__fl_{n_fl}")
+                upd_clauses.append(
+                    (f"__fl_{n_fl}",
+                     {c: f"t.__nv_{i}_{c}" for c in (cl.get("set") or {})}
+                     if cl["action"] == "update" else None,
+                     "nmbs")
+                )
+                n_fl += 1
+            del_any = F.lit(False)
+            upd_any = F.lit(False)
+            for fl, st, _ctx in upd_clauses:
+                if st is None:
+                    del_any = del_any | F.col(fl)
+                else:
+                    upd_any = upd_any | F.col(fl)
+            # ONE simultaneous select: every SET expression sees the
+            # pre-update row; results cast to the manifest column type
+            out_cols = []
+            for f in schema.fields:
+                v = F.col(f"t.{f.name}")
+                for fl, st, ctx in upd_clauses:
+                    if st and f.name in st:
+                        ex = (F.col(st[f.name]) if ctx == "nmbs"
+                              else F.expr(st[f.name]).cast(f.dataType))
+                        v = F.when(F.col(fl), ex).otherwise(v)
+                out_cols.append(v.alias(f.name))
+            j = j.select(
+                *out_cols,
+                del_any.alias("__del"),
+                upd_any.alias("__upd"),
+                *[F.col(f"t.{f.name}").alias(f"__pre_{f.name}")
+                  for f in schema.fields],
+            )
+            if changefeed:
+                j = j.persist()
+                cached.append(j)
+            rewritten = j.where(~F.col("__del")).select(
+                *[F.col(f.name) for f in schema.fields]
+            )
+
+        # ---- inserts (not matched by target)
+        ins_rows = None
+        if not_matched:
+            ins_src = source.join(tkeys, key_col, "left_anti")
+            prior = F.lit(False)
+            flags = []
+            for i, cl in enumerate(not_matched):
+                fl = _clause_flag(cl.get("condition"), F.lit(True)) & ~prior
+                ins_src = ins_src.withColumn(f"__ic_{i}", fl)
+                prior = prior | F.col(f"__ic_{i}")
+                flags.append(f"__ic_{i}")
+            any_fl = F.lit(False)
+            for fl in flags:
+                any_fl = any_fl | F.col(fl)
+            ins_cols = []
+            for f in schema.fields:
+                v = F.lit(None).cast(f.dataType)
+                for i, cl in enumerate(not_matched):
+                    vals = cl.get("values")
+                    ex = (F.col(f.name) if vals is None
+                          else (F.expr(vals[f.name]) if f.name in vals
+                                else F.lit(None)))
+                    v = F.when(F.col(flags[i]), ex.cast(f.dataType)) \
+                         .otherwise(v)
+                ins_cols.append(v.alias(f.name))
+            ins_rows = ins_src.where(any_fl).select(*ins_cols)
+            if changefeed:
+                ins_rows = ins_rows.persist()
+                cached.append(ins_rows)
+
+        parts = [p for p in (rewritten, ins_rows) if p is not None]
+        if not parts:
+            return cur, 0, len(refs)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        if changefeed:
+            ch = []
+            if rewritten is not None:
+                pre_cols = [F.col(f"__pre_{f.name}").alias(f.name)
+                            for f in schema.fields]
+                fin_cols = [F.col(f.name) for f in schema.fields]
+                ch.append(j.where(F.col("__upd")).select(
+                    *pre_cols, F.lit("update_preimage").alias("_change_type")))
+                ch.append(j.where(F.col("__upd")).select(
+                    *fin_cols, F.lit("update_postimage").alias("_change_type")))
+                ch.append(j.where(F.col("__del")).select(
+                    *pre_cols, F.lit("delete").alias("_change_type")))
+            if ins_rows is not None:
+                ch.append(ins_rows.withColumn(
+                    "_change_type", F.lit("insert")))
+            cdf_frame = ch[0]
+            for c in ch[1:]:
+                cdf_frame = cdf_frame.unionByName(c)
+        v = _commit(
+            spark,
+            root,
+            merged,
+            "merge",
+            seg["stats_cols"],
+            removes=_rm(touched),
+            removed_rows=_nrows(touched),
+            prev=seg,
+            cdf=cdf_frame,
+        )
+    finally:
+        for c in cached:
+            c.unpersist()
+    return v, len(touched), n_kept
+
+
+def restore_version(
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    as_of_ts: float | _dt.datetime | None = None,
+    changefeed: bool = False,
+) -> tuple[int, int, int]:
+    """RESTORE TABLE ... TO VERSION AS OF (Delta's RESTORE): a new
+    commit whose live-file set IS the target snapshot's — entirely BY
+    REFERENCE (the add entries point at the files where they already
+    sit; zero data movement), so rolling a 100 TB table back to
+    yesterday costs O(files-diff) manifest bytes, not a rewrite. The
+    commit is a normal optimistic commit: history is preserved (you
+    can restore the restore away), concurrent writers collide, and the
+    restored snapshot carries the TARGET's schema (rolling back a
+    widen-only evolution with it).
+
+    Only RETAINED versions restore: vacuum's cutoff guards file
+    existence (a kept log segment implies its snapshot's files were
+    kept — the same contract as :func:`read_version`). Returns
+    ``(new_version, files_relinked, files_removed)``; restoring to the
+    current state is a NO-OP returning the current version.
+
+    ``changefeed=True`` records the LOGICAL row diff (multiset:
+    target-minus-current as ``insert``, current-minus-target as
+    ``delete``) so CDF consumers see the rollback; requires the target
+    and current schemas to match (a restore across schema evolution
+    has no well-defined row diff — raise, never guess)."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_as_of(spark, root, as_of_ts)
+    if version is None:
+        raise ValueError("restore_version needs version or as_of_ts")
+    if version == cur:
+        return cur, 0, 0
+    target_seg = _read_manifest(spark, root, version)  # raises if vacuumed
+    cur_seg = _read_manifest(spark, root, cur)
+    def _ekey(e: dict) -> tuple:
+        # FULL entry identity: a DV delete re-points the SAME physical
+        # (dir, path) at a new deletion vector — restore must treat
+        # that as a different entry (remove + re-add rolls the DV
+        # back), not an unchanged file
+        dv = e.get("dv") or {}
+        return (e["dir"], e["path"], dv.get("dir"), dv.get("rows"),
+                e["rows"])
+
+    target_entries = {
+        _ekey(e): e for e in _live_entries(spark, root, version)
+    }
+    cur_entries = {
+        _ekey(e): e for e in _live_entries(spark, root, cur)
+    }
+    adds = [e for k, e in sorted(target_entries.items())
+            if k not in cur_entries]
+    removed_keys = sorted(k for k in cur_entries if k not in target_entries)
+    removes = [(k[0], k[1]) for k in removed_keys]
+    cdf_frame = None
+    if changefeed:
+        if target_seg.get("schema") != cur_seg.get("schema"):
+            raise ValueError(
+                "restore changefeed across schema evolution is not "
+                "well-defined; restore with changefeed=False"
+            )
+        tgt_df = read_version(spark, root, version)
+        cur_df = read_version(spark, root, cur)
+        cdf_frame = tgt_df.exceptAll(cur_df).withColumn(
+            "_change_type", F.lit("insert")
+        ).unionByName(
+            cur_df.exceptAll(tgt_df).withColumn(
+                "_change_type", F.lit("delete")
+            )
+        )
+    v = _commit(
+        spark,
+        root,
+        None,
+        "restore",
+        target_seg["stats_cols"],
+        removes=[list(k) for k in removes],
+        removed_rows=sum(cur_entries[k]["rows"] for k in removed_keys),
+        extra={"restored_version": version},
+        prev=cur_seg,
+        cdf=cdf_frame,
+        add_entries=adds,
+        schema_json_override=target_seg.get("schema"),
+    )
+    return v, len(adds), len(removes)
 
 
 def apply_changes(
@@ -1338,13 +2089,13 @@ def apply_changes(
         # micro-batch must not pay a createDataFrame+collect job to
         # filter a handful of in-memory entries; index-DataFrame
         # _prune above it (lo=None → all files)
-        touched = _pruned_refs(spark, root, res, key_col, lo, hi)
+        touched = _pruned_entries(spark, root, res, key_col, lo, hi)
         cdf_frame = None
         if touched:
-            paths = _paths(root, [(d, pth) for d, pth, _ in touched])
             # manifest-schema read + allowMissingColumns: same widen-
-            # only schema-evolution contract as commit_upsert
-            touched_read = _reader(spark, seg).parquet(*paths)
+            # only schema-evolution contract as commit_upsert;
+            # _snapshot_read applies any deletion vectors
+            touched_read = _snapshot_read(spark, root, seg, touched)
             if changefeed:
                 # one scan feeds survivors AND preimages
                 touched_read = touched_read.persist()
@@ -1388,8 +2139,8 @@ def apply_changes(
             merged,
             "cdc",
             seg["stats_cols"],
-            removes=[(d, pth) for d, pth, _ in touched],
-            removed_rows=sum(n for _, _, n in touched),
+            removes=_rm(touched),
+            removed_rows=_nrows(touched),
             extra=extra_meta,
             prev=seg,
             cdf=cdf_frame,
@@ -1448,12 +2199,14 @@ def optimize(
         info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
         sized.append((e, info.size or 0))
     if incremental:
+        # DV'd files always qualify: compacting them PURGES their
+        # deletion vectors physically (Delta's REORG ... APPLY PURGE)
         rewrite = [
             (e, sz)
             for e, sz in sized
-            if sz < small_file_mb * 1024 * 1024
+            if sz < small_file_mb * 1024 * 1024 or e.get("dv")
         ]
-        if len(rewrite) <= 1:
+        if len(rewrite) <= 1 and not any(e.get("dv") for e, _ in rewrite):
             return cur, seg["total_files"], seg["total_files"]
     else:
         rewrite = sized
@@ -1462,8 +2215,7 @@ def optimize(
     n_out = n_files or max(1, _math.ceil(total / (target_mb * 1024 * 1024)))
     stats_cols = seg["stats_cols"]
     if incremental:
-        paths = _paths(root, [(e["dir"], e["path"]) for e, _ in rewrite])
-        df = _reader(spark, seg).parquet(*paths)
+        df = _snapshot_read(spark, root, seg, [e for e, _ in rewrite])
     else:
         df = read_version(spark, root, cur)
     if zorder_cols:
@@ -1575,10 +2327,13 @@ def vacuum(
                         f"failed ({exc}); nothing was deleted"
                     ) from exc
     keep_refs: set[tuple[str, str]] = set()
+    kept_dv: set[str] = set()
     for v in range(cutoff, cur + 1):
         try:
             for e in _live_entries(spark, root, v):
                 keep_refs.add((e["dir"], e["path"]))
+                if e.get("dv"):
+                    kept_dv.add(e["dv"]["dir"])
         except (FileNotFoundError, OSError):
             continue  # already vacuumed under a narrower keep window
     kept_dirs = {d for d, _ in keep_refs}
@@ -1609,6 +2364,14 @@ def vacuum(
     if fs.exists(cdir):
         for st in fs.listStatus(cdir):
             if st.getPath().getName() not in kept_cdf:
+                fs.delete(st.getPath(), True)
+    # deletion-vector dirs: keep only those a KEPT snapshot's live
+    # entries reference — superseded DVs (a newer DV delete re-pointed
+    # the entry) and losing-commit orphans go with the history
+    vdir = _jpath(spark, f"{root}/{DV_DIR}")
+    if fs.exists(vdir):
+        for st in fs.listStatus(vdir):
+            if st.getPath().getName() not in kept_dv:
                 fs.delete(st.getPath(), True)
     n_data = 0
     ddir = _jpath(spark, f"{root}/{DATA_DIR}")

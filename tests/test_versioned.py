@@ -917,7 +917,7 @@ def test_interposed_commit_surfaces_as_conflict(spark, root, monkeypatch):
     resurrect the interposed commit's removed rows / drop its adds
     (the merge was planned against the older snapshot)."""
     V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
-    real = V._pruned_refs
+    real = V._pruned_entries
     state = {"done": False}
 
     def hook(*a, **k):
@@ -930,7 +930,7 @@ def test_interposed_commit_surfaces_as_conflict(spark, root, monkeypatch):
             )
         return real(*a, **k)
 
-    monkeypatch.setattr(V, "_pruned_refs", hook)
+    monkeypatch.setattr(V, "_pruned_entries", hook)
     with pytest.raises(RuntimeError, match="concurrent commit"):
         V.commit_upsert(spark, root, _df(spark, 0, 3, "new"), "k")
     # the interposed writer's commit is intact; the loser left nothing
@@ -1270,3 +1270,493 @@ def test_update_where_simultaneous_sets_and_cdf(spark, root, tmp_path):
     assert {t for _, t, _ in rows} == {
         "update_preimage", "update_postimage", "delete"
     }
+
+
+# ------------------------------------------------------------- MERGE
+
+
+def _merge_base(spark, root):
+    """10 keys in 3 range-partitioned files, stats on k."""
+    base = spark.createDataFrame(
+        [(i, i * 10, "b") for i in range(10)],
+        "k bigint, val bigint, tag string",
+    ).repartitionByRange(3, "k")
+    V.commit_append(spark, root, base, ["k"])
+
+
+def test_merge_full_clause_surface(spark, root):
+    """Every MERGE clause kind in one commit: conditional matched
+    delete + unconditional matched update, two ordered not-matched
+    insert clauses (first-true wins; explicit values fill unlisted
+    columns with NULL-then-cast), and not-matched-by-source delete +
+    conditional update. NULL source keys never match (SQL equality)
+    and fall through to the insert clauses."""
+    _merge_base(spark, root)
+    src = spark.createDataFrame(
+        [(2, 99, "s"), (3, 100, "s"), (12, 7, "s"), (13, 3, "s"),
+         (None, 1, "s")],
+        "k bigint, val bigint, tag string",
+    )
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, "k",
+        matched=[
+            {"action": "delete", "condition": "s.val >= 100"},
+            {"action": "update",
+             "set": {"val": "t.val + s.val", "tag": "'upd'"}},
+        ],
+        not_matched=[
+            {"action": "insert", "condition": "val > 5", "values": None},
+            {"action": "insert",
+             "values": {"k": "k", "val": "val * 2", "tag": "'ins2'"}},
+        ],
+        not_matched_by_source=[
+            {"action": "delete", "condition": "k = 9"},
+            {"action": "update", "condition": "k = 8",
+             "set": {"tag": "'stale'"}},
+        ],
+    )
+    assert v == 1 and rewritten == 3 and carried == 0
+    got = {tuple(r) for r in V.read_version(spark, root).collect()}
+    assert got == {
+        (0, 0, "b"), (1, 10, "b"), (2, 119, "upd"), (4, 40, "b"),
+        (5, 50, "b"), (6, 60, "b"), (7, 70, "b"), (8, 80, "stale"),
+        (12, 7, "s"), (13, 6, "ins2"), (None, 2, "ins2"),
+    }
+
+
+def test_merge_changefeed_rows(spark, root):
+    _merge_base(spark, root)
+    src = spark.createDataFrame(
+        [(2, 99, "s"), (3, 100, "s"), (12, 7, "s")],
+        "k bigint, val bigint, tag string",
+    )
+    v, _, _ = V.commit_merge(
+        spark, root, src, "k",
+        matched=[
+            {"action": "delete", "condition": "s.val >= 100"},
+            {"action": "update", "set": {"val": "s.val"}},
+        ],
+        not_matched=[{"action": "insert", "values": None}],
+        not_matched_by_source=[
+            {"action": "delete", "condition": "k = 9"}],
+        changefeed=True,
+    )
+    ch = V.table_changes(spark, root, v, v).collect()
+    got = sorted((r["k"], r["_change_type"], r["val"]) for r in ch)
+    assert got == [
+        (2, "update_postimage", 99), (2, "update_preimage", 20),
+        (3, "delete", 30), (9, "delete", 90), (12, "insert", 7),
+    ]
+
+
+def test_merge_cardinality_and_insert_only(spark, root):
+    """>1 source row matching one target row with a matched clause is
+    Delta's cardinality error; the same duplication is two legitimate
+    inserts for an insert-only merge — which must rewrite (and REMOVE)
+    no files at all, and must not resurrect or duplicate an existing
+    key."""
+    _merge_base(spark, root)
+    dup = spark.createDataFrame(
+        [(2, 1, "x"), (2, 2, "y")], "k bigint, val bigint, tag string")
+    with pytest.raises(ValueError, match="cardinality"):
+        V.commit_merge(spark, root, dup, "k",
+                       matched=[{"action": "delete"}])
+    src = spark.createDataFrame(
+        [(50, 1, "x"), (50, 2, "y"), (2, 5, "z")],
+        "k bigint, val bigint, tag string",
+    )
+    before = {(e["dir"], e["path"])
+              for e in V._live_entries(spark, root, 0)}
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, "k",
+        not_matched=[{"action": "insert", "values": None}],
+    )
+    assert rewritten == 0 and carried == 3
+    after = V._live_entries(spark, root, v)
+    assert before <= {(e["dir"], e["path"]) for e in after}
+    df = V.read_version(spark, root)
+    assert df.where("k = 50").count() == 2
+    assert df.where("k = 2").count() == 1
+    assert df.count() == 12
+
+
+def test_merge_prunes_by_file_stats(spark, root):
+    """Only files whose key stats intersect the source range rewrite;
+    the rest carry by reference (the upsert pruning discipline)."""
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id * 2 AS val").coalesce(1),
+            ["k"],
+        )
+    src = spark.range(250, 253).selectExpr("id AS k", "id AS val")
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, "k",
+        matched=[{"action": "update", "set": {"val": "s.val"}}],
+    )
+    assert rewritten == 1 and carried == 3
+    got = {r["k"]: r["val"]
+           for r in V.read_version(spark, root)
+           .where("k >= 248 and k < 255").collect()}
+    assert got == {248: 496, 249: 498, 250: 250, 251: 251,
+                   252: 252, 253: 506, 254: 508}
+
+
+def test_merge_nmbs_touches_only_condition_files(spark, root):
+    """A conditional not-matched-by-source clause expands the rewrite
+    set via ONE predicate-pushed scan — only files holding matching
+    rows rewrite, not the whole table."""
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id * 2 AS val").coalesce(1),
+            ["k"],
+        )
+    src = spark.createDataFrame([(5, 1)], "k bigint, val bigint")
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, "k",
+        matched=[{"action": "update", "set": {"val": "s.val"}}],
+        not_matched_by_source=[
+            {"action": "delete", "condition": "k = 350"}],
+    )
+    # file [0,100) via key range + file [300,400) via the nmbs scan
+    assert rewritten == 2 and carried == 2
+    df = V.read_version(spark, root)
+    assert df.where("k = 350").count() == 0
+    assert df.where("k = 5").head()["val"] == 1
+    assert df.count() == 399
+
+
+def test_merge_null_condition_never_fires(spark, root):
+    """A clause condition evaluating to NULL is NOT TRUE — the row
+    falls through to the next clause / passes unchanged (iron rule 9,
+    SQL CASE semantics)."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(1, None), (2, 5)], "k bigint, val bigint"),
+        ["k"],
+    )
+    src = spark.createDataFrame([(1, 7), (2, 7)], "k bigint, val bigint")
+    V.commit_merge(
+        spark, root, src, "k",
+        matched=[
+            {"action": "delete", "condition": "t.val > 3"},  # NULL on k=1
+            {"action": "update", "set": {"val": "s.val"}},
+        ],
+    )
+    got = {r["k"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert got == {1: 7}  # k=2 deleted; k=1 fell through to update
+
+
+def test_merge_schema_validation(spark, root):
+    _merge_base(spark, root)
+    src = spark.createDataFrame([(1, 2)], "k bigint, val bigint")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        V.commit_merge(spark, root, src, "k",
+                       matched=[{"action": "update",
+                                 "set": {"bogus": "1"}}])
+    with pytest.raises(ValueError, match="omits existing table columns"):
+        V.commit_merge(spark, root, src, "k",
+                       not_matched=[{"action": "insert", "values": None}])
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        V.commit_merge(spark, root, src, "k")
+
+
+# ----------------------------------------------------------- RESTORE
+
+
+def test_restore_by_reference(spark, root):
+    """RESTORE relinks the target snapshot's files without touching
+    data: the restored live set IS the target's (same (dir, path)
+    identities), totals and schema roll back, and history keeps both
+    the rolled-back commits and the restore itself."""
+    V.commit_append(spark, root, _df(spark, 0, 100, "a"), ["k"])
+    V.commit_append(spark, root, _df(spark, 100, 150, "b"))
+    V.commit_upsert(spark, root, _df(spark, 10, 20, "upd"), "k")
+    v1_entries = {(e["dir"], e["path"])
+                  for e in V._live_entries(spark, root, 1)}
+    rv, relinked, removed = V.restore_version(spark, root, version=1)
+    assert rv == 3 and removed > 0
+    after = {(e["dir"], e["path"]) for e in V._live_entries(spark, root, rv)}
+    assert after == v1_entries
+    df = V.read_version(spark, root)
+    assert df.count() == 150
+    assert df.where("v = 'upd'").count() == 0
+    hist = V.history(spark, root)
+    assert [h["op"] for h in hist] == [
+        "append", "append", "upsert", "restore"]
+    assert hist[-1]["n_rows"] == 150
+    # the restore is itself restorable (history is preserved)
+    V.restore_version(spark, root, version=2)
+    assert V.read_version(spark, root).where("v = 'upd'").count() == 10
+
+
+def test_restore_changefeed_logical_diff(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 5, "a"), ["k"])
+    V.commit_upsert(spark, root, _df(spark, 3, 7, "new"), "k")
+    rv, _, _ = V.restore_version(spark, root, version=0, changefeed=True)
+    ch = V.table_changes(spark, root, rv, rv).collect()
+    got = sorted((r["k"], r["v"], r["_change_type"]) for r in ch)
+    assert got == [
+        (3, "a", "insert"), (3, "new", "delete"),
+        (4, "a", "insert"), (4, "new", "delete"),
+        (5, "new", "delete"), (6, "new", "delete"),
+    ]
+
+
+def test_restore_guards(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 5, "a"), ["k"])
+    cur = V.current_version(spark, root)
+    assert V.restore_version(spark, root, version=cur) == (cur, 0, 0)
+    with pytest.raises(ValueError, match="version or as_of_ts"):
+        V.restore_version(spark, root)
+    # schema evolution between target and current: changefeed diff is
+    # undefined and must raise rather than guess
+    V.commit_upsert(
+        spark, root,
+        spark.range(0, 5).selectExpr(
+            "id AS k", "'z' AS v", "id AS extra"),
+        "k",
+    )
+    with pytest.raises(ValueError, match="schema evolution"):
+        V.restore_version(spark, root, version=0, changefeed=True)
+    # without changefeed the rollback (incl. schema) is fine
+    rv, _, _ = V.restore_version(spark, root, version=0)
+    assert V.read_version(spark, root).columns == ["k", "v"]
+
+
+def test_restore_vacuumed_version_raises(spark, root):
+    for i in range(4):
+        V.commit_append(spark, root, _df(spark, i * 10, i * 10 + 10, "a"),
+                        ["k"])
+    V.vacuum(spark, root, keep_last=2)
+    with pytest.raises((FileNotFoundError, OSError)):
+        V.restore_version(spark, root, version=0)
+    rv, _, _ = V.restore_version(spark, root, version=2)
+    assert V.read_version(spark, root).count() == 30
+
+
+def test_merge_interposed_commit_conflicts(spark, root, monkeypatch):
+    """A commit landing between a merge's snapshot resolution and its
+    publish collides ('concurrent commit') — the pinned-version
+    contract covers commit_merge too."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    real = V._pruned_entries
+    state = {"done": False}
+
+    def hook(*a, **k):
+        if not state["done"]:
+            state["done"] = True
+            V.commit_upsert(
+                spark, root, _df(spark, 5, 8, "mid").coalesce(1), "k"
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(V, "_pruned_entries", hook)
+    src = spark.createDataFrame([(1, "z")], "k bigint, v string")
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.commit_merge(
+            spark, root, src, "k",
+            matched=[{"action": "update", "set": {"v": "s.v"}}],
+        )
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert got[5] == "mid" and got[1] == "a"
+    assert V.current_version(spark, root) == 1
+
+
+def test_merge_partitioning_invariance(spark, root):
+    """The merged state is independent of the SOURCE's physical
+    partitioning (the §5 local/dist parity discipline)."""
+    results = []
+    for i, part in enumerate((1, 7)):
+        r = str(root) + f"-{i}"
+        V.commit_append(
+            spark, r,
+            spark.range(0, 50).selectExpr("id AS k", "id AS val")
+            .repartitionByRange(3, "k"),
+            ["k"],
+        )
+        src = spark.range(30, 70).selectExpr(
+            "id AS k", "id * 3 AS val").repartition(part)
+        V.commit_merge(
+            spark, r, src, "k",
+            matched=[
+                {"action": "delete", "condition": "s.val % 9 = 0"},
+                {"action": "update", "set": {"val": "s.val"}},
+            ],
+            not_matched=[{"action": "insert", "values": None}],
+            not_matched_by_source=[
+                {"action": "delete", "condition": "k % 13 = 1"}],
+        )
+        results.append(sorted(
+            tuple(row) for row in V.read_version(spark, r).collect()
+        ))
+    assert results[0] == results[1]
+
+
+# ---------------------------------------------------- DELETION VECTORS
+
+
+def _dv_base(spark, root):
+    """400 rows, 4 single-file range commits with k stats."""
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id * 2 AS val").coalesce(1),
+            ["k"],
+        )
+
+
+def test_dv_delete_rewrites_nothing(spark, root):
+    """A DV delete re-points the touched entries at a deletion vector
+    — the SAME physical files stay live (by identity), reads exclude
+    exactly the matched rows, totals debit, and time travel to the
+    pre-delete snapshot still sees everything."""
+    _dv_base(spark, root)
+    before = {(e["dir"], e["path"])
+              for e in V._live_entries(spark, root, 3)}
+    v, rewritten, carried, n_del = V.commit_delete_where(
+        spark, root, "k % 100 < 3 AND k < 200", mode="dv")
+    assert rewritten == 0 and carried == 4 and n_del == 6
+    after = V._live_entries(spark, root, v)
+    assert {(e["dir"], e["path"]) for e in after} == before
+    dvd = [e for e in after if e.get("dv")]
+    assert len(dvd) == 2 and all(e["dv"]["rows"] == 3 for e in dvd)
+    assert sum(e["rows"] for e in after) == 394
+    df = V.read_version(spark, root)
+    assert df.count() == 394
+    assert df.where("k in (0, 1, 2, 100, 101, 102)").count() == 0
+    assert df.where("k = 3").head()["val"] == 6
+    # the pre-delete snapshot is untouched (merge-on-read, not rewrite)
+    assert V.read_version(spark, root, 3).count() == 400
+    hist = V.history(spark, root)
+    assert hist[-1]["op"] == "delete" and hist[-1]["n_rows"] == 394
+
+
+def test_dv_second_delete_unions_and_noop_skips_deleted(spark, root):
+    """A second DV delete on the same file unions into a fresh DV
+    (one DV ref per entry); a predicate matching ONLY already-deleted
+    rows is a no-op (the finding scan reads live rows)."""
+    _dv_base(spark, root)
+    V.commit_delete_where(spark, root, "k = 5", mode="dv")
+    v2 = V.commit_delete_where(spark, root, "k = 7", mode="dv")[0]
+    e = [x for x in V._live_entries(spark, root, v2) if x.get("dv")]
+    assert len(e) == 1 and e[0]["dv"]["rows"] == 2
+    df = V.read_version(spark, root)
+    assert df.count() == 398 and df.where("k in (5, 7)").count() == 0
+    # no-op: every matching row is already deleted
+    cur = V.current_version(spark, root)
+    v3, rw, car, n = V.commit_delete_where(spark, root, "k = 5", mode="dv")
+    assert v3 == cur and n == 0
+    # rewrite-mode delete on the same rows is also a no-op
+    v4 = V.commit_delete_where(spark, root, "k = 7")
+    assert v4[0] == cur and v4[3] == 0
+
+
+def test_dv_update_appends_postimages(spark, root):
+    """DV update: matched rows DV-delete in place, post-images append
+    as a new file; every SET sees the pre-update row."""
+    _dv_base(spark, root)
+    v, rewritten, carried = V.commit_update_where(
+        spark, root, "k % 100 = 50", {"val": "val + k"}, mode="dv")
+    assert rewritten == 0 and carried == 4
+    df = V.read_version(spark, root)
+    assert df.count() == 400
+    got = {r["k"]: r["val"] for r in df.where("k % 100 = 50").collect()}
+    assert got == {50: 150, 150: 450, 250: 750, 350: 1050}
+    ent = V._live_entries(spark, root, v)
+    # 4 carried (dv'd) + the post-image file(s); new-file count follows
+    # the post plan's partitioning, their ROWS are pinned
+    dvd = [e for e in ent if e.get("dv")]
+    assert len(dvd) == 4
+    assert sum(e["rows"] for e in ent if not e.get("dv")) == 4
+
+
+def test_dv_rewrite_paths_never_resurrect(spark, root):
+    """Every rewrite consumer (upsert / predicate update / merge)
+    reads through the DV anti-join — a rewritten file must not
+    resurrect its deleted rows, and a source key equal to a deleted
+    key re-INSERTS (the key is gone)."""
+    _dv_base(spark, root)
+    V.commit_delete_where(spark, root, "k in (10, 210)", mode="dv")
+    # upsert rewrites the [0,100) file: k=10 must stay gone
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(20, -1)], "k bigint, val bigint"), "k")
+    df = V.read_version(spark, root)
+    assert df.where("k = 10").count() == 0
+    assert df.where("k = 20").head()["val"] == -1
+    # the rewritten file dropped its dv ref; [200,300) still carries it
+    ent = V._live_entries(spark, root, V.current_version(spark, root))
+    assert sum(1 for e in ent if e.get("dv")) == 1
+    # merge insert-only: a deleted key is NOT matched -> insert lands
+    v, rw, _ = V.commit_merge(
+        spark, root,
+        spark.createDataFrame([(210, 999)], "k bigint, val bigint"),
+        "k", not_matched=[{"action": "insert", "values": None}])
+    assert rw == 0
+    assert V.read_version(spark, root).where("k = 210").head()["val"] == 999
+
+
+def test_dv_optimize_purges(spark, root):
+    """Incremental OPTIMIZE always rewrites DV'd files (REORG APPLY
+    PURGE): the compacted snapshot has no DV refs, same live rows; a
+    subsequent vacuum reclaims the now-unreferenced DV dirs."""
+    import os as _os
+
+    _dv_base(spark, root)
+    V.commit_delete_where(spark, root, "k % 2 = 1", mode="dv")
+    assert V.read_version(spark, root).count() == 200
+    v, nb, na = V.optimize(spark, root, small_file_mb=0.0001)
+    ent = V._live_entries(spark, root, v)
+    assert not any(e.get("dv") for e in ent)
+    df = V.read_version(spark, root)
+    assert df.count() == 200 and df.where("k % 2 = 1").count() == 0
+    V.vacuum(spark, root, keep_last=1)
+    dv_root = _os.path.join(str(root), V.DV_DIR)
+    assert not _os.path.exists(dv_root) or not _os.listdir(dv_root)
+    assert V.read_version(spark, root).count() == 200
+
+
+def test_dv_changefeed_and_time_travel_restore(spark, root):
+    """DV delete/update capture CDF rows like the rewrite modes;
+    restore relinks DV'd entries (dv ref included) by reference."""
+    _dv_base(spark, root)
+    vd = V.commit_delete_where(
+        spark, root, "k = 42", mode="dv", changefeed=True)[0]
+    vu = V.commit_update_where(
+        spark, root, "k = 43", {"val": "0"}, mode="dv", changefeed=True)[0]
+    ch = V.table_changes(spark, root, vd, vu).collect()
+    got = sorted((r["k"], r["_change_type"], r["val"]) for r in ch)
+    assert got == [
+        (42, "delete", 84),
+        (43, "update_postimage", 0), (43, "update_preimage", 86),
+    ]
+    pre = V.current_version(spark, root)
+    # live k<50 rows: 0..49 minus deleted 42, minus 43's dv'd preimage,
+    # plus 43's appended post-image = 49
+    V.commit_delete_where(spark, root, "k < 50", mode="dv")
+    assert V.read_version(spark, root).count() == 350
+    rv, _, _ = V.restore_version(spark, root, version=pre)
+    df = V.read_version(spark, root)
+    assert df.count() == 399  # k=42 still deleted, k<50 back
+    assert df.where("k = 42").count() == 0
+    assert df.where("k = 43").head()["val"] == 0
+
+
+def test_dv_survives_checkpoint(spark, root):
+    """DV refs round-trip through the parquet checkpoint index (the
+    10^6-file resolution path), and pruned reads stay DV-correct."""
+    _dv_base(spark, root)
+    v = V.commit_delete_where(spark, root, "k = 250", mode="dv")[0]
+    V._write_checkpoint(spark, root, v)
+    res = V._resolve(spark, root, v)
+    assert res["ckpt"] == v
+    ent = V._pruned_entries(spark, root, res)
+    assert sum(1 for e in ent if e.get("dv")) == 1
+    df = V.read_version(spark, root, v, key_range=(240, 260), key_col="k")
+    assert df.count() == 99 and df.where("k = 250").count() == 0
