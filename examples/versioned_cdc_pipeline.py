@@ -101,6 +101,51 @@ def main(sf_dir: str) -> None:
         )
         print(f"v{uv}: UPDATE WHERE backfilled quality ({n_rw} files)")
 
+        # 4b. merge-on-read DML (deletion vectors): the same takedown,
+        #     but O(matched rows) instead of a file rewrite — matched
+        #     row identities land in _deletion_vectors/, every file
+        #     carries by reference; readers anti-join, OPTIMIZE purges.
+        dvv, n_rw, n_carried, n_del = V.commit_delete_where(
+            spark, root, "lang = 'fr' AND doc_id % 13 = 0", mode="dv"
+        )
+        print(
+            f"v{dvv}: DV DELETE removed {n_del} rows with "
+            f"{n_rw} rewrites ({n_carried} files carried)"
+        )
+
+        # 4c. general MERGE INTO: a re-crawl batch — re-texted docs
+        #     update, stale low-quality matches drop, brand-new docs
+        #     insert — one commit, full Delta clause surface.
+        recrawl = V.read_version(spark, root).filter(
+            "doc_id % 89 = 0"
+        ).selectExpr(
+            "doc_id", "lang",
+            "concat(text, ' [crawl3]') AS text",
+            "CAST(0.9 AS DOUBLE) AS quality",
+        ).unionByName(
+            spark.createDataFrame(
+                [(10_000_001, "en", "fresh doc", 0.8)],
+                "doc_id long, lang string, text string, quality double",
+            )
+        )
+        mv, n_rw, n_carried = V.commit_merge(
+            spark, root, recrawl, "doc_id",
+            matched=[
+                {"action": "delete", "condition": "t.quality < 0.05"},
+                {"action": "update",
+                 "set": {"text": "s.text", "quality": "s.quality"}},
+            ],
+            not_matched=[{"action": "insert", "values": None}],
+        )
+        print(f"v{mv}: MERGE rewrote {n_rw} files ({n_carried} carried)")
+
+        # 4d. oops — roll the merge back, BY REFERENCE (no data moves),
+        #     then roll the rollback back (history is preserved).
+        rv, relinked, removed = V.restore_version(spark, root, version=mv - 1)
+        print(f"v{rv}: RESTORE to v{mv - 1} relinked {relinked}, "
+              f"removed {removed} entries")
+        V.restore_version(spark, root, version=mv)
+
         # 5. timestamp time travel: read the table as of the instant
         #    the CDC stream finished — the pre-takedown state.
         ts_cdc = V.history(spark, root)[cur]["ts"]

@@ -1760,3 +1760,16 @@ def test_dv_survives_checkpoint(spark, root):
     assert sum(1 for e in ent if e.get("dv")) == 1
     df = V.read_version(spark, root, v, key_range=(240, 260), key_col="k")
     assert df.count() == 99 and df.where("k = 250").count() == 0
+
+
+def test_dv_read_plan_broadcasts_the_vector(spark, root):
+    """The DV anti-join must plan as a BROADCAST join (the vector is
+    the deleted-row set — small by construction) with no cartesian /
+    nested-loop fallback, and the data scan must stay a parquet
+    FileScan (pushdown-capable)."""
+    _dv_base(spark, root)
+    V.commit_delete_where(spark, root, "k % 97 = 1", mode="dv")
+    plan = V.read_version(spark, root)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
