@@ -711,10 +711,16 @@ def _pruned_entries(
     key_col: str | None = None,
     lo=None,
     hi=None,
+    slim: bool = False,
 ) -> list[dict]:
     """Full entry dicts (dir/path/rows/stats/dv) of a resolved
     snapshot, optionally pruned — same hybrid driver/index routing as
-    :func:`_pruned_refs` (which is now a thin view over this)."""
+    :func:`_pruned_refs` (which is now a thin view over this).
+    ``slim=True`` (read paths: they only need identity/rows/dv) skips
+    collecting the three per-file stats maps through the checkpoint
+    index — at the 10^6-file regime the hot read path must not pay
+    driver deserialization for stats it discards; only writers that
+    RE-ADD entries (DV legs, restore) need the full form."""
     if res["ckpt"] is None:
         adds = res["adds"]
         if lo is not None and key_col is not None:
@@ -723,6 +729,16 @@ def _pruned_entries(
     index = _index_df(spark, root, res)
     if lo is not None and key_col is not None:
         index = _prune(index, key_col, lo, hi)
+    if slim:
+        out = []
+        for r in index.select(
+            "dir", "path", "rows", "dv_dir", "dv_rows"
+        ).collect():
+            e = {"dir": r["dir"], "path": r["path"], "rows": r["rows"]}
+            if r["dv_dir"] is not None:
+                e["dv"] = {"dir": r["dv_dir"], "rows": r["dv_rows"]}
+            out.append(e)
+        return out
     return [_row_entry(r) for r in index.collect()]
 
 
@@ -1070,7 +1086,8 @@ def read_version(
                 f"(stats_cols={seg['stats_cols']})"
             )
         lo, hi = _bound(key_range[0]), _bound(key_range[1])
-    entries = _pruned_entries(spark, root, res, key_col, lo, hi)
+    entries = _pruned_entries(spark, root, res, key_col, lo, hi,
+                              slim=True)
     out = _snapshot_read(spark, root, seg, entries)
     if out is None:
         schema = _manifest_schema(seg)
@@ -1114,7 +1131,8 @@ def commit_upsert(
         F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
     ).collect()[0]
     lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-    touched = _pruned_entries(spark, root, res, key_col, lo, hi)
+    touched = _pruned_entries(spark, root, res, key_col, lo, hi,
+                              slim=True)
     n_kept = seg["total_files"] - len(touched)
     cached = []
     cdf_frame = None
@@ -1297,6 +1315,88 @@ def commit_delete_where(
     return v, len(touched), n_kept, n_deleted
 
 
+def _stage_dv(
+    spark: SparkSession,
+    root: str,
+    cur: int,
+    refs: list[dict],
+    matched: DataFrame,
+) -> tuple[list[dict], dict, str, list[dict]] | None:
+    """Shared deletion-vector staging for the DV DELETE/UPDATE legs:
+    from the persisted ``matched`` frame (identity columns attached),
+    derive the per-file match counts, resolve the touched entries,
+    WRITE the fresh DV parquet (this commit's matches unioned with the
+    touched files' existing DV rows — each entry points at exactly ONE
+    dv dir), and build the re-add entries with rows debited and the DV
+    attached. Returns ``(touched, per_file, dv_path, new_entries)`` or
+    None when nothing matched."""
+    per_file = {
+        (r[_ID_COLS[0]], r[_ID_COLS[1]]): r["__n"]
+        for r in matched.groupBy(*_ID_COLS[:2])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    if not per_file:
+        return None
+    by_key = {(e["dir"], e["path"]): e for e in refs}
+    missing = [k for k in per_file if k not in by_key]
+    if missing:
+        raise RuntimeError(
+            f"matched file {missing[0]} not in the resolved snapshot "
+            "(concurrent vacuum?)"
+        )
+    touched = sorted(
+        (by_key[k] for k in per_file),
+        key=lambda e: (e["dir"], e["path"]),
+    )
+    dv_frames = [
+        matched.select(
+            F.col(_ID_COLS[0]).alias("dir"),
+            F.col(_ID_COLS[1]).alias("path"),
+            F.col(_ID_COLS[2]).alias("row_index"),
+        )
+    ]
+    with_old = [e for e in touched if e.get("dv")]
+    if with_old:
+        old = spark.read.schema(
+            "dir string, path string, row_index bigint"
+        ).parquet(*sorted(
+            {f"{root}/{DV_DIR}/{e['dv']['dir']}" for e in with_old}
+        ))
+        # keep only rows of the files re-pointing at the new DV (a
+        # dv dir is shared per commit; other files keep their ref)
+        keys = spark.createDataFrame(
+            [(e["dir"], e["path"]) for e in with_old],
+            "dir string, path string",
+        )
+        dv_frames.append(
+            old.join(F.broadcast(keys), ["dir", "path"], "left_semi")
+        )
+    dv_all = dv_frames[0]
+    for f in dv_frames[1:]:
+        dv_all = dv_all.unionByName(f)
+    dv_dir = f"v{cur + 1}-{uuid.uuid4().hex[:8]}"
+    dv_path = f"{root}/{DV_DIR}/{dv_dir}"
+    dv_all.write.mode("errorifexists").parquet(dv_path)
+    new_entries = []
+    for e in touched:
+        n_new = per_file[(e["dir"], e["path"])]
+        ne = dict(e)
+        ne["rows"] = e["rows"] - n_new
+        ne["dv"] = {
+            "dir": dv_dir,
+            "rows": (e.get("dv") or {}).get("rows", 0) + n_new,
+        }
+        new_entries.append(ne)
+    return touched, per_file, dv_path, new_entries
+
+
+def _drop_dv_dir(spark: SparkSession, dv_path: str) -> None:
+    """Losing writer: reclaim its never-referenced DV dir."""
+    fs, _ = _hadoop_fs(spark, dv_path)
+    fs.delete(_jpath(spark, dv_path), True)
+
+
 def _delete_where_dv(
     spark: SparkSession,
     root: str,
@@ -1308,9 +1408,8 @@ def _delete_where_dv(
 ) -> tuple[int, int, int, int]:
     """The merge-on-read DELETE leg: one DV-applied scan finds the
     matched LIVE rows; their identities (plus the touched files'
-    existing DV rows — each entry points at exactly ONE dv dir) land
-    in a fresh deletion-vector parquet; the touched entries re-commit
-    by reference with rows debited and the DV attached."""
+    existing DV rows) land in a fresh deletion-vector parquet via
+    :func:`_stage_dv`; the touched entries re-commit by reference."""
     if not refs:
         return cur, 0, 0, 0
     live = _snapshot_read(spark, root, seg, refs, keep_identity=True)
@@ -1320,58 +1419,10 @@ def _delete_where_dv(
         matched = matched.select(*_ID_COLS)
     matched = matched.persist()
     try:
-        per_file = {
-            (r[_ID_COLS[0]], r[_ID_COLS[1]]): r["__n"]
-            for r in matched.groupBy(*_ID_COLS[:2])
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        }
-        if not per_file:
+        staged = _stage_dv(spark, root, cur, refs, matched)
+        if staged is None:
             return cur, 0, len(refs), 0
-        by_key = {(e["dir"], e["path"]): e for e in refs}
-        touched = sorted(
-            (by_key[k] for k in per_file),
-            key=lambda e: (e["dir"], e["path"]),
-        )
-        dv_frames = [
-            matched.select(
-                F.col(_ID_COLS[0]).alias("dir"),
-                F.col(_ID_COLS[1]).alias("path"),
-                F.col(_ID_COLS[2]).alias("row_index"),
-            )
-        ]
-        with_old = [e for e in touched if e.get("dv")]
-        if with_old:
-            old = spark.read.schema(
-                "dir string, path string, row_index bigint"
-            ).parquet(*sorted(
-                {f"{root}/{DV_DIR}/{e['dv']['dir']}" for e in with_old}
-            ))
-            # keep only rows of the files re-pointing at the new DV (a
-            # dv dir is shared per commit; other files keep their ref)
-            keys = spark.createDataFrame(
-                [(e["dir"], e["path"]) for e in with_old],
-                "dir string, path string",
-            )
-            dv_frames.append(
-                old.join(F.broadcast(keys), ["dir", "path"], "left_semi")
-            )
-        dv_all = dv_frames[0]
-        for f in dv_frames[1:]:
-            dv_all = dv_all.unionByName(f)
-        dv_dir = f"v{cur + 1}-{uuid.uuid4().hex[:8]}"
-        dv_path = f"{root}/{DV_DIR}/{dv_dir}"
-        dv_all.write.mode("errorifexists").parquet(dv_path)
-        new_entries = []
-        for e in touched:
-            n_new = per_file[(e["dir"], e["path"])]
-            ne = dict(e)
-            ne["rows"] = e["rows"] - n_new
-            ne["dv"] = {
-                "dir": dv_dir,
-                "rows": (e.get("dv") or {}).get("rows", 0) + n_new,
-            }
-            new_entries.append(ne)
+        touched, per_file, dv_path, new_entries = staged
         cdf_frame = (
             matched.drop(*_ID_COLS).withColumn(
                 "_change_type", F.lit("delete")
@@ -1393,9 +1444,7 @@ def _delete_where_dv(
                 add_entries=new_entries,
             )
         except RuntimeError:
-            # losing writer: reclaim the never-referenced DV dir
-            fs, _ = _hadoop_fs(spark, root)
-            fs.delete(_jpath(spark, dv_path), True)
+            _drop_dv_dir(spark, dv_path)
             raise
     finally:
         matched.unpersist()
@@ -1518,56 +1567,10 @@ def _update_where_dv(
     live = _snapshot_read(spark, root, seg, refs, keep_identity=True)
     matched = live.where(F.coalesce(pred, F.lit(False))).persist()
     try:
-        per_file = {
-            (r[_ID_COLS[0]], r[_ID_COLS[1]]): r["__n"]
-            for r in matched.groupBy(*_ID_COLS[:2])
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        }
-        if not per_file:
+        staged = _stage_dv(spark, root, cur, refs, matched)
+        if staged is None:
             return cur, 0, len(refs)
-        by_key = {(e["dir"], e["path"]): e for e in refs}
-        touched = sorted(
-            (by_key[k] for k in per_file),
-            key=lambda e: (e["dir"], e["path"]),
-        )
-        dv_frames = [
-            matched.select(
-                F.col(_ID_COLS[0]).alias("dir"),
-                F.col(_ID_COLS[1]).alias("path"),
-                F.col(_ID_COLS[2]).alias("row_index"),
-            )
-        ]
-        with_old = [e for e in touched if e.get("dv")]
-        if with_old:
-            old = spark.read.schema(
-                "dir string, path string, row_index bigint"
-            ).parquet(*sorted(
-                {f"{root}/{DV_DIR}/{e['dv']['dir']}" for e in with_old}
-            ))
-            keys = spark.createDataFrame(
-                [(e["dir"], e["path"]) for e in with_old],
-                "dir string, path string",
-            )
-            dv_frames.append(
-                old.join(F.broadcast(keys), ["dir", "path"], "left_semi")
-            )
-        dv_all = dv_frames[0]
-        for f in dv_frames[1:]:
-            dv_all = dv_all.unionByName(f)
-        dv_dir = f"v{cur + 1}-{uuid.uuid4().hex[:8]}"
-        dv_path = f"{root}/{DV_DIR}/{dv_dir}"
-        dv_all.write.mode("errorifexists").parquet(dv_path)
-        new_entries = []
-        for e in touched:
-            n_new = per_file[(e["dir"], e["path"])]
-            ne = dict(e)
-            ne["rows"] = e["rows"] - n_new
-            ne["dv"] = {
-                "dir": dv_dir,
-                "rows": (e.get("dv") or {}).get("rows", 0) + n_new,
-            }
-            new_entries.append(ne)
+        touched, per_file, dv_path, new_entries = staged
         pre = matched.drop(*_ID_COLS)
         post = apply_set(pre)
         cdf_frame = (
@@ -1592,8 +1595,7 @@ def _update_where_dv(
                 add_entries=new_entries,
             )
         except RuntimeError:
-            fs, _ = _hadoop_fs(spark, root)
-            fs.delete(_jpath(spark, dv_path), True)
+            _drop_dv_dir(spark, dv_path)
             raise
     finally:
         matched.unpersist()
@@ -1686,6 +1688,16 @@ def commit_merge(
                 f"SET columns not in the table schema: {sorted(unknown)}"
                 f" (MERGE never evolves schema; columns: {sorted(fields)})"
             )
+    for cl in not_matched:
+        unknown = set(cl.get("values") or {}) - set(fields)
+        if unknown:
+            # a typo'd values key would otherwise be silently dropped
+            # and the intended column inserted as NULL
+            raise ValueError(
+                f"INSERT values columns not in the table schema: "
+                f"{sorted(unknown)} (MERGE never evolves schema; "
+                f"columns: {sorted(fields)})"
+            )
     if any(cl.get("values") is None for cl in not_matched):
         _require_full_rows(schema, source.columns, "INSERT * source")
     # source feeds 4 consumers (bounds, cardinality check, the matched
@@ -1698,16 +1710,21 @@ def commit_merge(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).collect()[0]
         lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-        refs = _pruned_entries(spark, root, res)
+        refs = _pruned_entries(spark, root, res, slim=True)
         if lo is None:  # all-NULL or empty source: no key can match
             key_files: list[dict] = []
         else:
-            key_files = _pruned_entries(spark, root, res, key_col, lo, hi)
+            key_files = _pruned_entries(
+                spark, root, res, key_col, lo, hi, slim=True
+            )
         # the REWRITE set (files removed + rewritten) is distinct from
-        # the key-scan set: an insert-only merge rewrites NOTHING —
-        # key_files are only read (key column alone) to anti-join
+        # the key-scan set: an insert-only merge rewrites NOTHING, and
+        # an nmbs-only merge rewrites ONLY the files its conditions hit
+        # (matched rows pass through — no matched clause can change
+        # them) — key_files are then only read (key column alone) for
+        # the anti-join / cardinality check
         rewrite: dict[tuple, dict] = {}
-        if matched or nmbs:
+        if matched:
             rewrite.update({(e["dir"], e["path"]): e for e in key_files})
         if nmbs:
             # a by-source clause can touch rows in ANY file: one
@@ -1729,8 +1746,13 @@ def commit_merge(
         key_type = fields[key_col]
         if key_files:
             # DV-applied: an already-deleted row's key must neither
-            # block an insert nor trip the cardinality check
+            # block an insert nor trip the cardinality check. tkeys
+            # feeds up to two consumers (cardinality check + insert
+            # anti-join) — persist the small distinct-key frame so the
+            # key-file scan runs once.
             key_read = _snapshot_read(spark, root, seg, key_files)
+            tkeys = key_read.select(key_col).distinct().persist()
+            cached.append(tkeys)
             # matched-clause cardinality: >1 source row hitting one
             # target row makes update/delete nondeterministic (Delta
             # raises; so do we). Only source keys that actually match
@@ -1742,15 +1764,14 @@ def commit_merge(
                     .where("__n > 1")
                     .select(key_col)
                 )
-                if not key_read.select(key_col).join(
-                    dup_keys, key_col, "left_semi"
+                if not dup_keys.join(
+                    tkeys, key_col, "left_semi"
                 ).isEmpty():
                     raise ValueError(
                         "merge cardinality violation: >1 source row "
                         f"matches one target row on {key_col} while a "
                         "matched clause exists (nondeterministic result)"
                     )
-            tkeys = key_read.select(key_col).distinct()
         else:
             tkeys = spark.createDataFrame(
                 [], _st.StructType([_st.StructField(key_col, key_type)])
@@ -1775,8 +1796,17 @@ def commit_merge(
                     t = t.withColumn(
                         f"__nv_{i}_{col}", F.expr(ex).cast(fields[col])
                     )
+            # without matched clauses the source side only marks
+            # is_matched (nmbs expressions are target-only) — join the
+            # DISTINCT keys, or a duplicate source key would fan a
+            # pass-through matched row out into duplicates
+            src_side = (
+                source
+                if matched
+                else source.select(key_col).distinct()
+            )
             j = t.alias("t").join(
-                source.withColumn("__s_matched", F.lit(True)).alias("s"),
+                src_side.withColumn("__s_matched", F.lit(True)).alias("s"),
                 F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
                 "left_outer",
             )
@@ -2089,7 +2119,8 @@ def apply_changes(
         # micro-batch must not pay a createDataFrame+collect job to
         # filter a handful of in-memory entries; index-DataFrame
         # _prune above it (lo=None → all files)
-        touched = _pruned_entries(spark, root, res, key_col, lo, hi)
+        touched = _pruned_entries(spark, root, res, key_col, lo, hi,
+                                  slim=True)
         cdf_frame = None
         if touched:
             # manifest-schema read + allowMissingColumns: same widen-

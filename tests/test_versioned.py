@@ -1773,3 +1773,44 @@ def test_dv_read_plan_broadcasts_the_vector(spark, root):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_merge_nmbs_only_neither_rewrites_keys_nor_duplicates(spark, root):
+    """An nmbs-only merge (no matched clause): duplicate source keys
+    must NOT fan pass-through matched rows into duplicates (the join
+    side collapses to distinct keys), and key-range files hit by no
+    nmbs condition must NOT rewrite."""
+    for lo in (0, 100, 200, 300):
+        V.commit_append(
+            spark, root,
+            spark.range(lo, lo + 100).selectExpr(
+                "id AS k", "id AS val").coalesce(1),
+            ["k"],
+        )
+    src = spark.createDataFrame(
+        [(5, 1), (5, 2), (350, 0)], "k bigint, val bigint")
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, "k",
+        not_matched_by_source=[
+            {"action": "delete", "condition": "k = 210"}],
+    )
+    # only the file holding k=210 rewrites — key-range files ([0,100)
+    # and [300,400)) carry untouched
+    assert rewritten == 1 and carried == 3
+    df = V.read_version(spark, root)
+    assert df.count() == 399
+    assert df.where("k = 5").count() == 1  # no fan-out duplicate
+    assert df.where("k = 210").count() == 0
+
+
+def test_merge_insert_values_validated(spark, root):
+    """A typo'd not_matched values column must raise, never silently
+    insert NULL into the intended column."""
+    _merge_base(spark, root)
+    src = spark.createDataFrame([(99, 1)], "k bigint, val bigint")
+    with pytest.raises(ValueError, match="values columns not in"):
+        V.commit_merge(
+            spark, root, src, "k",
+            not_matched=[{"action": "insert",
+                          "values": {"k": "k", "vall": "val"}}],
+        )
