@@ -2842,6 +2842,13 @@ _MG_DEL_MOD = 5  # matched delete: sval % 5 = 0
 _MG_INS_MOD = 3  # first insert clause: sval % 3 = 0
 _MG_NMBS_DEL = 7   # by-source delete: k % 999 = 7
 _MG_NMBS_UPD = 13  # by-source update: k % 999 = 13
+#: second merge (mode="dv", r11 session 2) — the deletion-vector merge
+#: leg chained on the first merge's state; same constants drive the
+#: relational reconstruction
+_MG2_SRC = "o_orderkey % 16 IN (1, 10)"
+_MG2_SVAL = "CAST(o_custkey % 500 AS BIGINT) + 3"
+_MG2_DEL_MOD = 9   # matched delete: sval2 % 9 = 0
+_MG2_NMBS_DEL = 77  # by-source delete: k % 999 = 77
 
 
 def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2851,12 +2858,16 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched delete, an unconditional matched update (SET sees both
     rows: t.val + s.sval), two ORDERED not-matched insert clauses
     (first-true wins), and not-matched-by-source delete + update —
-    with changefeed capture ON. Output = the final parquet state
-    aggregated per key-group UNION the change feed aggregated per
-    _change_type, so file pruning, clause resolution order, NULL
-    condition semantics AND the CDF pre/post split must all reproduce
-    the oracle's relational reconstruction to hash-match. Materializes
-    eagerly BY NATURE (commits are actions; the cdc_apply posture)."""
+    with changefeed capture ON; a SECOND merge then runs in
+    MERGE-ON-READ mode (mode="dv" — only clause-changed rows leave
+    their files via a deletion vector, post-images/inserts append), so
+    the final state is read through the DV anti-join. Output = the
+    final parquet state aggregated per key-group UNION both commits'
+    change feeds aggregated per _change_type, so file pruning, clause
+    resolution order, NULL condition semantics, DV staging AND the CDF
+    pre/post splits must all reproduce the oracle's relational
+    reconstruction to hash-match. Materializes eagerly BY NATURE
+    (commits are actions; the cdc_apply posture)."""
     import shutil
     import tempfile
 
@@ -2903,6 +2914,33 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             changefeed=True,
         )
+        # second merge in MERGE-ON-READ mode (deletion vectors): only
+        # the clause-changed rows leave their files; the final read
+        # crosses the DV anti-join, so dv-merge staging is externally
+        # hash-checked too
+        src2 = orders.filter(_MG2_SRC).selectExpr(
+            "o_orderkey AS k", f"{_MG2_SVAL} AS sval2"
+        )
+        v2, _, _ = V.commit_merge(
+            spark,
+            root,
+            src2,
+            "k",
+            matched=[
+                {"action": "delete",
+                 "condition": f"s.sval2 % {_MG2_DEL_MOD} = 0"},
+                {"action": "update", "set": {"val": "t.val + s.sval2"}},
+            ],
+            not_matched=[
+                {"action": "insert", "values": {"k": "k", "val": "sval2"}},
+            ],
+            not_matched_by_source=[
+                {"action": "delete",
+                 "condition": f"k % 999 = {_MG2_NMBS_DEL}"},
+            ],
+            changefeed=True,
+            mode="dv",
+        )
         aggs = [
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("val").cast("bigint").alias("sum_val"),
@@ -2923,7 +2961,14 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit("cdf").alias("section"), "grp", "n_rows",
                     "sum_val", "min_k", "max_k")
         )
-        rows = state.unionByName(cdf).collect()
+        cdf2 = (
+            V.table_changes(spark, root, v2, v2)
+            .groupBy(F.col("_change_type").alias("grp"))
+            .agg(*aggs)
+            .select(F.lit("cdf2").alias("section"), "grp", "n_rows",
+                    "sum_val", "min_k", "max_k")
+        )
+        rows = state.unionByName(cdf).unionByName(cdf2).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.createDataFrame(
@@ -4252,18 +4297,56 @@ def _merge_into_oracle() -> str:
             SELECT 'delete', k, oldval FROM acted WHERE act = 'delete'
             UNION ALL
             SELECT 'insert', k, val FROM ins
+        ), src2 AS (
+            SELECT o_orderkey AS k, {_MG2_SVAL} AS sval2
+            FROM orders WHERE {_MG2_SRC}
+        ), tgt2 AS (
+            SELECT f.k, f.val, s.sval2, s.k IS NOT NULL AS m
+            FROM fin f LEFT JOIN src2 s ON f.k = s.k
+        ), acted2 AS (
+            SELECT k, val AS oldval,
+                   CASE WHEN m AND coalesce(
+                            sval2 % {_MG2_DEL_MOD} = 0, false)
+                            THEN 'delete'
+                        WHEN m THEN 'update'
+                        WHEN k % 999 = {_MG2_NMBS_DEL} THEN 'delete'
+                        ELSE 'keep' END AS act,
+                   CASE WHEN m THEN val + sval2 ELSE val END AS newval
+            FROM tgt2
+        ), ins2 AS (
+            SELECT s.k, s.sval2 AS val
+            FROM src2 s
+            WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.k = s.k)
+        ), fin2 AS (
+            SELECT k, newval AS val FROM acted2 WHERE act <> 'delete'
+            UNION ALL SELECT k, val FROM ins2
+        ), changes2 AS (
+            SELECT 'update_preimage' AS grp, k, oldval AS val
+            FROM acted2 WHERE act = 'update'
+            UNION ALL
+            SELECT 'update_postimage', k, newval
+            FROM acted2 WHERE act = 'update'
+            UNION ALL
+            SELECT 'delete', k, oldval FROM acted2 WHERE act = 'delete'
+            UNION ALL
+            SELECT 'insert', k, val FROM ins2
         )
         SELECT 'state' AS section, CAST(k % 5 AS VARCHAR) AS grp,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(SUM(val) AS BIGINT) AS sum_val,
                CAST(MIN(k) AS BIGINT) AS min_k,
                CAST(MAX(k) AS BIGINT) AS max_k
-        FROM fin GROUP BY 2
+        FROM fin2 GROUP BY 2
         UNION ALL
         SELECT 'cdf', grp,
                CAST(COUNT(*) AS BIGINT), CAST(SUM(val) AS BIGINT),
                CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT)
         FROM changes GROUP BY 2
+        UNION ALL
+        SELECT 'cdf2', grp,
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(val) AS BIGINT),
+               CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT)
+        FROM changes2 GROUP BY 2
     """
 
 

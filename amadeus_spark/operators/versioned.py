@@ -1622,6 +1622,7 @@ def commit_merge(
     not_matched: list[dict] | None = None,
     not_matched_by_source: list[dict] | None = None,
     changefeed: bool = False,
+    mode: str = "rewrite",
 ) -> tuple[int, int, int]:
     """General MERGE INTO as a COMMIT (Delta's ``MERGE`` — reference
     has only broadcast joins, `/root/reference/amadeus-core/src/
@@ -1656,7 +1657,18 @@ def commit_merge(
     manifest column type). Returns ``(new_version, files_rewritten,
     files_carried)``. ``changefeed=True`` records ``insert`` /
     ``update_preimage`` / ``update_postimage`` / ``delete`` rows for
-    :func:`table_changes` / :func:`stream_table_changes`."""
+    :func:`table_changes` / :func:`stream_table_changes`.
+
+    ``mode="dv"`` is the MERGE-ON-READ leg (Delta's deletion-vector
+    merge): instead of rewriting every candidate file, the rows a
+    clause actually changed DV-delete in place (update post-images and
+    inserts append as new files) — a merge touching 1% of the rows in
+    every file moves O(changed rows), and only files holding >=1
+    changed row re-commit (with the DV attached); every other file is
+    untouched. Semantics are identical to rewrite mode (pinned by
+    test); ``files_rewritten`` is 0."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
     matched = list(matched or [])
     not_matched = list(not_matched or [])
     nmbs = list(not_matched_by_source or [])
@@ -1710,12 +1722,15 @@ def commit_merge(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).collect()[0]
         lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-        refs = _pruned_entries(spark, root, res, slim=True)
+        # dv mode re-ADDS touched entries (stats must carry) — full
+        # entries there; the rewrite path only needs identity/rows/dv
+        slim = mode != "dv"
+        refs = _pruned_entries(spark, root, res, slim=slim)
         if lo is None:  # all-NULL or empty source: no key can match
             key_files: list[dict] = []
         else:
             key_files = _pruned_entries(
-                spark, root, res, key_col, lo, hi, slim=True
+                spark, root, res, key_col, lo, hi, slim=slim
             )
         # the REWRITE set (files removed + rewritten) is distinct from
         # the key-scan set: an insert-only merge rewrites NOTHING, and
@@ -1777,7 +1792,11 @@ def commit_merge(
                 [], _st.StructType([_st.StructField(key_col, key_type)])
             )
         touched_read = (
-            _snapshot_read(spark, root, seg, touched) if touched else None
+            _snapshot_read(
+                spark, root, seg, touched, keep_identity=(mode == "dv")
+            )
+            if touched
+            else None
         )
 
         # ---- rewritten target rows (matched + not-matched-by-source)
@@ -1855,14 +1874,22 @@ def commit_merge(
                               else F.expr(st[f.name]).cast(f.dataType))
                         v = F.when(F.col(fl), ex).otherwise(v)
                 out_cols.append(v.alias(f.name))
+            ident_cols = (
+                [F.col(f"t.{c}").alias(c) for c in _ID_COLS]
+                if mode == "dv"
+                else []
+            )
             j = j.select(
                 *out_cols,
                 del_any.alias("__del"),
                 upd_any.alias("__upd"),
                 *[F.col(f"t.{f.name}").alias(f"__pre_{f.name}")
                   for f in schema.fields],
+                *ident_cols,
             )
-            if changefeed:
+            if changefeed or mode == "dv":
+                # dv mode: j feeds the DV staging collect, the
+                # post-image write and (optionally) the CDF frames
                 j = j.persist()
                 cached.append(j)
             rewritten = j.where(~F.col("__del")).select(
@@ -1899,15 +1926,35 @@ def commit_merge(
                 ins_rows = ins_rows.persist()
                 cached.append(ins_rows)
 
+        # dv mode: only rows a clause CHANGED leave their files — stage
+        # their identities as a deletion vector, append update
+        # post-images (and inserts) as new files, and re-commit only
+        # the files holding >=1 changed row (DV attached); everything
+        # else is untouched
+        dv_path = None
+        new_entries = None
+        if mode == "dv" and rewritten is not None:
+            changed = j.where(F.col("__del") | F.col("__upd")).select(
+                *_ID_COLS
+            )
+            staged = _stage_dv(spark, root, cur, touched, changed)
+            if staged is None:
+                touched = []
+                rewritten = None
+            else:
+                touched, _per_file, dv_path, new_entries = staged
+                rewritten = j.where(F.col("__upd")).select(
+                    *[F.col(f.name) for f in schema.fields]
+                )
         parts = [p for p in (rewritten, ins_rows) if p is not None]
-        if not parts:
+        if not parts and not (mode == "dv" and new_entries):
             return cur, 0, len(refs)
-        merged = parts[0]
+        merged = parts[0] if parts else None
         for p in parts[1:]:
             merged = merged.unionByName(p)
         if changefeed:
             ch = []
-            if rewritten is not None:
+            if touched_read is not None:
                 pre_cols = [F.col(f"__pre_{f.name}").alias(f.name)
                             for f in schema.fields]
                 fin_cols = [F.col(f.name) for f in schema.fields]
@@ -1923,20 +1970,28 @@ def commit_merge(
             cdf_frame = ch[0]
             for c in ch[1:]:
                 cdf_frame = cdf_frame.unionByName(c)
-        v = _commit(
-            spark,
-            root,
-            merged,
-            "merge",
-            seg["stats_cols"],
-            removes=_rm(touched),
-            removed_rows=_nrows(touched),
-            prev=seg,
-            cdf=cdf_frame,
-        )
+        try:
+            v = _commit(
+                spark,
+                root,
+                merged,
+                "merge",
+                seg["stats_cols"],
+                removes=_rm(touched),
+                removed_rows=_nrows(touched),
+                prev=seg,
+                cdf=cdf_frame,
+                add_entries=new_entries,
+            )
+        except RuntimeError:
+            if dv_path is not None:
+                _drop_dv_dir(spark, dv_path)
+            raise
     finally:
         for c in cached:
             c.unpersist()
+    if mode == "dv":
+        return v, 0, seg["total_files"]
     return v, len(touched), n_kept
 
 

@@ -1814,3 +1814,82 @@ def test_merge_insert_values_validated(spark, root):
             not_matched=[{"action": "insert",
                           "values": {"k": "k", "vall": "val"}}],
         )
+
+
+def test_merge_dv_mode_equivalent_and_minimal(spark, root):
+    """mode='dv' MERGE must produce the IDENTICAL final state and
+    change feed as rewrite mode, while moving only the changed rows:
+    files keep their physical identity (DV attached on changed files
+    only) and update post-images/inserts append as new files."""
+    def build(r, mode):
+        for lo in (0, 100, 200, 300):
+            V.commit_append(
+                spark, r,
+                spark.range(lo, lo + 100).selectExpr(
+                    "id AS k", "id AS val", "'b' AS tag").coalesce(1),
+                ["k"],
+            )
+        src = spark.createDataFrame(
+            [(5, 500, "s"), (210, 999, "s"), (450, 7, "s")],
+            "k bigint, val bigint, tag string",
+        )
+        v, rw, car = V.commit_merge(
+            spark, r, src, "k",
+            matched=[
+                {"action": "delete", "condition": "s.val >= 900"},
+                {"action": "update", "set": {"val": "t.val + s.val"}},
+            ],
+            not_matched=[{"action": "insert", "values": None}],
+            not_matched_by_source=[
+                {"action": "delete", "condition": "k = 399"},
+                {"action": "update", "condition": "k = 398",
+                 "set": {"tag": "'stale'"}},
+            ],
+            changefeed=True,
+            mode=mode,
+        )
+        state = sorted(tuple(x) for x in V.read_version(spark, r).collect())
+        ch = sorted(
+            tuple(x)
+            for x in V.table_changes(spark, r, v, v)
+            .drop("_commit_version").collect()
+        )
+        return v, rw, state, ch
+
+    v_rw, rw_rw, state_rw, ch_rw = build(str(root) + "-rw", "rewrite")
+    v_dv, rw_dv, state_dv, ch_dv = build(str(root) + "-dv", "dv")
+    assert state_rw == state_dv
+    assert ch_rw == ch_dv
+    assert rw_dv == 0 and rw_rw > 0
+    ent = V._live_entries(spark, str(root) + "-dv", v_dv)
+    before = {(e["dir"], e["path"])
+              for e in V._live_entries(spark, str(root) + "-dv", 3)}
+    kept = [e for e in ent if (e["dir"], e["path"]) in before]
+    # all 4 original files still live; DVs only on files with changes:
+    # [0,100) k=5 upd, [200,300) k=210 del, [300,400) k=398/399 — the
+    # [100,200) file is untouched, no DV
+    assert len(kept) == 4
+    dvd = {e["dir"]: e["dv"]["rows"] for e in kept if e.get("dv")}
+    assert len(dvd) == 3
+    # new files hold exactly: post-images (k=5 upd, k=398 upd) + insert
+    new_rows = sum(e["rows"] for e in ent
+                   if (e["dir"], e["path"]) not in before)
+    assert new_rows == 3
+
+
+def test_merge_dv_insert_only_and_noop(spark, root):
+    """dv-mode insert-only merges append without touching files; a
+    dv-mode merge whose clauses change nothing is a NO-OP."""
+    _merge_base(spark, root)
+    src = spark.createDataFrame([(50, 1, "x")], "k bigint, val bigint, tag string")
+    v, rw, car = V.commit_merge(
+        spark, root, src, "k",
+        not_matched=[{"action": "insert", "values": None}], mode="dv")
+    assert rw == 0 and V.read_version(spark, root).count() == 11
+    cur = V.current_version(spark, root)
+    v2, _, _ = V.commit_merge(
+        spark, root,
+        spark.createDataFrame([(999, 1, "x")], "k bigint, val bigint, tag string"),
+        "k",
+        matched=[{"action": "delete"}], mode="dv")
+    assert v2 == cur  # source key matches nothing -> no commit
