@@ -504,6 +504,25 @@ def _file_entries(commit_dir: str, stats_cols: list[str]) -> list[dict]:
 # resolution: nearest checkpoint + the bounded segment suffix
 
 
+def _require_plain_root(root: str, what: str) -> None:
+    """Spark/Hadoop path resolution treats ``?`` as a glob char — the
+    query-param connection-spec form the manifest I/O supports
+    (pyarrow/boto3 side, see _sub_uri) CANNOT ride into any surface
+    that reads or writes DATA through Spark or deletes through the
+    Hadoop FileSystem. Refuse loudly at entry instead of failing deep
+    inside Hadoop's glob handling; configure the object store on the
+    SparkSession (session.py config profiles) and pass the bare URI.
+    Manifest-only surfaces (current_version, version_as_of, history,
+    the CAS publish) still accept query-string roots."""
+    if "?" in root:
+        raise ValueError(
+            f"{what} requires a plain (no query-string) root: Spark "
+            "data paths cannot carry the connection spec — configure "
+            "the filesystem on the SparkSession and pass the bare "
+            f"table URI (got {root!r})"
+        )
+
+
 def _resolve(spark: SparkSession, root: str, version: int) -> dict:
     """Resolve a snapshot: read segment JSONs from ``version`` back to
     the nearest usable base (a complete parquet checkpoint or a
@@ -517,6 +536,7 @@ def _resolve(spark: SparkSession, root: str, version: int) -> dict:
          "adds": [entry...],          # live files added since base
          "ckpt_removes": [[dir, path]...]}  # files removed from base
     """
+    _require_plain_root(root, "snapshot resolution")
     seg = _read_manifest(spark, root, version)
     _, ckpts = _list_log(spark, root)
     base = max((c for c in ckpts if c <= version), default=None)
@@ -762,9 +782,39 @@ def _nrows(entries: list[dict]) -> int:
     return sum(e["rows"] for e in entries)
 
 
+def _dv_debit(entries: list[dict]) -> tuple[int, int]:
+    """(dv files, dv rows) carried by these entries — what their
+    removal debits from the manifest's running DV-debt totals."""
+    return (
+        sum(1 for e in entries if e.get("dv")),
+        sum((e.get("dv") or {}).get("rows", 0) for e in entries),
+    )
+
+
 #: physical row identity staged by _snapshot_read(keep_identity=True):
 #: (commit dir, file name, row index within the file)
 _ID_COLS = ("__dv_dir", "__dv_path", "__dv_ri")
+
+
+def _check_reserved(cols, what: str, *, prefix: bool = False) -> None:
+    """The DV/merge machinery stages internal columns (``__dv_*``,
+    merge's ``__fl_*``/``__nc_*``/``__del``/...) onto user frames — a
+    table that legitimately carries one of those names would silently
+    corrupt DV identity or clause resolution. Raise loudly instead.
+    ``prefix=True`` reserves the whole ``__`` prefix (MERGE, whose
+    staging names are clause-indexed and unbounded); otherwise only
+    the fixed identity triple is checked."""
+    bad = [
+        c for c in cols
+        if (c.startswith("__") if prefix else c in _ID_COLS)
+    ]
+    if bad:
+        reserved = "the '__' prefix" if prefix else f"columns {_ID_COLS}"
+        raise ValueError(
+            f"{what} uses internal staging names: {sorted(bad)} collide "
+            f"with {reserved}, reserved by the versioned-table "
+            "DV/merge machinery — rename the column(s)"
+        )
 
 
 def _snapshot_read(
@@ -789,6 +839,12 @@ def _snapshot_read(
     need them); returns None for an empty entry list."""
     plain = [e for e in entries if not e.get("dv")]
     dved = [e for e in entries if e.get("dv")]
+    schema = _manifest_schema(seg)
+    if (keep_identity or dved) and schema is not None:
+        # identity columns are staged on the frame whenever they are
+        # requested OR a DV anti-join needs them — either way a user
+        # column by the same name would be silently corrupted
+        _check_reserved([f.name for f in schema.fields], "table schema")
     frames = []
     ident = [
         F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2)
@@ -856,6 +912,7 @@ def _commit(
     removes: list[tuple[str, str]] | None = None,
     remove_all: bool = False,
     removed_rows: int = 0,
+    removed_dv: tuple[int, int] = (0, 0),
     extra: dict | None = None,
     prev: dict | None = None,
     cdf: DataFrame | str | None = None,
@@ -871,6 +928,7 @@ def _commit(
     # makes any interposed commit COLLIDE on the version file instead,
     # surfacing as the "concurrent commit" conflict commit_with_retry
     # exists to catch — the optimistic-concurrency contract.
+    _require_plain_root(root, "a data commit")
     cur = prev["version"] if prev is not None else current_version(spark, root)
     version = cur + 1
     # streaming txn high-water marks (run_cdc_versioned_sink) survive
@@ -944,11 +1002,27 @@ def _commit(
         cdf_mark = "none"
     removes = list(removes or [])
     added_rows = sum(e["rows"] for e in new_files)
+    # DV-DEBT running totals (how many files read through an anti-join
+    # and how many dead rows they drag) — kept in the manifest like
+    # total_files/total_rows so history()/operators can size REORG
+    # purges WITHOUT materializing a file list. Freshly-written files
+    # never carry a dv; only add_entries (DV re-adds, restore) can.
+    # Pre-upgrade manifests lack the fields: .get(.., 0) restarts the
+    # totals from this commit on (DV commits always re-add entries, so
+    # the first post-upgrade DV commit re-counts its files correctly).
+    add_dv_files, add_dv_rows = _dv_debit(new_files)
     if remove_all or prev is None:
         total_files, total_rows = len(new_files), added_rows
+        total_dv_files, total_dv_rows = add_dv_files, add_dv_rows
     else:
         total_files = prev["total_files"] - len(removes) + len(new_files)
         total_rows = prev["total_rows"] - removed_rows + added_rows
+        total_dv_files = (
+            prev.get("total_dv_files", 0) - removed_dv[0] + add_dv_files
+        )
+        total_dv_rows = (
+            prev.get("total_dv_rows", 0) - removed_dv[1] + add_dv_rows
+        )
     manifest = {
         "version": version,
         "op": op,
@@ -963,6 +1037,8 @@ def _commit(
         "remove_all": remove_all,
         "total_files": total_files,
         "total_rows": total_rows,
+        "total_dv_files": total_dv_files,
+        "total_dv_rows": total_dv_rows,
         **{k: v for k, v in (extra or {}).items() if k != "txn"},
     }
     if schema_json:
@@ -1069,6 +1145,7 @@ def read_version(
     that matter. (Parquet row-group skipping still applies inside the
     files that survive; callers add the matching .filter() for
     row-level pruning, which pushes into the scan.)"""
+    _require_plain_root(root, "read_version")
     if as_of_ts is not None:
         if version is not None:
             raise ValueError("pass version OR as_of_ts, not both")
@@ -1184,6 +1261,7 @@ def commit_upsert(
             seg["stats_cols"],
             removes=_rm(touched),
             removed_rows=_nrows(touched),
+            removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -1277,7 +1355,10 @@ def commit_delete_where(
     res = _resolve(spark, root, cur)
     seg = res["seg"]
     pred = F.expr(predicate)
-    refs = _pruned_entries(spark, root, res)
+    # only the DV leg re-ADDS entries (stats must carry); the rewrite
+    # leg reads/removes them — identity/rows/dv suffice (slim skips
+    # deserializing the per-file stats maps through a checkpoint index)
+    refs = _pruned_entries(spark, root, res, slim=(mode != "dv"))
     if mode == "dv":
         return _delete_where_dv(spark, root, cur, seg, refs, pred,
                                 changefeed)
@@ -1305,6 +1386,7 @@ def commit_delete_where(
             seg["stats_cols"],
             removes=_rm(touched),
             removed_rows=_nrows(touched),
+            removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -1330,6 +1412,8 @@ def _stage_dv(
     dv dir), and build the re-add entries with rows debited and the DV
     attached. Returns ``(touched, per_file, dv_path, new_entries)`` or
     None when nothing matched."""
+    # bounded by design: one row per TOUCHED FILE (never row data),
+    # like the other maintenance collects in this module
     per_file = {
         (r[_ID_COLS[0]], r[_ID_COLS[1]]): r["__n"]
         for r in matched.groupBy(*_ID_COLS[:2])
@@ -1375,6 +1459,13 @@ def _stage_dv(
     dv_all = dv_frames[0]
     for f in dv_frames[1:]:
         dv_all = dv_all.unionByName(f)
+    if with_old:
+        # a file's old rows can arrive via TWO old dv dirs (repeated
+        # deletes leave rows for it in both; the (dir,path) semi-join
+        # pulls each copy) — dedupe or DV files grow with redundant
+        # rows across repeated deletes. New matches are live rows
+        # (already anti-joined), so only the old-union needs this.
+        dv_all = dv_all.dropDuplicates(["dir", "path", "row_index"])
     dv_dir = f"v{cur + 1}-{uuid.uuid4().hex[:8]}"
     dv_path = f"{root}/{DV_DIR}/{dv_dir}"
     dv_all.write.mode("errorifexists").parquet(dv_path)
@@ -1439,6 +1530,7 @@ def _delete_where_dv(
                 seg["stats_cols"],
                 removes=_rm(touched),
                 removed_rows=_nrows(touched),
+                removed_dv=_dv_debit(touched),
                 prev=seg,
                 cdf=cdf_frame,
                 add_entries=new_entries,
@@ -1458,6 +1550,7 @@ def commit_update_where(
     set_exprs: dict[str, str],
     changefeed: bool = False,
     mode: str = "rewrite",
+    evolve_schema: bool = False,
 ) -> tuple[int, int, int]:
     """Predicate UPDATE as a COMMIT (Delta's ``UPDATE t SET ... WHERE
     p``): same touched-file discovery as :func:`commit_delete_where`,
@@ -1465,8 +1558,12 @@ def commit_update_where(
     unchanged) ∪ (rows where p is TRUE, with ``set_exprs`` applied).
     SQL UPDATE semantics exactly: every SET expression sees the
     PRE-update row (one simultaneous select, never sequential
-    withColumn), results cast back to the column's manifest type —
-    UPDATE never evolves schema. Returns ``(new_version,
+    withColumn), results cast back to the column's manifest type.
+    By default UPDATE never evolves schema; ``evolve_schema=True``
+    lets SET target NEW columns — each new column's type is inferred
+    by resolving its expression against the table schema, the table
+    widens (widen-only, like append's evolution), untouched/unmatched
+    rows read NULL for it. Returns ``(new_version,
     files_rewritten, files_carried)``; no matches → NO-OP.
     ``changefeed=True`` records ``update_preimage``/
     ``update_postimage`` pairs. ``mode="dv"`` is the merge-on-read
@@ -1482,13 +1579,25 @@ def commit_update_where(
     res = _resolve(spark, root, cur)
     seg = res["seg"]
     schema = _manifest_schema(seg)
-    fields = {f.name: f.dataType for f in schema.fields}
-    unknown = set(set_exprs) - set(fields)
-    if unknown:
+    old_names = {f.name for f in schema.fields}
+    unknown = sorted(set(set_exprs) - old_names)
+    if unknown and not evolve_schema:
         raise ValueError(
-            f"SET columns not in the table schema: {sorted(unknown)} "
-            f"(UPDATE never evolves schema; columns: {sorted(fields)})"
+            f"SET columns not in the table schema: {unknown} "
+            "(UPDATE never evolves schema without evolve_schema=True; "
+            f"columns: {sorted(old_names)})"
         )
+    if unknown:
+        # infer each new column's type by resolving its SET expression
+        # against the table schema — driver-side analysis, no job
+        probe = spark.createDataFrame([], schema).select(
+            *[F.expr(set_exprs[c]).alias(c) for c in unknown]
+        )
+        schema = _st.StructType(
+            list(schema.fields)
+            + [_st.StructField(c, probe.schema[c].dataType) for c in unknown]
+        )
+    fields = {f.name: f.dataType for f in schema.fields}
     pred = F.expr(predicate)
 
     def apply_set(frame: DataFrame) -> DataFrame:
@@ -1505,10 +1614,27 @@ def commit_update_where(
             ]
         )
 
-    refs = _pruned_entries(spark, root, res)
+    def widen(frame: DataFrame) -> DataFrame:
+        # evolved columns don't exist in the touched files: carry
+        # untouched/pre-image rows through the evolved shape as typed
+        # NULLs so unions line up column-for-column
+        if not unknown:
+            return frame
+        return frame.select(
+            *[
+                F.col(f.name)
+                if f.name in old_names
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    # slim for the rewrite leg (stats never re-added), full for dv
+    refs = _pruned_entries(spark, root, res, slim=(mode != "dv"))
     if mode == "dv":
         return _update_where_dv(
-            spark, root, cur, seg, refs, pred, apply_set, changefeed
+            spark, root, cur, seg, refs, pred, apply_set, widen,
+            changefeed
         )
     touched = _touched_by_predicate(spark, root, seg, refs, pred)
     if not touched:
@@ -1521,12 +1647,14 @@ def commit_update_where(
         if changefeed:
             touched_read = touched_read.persist()
             cached.append(touched_read)
-        unchanged = touched_read.where(~F.coalesce(pred, F.lit(False)))
+        unchanged = widen(
+            touched_read.where(~F.coalesce(pred, F.lit(False)))
+        )
         pre = touched_read.where(pred)
         post = apply_set(pre)
         merged = unchanged.unionByName(post)
         if changefeed:
-            cdf_frame = pre.withColumn(
+            cdf_frame = widen(pre).withColumn(
                 "_change_type", F.lit("update_preimage")
             ).unionByName(
                 post.withColumn("_change_type", F.lit("update_postimage"))
@@ -1539,6 +1667,7 @@ def commit_update_where(
             seg["stats_cols"],
             removes=_rm(touched),
             removed_rows=_nrows(touched),
+            removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
         )
@@ -1556,6 +1685,7 @@ def _update_where_dv(
     refs: list[dict],
     pred,
     apply_set,
+    widen,
     changefeed: bool,
 ) -> tuple[int, int, int]:
     """The merge-on-read UPDATE leg (Delta's DV update): the matched
@@ -1574,7 +1704,7 @@ def _update_where_dv(
         pre = matched.drop(*_ID_COLS)
         post = apply_set(pre)
         cdf_frame = (
-            pre.withColumn("_change_type", F.lit("update_preimage"))
+            widen(pre).withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
                 post.withColumn("_change_type", F.lit("update_postimage"))
             )
@@ -1590,6 +1720,7 @@ def _update_where_dv(
                 seg["stats_cols"],
                 removes=_rm(touched),
                 removed_rows=_nrows(touched),
+                removed_dv=_dv_debit(touched),
                 prev=seg,
                 cdf=cdf_frame,
                 add_entries=new_entries,
@@ -1623,6 +1754,7 @@ def commit_merge(
     not_matched_by_source: list[dict] | None = None,
     changefeed: bool = False,
     mode: str = "rewrite",
+    evolve_schema: bool = False,
 ) -> tuple[int, int, int]:
     """General MERGE INTO as a COMMIT (Delta's ``MERGE`` — reference
     has only broadcast joins, `/root/reference/amadeus-core/src/
@@ -1653,8 +1785,18 @@ def commit_merge(
     scan); every other file carries by reference. Raises if >1 source
     row matches one target row while a matched clause exists (Delta's
     cardinality error — the result would be nondeterministic).
-    UPDATE/INSERT never evolve schema (expressions cast to the
-    manifest column type). Returns ``(new_version, files_rewritten,
+    By default UPDATE/INSERT never evolve schema (expressions cast to
+    the manifest column type); ``evolve_schema=True`` is Delta's
+    ``schema.autoMerge``: source columns the clauses REFERENCE (SET /
+    values keys; ``INSERT *`` references every source column) that are
+    absent from the table widen the table schema (widen-only — a TYPE
+    change on an existing column still raises, see
+    :func:`_evolve_schema`), target rows read NULL
+    for them (carried files backfill through the manifest schema, the
+    rewritten/merged rows carry explicit NULLs unless a clause sets
+    them), and SET / INSERT values may then target the new columns. A
+    merge that ends up committing nothing leaves the schema untouched.
+    Returns ``(new_version, files_rewritten,
     files_carried)``. ``changefeed=True`` records ``insert`` /
     ``update_preimage`` / ``update_postimage`` / ``delete`` rows for
     :func:`table_changes` / :func:`stream_table_changes`.
@@ -1692,13 +1834,48 @@ def commit_merge(
             f"{seg['stats_cols']}); re-create the table with it"
         )
     schema = _manifest_schema(seg)
+    # the merge machinery stages clause-indexed __-prefixed columns on
+    # both frames — a user column by any such name silently corrupts
+    # clause resolution; the whole prefix is reserved here
+    _check_reserved(source.columns, "MERGE source", prefix=True)
+    _check_reserved(
+        [f.name for f in schema.fields], "MERGE target schema",
+        prefix=True,
+    )
+    old_names = {f.name for f in schema.fields}
+    if evolve_schema:
+        # Delta autoMerge: widen the table schema with the source
+        # columns the clauses actually REFERENCE (SET / values keys;
+        # INSERT * references every source column) — a join-payload
+        # column nobody writes never leaks into the table. Types come
+        # from the source schema; a type CHANGE on an existing
+        # referenced column still raises (widen-only).
+        referenced: set[str] = set()
+        for cl in matched + nmbs:
+            referenced |= set(cl.get("set") or {})
+        for cl in not_matched:
+            vals = cl.get("values")
+            referenced |= (
+                set(source.columns) if vals is None else set(vals)
+            )
+        relevant = _st.StructType(
+            [f for f in source.schema.fields if f.name in referenced]
+        )
+        schema = _st.StructType.fromJson(
+            json.loads(_evolve_schema(seg.get("schema"), relevant))
+        )
     fields = {f.name: f.dataType for f in schema.fields}
+    hint = (
+        "MERGE only evolves schema from SOURCE columns"
+        if evolve_schema
+        else "MERGE never evolves schema without evolve_schema=True"
+    )
     for cl in matched + nmbs:
         unknown = set(cl.get("set") or {}) - set(fields)
         if unknown:
             raise ValueError(
                 f"SET columns not in the table schema: {sorted(unknown)}"
-                f" (MERGE never evolves schema; columns: {sorted(fields)})"
+                f" ({hint}; columns: {sorted(fields)})"
             )
     for cl in not_matched:
         unknown = set(cl.get("values") or {}) - set(fields)
@@ -1707,7 +1884,7 @@ def commit_merge(
             # and the intended column inserted as NULL
             raise ValueError(
                 f"INSERT values columns not in the table schema: "
-                f"{sorted(unknown)} (MERGE never evolves schema; "
+                f"{sorted(unknown)} ({hint}; "
                 f"columns: {sorted(fields)})"
             )
     if any(cl.get("values") is None for cl in not_matched):
@@ -1804,6 +1981,13 @@ def commit_merge(
         upd_clauses = []  # (flag column name, set dict or None-for-delete)
         if touched_read is not None:
             t = touched_read
+            # evolved columns don't exist in the touched files yet:
+            # stage them as typed NULLs FIRST, so every downstream
+            # reference (clause expressions, the simultaneous select,
+            # __pre_ capture) sees one uniform evolved row shape
+            for f in schema.fields:
+                if f.name not in old_names:
+                    t = t.withColumn(f.name, F.lit(None).cast(f.dataType))
             # stage by-source flags/values on the TARGET frame first:
             # their expressions use bare target column names, which go
             # ambiguous after the join (source carries the same names)
@@ -1979,6 +2163,7 @@ def commit_merge(
                 seg["stats_cols"],
                 removes=_rm(touched),
                 removed_rows=_nrows(touched),
+                removed_dv=_dv_debit(touched),
                 prev=seg,
                 cdf=cdf_frame,
                 add_entries=new_entries,
@@ -2045,14 +2230,35 @@ def restore_version(
         return (e["dir"], e["path"], dv.get("dir"), dv.get("rows"),
                 e["rows"])
 
+    # DIFF on slim entries (identity/rows/dv — all _ekey needs): the
+    # driver never deserializes the per-file stats maps of two full
+    # snapshots; full stats are fetched ONLY for the add-side entries
+    # (they re-enter the manifest and must carry stats), pruned to
+    # their commit dirs through the index
+    res_t = _resolve(spark, root, version)
+    res_c = _resolve(spark, root, cur)
     target_entries = {
-        _ekey(e): e for e in _live_entries(spark, root, version)
+        _ekey(e): e
+        for e in _pruned_entries(spark, root, res_t, slim=True)
     }
     cur_entries = {
-        _ekey(e): e for e in _live_entries(spark, root, cur)
+        _ekey(e): e
+        for e in _pruned_entries(spark, root, res_c, slim=True)
     }
-    adds = [e for k, e in sorted(target_entries.items())
-            if k not in cur_entries]
+    add_keys = sorted(k for k in target_entries if k not in cur_entries)
+    if add_keys and res_t["ckpt"] is not None:
+        add_dirs = sorted({k[0] for k in add_keys})
+        idx = _index_df(spark, root, res_t).where(
+            F.col("dir").isin(add_dirs)
+        )
+        full_by_ref = {
+            (e["dir"], e["path"]): e
+            for e in (_row_entry(r) for r in idx.collect())
+        }
+        adds = [full_by_ref[(k[0], k[1])] for k in add_keys]
+    else:
+        # driver-regime resolve already holds full entries
+        adds = [target_entries[k] for k in add_keys]
     removed_keys = sorted(k for k in cur_entries if k not in target_entries)
     removes = [(k[0], k[1]) for k in removed_keys]
     cdf_frame = None
@@ -2079,6 +2285,7 @@ def restore_version(
         target_seg["stats_cols"],
         removes=[list(k) for k in removes],
         removed_rows=sum(cur_entries[k]["rows"] for k in removed_keys),
+        removed_dv=_dv_debit([cur_entries[k] for k in removed_keys]),
         extra={"restored_version": version},
         prev=cur_seg,
         cdf=cdf_frame,
@@ -2227,6 +2434,7 @@ def apply_changes(
             seg["stats_cols"],
             removes=_rm(touched),
             removed_rows=_nrows(touched),
+            removed_dv=_dv_debit(touched),
             extra=extra_meta,
             prev=seg,
             cdf=cdf_frame,
@@ -2247,6 +2455,7 @@ def optimize(
     zorder_cols: list[str] | None = None,
     n_files: int | None = None,
     small_file_mb: float | None = None,
+    purge_dv_over: float | None = None,
 ) -> tuple[int, int, int]:
     """Small-file compaction as a COMMIT: rewrite data into
     ~``target_mb`` files and publish the next version. Default layout
@@ -2285,12 +2494,26 @@ def optimize(
         info = fs_.get_file_info(f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}")
         sized.append((e, info.size or 0))
     if incremental:
-        # DV'd files always qualify: compacting them PURGES their
-        # deletion vectors physically (Delta's REORG ... APPLY PURGE)
+        # DV'd files qualify: compacting them PURGES their deletion
+        # vectors physically (Delta's REORG ... APPLY PURGE). By
+        # default every DV'd file purges; ``purge_dv_over`` gates the
+        # purge on per-file DV DEBT (dead rows / physical rows) so a
+        # 1 GiB file is not rewritten to shed a 10-row DV — only
+        # files whose anti-join debt exceeds the ratio rewrite, the
+        # rest keep carrying their (cheap, broadcastable) DV.
+        def _dv_hit(e: dict) -> bool:
+            dv = e.get("dv")
+            if not dv:
+                return False
+            if purge_dv_over is None:
+                return True
+            physical = e["rows"] + dv["rows"]  # live + dead
+            return dv["rows"] > purge_dv_over * max(1, physical)
+
         rewrite = [
             (e, sz)
             for e, sz in sized
-            if sz < small_file_mb * 1024 * 1024 or e.get("dv")
+            if sz < small_file_mb * 1024 * 1024 or _dv_hit(e)
         ]
         if len(rewrite) <= 1 and not any(e.get("dv") for e, _ in rewrite):
             return cur, seg["total_files"], seg["total_files"]
@@ -2331,6 +2554,8 @@ def optimize(
         removed_rows=sum(e["rows"] for e, _ in rewrite)
         if incremental
         else 0,
+        removed_dv=_dv_debit([e for e, _ in rewrite]) if incremental
+        else (0, 0),
         prev=seg,
     )
     new_files = _read_manifest(spark, root, v)["total_files"]
@@ -2367,6 +2592,7 @@ def vacuum(
     deletion goes through the Hadoop FileSystem API (file/hdfs/s3a
     alike). Maintenance is O(files) by nature — it lists and deletes
     them. Returns (segments_deleted, data_files_deleted)."""
+    _require_plain_root(root, "vacuum")
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -2511,6 +2737,7 @@ def table_changes(
     Raises for a merge commit recorded without ``changefeed=True`` —
     its pre/post split is unrecoverable after the fact — and for
     vacuumed versions (their log segments are gone)."""
+    _require_plain_root(root, "table_changes")
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -2667,7 +2894,16 @@ def history(spark: SparkSession, root: str) -> list[dict]:
     """Commit log: version, op, file and row counts per snapshot —
     O(versions) segment reads (counts are running totals in each
     segment, no file list is ever materialized). Versions whose
-    segment was vacuumed away are omitted."""
+    segment was vacuumed away are omitted.
+
+    ``dv_files``/``dv_rows`` are the snapshot's DELETION-VECTOR DEBT:
+    how many live files read through a DV anti-join and how many dead
+    rows they drag along — THE signal for when merge-on-read debt
+    warrants a REORG purge (``optimize(small_file_mb=...)`` rewrites
+    DV'd files, or gate it on debt with ``purge_dv_over``). Running
+    totals like n_files/n_rows; pre-upgrade log segments (no totals
+    recorded) report 0 until the next DV commit re-counts its
+    entries."""
     out = []
     for v in range(current_version(spark, root) + 1):
         try:
@@ -2680,6 +2916,8 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 "op": m["op"],
                 "n_files": m["total_files"],
                 "n_rows": m["total_rows"],
+                "dv_files": m.get("total_dv_files", 0),
+                "dv_rows": m.get("total_dv_rows", 0),
                 # wall-clock commit time (epoch s); None on pre-ts logs
                 "ts": m.get("ts"),
             }

@@ -1893,3 +1893,281 @@ def test_merge_dv_insert_only_and_noop(spark, root):
         "k",
         matched=[{"action": "delete"}], mode="dv")
     assert v2 == cur  # source key matches nothing -> no commit
+
+
+# ------------------------------------------- SCHEMA EVOLUTION (r12)
+
+
+def test_merge_evolve_schema_widens_from_source(spark, root):
+    """evolve_schema=True (Delta autoMerge parity): a source column
+    absent from the table widens the schema widen-only; matched SET
+    and insert values may target it; carried files NULL-backfill
+    through the manifest schema; pass-through rows in rewritten files
+    carry explicit NULLs. Without the flag the same merge raises."""
+    _merge_base(spark, root)  # k bigint, val bigint, tag string
+    src = spark.createDataFrame(
+        [(2, 5, "x2"), (3, 6, "x3")],
+        "k bigint, sval bigint, note string",
+    )
+    clauses = dict(
+        matched=[{"action": "update",
+                  "set": {"val": "t.val + s.sval", "note": "s.note"}}],
+    )
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        V.commit_merge(spark, root, src, "k", **clauses)
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, "k", **clauses, evolve_schema=True,
+    )
+    # keys 2,3 live in ONE range file: the others carry by reference
+    assert rewritten == 1 and carried == 2
+    df = V.read_version(spark, root)
+    assert df.columns == ["k", "val", "tag", "note"]
+    got = {r["k"]: (r["val"], r["note"]) for r in df.collect()}
+    assert got[2] == (25, "x2") and got[3] == (36, "x3")
+    # pass-through row in the rewritten file AND carried-file rows
+    # both read NULL for the evolved column
+    assert got[0] == (0, None) and got[9] == (90, None)
+    assert len(got) == 10
+    # time travel: the pre-evolution snapshot keeps the OLD schema
+    assert V.read_version(spark, root, v - 1).columns == [
+        "k", "val", "tag"]
+    # a second merge INSERTS through the evolved schema (insert-only:
+    # rewrites nothing) — the new column is now a first-class citizen
+    V.commit_merge(
+        spark, root,
+        spark.createDataFrame([(20, 7, "x20")],
+                              "k bigint, sval bigint, note string"),
+        "k",
+        not_matched=[{"action": "insert",
+                      "values": {"k": "k", "val": "sval",
+                                 "note": "note"}}],
+    )
+    got2 = {r["k"]: (r["val"], r["note"])
+            for r in V.read_version(spark, root).collect()}
+    assert got2[20] == (7, "x20") and len(got2) == 11
+
+
+def test_merge_evolve_schema_type_change_still_raises(spark, root):
+    """Evolution is widen-only: a REFERENCED source column whose type
+    CONFLICTS with an existing table column raises before any data
+    lands; an UNREFERENCED payload column never evolves (or raises) —
+    Delta's autoMerge scoping."""
+    _merge_base(spark, root)
+    src = spark.createDataFrame(
+        [(1, "oops", "t")], "k bigint, val string, tag string")
+    with pytest.raises(ValueError, match="type change"):
+        V.commit_merge(
+            spark, root, src, "k",
+            not_matched=[{"action": "insert", "values": None}],
+            evolve_schema=True,
+        )
+    # delete-only: val is never referenced -> no evolution, no raise
+    v, _, _ = V.commit_merge(
+        spark, root, src, "k",
+        matched=[{"action": "delete"}], evolve_schema=True,
+    )
+    df = V.read_version(spark, root)
+    assert df.columns == ["k", "val", "tag"]
+    assert df.where("k = 1").count() == 0
+
+
+def test_merge_evolve_schema_dv_mode_and_cdf(spark, root):
+    """dv-mode evolution: post-images/inserts carry the new column,
+    old files stay untouched (NULL through the manifest), and the
+    change feed spans the evolution (pre-images NULL, post-images
+    populated)."""
+    _merge_base(spark, root)
+    src = spark.createDataFrame(
+        [(3, 100, "n3"), (30, 200, "n30")],
+        "k bigint, sval bigint, note string",
+    )
+    v, rw, _ = V.commit_merge(
+        spark, root, src, "k",
+        matched=[{"action": "update",
+                  "set": {"val": "t.val + s.sval", "note": "s.note"}}],
+        not_matched=[{"action": "insert",
+                      "values": {"k": "k", "val": "sval", "note": "note"}}],
+        mode="dv", evolve_schema=True, changefeed=True,
+    )
+    assert rw == 0
+    df = V.read_version(spark, root)
+    got = {r["k"]: (r["val"], r["note"]) for r in df.collect()}
+    assert got[3] == (130, "n3") and got[30] == (200, "n30")
+    assert got[5] == (50, None)
+    ch = V.table_changes(spark, root, v, v)
+    by_type = {
+        (r["_change_type"], r["k"]): r["note"] for r in ch.collect()
+    }
+    assert by_type[("update_preimage", 3)] is None
+    assert by_type[("update_postimage", 3)] == "n3"
+    assert by_type[("insert", 30)] == "n30"
+
+
+def test_merge_evolve_insert_star_carries_new_column(spark, root):
+    """INSERT * under evolution: the source must carry every EVOLVED
+    column (it does, by construction) and inserts land with it."""
+    _merge_base(spark, root)
+    src = spark.createDataFrame(
+        [(40, 4, "t4", 99)], "k bigint, val bigint, tag string, extra bigint",
+    )
+    V.commit_merge(
+        spark, root, src, "k",
+        not_matched=[{"action": "insert", "values": None}],
+        evolve_schema=True,
+    )
+    df = V.read_version(spark, root)
+    got = {r["k"]: r["extra"] for r in df.where("k in (0, 40)").collect()}
+    assert got == {0: None, 40: 99}
+
+
+def test_update_where_evolve_schema(spark, root):
+    """UPDATE ... SET new_col under evolve_schema=True: the new
+    column's type is inferred from its expression, matched rows get
+    the value, everything else reads NULL — in BOTH modes, with the
+    change feed lining up across the evolution."""
+    _dv_base(spark, root)  # k bigint, val bigint
+    with pytest.raises(ValueError, match="evolve_schema=True"):
+        V.commit_update_where(spark, root, "k < 2", {"flag": "k * 10"})
+    V.commit_update_where(
+        spark, root, "k < 2", {"flag": "k * 10"}, evolve_schema=True,
+    )
+    df = V.read_version(spark, root)
+    assert df.columns == ["k", "val", "flag"]
+    # inferred from the expression's type over the table schema
+    assert df.schema["flag"].dataType.simpleString() == "bigint"
+    got = {r["k"]: r["flag"] for r in df.where("k < 4").collect()}
+    assert got == {0: 0, 1: 10, 2: None, 3: None}
+    # dv leg with changefeed: widen(pre) must line up with post
+    v2, rw2, _ = V.commit_update_where(
+        spark, root, "k = 5", {"mark": "CAST(1 AS BIGINT)"},
+        mode="dv", evolve_schema=True, changefeed=True,
+    )
+    assert rw2 == 0
+    df2 = V.read_version(spark, root)
+    got2 = {r["k"]: r["mark"] for r in df2.where("k in (0, 5)").collect()}
+    assert got2 == {0: None, 5: 1}
+    ch = V.table_changes(spark, root, v2, v2)
+    marks = {r["_change_type"]: r["mark"] for r in ch.collect()}
+    assert marks == {"update_preimage": None, "update_postimage": 1}
+
+
+# --------------------------------------------- DV DEBT / GUARDS (r12)
+
+
+def test_history_dv_debt_totals_and_purge_gate(spark, root):
+    """history() carries running DV-debt totals (dv_files/dv_rows)
+    without materializing a file list; optimize's purge_dv_over gates
+    the REORG purge on per-file debt ratio."""
+    _dv_base(spark, root)
+    V.commit_delete_where(
+        spark, root, "k % 100 < 3 AND k < 200", mode="dv")
+    h = V.history(spark, root)[-1]
+    assert (h["dv_files"], h["dv_rows"]) == (2, 6)
+    # a plain append leaves the debt untouched
+    V.commit_append(
+        spark, root,
+        spark.range(400, 410).selectExpr(
+            "id AS k", "id * 2 AS val").coalesce(1))
+    h = V.history(spark, root)[-1]
+    assert (h["dv_files"], h["dv_rows"]) == (2, 6)
+    # debt ratio is 3/100 per touched file: a 50% gate rewrites
+    # NOTHING (no-op, same version)...
+    cur = V.current_version(spark, root)
+    v, _, _ = V.optimize(
+        spark, root, small_file_mb=1e-9, purge_dv_over=0.5)
+    assert v == cur
+    # ...a 1% gate purges both, zeroing the debt
+    v2, _, _ = V.optimize(
+        spark, root, small_file_mb=1e-9, purge_dv_over=0.01)
+    assert v2 == cur + 1
+    h = V.history(spark, root)[-1]
+    assert (h["dv_files"], h["dv_rows"]) == (0, 0)
+    assert V.read_version(spark, root).count() == 404
+
+
+def test_dv_file_no_duplicate_rows_across_repeated_deletes(spark, root):
+    """Repeated DV deletes whose touched files point at DIFFERENT old
+    dv dirs must not write duplicate (dir,path,row_index) rows into
+    the fresh DV (the (dir,path) semi-join pulls a file's rows from
+    every old dir holding them)."""
+    _dv_base(spark, root)
+    # files A=[0,100) and B=[100,200): A,B -> dv1; A -> dv2; A,B -> dv3
+    V.commit_delete_where(spark, root, "k IN (0, 101)", mode="dv")
+    V.commit_delete_where(spark, root, "k = 1", mode="dv")
+    v = V.commit_delete_where(spark, root, "k IN (2, 102)", mode="dv")[0]
+    ent = [e for e in V._live_entries(spark, root, v) if e.get("dv")]
+    dv_dirs = {e["dv"]["dir"] for e in ent}
+    assert len(dv_dirs) == 1  # both re-point at the fresh commit's DV
+    dvf = spark.read.parquet(
+        *[f"{root}/{V.DV_DIR}/{d}" for d in dv_dirs])
+    assert dvf.count() == dvf.dropDuplicates(
+        ["dir", "path", "row_index"]).count() == 5
+    # per-entry metadata equals the DISTINCT row count per file
+    per = {
+        (r["dir"], r["path"]): r["n"]
+        for r in dvf.groupBy("dir", "path")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for e in ent:
+        assert per[(e["dir"], e["path"])] == e["dv"]["rows"]
+    assert V.read_version(spark, root).count() == 395
+
+
+def test_reserved_staging_names_raise(spark, root):
+    """A user column colliding with the internal staging names must
+    raise loudly, not silently corrupt DV identity / merge clauses."""
+    V.commit_append(
+        spark, root,
+        spark.range(5).selectExpr("id AS k", "id AS __dv_ri").coalesce(1),
+        ["k"],
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        V.commit_delete_where(spark, root, "k = 1", mode="dv")
+    with pytest.raises(ValueError, match="reserved"):
+        V.commit_merge(
+            spark, root,
+            spark.createDataFrame([(1,)], "k bigint"), "k",
+            matched=[{"action": "delete"}],
+        )
+    root2 = root + "2"
+    _merge_base(spark, root2)
+    src = spark.createDataFrame([(1, 2)], "k bigint, __del bigint")
+    with pytest.raises(ValueError, match="reserved"):
+        V.commit_merge(spark, root2, src, "k",
+                       matched=[{"action": "delete"}])
+
+
+def test_query_string_root_refused_loudly(spark, root):
+    """Batch surfaces that build Spark/Hadoop data paths refuse a
+    query-string root with a clear ValueError at entry — never a
+    Hadoop glob error deep inside (stream_table_changes already did;
+    this pins the batch twin)."""
+    V.commit_append(spark, root, _df(spark, 0, 5, "a"), ["k"])
+    q = root + "?endpoint_override=127.0.0.1:9&scheme=http"
+    with pytest.raises(ValueError, match="plain"):
+        V.commit_append(spark, q, _df(spark, 0, 1, "b"))
+    with pytest.raises(ValueError, match="plain"):
+        V.read_version(spark, q)
+    with pytest.raises(ValueError, match="plain"):
+        V.table_changes(spark, q)
+    with pytest.raises(ValueError, match="plain"):
+        V.vacuum(spark, q)
+
+
+def test_restore_across_checkpoint_uses_slim_diff(spark, root, monkeypatch):
+    """RESTORE in the checkpoint regime: the diff runs on slim index
+    reads and only add-side entries fetch full stats — behavior pinned
+    by the result (same relink semantics, stats still prunable after
+    the restore)."""
+    monkeypatch.setattr(V, "CHECKPOINT_EVERY", 2)
+    _dv_base(spark, root)  # 4 commits -> checkpoints at v2 (and v...)
+    target = V.current_version(spark, root)
+    V.commit_delete_where(spark, root, "k < 150")
+    v, relinked, removed = V.restore_version(spark, root, target)
+    assert relinked >= 1 and removed >= 1
+    assert V.read_version(spark, root).count() == 400
+    # restored entries carry their stats: key-range pruning still works
+    pruned = V.read_version(
+        spark, root, key_range=(250, 260), key_col="k")
+    assert pruned.count() <= 200 and pruned.where(
+        "k = 255").count() == 1
