@@ -35,12 +35,20 @@ from pyspark.sql import types as T
 
 BLOCK = 512
 
-#: S3's single put_object size limit. Shard publication on s3:// is
-#: ONE atomic PUT by design (all-or-nothing — multipart could leave a
-#: partial visible object on task failure), so a shard must fit under
-#: this; the writer refuses targets above it up front and any realized
-#: shard that overshoots past it at publish time.
+#: S3's single put_object size limit. Shards at or under it publish as
+#: ONE atomic PUT (all-or-nothing); larger shards switch to a
+#: MULTIPART upload with abort-on-failure — parts are INVISIBLE until
+#: complete_multipart_upload, so the no-partial-visible-object
+#: contract holds either way (an aborted upload discards its parts; a
+#: crashed task's un-aborted upload is invisible storage a bucket
+#: lifecycle rule reclaims, never a readable partial object).
 S3_SINGLE_PUT_CAP = 5 * (1 << 30)
+
+#: multipart part size. S3 bounds: >=5 MiB per part (except the last),
+#: <=10_000 parts — 256 MiB covers shards up to 2.5 TB, far past any
+#: sane target_shard_bytes; the part loop widens the size if a shard
+#: would somehow exceed the part-count bound.
+S3_MULTIPART_PART_BYTES = 256 * (1 << 20)
 
 INDEX_SCHEMA = T.StructType(
     [
@@ -161,14 +169,31 @@ class _WriteSink:
     bytes via ``write``, ``close`` always (safe on failure — nothing
     becomes visible), then ``publish`` ONLY on success to make the
     object appear. Local files: tmp + atomic os.replace. s3://: an
-    in-memory buffer published as ONE atomic put_object — pyarrow's
-    S3 output stream always multiparts (a failed task could leave a
-    partial visible object, and moto can't complete multiparts), a
-    single PUT is all-or-nothing; bound: one shard ≤ 5 GB (S3's
-    single-PUT cap — target_shard_bytes sits well under it). Other
-    remote filesystems: pyarrow streaming, published at write time."""
+    in-memory buffer published at publish time — ONE atomic
+    put_object up to S3's single-PUT cap, a boto3 MULTIPART upload
+    with abort-on-failure above it (parts invisible until complete;
+    abort discards them — all-or-nothing either way; pyarrow's S3
+    output stream is avoided because it starts multiparting at WRITE
+    time, before success is known). Other remote filesystems: pyarrow
+    streaming, published at write time."""
 
-    def __init__(self, path: str):
+    def __init__(
+        self,
+        path: str,
+        single_put_cap: int | None = None,
+        part_bytes: int | None = None,
+    ):
+        # caps captured as ARGS (not read from module globals inside
+        # the publish closure) so the driver's values at plan-build
+        # time ride into executor python workers with the closure
+        self._put_cap = (
+            single_put_cap if single_put_cap is not None
+            else S3_SINGLE_PUT_CAP
+        )
+        self._part_bytes = (
+            part_bytes if part_bytes is not None
+            else S3_MULTIPART_PART_BYTES
+        )
         self._publish = None
         if "://" not in path or path.startswith("file:"):
             local = path
@@ -196,19 +221,51 @@ class _WriteSink:
 
                 from amadeus_spark.operators.versioned import _s3_split
 
-                if len(self._data) > S3_SINGLE_PUT_CAP:
-                    raise ValueError(
-                        f"shard {path} is {len(self._data)} bytes — over "
-                        f"S3's {S3_SINGLE_PUT_CAP}-byte single-PUT cap. "
-                        "Lower target_shard_bytes (atomic single-PUT "
-                        "publication is the all-or-nothing guarantee; "
-                        "multipart could leave partial visible objects "
-                        "on task failure)."
-                    )
                 kwargs, bucket, key = _s3_split(path)
-                boto3.client("s3", **kwargs).put_object(
-                    Bucket=bucket, Key=key, Body=self._data
+                client = boto3.client("s3", **kwargs)
+                data = self._data
+                if len(data) <= self._put_cap:
+                    client.put_object(Bucket=bucket, Key=key, Body=data)
+                    return
+                # over the single-PUT cap: MULTIPART with abort-on-
+                # failure. Parts are invisible until complete, so a
+                # failed/aborted upload never leaves a readable
+                # partial object — same contract as the atomic PUT.
+                part = max(
+                    self._part_bytes,
+                    -(-len(data) // 10_000),  # ceil: <=10k parts
                 )
+                mpu = client.create_multipart_upload(
+                    Bucket=bucket, Key=key
+                )
+                uid = mpu["UploadId"]
+                try:
+                    parts = []
+                    for i, off in enumerate(
+                        range(0, len(data), part), start=1
+                    ):
+                        resp = client.upload_part(
+                            Bucket=bucket,
+                            Key=key,
+                            PartNumber=i,
+                            UploadId=uid,
+                            Body=data[off:off + part],
+                        )
+                        parts.append(
+                            {"ETag": resp["ETag"], "PartNumber": i}
+                        )
+                    client.complete_multipart_upload(
+                        Bucket=bucket,
+                        Key=key,
+                        UploadId=uid,
+                        MultipartUpload={"Parts": parts},
+                    )
+                except BaseException:
+                    # discard the staged parts; nothing was visible
+                    client.abort_multipart_upload(
+                        Bucket=bucket, Key=key, UploadId=uid
+                    )
+                    raise
 
             self._publish = _put
         else:
@@ -274,10 +331,11 @@ def write_webdataset_shards(
     buffers the finished tar again in memory for the atomic PUT —
     so peak ≈ 2-2.5× ``target_shard_bytes`` PER CONCURRENT TASK. Size
     executors accordingly (the 1 GiB default needs ~2.5 GiB headroom
-    per task slot). Hard cap: s3:// publication is a single atomic
-    PUT, so ``target_shard_bytes`` above S3's 5 GB single-PUT limit
-    is refused up front (and a realized shard that overshoots the cap
-    fails at publish with a clear error, not inside boto3).
+    per task slot). Shards over S3's 5 GB single-PUT limit publish as
+    a MULTIPART upload with abort-on-failure (parts invisible until
+    complete — the all-or-nothing contract holds; the buffer-twice
+    memory rule above applies all the more, so multi-GB targets need
+    executors sized for it).
 
     Returns the write-time index (INDEX_SCHEMA; ``shard`` = full
     path). LAZY: materializing the returned frame IS the write job —
@@ -285,18 +343,13 @@ def write_webdataset_shards(
     shard as its task completes)."""
     from pyspark.sql import Window
 
-    if (
-        out_dir.startswith(("s3://", "s3a://"))
-        and target_shard_bytes > S3_SINGLE_PUT_CAP
-    ):
-        raise ValueError(
-            f"target_shard_bytes={target_shard_bytes} exceeds S3's "
-            f"{S3_SINGLE_PUT_CAP}-byte single-PUT cap: s3:// shards "
-            "publish as ONE atomic put_object (all-or-nothing); pick "
-            "a smaller target — 1-4 GiB shards are the WebDataset norm"
-        )
-
     from amadeus_spark.cache import tracked_persist
+
+    # capture the publication caps ON THE DRIVER at plan-build time:
+    # executor python workers re-import the module fresh, so module
+    # globals there never see a driver-side override — the values ride
+    # into the tasks through the UDF closure instead
+    put_cap, mp_part = S3_SINGLE_PUT_CAP, S3_MULTIPART_PART_BYTES
 
     spark = members.sparkSession
     sized = members.select(
@@ -367,7 +420,7 @@ def write_webdataset_shards(
         )
         rows = []
         pos = 0
-        sink = _WriteSink(path)
+        sink = _WriteSink(path, put_cap, mp_part)
         try:
             for r in pdf.itertuples(index=False):
                 name = member_name(r.sample_key, r.slot)

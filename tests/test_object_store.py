@@ -370,3 +370,135 @@ def test_webdataset_index_and_fetch_from_object_store(spark, s3_server):
     pay = {r["member"]: bytes(r["content"]) for r in fetched}
     for name, data in G.members(shard):
         assert pay[name] == data, name
+
+
+def test_write_sink_multipart_over_cap(s3_server, monkeypatch):
+    """A realized shard OVER the single-PUT cap publishes via boto3
+    MULTIPART (create/upload_part/complete) — bytes round-trip exactly;
+    an under-cap sibling still publishes as one atomic PUT."""
+    from amadeus_spark.sources import webdataset as W
+
+    port = s3_server
+    client = _client(port)
+    bucket = "mpu-bucket"
+    client.create_bucket(Bucket=bucket)
+    q = f"?endpoint_override=127.0.0.1:{port}&scheme=http&region=us-east-1"
+    # real S3 rejects parts under 5 MiB (except the last): keep the
+    # genuine part floor and drop only the trigger cap, so the test
+    # exercises the very code real oversized shards run
+    monkeypatch.setattr(W, "S3_SINGLE_PUT_CAP", 1 << 20)
+    monkeypatch.setattr(W, "S3_MULTIPART_PART_BYTES", 5 * (1 << 20))
+    payload = bytes(range(256)) * (11 * (1 << 12))  # 11 MiB -> 3 parts
+    uri = f"s3://{KEY_ID}:{SECRET}@{bucket}/big/shard-0.tar{q}"
+    sink = W._WriteSink(uri)
+    sink.write(payload)
+    sink.close()
+    sink.publish()
+    got = client.get_object(
+        Bucket=bucket, Key="big/shard-0.tar")["Body"].read()
+    assert got == payload
+    # no dangling multipart uploads after a successful publish
+    pend = client.list_multipart_uploads(Bucket=bucket)
+    assert not pend.get("Uploads")
+    # under-cap sibling: single PUT path unchanged
+    sink2 = W._WriteSink(
+        f"s3://{KEY_ID}:{SECRET}@{bucket}/small/shard-1.tar{q}")
+    sink2.write(b"tiny")
+    sink2.close()
+    sink2.publish()
+    assert client.get_object(
+        Bucket=bucket, Key="small/shard-1.tar")["Body"].read() == b"tiny"
+
+
+def test_write_sink_multipart_aborts_on_failure(s3_server, monkeypatch):
+    """Injected completion failure: the sink ABORTS the multipart
+    upload and re-raises — no object becomes visible and no staged
+    parts linger (the no-partial-visible-object contract)."""
+    from amadeus_spark.sources import webdataset as W
+
+    port = s3_server
+    client = _client(port)
+    bucket = "mpu-abort-bucket"
+    client.create_bucket(Bucket=bucket)
+    q = f"?endpoint_override=127.0.0.1:{port}&scheme=http&region=us-east-1"
+    monkeypatch.setattr(W, "S3_SINGLE_PUT_CAP", 1 << 20)
+    monkeypatch.setattr(W, "S3_MULTIPART_PART_BYTES", 5 * (1 << 20))
+
+    real_client = boto3.client
+
+    def wrapped(*a, **k):
+        c = real_client(*a, **k)
+
+        class _Proxy:
+            def __getattr__(self, n):
+                if n == "complete_multipart_upload":
+                    def boom(**kw):
+                        raise RuntimeError("injected completion failure")
+                    return boom
+                return getattr(c, n)
+
+        return _Proxy()
+
+    monkeypatch.setattr(boto3, "client", wrapped)
+    uri = f"s3://{KEY_ID}:{SECRET}@{bucket}/big/shard-0.tar{q}"
+    sink = W._WriteSink(uri)
+    sink.write(bytes(7 * (1 << 20)))  # 7 MiB -> 2 parts
+    sink.close()
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.publish()
+    # nothing visible, nothing staged
+    listed = client.list_objects_v2(Bucket=bucket)
+    assert not listed.get("Contents")
+    pend = client.list_multipart_uploads(Bucket=bucket)
+    assert not pend.get("Uploads")
+
+
+def test_webdataset_forced_multipart_e2e(spark, s3_server, monkeypatch):
+    """write_webdataset_shards end-to-end with the caps forced low on
+    the DRIVER: the closure carries them into the executor tasks (the
+    workers' fresh module import never sees a monkeypatch), every
+    shard publishes via multipart, and the written objects round-trip
+    through the over-the-wire re-index + ranged fetch."""
+    from pyspark.sql import Row
+
+    from amadeus_spark.sources import webdataset as W
+    from amadeus_spark.sources import wds_golden as G
+
+    port = s3_server
+    client = _client(port)
+    bucket = "mpu-e2e-bucket"
+    client.create_bucket(Bucket=bucket)
+    q = f"?endpoint_override=127.0.0.1:{port}&scheme=http&region=us-east-1"
+    out = f"s3://{KEY_ID}:{SECRET}@{bucket}/corpus{q}"
+    # force EVERY shard over the patched cap; part size stays at the
+    # default so each small shard is ONE part — S3 (and moto) exempt
+    # the last part from the 5 MiB floor, while the multi-part split
+    # itself is covered by the unit test above with real-size parts
+    monkeypatch.setattr(W, "S3_SINGLE_PUT_CAP", 64)
+    df = spark.createDataFrame(
+        [
+            Row(sample_key=k, slot=s, content=bytearray(c))
+            for k, s, c in G.writer_members()
+        ],
+        "sample_key string, slot string, content binary",
+    )
+    W.write_webdataset_shards(
+        df, out, target_shard_bytes=G.WRITE_TARGET
+    ).collect()
+    keys = _keys(client, bucket, "corpus/")
+    tars = sorted(k for k in keys if k.endswith(".tar"))
+    assert len(tars) > 1
+    assert not client.list_multipart_uploads(Bucket=bucket).get("Uploads")
+    uris = [f"s3://{KEY_ID}:{SECRET}@{bucket}/{k}{q}" for k in tars]
+    idx = W.read_webdataset_index(spark, uris)
+    got = sorted(
+        (r["shard"].split("/")[-1].split("?")[0], r["member"],
+         r["sample_key"], r["slot"], r["offset"], r["size"])
+        for r in idx.collect()
+    )
+    assert got == sorted(G.expected_written_index())
+    pay = {
+        r["member"]: bytes(r["content"])
+        for r in W.fetch_members(idx).collect()
+    }
+    assert pay == {n: d for s in G.GOLDEN for n, d in G.members(s)}

@@ -439,11 +439,10 @@ def test_writer_edge_semantics(spark, tmp_path):
     assert fetched == [b"one", b"two"]
 
 
-def test_writer_refuses_targets_over_s3_single_put_cap(spark):
-    """s3:// shard publication is ONE atomic PUT, so a target above
-    S3's 5 GB single-PUT cap is refused up front with a sizing hint —
-    not discovered inside boto3 on the first oversized shard."""
-    import pytest as _pytest
+def test_writer_accepts_targets_over_s3_single_put_cap(spark):
+    """Targets above S3's 5 GB single-PUT cap are ACCEPTED: oversized
+    shards publish via multipart-with-abort (parts invisible until
+    complete), so plan building must not raise for any root."""
     from pyspark.sql import Row
 
     from amadeus_spark.sources.webdataset import (
@@ -455,27 +454,10 @@ def test_writer_refuses_targets_over_s3_single_put_cap(spark):
         [Row(sample_key="a", slot="txt", content=bytearray(b"x"))],
         "sample_key string, slot string, content binary",
     )
-    with _pytest.raises(ValueError, match="single-PUT cap"):
-        write_webdataset_shards(
-            df, "s3://bucket/prefix", target_shard_bytes=S3_SINGLE_PUT_CAP + 1
-        )
-    # local roots have no PUT cap: the same target is accepted (lazy —
-    # just building the plan must not raise)
+    # lazy — just building the plan must not raise on either root
+    write_webdataset_shards(
+        df, "s3://bucket/prefix", target_shard_bytes=S3_SINGLE_PUT_CAP + 1
+    )
     write_webdataset_shards(
         df, "/tmp/never-materialized", target_shard_bytes=S3_SINGLE_PUT_CAP + 1
     )
-
-
-def test_write_sink_s3_refuses_realized_overshoot(monkeypatch):
-    """A REALIZED shard over the cap (boundary-sample overshoot) fails
-    at publish with the clear sizing error, before any boto3 call."""
-    import pytest as _pytest
-
-    from amadeus_spark.sources import webdataset as W
-
-    monkeypatch.setattr(W, "S3_SINGLE_PUT_CAP", 8)
-    sink = W._WriteSink("s3://bucket/shard-00000.tar")
-    sink.write(b"0123456789")  # 10 bytes > patched 8-byte cap
-    sink.close()
-    with _pytest.raises(ValueError, match="single-PUT cap"):
-        sink.publish()
