@@ -3062,6 +3062,187 @@ def q_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SCHEMA-EVOLUTION gate constants (iron rule 7): base %4==2 so source
+#: keys %8==2 are matched and %8==5 are not-matched inserts; the NOTE
+#: column does not exist in the table — the merge evolves it from the
+#: source (Delta autoMerge), then an UPDATE evolves MARK from its SET
+#: expression. One constant set drives both dialects.
+_SE_BASE = "o_orderkey % 4 = 2"
+_SE_VAL = "CAST(o_custkey AS BIGINT)"
+_SE_SRC = "o_orderkey % 8 IN (2, 5)"
+_SE_SVAL = "CAST(o_custkey % 800 AS BIGINT) + 11"
+_SE_NOTE_MOD = 7
+_SE_UPD_PRED = "k % 11 = 4"
+_SE_MARK = "val % 10"
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE + UPDATE schema evolution end-to-end through real storage
+    (operators/versioned.py commit_merge(evolve_schema=True) /
+    commit_update_where(evolve_schema=True), new r12 — Delta's
+    schema.autoMerge): the merge widens the table with the source's
+    NOTE column (matched updates SET it, inserts carry it, carried
+    files and pass-through rows read NULL through the manifest
+    schema), then a predicate UPDATE widens it again with MARK whose
+    type is inferred from the SET expression — with changefeed capture
+    across BOTH evolutions, so pre-images must surface typed NULLs for
+    columns born after their rows. Output = final state per key group
+    UNION both commits' change feeds per _change_type; the oracle
+    reconstructs the evolution relationally (CASE + NULL columns), so
+    widen-only evolution, NULL backfill and the CDF splits must all
+    reproduce exact Delta autoMerge semantics to hash-match.
+    Materializes eagerly BY NATURE (commits are actions)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_se_")
+    try:
+        root = os.path.join(tmp, "vt")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_SE_BASE)
+            .selectExpr("o_orderkey AS k", f"{_SE_VAL} AS val")
+            .repartitionByRange(3, "k"),
+            ["k"],
+        )
+        src = orders.filter(_SE_SRC).selectExpr(
+            "o_orderkey AS k",
+            f"{_SE_SVAL} AS sval",
+            f"concat('p', CAST(o_orderkey % {_SE_NOTE_MOD} AS STRING))"
+            " AS note",
+        )
+        v1, _, _ = V.commit_merge(
+            spark,
+            root,
+            src,
+            "k",
+            matched=[{"action": "update",
+                      "set": {"val": "t.val + s.sval",
+                              "note": "s.note"}}],
+            not_matched=[{"action": "insert",
+                          "values": {"k": "k", "val": "sval",
+                                     "note": "note"}}],
+            changefeed=True,
+            evolve_schema=True,
+        )
+        v2, _, _ = V.commit_update_where(
+            spark, root, _SE_UPD_PRED, {"mark": _SE_MARK},
+            changefeed=True, evolve_schema=True,
+        )
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+            F.count("note").cast("bigint").alias("n_note"),
+            F.coalesce(F.sum("mark"), F.lit(0)).cast("bigint")
+            .alias("sum_mark"),
+        ]
+        state = (
+            V.read_version(spark, root)
+            .groupBy(F.expr("CAST(k % 5 AS STRING)").alias("grp"))
+            .agg(*aggs)
+            .select(F.lit("state").alias("section"), "grp", "n_rows",
+                    "sum_val", "n_note", "sum_mark")
+        )
+        cdf1 = (
+            V.table_changes(spark, root, v1, v1)
+            .groupBy(F.col("_change_type").alias("grp"))
+            .agg(*aggs[:3])
+            .select(F.lit("cdf").alias("section"), "grp", "n_rows",
+                    "sum_val", "n_note",
+                    F.lit(0).cast("bigint").alias("sum_mark"))
+        )
+        cdf2 = (
+            V.table_changes(spark, root, v2, v2)
+            .groupBy(F.col("_change_type").alias("grp"))
+            .agg(*aggs)
+            .select(F.lit("cdf2").alias("section"), "grp", "n_rows",
+                    "sum_val", "n_note", "sum_mark")
+        )
+        rows = state.unionByName(cdf1).unionByName(cdf2).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "section string, grp string, n_rows bigint, sum_val bigint, "
+        "n_note bigint, sum_mark bigint",
+    )
+
+
+def q_dv_debt_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DV-debt observability end-to-end (operators/versioned.py
+    history() dv_files/dv_rows running totals + optimize's
+    purge_dv_over gate, new r12): four exact-range file commits, two
+    deletion-vector DELETE waves, a DV UPDATE (post-images append,
+    pre-images join the vector), then a debt-gated OPTIMIZE — a 0.99
+    ratio gate must rewrite NOTHING (every file's debt is ~21%), a 0.0
+    gate purges every DV physically. Output = per-version debt totals
+    + the no-op probe + the final state per key group. GOLDEN-FIXTURE
+    query: the table is a deterministic spark.range build
+    (sf-independent BY DESIGN), and the oracle is a literal-VALUES
+    replay computed by independent arithmetic (media_golden
+    discipline), so the manifest totals, the purge gating and the DV
+    anti-join reads must all reproduce the hand computation to
+    hash-match."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    tmp = tempfile.mkdtemp(prefix="amadeus_dvd_")
+    try:
+        root = os.path.join(tmp, "vt")
+        for lo in (0, 100, 200, 300):
+            V.commit_append(
+                spark,
+                root,
+                spark.range(lo, lo + 100).selectExpr(
+                    "id AS k", "id * 3 AS val").coalesce(1),
+                ["k"],
+            )
+        V.commit_delete_where(spark, root, "k % 10 = 4", mode="dv")
+        V.commit_delete_where(spark, root, "k % 10 = 8", mode="dv")
+        V.commit_update_where(
+            spark, root, "k % 100 = 1", {"val": "val + 1000"}, mode="dv"
+        )
+        # debt-gated no-op: no file's ratio clears 0.99
+        cur = V.current_version(spark, root)
+        noop_v, _, _ = V.optimize(
+            spark, root, small_file_mb=1e-9, purge_dv_over=0.99)
+        # ratio 0.0: every DV'd file purges (REORG APPLY PURGE)
+        V.optimize(spark, root, small_file_mb=1e-9, purge_dv_over=0.0)
+        debt_rows = [
+            ("debt", f"v{h['version']}-{h['op']}", h["n_rows"],
+             h["dv_files"], h["dv_rows"])
+            for h in V.history(spark, root)
+        ]
+        debt_rows.append(
+            ("gate", "noop99", 1 if noop_v == cur else 0, -1, -1))
+        state_rows = (
+            V.read_version(spark, root)
+            .groupBy(F.expr("CAST(k % 5 AS STRING)").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_val"),
+                F.max("k").cast("bigint").alias("max_k"),
+            )
+            .select(F.lit("state").alias("section"), "grp", "n_rows",
+                    F.col("sum_val").alias("a"),
+                    F.col("max_k").alias("b"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(s, g, n, a, b) for s, g, n, a, b in debt_rows]
+        + [tuple(r) for r in state_rows],
+        "section string, grp string, n_rows bigint, a bigint, b bigint",
+    )
+
+
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination (dedup.span_decontaminate):
     delete exactly the probe-overlapping token spans from corpus docs
@@ -3863,35 +4044,80 @@ def _table_changes_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the driver's CORRECTNESS gate verifies
-        # only the FIRST 50 dict entries. ROUND-11 ROTATION: the window
-        # takes (a) everything whose code or oracle changed this round
-        # — the four demux/codec queries graduating from rows-only to
-        # literal-VALUES golden oracles (functions/media_golden.py),
-        # the WebDataset round trip over the exact-integer shard cut,
-        # the never-externally-checked fuzzy_dict_lookup_d3, and the
-        # FOUR new gates for the r11 commit-layer features:
-        # time_travel_asof (as-of/retention), dml_delete_update
-        # (UPDATE/DELETE WHERE), merge_into (full-clause MERGE with
-        # changefeed capture) and restore_table (RESTORE by
-        # reference) — and (b) all 40 oracle-checked queries whose
-        # newest external hash-green is r8 (TPC-H-adjacent joins/
-        # set_ops, the dedup/similarity family, sampling) — after
-        # this round no oracle-checked query's newest green is older
-        # than r9. table_changes (r10-green, its layer covered by the
-        # four new gates) and the rows-only compensated_moments ceded
-        # their slots to merge_into/restore_table; both stay oracle-/
-        # property-verified locally on every pytest run below the
-        # marker.
+        # only the FIRST 50 dict entries. ROUND-12 ROTATION: the window
+        # takes (a) everything whose code changed this round — the two
+        # NEW gates for the r12 features (schema_evolution: MERGE +
+        # UPDATE evolve_schema through real storage; dv_debt_purge:
+        # history() DV-debt totals + optimize's purge_dv_over gate,
+        # golden-VALUES fixture) plus every query exercising the
+        # changed versioned-table layer (merge_into, dml_delete_update,
+        # restore_table, time_travel_asof, table_changes, cdc_apply,
+        # snapshot_diff) and the changed WebDataset write path
+        # (webdataset_roundtrip; webdataset_index is in (b)) — and
+        # (b) all 35 oracle-checked queries whose newest external
+        # hash-green is r9 (the TPC-H pack, fuzzy joins, postgres/
+        # xml sources, corpusflow) — after this round no oracle-
+        # checked query's newest green is older than r10. The 5
+        # remaining slots rotate the alphabetically-first r10-greens
+        # (all_any, asof_join, bm25_topk, bpe_token_stats,
+        # chain_union). Everything below the marker stays oracle-/
+        # property-verified locally on every pytest run.
+        "schema_evolution": q_schema_evolution,
+        "dv_debt_purge": q_dv_debt_purge,
+        "merge_into": q_merge_into,
+        "dml_delete_update": q_dml_delete_update,
+        "restore_table": q_restore_table,
+        "time_travel_asof": q_time_travel_asof,
+        "webdataset_roundtrip": q_webdataset_roundtrip,
+        "table_changes": q_table_changes,
+        "cdc_apply": q_cdc_apply,
+        "snapshot_diff": q_snapshot_diff,
+        "cluster_safe_split": q_cluster_safe_split,
+        "corpusflow_e2e": q_corpusflow_e2e,
+        "domain_stats": q_domain_stats,
+        "event_anomaly_enrich": q_event_anomaly_enrich,
+        "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
+        "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
+        "fuzzy_name_match": q_fuzzy_name_match,
+        "group_by_pricing": q_group_by_pricing,
+        "line_dedup": q_line_dedup,
+        "max_by": q_max_by,
+        "perplexity_filter": q_perplexity_filter,
+        "postgres_copy_decode": q_postgres_copy_decode,
+        "summary_agg": q_summary_agg,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q12_priority_class": q_tpch_q12_priority_class,
+        "tpch_q13_custdist": q_tpch_q13_custdist,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q16_partsupp": q_tpch_q16_partsupp,
+        "tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
+        "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q22_global": q_tpch_q22_global,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q3_shipping": q_tpch_q3_shipping,
+        "tpch_q4_priority": q_tpch_q4_priority,
+        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "url_dedup": q_url_dedup,
+        "webdataset_index": q_webdataset_index,
+        "xml_source": q_xml_source,
+        "all_any": q_all_any,
+        "asof_join": q_asof_join,
+        "bm25_topk": q_bm25_topk,
+        "bpe_token_stats": q_bpe_token_stats,
+        "chain_union": q_chain_union,
+        # ---- below the 50-entry gate ----
         "mp4_frame_plan": q_mp4_frame_plan,
         "mp3_segment_plan": q_mp3_segment_plan,
         "media_frame_sample": q_media_frame_sample,
         "multimodal_features": q_multimodal_features,
-        "webdataset_roundtrip": q_webdataset_roundtrip,
         "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
-        "time_travel_asof": q_time_travel_asof,
-        "dml_delete_update": q_dml_delete_update,
-        "merge_into": q_merge_into,
-        "restore_table": q_restore_table,
         "ann_lsh": q_ann_lsh,
         "c4_quality": q_c4_quality,
         "cosine_topk": q_cosine_topk,
@@ -3932,16 +4158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "variant_props": q_variant_props,
         "weighted_sample": q_weighted_sample,
-        # ---- below the 50-entry gate ----
         "cluster_keep_best": q_cluster_keep_best,
-        "cdc_apply": q_cdc_apply,
-        "snapshot_diff": q_snapshot_diff,
-        "table_changes": q_table_changes,
-        "all_any": q_all_any,
-        "asof_join": q_asof_join,
-        "bm25_topk": q_bm25_topk,
-        "bpe_token_stats": q_bpe_token_stats,
-        "chain_union": q_chain_union,
         "cloudfront_logs": q_cloudfront_logs,
         "cohort_retention": q_cohort_retention,
         "cube": q_cube,
@@ -3980,41 +4197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "warc_stats": q_warc_stats,
         "window_functions": q_window_functions,
-        "fuzzy_code_match_d3": q_fuzzy_code_match_d3,
-        "postgres_copy_decode": q_postgres_copy_decode,
-        "webdataset_index": q_webdataset_index,
-        "corpusflow_e2e": q_corpusflow_e2e,
-        "cluster_safe_split": q_cluster_safe_split,
-        "domain_stats": q_domain_stats,
-        "url_dedup": q_url_dedup,
-        "fuzzy_code_match_d2": q_fuzzy_code_match_d2,
-        "fuzzy_name_match": q_fuzzy_name_match,
-        "summary_agg": q_summary_agg,
-        "group_by_pricing": q_group_by_pricing,
-        "max_by": q_max_by,
-        "line_dedup": q_line_dedup,
-        "perplexity_filter": q_perplexity_filter,
-        "event_anomaly_enrich": q_event_anomaly_enrich,
-        "xml_source": q_xml_source,
-        "tpch_q2_min_cost": q_tpch_q2_min_cost,
-        "tpch_q3_shipping": q_tpch_q3_shipping,
-        "tpch_q4_priority": q_tpch_q4_priority,
-        "tpch_q5_local_supplier": q_tpch_q5_local_supplier,
-        "tpch_q6_forecast": q_tpch_q6_forecast,
-        "tpch_q7_volume": q_tpch_q7_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q9_profit": q_tpch_q9_profit,
-        "tpch_q10_returns": q_tpch_q10_returns,
-        "tpch_q12_priority_class": q_tpch_q12_priority_class,
-        "tpch_q13_custdist": q_tpch_q13_custdist,
-        "tpch_q14_promo": q_tpch_q14_promo,
-        "tpch_q16_partsupp": q_tpch_q16_partsupp,
-        "tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q19_disjunctive": q_tpch_q19_disjunctive,
-        "tpch_q20_excess_supplier": q_tpch_q20_excess_supplier,
-        "tpch_q21_waiting": q_tpch_q21_waiting,
-        "tpch_q22_global": q_tpch_q22_global,
         # rows-only (no oracle) entries: CONTIGUOUS TAIL — weakest
         # signal last, so a truncating gate drops them first
         "compensated_moments": q_compensated_moments,
@@ -4348,6 +4530,98 @@ def _merge_into_oracle() -> str:
                CAST(MIN(k) AS BIGINT), CAST(MAX(k) AS BIGINT)
         FROM changes2 GROUP BY 2
     """
+
+
+def _schema_evolution_oracle() -> str:
+    """DuckDB twin of q_schema_evolution — the autoMerge evolution as
+    a LEFT JOIN whose new column is CASE-built (NULL for rows born
+    before it), the UPDATE evolution as one more CASE column, and both
+    change feeds re-derived with explicitly typed NULL columns."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_SE_VAL} AS val
+            FROM orders WHERE {_SE_BASE}
+        ), src AS (
+            SELECT o_orderkey AS k, {_SE_SVAL} AS sval,
+                   'p' || CAST(o_orderkey % {_SE_NOTE_MOD} AS VARCHAR)
+                       AS note
+            FROM orders WHERE {_SE_SRC}
+        ), m AS (
+            SELECT b.k, b.val, s.sval, s.note, s.k IS NOT NULL AS hit
+            FROM base b LEFT JOIN src s ON b.k = s.k
+        ), ins AS (
+            SELECT s.k, s.sval AS val, s.note FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)
+        ), fin1 AS (
+            SELECT k, CASE WHEN hit THEN val + sval ELSE val END AS val,
+                   CASE WHEN hit THEN note END AS note
+            FROM m
+            UNION ALL SELECT k, val, note FROM ins
+        ), fin2 AS (
+            SELECT k, val, note,
+                   CASE WHEN {_SE_UPD_PRED} THEN {_SE_MARK} END AS mark
+            FROM fin1
+        ), changes1 AS (
+            SELECT 'update_preimage' AS grp, k, val,
+                   CAST(NULL AS VARCHAR) AS note
+            FROM m WHERE hit
+            UNION ALL
+            SELECT 'update_postimage', k, val + sval, note
+            FROM m WHERE hit
+            UNION ALL
+            SELECT 'insert', k, val, note FROM ins
+        ), upd2 AS (
+            SELECT * FROM fin1 WHERE {_SE_UPD_PRED}
+        ), changes2 AS (
+            SELECT 'update_preimage' AS grp, k, val, note,
+                   CAST(NULL AS BIGINT) AS mark
+            FROM upd2
+            UNION ALL
+            SELECT 'update_postimage', k, val, note, {_SE_MARK}
+            FROM upd2
+        )
+        SELECT 'state' AS section, CAST(k % 5 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(COUNT(note) AS BIGINT) AS n_note,
+               CAST(COALESCE(SUM(mark), 0) AS BIGINT) AS sum_mark
+        FROM fin2 GROUP BY 2
+        UNION ALL
+        SELECT 'cdf', grp, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(val) AS BIGINT), CAST(COUNT(note) AS BIGINT),
+               CAST(0 AS BIGINT)
+        FROM changes1 GROUP BY 2
+        UNION ALL
+        SELECT 'cdf2', grp, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(val) AS BIGINT), CAST(COUNT(note) AS BIGINT),
+               CAST(COALESCE(SUM(mark), 0) AS BIGINT)
+        FROM changes2 GROUP BY 2
+    """
+
+
+#: dv_debt_purge golden literals — computed by INDEPENDENT arithmetic
+#: over the deterministic range build (media_golden discipline: the
+#: replay never runs the code under test). State groups: keys in
+#: [0,400) minus {k%10 in (4,8)}, val = 3k + 1000*[k%100==1].
+_DVD_ORACLE = """
+    SELECT section, grp, n_rows, a, b FROM (VALUES
+        ('debt', 'v0-append', CAST(100 AS BIGINT), CAST(0 AS BIGINT),
+         CAST(0 AS BIGINT)),
+        ('debt', 'v1-append', 200, 0, 0),
+        ('debt', 'v2-append', 300, 0, 0),
+        ('debt', 'v3-append', 400, 0, 0),
+        ('debt', 'v4-delete', 360, 4, 40),
+        ('debt', 'v5-delete', 320, 4, 80),
+        ('debt', 'v6-update', 320, 4, 84),
+        ('debt', 'v7-optimize', 320, 0, 0),
+        ('gate', 'noop99', 1, -1, -1),
+        ('state', '0', 80, 47400, 395),
+        ('state', '1', 80, 51640, 396),
+        ('state', '2', 80, 47880, 397),
+        ('state', '3', 40, 23760, 393),
+        ('state', '4', 40, 24480, 399)
+    ) AS t(section, grp, n_rows, a, b)
+"""
 
 
 def _restore_table_oracle() -> str:
@@ -4886,6 +5160,8 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_asof": _time_travel_asof_oracle(),
         "merge_into": _merge_into_oracle(),
         "restore_table": _restore_table_oracle(),
+        "schema_evolution": _schema_evolution_oracle(),
+        "dv_debt_purge": _DVD_ORACLE,
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),
         "webdataset_roundtrip": _wds_golden.oracle_roundtrip_sql(),
