@@ -1178,11 +1178,13 @@ def commit_upsert(
     spark: SparkSession,
     root: str,
     updates: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     changefeed: bool = False,
 ) -> tuple[int, int, int]:
-    """Copy-on-write MERGE by key with FILE-LEVEL stats pruning: only
-    files whose index [min,max] range of ``key_col`` intersects the
+    """Copy-on-write MERGE by key — one column or a COMPOSITE list
+    (file pruning on the FIRST; like :func:`commit_merge`) — with
+    FILE-LEVEL stats pruning: only
+    files whose index [min,max] range of the prune key intersects the
     update's key range are rewritten (anti-join survivors + updates);
     every other file carries over by reference — zero data movement
     and zero log bytes (carried files simply aren't removed). The
@@ -1193,22 +1195,24 @@ def commit_upsert(
     (``insert`` / ``update_preimage`` / ``update_postimage`` — an
     upsert never deletes); see :func:`apply_changes` for the capture
     contract."""
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    prune_col = key_cols[0]
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
-    if key_col not in seg["stats_cols"]:
+    if prune_col not in seg["stats_cols"]:
         raise ValueError(
-            f"{key_col} has no manifest stats (stats_cols="
+            f"{prune_col} has no manifest stats (stats_cols="
             f"{seg['stats_cols']}); re-create the table with it"
         )
     _require_full_rows(_manifest_schema(seg), updates.columns, "updates")
     bounds = updates.agg(
-        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
     ).collect()[0]
     lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
-    touched = _pruned_entries(spark, root, res, key_col, lo, hi,
+    touched = _pruned_entries(spark, root, res, prune_col, lo, hi,
                               slim=True)
     n_kept = seg["total_files"] - len(touched)
     cached = []
@@ -1226,23 +1230,24 @@ def commit_upsert(
                 touched_read = touched_read.persist()
                 cached.append(touched_read)
             survivors = touched_read.join(
-                updates.select(key_col).distinct(), key_col, "left_anti"
+                updates.select(*key_cols).distinct(), key_cols,
+                "left_anti"
             )
             merged = survivors.unionByName(updates, allowMissingColumns=True)
             if changefeed:
                 pre = touched_read.join(
-                    updates.select(key_col), key_col, "left_semi"
+                    updates.select(*key_cols), key_cols, "left_semi"
                 ).persist()
                 cached.append(pre)
                 ch_pre = pre.withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
-                upd_keys = pre.select(key_col)
+                upd_keys = pre.select(*key_cols)
                 ch_post = updates.join(
-                    upd_keys, key_col, "left_semi"
+                    upd_keys, key_cols, "left_semi"
                 ).withColumn("_change_type", F.lit("update_postimage"))
                 ch_ins = updates.join(
-                    upd_keys, key_col, "left_anti"
+                    upd_keys, key_cols, "left_anti"
                 ).withColumn("_change_type", F.lit("insert"))
                 cdf_frame = ch_pre.unionByName(
                     ch_post, allowMissingColumns=True
@@ -1748,7 +1753,7 @@ def commit_merge(
     spark: SparkSession,
     root: str,
     source: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     matched: list[dict] | None = None,
     not_matched: list[dict] | None = None,
     not_matched_by_source: list[dict] | None = None,
@@ -1760,8 +1765,13 @@ def commit_merge(
     has only broadcast joins, `/root/reference/amadeus-core/src/
     par_stream/join.rs`; this is the lakehouse operator a 100 TB
     incremental corpus pipeline upserts/expires/backfills with).
-    Matching is equality on ``key_col`` (the stats-prunable case);
-    clause lists run in order, FIRST-true clause wins per row, rows
+    Matching is equality on ``key_col`` — one column or a COMPOSITE
+    list (the multi-tenant ``(tenant_id, doc_id)`` shape); file-level
+    stats pruning runs on the FIRST key column, the rest only narrow
+    the join (the stats-prunable case). NULL in any key column never
+    matches (SQL equality), so such source rows fall through to the
+    insert clauses. Clause lists run in order, FIRST-true clause wins
+    per row, rows
     hitting no clause pass through (matched) or are skipped (source):
 
     - ``matched``: ``{"action": "update", "set": {col: expr},
@@ -1823,14 +1833,16 @@ def commit_merge(
     for cl in not_matched:
         if cl.get("action", "insert") != "insert":
             raise ValueError("not_matched clauses can only insert")
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    prune_col = key_cols[0]
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
-    if key_col not in seg["stats_cols"]:
+    if prune_col not in seg["stats_cols"]:
         raise ValueError(
-            f"{key_col} has no manifest stats (stats_cols="
+            f"{prune_col} has no manifest stats (stats_cols="
             f"{seg['stats_cols']}); re-create the table with it"
         )
     schema = _manifest_schema(seg)
@@ -1843,6 +1855,12 @@ def commit_merge(
         prefix=True,
     )
     old_names = {f.name for f in schema.fields}
+    bad_keys = [c for c in key_cols if c not in old_names]
+    if bad_keys:
+        raise ValueError(
+            f"merge key columns not in the table schema: {bad_keys} "
+            f"(columns: {sorted(old_names)})"
+        )
     if evolve_schema:
         # Delta autoMerge: widen the table schema with the source
         # columns the clauses actually REFERENCE (SET / values keys;
@@ -1896,7 +1914,7 @@ def commit_merge(
     cdf_frame = None
     try:
         bounds = source.agg(
-            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
         ).collect()[0]
         lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
         # dv mode re-ADDS touched entries (stats must carry) — full
@@ -1907,7 +1925,7 @@ def commit_merge(
             key_files: list[dict] = []
         else:
             key_files = _pruned_entries(
-                spark, root, res, key_col, lo, hi, slim=slim
+                spark, root, res, prune_col, lo, hi, slim=slim
             )
         # the REWRITE set (files removed + rewritten) is distinct from
         # the key-scan set: an insert-only merge rewrites NOTHING, and
@@ -1935,7 +1953,6 @@ def commit_merge(
             rewrite.values(), key=lambda e: (e["dir"], e["path"])
         )
         n_kept = seg["total_files"] - len(touched)
-        key_type = fields[key_col]
         if key_files:
             # DV-applied: an already-deleted row's key must neither
             # block an insert nor trip the cardinality check. tkeys
@@ -1943,7 +1960,7 @@ def commit_merge(
             # anti-join) — persist the small distinct-key frame so the
             # key-file scan runs once.
             key_read = _snapshot_read(spark, root, seg, key_files)
-            tkeys = key_read.select(key_col).distinct().persist()
+            tkeys = key_read.select(*key_cols).distinct().persist()
             cached.append(tkeys)
             # matched-clause cardinality: >1 source row hitting one
             # target row makes update/delete nondeterministic (Delta
@@ -1951,22 +1968,25 @@ def commit_merge(
             # count — a duplicated INSERT key is two legitimate inserts.
             if matched:
                 dup_keys = (
-                    source.groupBy(key_col)
+                    source.groupBy(*key_cols)
                     .agg(F.count(F.lit(1)).alias("__n"))
                     .where("__n > 1")
-                    .select(key_col)
+                    .select(*key_cols)
                 )
                 if not dup_keys.join(
-                    tkeys, key_col, "left_semi"
+                    tkeys, key_cols, "left_semi"
                 ).isEmpty():
                     raise ValueError(
                         "merge cardinality violation: >1 source row "
-                        f"matches one target row on {key_col} while a "
+                        f"matches one target row on {key_cols} while a "
                         "matched clause exists (nondeterministic result)"
                     )
         else:
             tkeys = spark.createDataFrame(
-                [], _st.StructType([_st.StructField(key_col, key_type)])
+                [],
+                _st.StructType(
+                    [_st.StructField(c, fields[c]) for c in key_cols]
+                ),
             )
         touched_read = (
             _snapshot_read(
@@ -2006,11 +2026,14 @@ def commit_merge(
             src_side = (
                 source
                 if matched
-                else source.select(key_col).distinct()
+                else source.select(*key_cols).distinct()
             )
+            key_eq = F.lit(True)
+            for c in key_cols:
+                key_eq = key_eq & (F.col(f"t.{c}") == F.col(f"s.{c}"))
             j = t.alias("t").join(
                 src_side.withColumn("__s_matched", F.lit(True)).alias("s"),
-                F.col(f"t.{key_col}") == F.col(f"s.{key_col}"),
+                key_eq,
                 "left_outer",
             )
             is_matched = F.coalesce(F.col("s.__s_matched"), F.lit(False))
@@ -2083,7 +2106,7 @@ def commit_merge(
         # ---- inserts (not matched by target)
         ins_rows = None
         if not_matched:
-            ins_src = source.join(tkeys, key_col, "left_anti")
+            ins_src = source.join(tkeys, key_cols, "left_anti")
             prior = F.lit(False)
             flags = []
             for i, cl in enumerate(not_matched):
@@ -2918,6 +2941,12 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 "n_rows": m["total_rows"],
                 "dv_files": m.get("total_dv_files", 0),
                 "dv_rows": m.get("total_dv_rows", 0),
+                # per-commit operation metrics (Delta's
+                # operationMetrics shape): what THIS commit added /
+                # removed — already in the segment, no extra I/O
+                "files_added": len(m.get("add", [])),
+                "files_removed": len(m.get("remove", [])),
+                "rows_added": sum(e["rows"] for e in m.get("add", [])),
                 # wall-clock commit time (epoch s); None on pre-ts logs
                 "ts": m.get("ts"),
             }

@@ -146,6 +146,23 @@ def main(sf_dir: str) -> None:
               f"removed {removed} entries")
         V.restore_version(spark, root, version=mv)
 
+        # 4e. schema drift: the next crawl batch carries a NEW column
+        #      — evolve_schema=True (Delta autoMerge) widens the table;
+        #      every older row reads NULL for it through the manifest
+        drift = spark.createDataFrame(
+            [(10_000_002, "en", "tagged doc", 0.7, "crawl-4")],
+            "doc_id long, lang string, text string, quality double,"
+            " source string",
+        )
+        ev, _, _ = V.commit_merge(
+            spark, root, drift, "doc_id",
+            not_matched=[{"action": "insert", "values": None}],
+            evolve_schema=True,
+        )
+        n_src = V.read_version(spark, root).where(
+            "source IS NOT NULL").count()
+        print(f"v{ev}: schema evolved (+source), {n_src} row carries it")
+
         # 5. timestamp time travel: read the table as of the instant
         #    the CDC stream finished — the pre-takedown state.
         ts_cdc = V.history(spark, root)[cur]["ts"]

@@ -2171,3 +2171,111 @@ def test_restore_across_checkpoint_uses_slim_diff(spark, root, monkeypatch):
         spark, root, key_range=(250, 260), key_col="k")
     assert pruned.count() <= 200 and pruned.where(
         "k = 255").count() == 1
+
+
+def test_history_operation_metrics(spark, root):
+    """history() per-commit operation metrics (Delta operationMetrics
+    shape): what each commit added/removed, straight from the segment
+    it already reads."""
+    V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(1), ["k"])
+    V.commit_append(spark, root, _df(spark, 100, 150, "b").coalesce(1))
+    V.commit_upsert(spark, root, _df(spark, 120, 130, "c"), "k")
+    h = V.history(spark, root)
+    assert [x["files_added"] for x in h[:2]] == [1, 1]
+    assert [x["rows_added"] for x in h[:2]] == [100, 50]
+    # the upsert removed the one touched file and re-added its rewrite
+    assert h[2]["files_removed"] == 1 and h[2]["rows_added"] == 50
+
+
+def test_merge_composite_key(spark, root):
+    """Composite-key MERGE: equality on (k, sub), stats pruning on the
+    FIRST key column, cardinality check over the tuple, NULL in any
+    key column never matches (falls through to insert)."""
+    base = spark.createDataFrame(
+        [(i, i % 2, i * 10, "b") for i in range(10)],
+        "k bigint, sub bigint, val bigint, tag string",
+    ).repartitionByRange(3, "k")
+    V.commit_append(spark, root, base, ["k"])
+    src = spark.createDataFrame(
+        [(2, 0, 5), (3, 0, 7), (20, 1, 9), (None, 1, 11)],
+        "k bigint, sub bigint, sval bigint",
+    )
+    # (2,0) matches; (3,0) does NOT (target has (3,1)) so it INSERTS;
+    # (20,1) and the NULL-key row insert
+    v, rewritten, carried = V.commit_merge(
+        spark, root, src, ["k", "sub"],
+        matched=[{"action": "update", "set": {"val": "t.val + s.sval"}}],
+        not_matched=[{"action": "insert",
+                      "values": {"k": "k", "sub": "sub", "val": "sval"}}],
+    )
+    df = V.read_version(spark, root)
+    got = {(r["k"], r["sub"]): r["val"] for r in df.collect()}
+    assert got[(2, 0)] == 25          # matched update
+    assert got[(3, 1)] == 30          # tuple mismatch -> untouched
+    assert got[(3, 0)] == 7           # tuple-unmatched -> insert
+    assert got[(20, 1)] == 9          # insert
+    assert got[(None, 1)] == 11       # NULL key never matches -> insert
+    assert len(got) == 13
+    # duplicate source TUPLE hitting a target row -> cardinality error
+    dup = spark.createDataFrame(
+        [(2, 0, 1), (2, 0, 2)], "k bigint, sub bigint, sval bigint")
+    with pytest.raises(ValueError, match="cardinality"):
+        V.commit_merge(spark, root, dup, ["k", "sub"],
+                       matched=[{"action": "delete"}])
+    # same two rows WITHOUT a matched clause: two legitimate... no —
+    # they match an existing key, so they are NOT inserts; a duplicate
+    # UNMATCHED tuple inserts twice (Delta semantics)
+    dup_new = spark.createDataFrame(
+        [(50, 0, 1), (50, 0, 2)], "k bigint, sub bigint, sval bigint")
+    V.commit_merge(spark, root, dup_new, ["k", "sub"],
+                   not_matched=[{"action": "insert",
+                                 "values": {"k": "k", "sub": "sub",
+                                            "val": "sval"}}])
+    assert V.read_version(spark, root).where("k = 50").count() == 2
+    # a key column missing from the table schema raises clearly
+    with pytest.raises(ValueError, match="key columns not in"):
+        V.commit_merge(spark, root, src, ["k", "nope"],
+                       matched=[{"action": "delete"}])
+
+
+def test_table_changes_spans_schema_evolution(spark, root):
+    """A change-feed read SPANNING a schema evolution unions the
+    pre-evolution change files (fewer columns) with the post-evolution
+    ones — older rows surface NULL for columns born later."""
+    _merge_base(spark, root)
+    V.commit_update_where(
+        spark, root, "k = 1", {"val": "val + 1"}, changefeed=True)
+    V.commit_update_where(
+        spark, root, "k = 2", {"note": "'n2'"},
+        changefeed=True, evolve_schema=True)
+    ch = V.table_changes(spark, root, 1, 2)
+    rows = {(r["_commit_version"], r["_change_type"], r["k"]): r
+            for r in ch.collect()}
+    assert rows[(1, "update_postimage", 1)]["note"] is None
+    assert rows[(2, "update_postimage", 2)]["note"] == "n2"
+    assert rows[(2, "update_preimage", 2)]["note"] is None
+
+
+def test_upsert_composite_key(spark, root):
+    """Composite-key upsert: whole-row replacement keyed on the tuple,
+    pruning on the first key column, CDF splits keyed on the tuple."""
+    base = spark.createDataFrame(
+        [(i, i % 2, i * 10) for i in range(8)],
+        "k bigint, sub bigint, val bigint",
+    ).coalesce(1)
+    V.commit_append(spark, root, base, ["k"])
+    ups = spark.createDataFrame(
+        [(2, 0, 999), (3, 0, 888)], "k bigint, sub bigint, val bigint")
+    v, rewritten, carried = V.commit_upsert(
+        spark, root, ups, ["k", "sub"], changefeed=True)
+    got = {(r["k"], r["sub"]): r["val"]
+           for r in V.read_version(spark, root).collect()}
+    assert got[(2, 0)] == 999          # tuple matched -> replaced
+    assert got[(3, 1)] == 30           # tuple mismatch -> untouched
+    assert got[(3, 0)] == 888          # tuple-unmatched -> inserted
+    assert len(got) == 9
+    ch = V.table_changes(spark, root, v, v)
+    types = {(r["k"], r["sub"], r["_change_type"]) for r in ch.collect()}
+    assert (2, 0, "update_preimage") in types
+    assert (2, 0, "update_postimage") in types
+    assert (3, 0, "insert") in types
