@@ -2850,19 +2850,7 @@ def stream_table_changes(
     change dirs outside its keep window — a consumer lagging further
     behind than the table's retention fails on the missing files. Size
     ``keep_last`` to cover the slowest consumer's lag."""
-    # Spark's file source resolves paths through Hadoop, which treats
-    # '?' as a glob char — the query-param connection-spec form the
-    # manifest I/O supports (pyarrow/boto3 side) CANNOT be expressed
-    # here. Refuse loudly instead of streaming from a mangled path;
-    # configure the object store via the session config profile
-    # (session.py) and pass the plain root.
-    if "?" in root:
-        raise ValueError(
-            "stream_table_changes requires a plain (no query-string) "
-            "root: Spark's file source cannot carry the connection "
-            "spec — configure the filesystem on the SparkSession and "
-            f"pass the bare table URI (got {root!r})"
-        )
+    _require_plain_root(root, "stream_table_changes")
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -2942,11 +2930,38 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 "dv_files": m.get("total_dv_files", 0),
                 "dv_rows": m.get("total_dv_rows", 0),
                 # per-commit operation metrics (Delta's
-                # operationMetrics shape): what THIS commit added /
-                # removed — already in the segment, no extra I/O
-                "files_added": len(m.get("add", [])),
-                "files_removed": len(m.get("remove", [])),
-                "rows_added": sum(e["rows"] for e in m.get("add", [])),
+                # operationMetrics shape), already in the segment:
+                # files_added counts NEW PHYSICAL files only (their
+                # dir is this commit's own staging dir) — DV/restore
+                # re-ADD existing files by reference and must not
+                # read as ingest volume; those report as
+                # files_relinked. A remove_all rewrite's removes are
+                # implicit (the segment lists none): report the
+                # previous snapshot's file count.
+                "files_added": sum(
+                    1 for e in m.get("add", [])
+                    if e["dir"].startswith(f"commit-v{v}-")
+                ),
+                "files_relinked": sum(
+                    1 for e in m.get("add", [])
+                    if not e["dir"].startswith(f"commit-v{v}-")
+                ),
+                "files_removed": (
+                    len(m.get("remove", []))
+                    if not m.get("remove_all")
+                    # implicit full replacement: the previous
+                    # snapshot's count, or None when that segment was
+                    # vacuumed away (unknown is honest, 0 is wrong)
+                    else (
+                        out[-1]["n_files"]
+                        if out and out[-1]["version"] == v - 1
+                        else None
+                    )
+                ),
+                "rows_added": sum(
+                    e["rows"] for e in m.get("add", [])
+                    if e["dir"].startswith(f"commit-v{v}-")
+                ),
                 # wall-clock commit time (epoch s); None on pre-ts logs
                 "ts": m.get("ts"),
             }

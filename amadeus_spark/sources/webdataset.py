@@ -261,10 +261,17 @@ class _WriteSink:
                         MultipartUpload={"Parts": parts},
                     )
                 except BaseException:
-                    # discard the staged parts; nothing was visible
-                    client.abort_multipart_upload(
-                        Bucket=bucket, Key=key, UploadId=uid
-                    )
+                    # discard the staged parts; nothing was visible.
+                    # A failing abort (same broken network/creds) must
+                    # not MASK the original error — the un-aborted
+                    # upload stays invisible; a bucket lifecycle rule
+                    # reclaims its storage.
+                    try:
+                        client.abort_multipart_upload(
+                            Bucket=bucket, Key=key, UploadId=uid
+                        )
+                    except Exception:
+                        pass
                     raise
 
             self._publish = _put

@@ -2152,6 +2152,8 @@ def test_query_string_root_refused_loudly(spark, root):
         V.table_changes(spark, q)
     with pytest.raises(ValueError, match="plain"):
         V.vacuum(spark, q)
+    with pytest.raises(ValueError, match="plain"):
+        V.stream_table_changes(spark, q)
 
 
 def test_restore_across_checkpoint_uses_slim_diff(spark, root, monkeypatch):
@@ -2175,8 +2177,9 @@ def test_restore_across_checkpoint_uses_slim_diff(spark, root, monkeypatch):
 
 def test_history_operation_metrics(spark, root):
     """history() per-commit operation metrics (Delta operationMetrics
-    shape): what each commit added/removed, straight from the segment
-    it already reads."""
+    shape): files_added counts NEW PHYSICAL files only — DV/restore
+    by-reference re-adds report as files_relinked, a remove_all
+    rewrite's implicit removes report the previous snapshot's count."""
     V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(1), ["k"])
     V.commit_append(spark, root, _df(spark, 100, 150, "b").coalesce(1))
     V.commit_upsert(spark, root, _df(spark, 120, 130, "c"), "k")
@@ -2185,6 +2188,16 @@ def test_history_operation_metrics(spark, root):
     assert [x["rows_added"] for x in h[:2]] == [100, 50]
     # the upsert removed the one touched file and re-added its rewrite
     assert h[2]["files_removed"] == 1 and h[2]["rows_added"] == 50
+    # a DV delete re-adds its touched file BY REFERENCE: no ingest
+    V.commit_delete_where(spark, root, "k = 5", mode="dv")
+    h3 = V.history(spark, root)[3]
+    assert h3["files_added"] == 0 and h3["rows_added"] == 0
+    assert h3["files_relinked"] == 1 and h3["files_removed"] == 1
+    # a full OPTIMIZE (remove_all) reports the implicit removes
+    V.optimize(spark, root, n_files=1)
+    h4 = V.history(spark, root)[4]
+    assert h4["files_removed"] == h[2]["n_files"]
+    assert h4["files_added"] == 1 and h4["files_relinked"] == 0
 
 
 def test_merge_composite_key(spark, root):
