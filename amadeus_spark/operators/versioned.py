@@ -2590,6 +2590,7 @@ def vacuum(
     root: str,
     keep_last: int = 1,
     keep_since: float | _dt.datetime | None = None,
+    dry_run: bool = False,
 ) -> tuple[int, int]:
     """Reclaim space: delete log segments/checkpoints older than the
     retention window and every data file no kept snapshot references.
@@ -2614,7 +2615,12 @@ def vacuum(
     them (Delta's checkpoint-before-log-truncation discipline). All
     deletion goes through the Hadoop FileSystem API (file/hdfs/s3a
     alike). Maintenance is O(files) by nature — it lists and deletes
-    them. Returns (segments_deleted, data_files_deleted)."""
+    them. Returns (segments_deleted, data_files_deleted).
+
+    ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): report the same
+    counts while deleting NOTHING — no segment, checkpoint, change-data,
+    DV or data file is touched, and the checkpoint-before-truncation
+    write is skipped too (a dry run must not mutate the log)."""
     _require_plain_root(root, "vacuum")
     cur = current_version(spark, root)
     if cur < 0:
@@ -2638,7 +2644,7 @@ def vacuum(
             v -= 1
         cutoff = min(cutoff, max(0, v))
     segs, ckpts = _list_log(spark, root)
-    if cutoff > 0 and cutoff in segs:
+    if cutoff > 0 and cutoff in segs and not dry_run:
         if not (cutoff in ckpts and _ckpt_complete(spark, root, cutoff)):
             try:
                 _write_checkpoint(spark, root, cutoff)
@@ -2673,18 +2679,23 @@ def vacuum(
             continue  # already vacuumed under a narrower keep window
     kept_dirs = {d for d, _ in keep_refs}
     fs, _ = _hadoop_fs(spark, root)
+
+    def _delete(jp, recursive: bool) -> None:
+        if not dry_run:
+            fs.delete(jp, recursive)
+
     n_manifests = 0
     for v in sorted(segs):
         if v >= cutoff:
             break
         p = _jpath(spark, f"{root}/{MANIFEST_DIR}/v{v}.json")
         if fs.exists(p):
-            fs.delete(p, False)
+            _delete(p, False)
             n_manifests += 1
     for c in sorted(ckpts):
         if c >= cutoff:
             break
-        fs.delete(_jpath(spark, _ckpt_path(root, c)), True)
+        _delete(_jpath(spark, _ckpt_path(root, c)), True)
     # change-data dirs: keep only those a KEPT segment references —
     # covers vacuumed-away versions AND orphans from losing commits
     kept_cdf: set[str] = set()
@@ -2699,7 +2710,7 @@ def vacuum(
     if fs.exists(cdir):
         for st in fs.listStatus(cdir):
             if st.getPath().getName() not in kept_cdf:
-                fs.delete(st.getPath(), True)
+                _delete(st.getPath(), True)
     # deletion-vector dirs: keep only those a KEPT snapshot's live
     # entries reference — superseded DVs (a newer DV delete re-pointed
     # the entry) and losing-commit orphans go with the history
@@ -2707,7 +2718,7 @@ def vacuum(
     if fs.exists(vdir):
         for st in fs.listStatus(vdir):
             if st.getPath().getName() not in kept_dv:
-                fs.delete(st.getPath(), True)
+                _delete(st.getPath(), True)
     n_data = 0
     ddir = _jpath(spark, f"{root}/{DATA_DIR}")
     if fs.exists(ddir):
@@ -2724,12 +2735,12 @@ def vacuum(
                     for st in fs.listStatus(commit_status.getPath())
                     if st.getPath().getName().endswith(".parquet")
                 )
-                fs.delete(commit_status.getPath(), True)
+                _delete(commit_status.getPath(), True)
                 continue
             for st in fs.listStatus(commit_status.getPath()):
                 fname = st.getPath().getName()
                 if fname.endswith(".parquet") and (cname, fname) not in keep_refs:
-                    fs.delete(st.getPath(), False)
+                    _delete(st.getPath(), False)
                     n_data += 1
     return n_manifests, n_data
 

@@ -2292,3 +2292,22 @@ def test_upsert_composite_key(spark, root):
     assert (2, 0, "update_preimage") in types
     assert (2, 0, "update_postimage") in types
     assert (3, 0, "insert") in types
+
+
+def test_vacuum_dry_run(spark, root):
+    """vacuum(dry_run=True) reports the same counts as a real vacuum
+    while deleting NOTHING — every version stays time-travelable and
+    the subsequent real vacuum deletes exactly what was reported."""
+    for lo in (0, 100, 200):
+        V.commit_append(spark, root, _df(spark, lo, lo + 100, "a")
+                        .coalesce(1), ["k"])
+    V.commit_upsert(spark, root, _df(spark, 50, 60, "u"), "k")
+    dry = V.vacuum(spark, root, keep_last=1, dry_run=True)
+    # nothing deleted: the oldest snapshot still reads
+    assert V.read_version(spark, root, 0).count() == 100
+    assert V.read_version(spark, root).count() == 300
+    real = V.vacuum(spark, root, keep_last=1)
+    assert real == dry and real[0] >= 1 and real[1] >= 1
+    with pytest.raises((FileNotFoundError, OSError)):
+        V.read_version(spark, root, 0)
+    assert V.read_version(spark, root).count() == 300
