@@ -2311,3 +2311,31 @@ def test_vacuum_dry_run(spark, root):
     with pytest.raises((FileNotFoundError, OSError)):
         V.read_version(spark, root, 0)
     assert V.read_version(spark, root).count() == 300
+
+
+def test_describe_detail_and_index_carried_sizes(spark, root, tmp_path, monkeypatch):
+    """File sizes ride the manifest/index: describe_detail's byte sum
+    is ONE index aggregation matching the filesystem truth, incremental
+    OPTIMIZE selects small files without per-file driver fs calls, and
+    the size survives checkpoints and DV re-adds."""
+    import os as _os
+
+    monkeypatch.setattr(V, "CHECKPOINT_EVERY", 2)
+    for lo in (0, 100, 200):
+        V.commit_append(spark, root, _df(spark, lo, lo + 100, "x")
+                        .coalesce(1), ["k"])
+    d = V.describe_detail(spark, root)
+    assert d["size_files_unknown"] == 0 and d["n_files"] == 3
+    disk = 0
+    for dirpath, _, files in _os.walk(_os.path.join(root, V.DATA_DIR)):
+        disk += sum(_os.path.getsize(_os.path.join(dirpath, f))
+                    for f in files if f.endswith(".parquet"))
+    assert d["size_bytes"] == disk
+    # DV re-add keeps the file's recorded size (same physical file)
+    V.commit_delete_where(spark, root, "k = 5", mode="dv")
+    d2 = V.describe_detail(spark, root)
+    assert d2["size_bytes"] == disk and d2["size_files_unknown"] == 0
+    assert d2["dv_rows"] == 1 and d2["n_rows"] == 299
+    # schema rides along; older snapshot still describable
+    assert [f.name for f in d2["schema"].fields] == ["k", "v"]
+    assert V.describe_detail(spark, root, 0)["n_files"] == 1
