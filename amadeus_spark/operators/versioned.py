@@ -910,6 +910,36 @@ def _maybe_checkpoint(spark: SparkSession, root: str, version: int) -> None:
             pass
 
 
+def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
+    """Single-pass write-time CHECK enforcement (Delta's constraint
+    contract): the first output column is rewritten through a CASE
+    that yields its own value when every constraint is NOT FALSE (SQL
+    CHECK semantics — NULL passes) and raises otherwise. Because that
+    column IS written, Catalyst cannot prune the check away, and the
+    write task aborts on the FIRST violating row with the constraint
+    name and the row as JSON — no second validation scan, no commit,
+    no manifest published (the staged files are unreferenced orphans,
+    vacuumable). A frame that omits a constrained column fails loudly
+    at analysis instead of writing unchecked rows."""
+    c0 = df.columns[0]
+    col = F.col(c0)
+    for name in sorted(constraints, reverse=True):
+        expr = constraints[name]
+        ok = F.coalesce(F.expr(expr), F.lit(True))
+        col = F.when(ok, col).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"CHECK constraint {name!r} ({expr}) "
+                        "violated by row: "
+                    ),
+                    F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+                )
+            )
+        )
+    return df.withColumn(c0, col)
+
+
 def _commit(
     spark: SparkSession,
     root: str,
@@ -946,12 +976,18 @@ def _commit(
     # guard and re-open the at-least-once window
     txn: dict = {}
     prev_schema = None
+    constraints: dict = {}
     if cur >= 0:
         if prev is None:
             prev = _read_manifest(spark, root, cur)
         txn = dict(prev.get("txn", {}))
         prev_schema = prev.get("schema")
+        # CHECK constraints carry forward like txn; set/drop commits
+        # pass the full replacement map through extra
+        constraints = dict(prev.get("constraints", {}))
     txn.update((extra or {}).get("txn", {}))
+    if "constraints" in (extra or {}):
+        constraints = dict(extra["constraints"])
     # UNIQUE staging dir: a crashed/losing writer's data can never
     # collide with a later commit's errorifexists write (orphans are
     # unreferenced and vacuumable)
@@ -972,6 +1008,8 @@ def _commit(
     if schema_json_override is not None:
         schema_json = schema_json_override
     if df is not None:
+        if constraints:
+            df = _enforce_constraints(df, constraints)
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = new_files + _file_entries(commit_dir, stats_cols)
     # changefeed capture (Delta CDF shape): change rows are written
@@ -1047,8 +1085,14 @@ def _commit(
         "total_rows": total_rows,
         "total_dv_files": total_dv_files,
         "total_dv_rows": total_dv_rows,
-        **{k: v for k, v in (extra or {}).items() if k != "txn"},
+        **{
+            k: v
+            for k, v in (extra or {}).items()
+            if k not in ("txn", "constraints")
+        },
     }
+    if constraints:
+        manifest["constraints"] = constraints
     if schema_json:
         manifest["schema"] = schema_json
     if txn:
@@ -2929,6 +2973,63 @@ def commit_with_retry(fn, attempts: int = 3):
     raise last
 
 
+def set_check_constraint(
+    spark: SparkSession, root: str, name: str, expr: str
+) -> int:
+    """ADD a table-level CHECK constraint (Delta's ``ALTER TABLE ADD
+    CONSTRAINT``): ``expr`` is a SQL predicate every row must satisfy
+    (NOT FALSE — NULL passes, SQL CHECK semantics). Existing data is
+    validated FIRST with one predicate-pushed scan (add fails if any
+    live row violates — Delta's contract), then the constraint lands
+    as a manifest commit and every subsequent data commit (append /
+    upsert / merge / update post-images / CDC) enforces it IN the
+    write pass — a violating row aborts the write before any manifest
+    publishes (see :func:`_enforce_constraints`). Returns the new
+    version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    cons = dict(seg.get("constraints", {}))
+    live = _snapshot_read(
+        spark, root, seg, _pruned_entries(spark, root, res, slim=True)
+    )
+    if live is not None and not live.where(
+        ~F.coalesce(F.expr(expr), F.lit(True))
+    ).isEmpty():
+        raise ValueError(
+            f"cannot add CHECK constraint {name!r}: existing rows "
+            f"violate ({expr})"
+        )
+    cons[name] = expr
+    return _commit(
+        spark, root, None, "set_constraint", seg["stats_cols"],
+        prev=seg, extra={"constraints": cons},
+    )
+
+
+def drop_check_constraint(
+    spark: SparkSession, root: str, name: str
+) -> int:
+    """DROP a CHECK constraint by name (no-op error if absent — a
+    typo'd drop must not silently succeed). Returns the new version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    cons = dict(seg.get("constraints", {}))
+    if name not in cons:
+        raise ValueError(
+            f"no CHECK constraint {name!r} (have: {sorted(cons)})"
+        )
+    del cons[name]
+    return _commit(
+        spark, root, None, "drop_constraint", seg["stats_cols"],
+        prev=seg, extra={"constraints": cons},
+    )
+
+
 def describe_detail(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict:
@@ -2959,6 +3060,7 @@ def describe_detail(
         "dv_rows": seg.get("total_dv_rows", 0),
         "size_bytes": int(agg["b"] or 0),
         "size_files_unknown": int(agg["unk"]),
+        "constraints": dict(seg.get("constraints", {})),
         "stats_cols": seg.get("stats_cols", []),
         "schema": _manifest_schema(seg),
         "ts": seg.get("ts"),

@@ -163,6 +163,16 @@ def main(sf_dir: str) -> None:
             "source IS NOT NULL").count()
         print(f"v{ev}: schema evolved (+source), {n_src} row carries it")
 
+        # 4f. CHECK constraint (Delta ADD CONSTRAINT): validated once
+        #     against existing data, then enforced IN every write pass
+        cv = V.set_check_constraint(
+            spark, root, "quality_bounded",
+            "quality IS NULL OR (quality >= 0 AND quality <= 1)",
+        )
+        detail = V.describe_detail(spark, root)
+        print(f"v{cv}: constraint set;", detail["constraints"],
+              "| live bytes:", detail["size_bytes"])
+
         # 5. timestamp time travel: read the table as of the instant
         #    the CDC stream finished — the pre-takedown state.
         ts_cdc = V.history(spark, root)[cur]["ts"]

@@ -2339,3 +2339,53 @@ def test_describe_detail_and_index_carried_sizes(spark, root, tmp_path, monkeypa
     # schema rides along; older snapshot still describable
     assert [f.name for f in d2["schema"].fields] == ["k", "v"]
     assert V.describe_detail(spark, root, 0)["n_files"] == 1
+
+
+def test_check_constraints_lifecycle(spark, root):
+    """Delta CHECK constraints: ADD validates existing data with one
+    scan, every subsequent commit kind enforces IN the write pass (a
+    violating row aborts before any manifest publishes — the table is
+    untouched), NULL passes (SQL CHECK), DROP restores permissiveness,
+    and the constraint survives unrelated commits + checkpoints."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    V.commit_append(spark, root,
+                    spark.range(10).selectExpr("id AS k", "id * 2 AS val")
+                    .coalesce(1), ["k"])
+    # existing-data validation: a violated add must fail
+    with pytest.raises(ValueError, match="existing rows violate"):
+        V.set_check_constraint(spark, root, "big", "val >= 10")
+    v = V.set_check_constraint(spark, root, "nonneg", "val >= 0")
+    assert V.history(spark, root)[-1]["op"] == "set_constraint"
+    assert V.describe_detail(spark, root)["constraints"] == {
+        "nonneg": "val >= 0"}
+    # violating append: write aborts, NO commit lands
+    cur = V.current_version(spark, root)
+    with pytest.raises(Exception, match="CHECK constraint 'nonneg'"):
+        V.commit_append(
+            spark, root,
+            spark.createDataFrame([(99, -1)], "k bigint, val bigint"))
+    assert V.current_version(spark, root) == cur
+    assert V.read_version(spark, root).count() == 10
+    # valid append passes; NULL passes (SQL CHECK semantics)
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(90, 5), (91, None)],
+                              "k bigint, val bigint"))
+    assert V.read_version(spark, root).count() == 12
+    # merge post-images are enforced too
+    src = spark.createDataFrame([(3, 100)], "k bigint, sval bigint")
+    with pytest.raises(Exception, match="CHECK constraint 'nonneg'"):
+        V.commit_merge(
+            spark, root, src, "k",
+            matched=[{"action": "update",
+                      "set": {"val": "t.val - s.sval - 100"}}])
+    # drop: violating rows are writable again; typo'd drop raises
+    with pytest.raises(ValueError, match="no CHECK constraint"):
+        V.drop_check_constraint(spark, root, "typo")
+    V.drop_check_constraint(spark, root, "nonneg")
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(99, -1)], "k bigint, val bigint"))
+    assert V.read_version(spark, root).where("val < 0").count() == 1
