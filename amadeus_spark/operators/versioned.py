@@ -1008,7 +1008,11 @@ def _commit(
     if schema_json_override is not None:
         schema_json = schema_json_override
     if df is not None:
-        if constraints:
+        # optimize rewrites only rows that already passed enforcement
+        # at their original write (ADD validates existing data,
+        # restore re-validates the restored snapshot) — re-running the
+        # CHECK chain over a full-table compaction is pure waste
+        if constraints and op != "optimize":
             df = _enforce_constraints(df, constraints)
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = new_files + _file_entries(commit_dir, stats_cols)
@@ -2336,6 +2340,28 @@ def restore_version(
         adds = [target_entries[k] for k in add_keys]
     removed_keys = sorted(k for k in cur_entries if k not in target_entries)
     removes = [(k[0], k[1]) for k in removed_keys]
+    # the restored snapshot must satisfy the constraints ACTIVE after
+    # the restore (they carry forward from the current segment): a
+    # pre-constraint snapshot can hold rows the ADD never saw, and
+    # relinking them unchecked would brick every later rewrite commit
+    # with the CHECK error. One predicate-pushed scan, like ADD.
+    active_cons = cur_seg.get("constraints", {})
+    if active_cons:
+        tgt_live = _snapshot_read(
+            spark, root, target_seg,
+            _pruned_entries(spark, root, res_t, slim=True),
+        )
+        if tgt_live is not None:
+            ok = F.lit(True)
+            for cexpr in active_cons.values():
+                ok = ok & F.coalesce(F.expr(cexpr), F.lit(True))
+            if not tgt_live.where(~ok).isEmpty():
+                raise ValueError(
+                    f"cannot restore to v{version}: rows there violate "
+                    f"the active CHECK constraints "
+                    f"({sorted(active_cons)}); drop them first or "
+                    "restore to a later snapshot"
+                )
     cdf_frame = None
     if changefeed:
         if target_seg.get("schema") != cur_seg.get("schema"):
@@ -2992,6 +3018,13 @@ def set_check_constraint(
     res = _resolve(spark, root, cur)
     seg = res["seg"]
     cons = dict(seg.get("constraints", {}))
+    if name in cons:
+        # Delta errors on a duplicate name — silently replacing could
+        # WEAKEN enforcement the operator believes is still active
+        raise ValueError(
+            f"CHECK constraint {name!r} already exists "
+            f"({cons[name]}); drop it first to replace"
+        )
     live = _snapshot_read(
         spark, root, seg, _pruned_entries(spark, root, res, slim=True)
     )
@@ -3047,10 +3080,19 @@ def describe_detail(
     v = cur if version is None else version
     res = _resolve(spark, root, v)
     seg = res["seg"]
-    agg = _index_df(spark, root, res).agg(
-        F.sum("bytes").alias("b"),
-        F.count(F.when(F.col("bytes").isNull(), 1)).alias("unk"),
-    ).collect()[0]
+    if res["ckpt"] is None:
+        # driver regime (below a checkpoint): the resolve already
+        # holds every entry — never route a handful of in-memory
+        # entries through a Spark job (the hybrid-routing rule)
+        sizes = [e.get("bytes") for e in res["adds"]]
+        total_b = sum(sz for sz in sizes if sz is not None)
+        unknown = sum(1 for sz in sizes if sz is None)
+    else:
+        agg = _index_df(spark, root, res).agg(
+            F.sum("bytes").alias("b"),
+            F.count(F.when(F.col("bytes").isNull(), 1)).alias("unk"),
+        ).collect()[0]
+        total_b, unknown = int(agg["b"] or 0), int(agg["unk"])
     return {
         "version": v,
         "op": seg["op"],
@@ -3058,8 +3100,8 @@ def describe_detail(
         "n_rows": seg["total_rows"],
         "dv_files": seg.get("total_dv_files", 0),
         "dv_rows": seg.get("total_dv_rows", 0),
-        "size_bytes": int(agg["b"] or 0),
-        "size_files_unknown": int(agg["unk"]),
+        "size_bytes": int(total_b),
+        "size_files_unknown": int(unknown),
         "constraints": dict(seg.get("constraints", {})),
         "stats_cols": seg.get("stats_cols", []),
         "schema": _manifest_schema(seg),

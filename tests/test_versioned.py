@@ -2347,9 +2347,6 @@ def test_check_constraints_lifecycle(spark, root):
     violating row aborts before any manifest publishes — the table is
     untouched), NULL passes (SQL CHECK), DROP restores permissiveness,
     and the constraint survives unrelated commits + checkpoints."""
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import PythonException
-
     V.commit_append(spark, root,
                     spark.range(10).selectExpr("id AS k", "id * 2 AS val")
                     .coalesce(1), ["k"])
@@ -2389,3 +2386,30 @@ def test_check_constraints_lifecycle(spark, root):
         spark, root,
         spark.createDataFrame([(99, -1)], "k bigint, val bigint"))
     assert V.read_version(spark, root).where("val < 0").count() == 1
+
+
+def test_check_constraint_restore_and_optimize_interplay(spark, root):
+    """A restore to a snapshot violating the ACTIVE constraints is
+    refused (relinking unchecked rows would brick later rewrites); an
+    optimize under constraints skips re-enforcement (carried rows were
+    validated at their original write) and still succeeds; a duplicate
+    constraint name raises instead of silently weakening."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1, -5), (2, 3)], "k bigint, val bigint")
+        .coalesce(1), ["k"])
+    V.commit_delete_where(spark, root, "val < 0")
+    V.set_check_constraint(spark, root, "nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        V.set_check_constraint(spark, root, "nonneg", "val >= -100")
+    # v0 holds val=-5: restoring it under 'nonneg' must refuse
+    with pytest.raises(ValueError, match="violate the active CHECK"):
+        V.restore_version(spark, root, 0)
+    # restore to the post-delete snapshot is fine (rows all pass)
+    V.restore_version(spark, root, 1)
+    # optimize under constraints: full rewrite succeeds (no
+    # re-enforcement of already-validated rows)
+    v, _, after = V.optimize(spark, root, n_files=1)
+    assert V.read_version(spark, root).count() == 1
+    assert V.describe_detail(spark, root)["constraints"] == {
+        "nonneg": "val >= 0"}
