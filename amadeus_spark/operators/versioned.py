@@ -80,9 +80,12 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re as _re
 import time as _time
 import uuid
+import warnings
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as _st
@@ -904,10 +907,20 @@ def _maybe_checkpoint(spark: SparkSession, root: str, version: int) -> None:
     if CHECKPOINT_EVERY and version > 0 and version % CHECKPOINT_EVERY == 0:
         try:
             _write_checkpoint(spark, root, version)
-        except Exception:
+        except Exception as exc:
             # a failed checkpoint must never fail the already-durable
-            # commit; readers fold more segments until the next one
-            pass
+            # commit; readers fold more segments until the next one.
+            # But a PERSISTENTLY failing checkpoint (perms, quota)
+            # silently degrades every reader to an ever-growing
+            # segment fold — warn so operators see it (describe_detail
+            # surfaces last_checkpoint_version/lag for monitoring).
+            warnings.warn(
+                f"checkpoint write failed at {root} v{version} "
+                f"(commit is durable; readers fold extra segments "
+                f"until the next successful checkpoint): {exc!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
@@ -940,6 +953,118 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
     return df.withColumn(c0, col)
 
 
+def _rebase_ok(
+    interposed: list[dict], conflict: dict, constraints: dict
+) -> bool:
+    """Delta-style conflict CLASSIFICATION: can this losing commit be
+    re-published at the bumped version WITHOUT re-running its Spark
+    job? ``conflict`` declares what the loser logically did:
+
+    - ``{"kind": "append"}`` — AddFile-only, reads nothing: never
+      conflicts with data commits (its rows were in no snapshot the
+      winner could have read or rewritten), not even a ``remove_all``
+      compaction (the log fold replays an append AFTER the rewrite it
+      re-bases over — the appended rows were never part of the
+      compacted snapshot).
+    - ``{"kind": "pruned", "read": [(dir, path)...], "key_col": c,
+      "lo": v, "hi": v}`` — a key-pruned merge/upsert/CDC: it read
+      (and possibly removed) exactly ``read``, and its result depends
+      only on target rows whose ``key_col`` falls in [lo, hi]. Safe
+      iff no winner REMOVED a file the loser read (the loser's
+      survivors/preimages came from it) and every winner-ADDED file
+      PROVABLY (by manifest stats) holds no key in the loser's range
+      (an unproved file might hold a row the loser's match/anti-join
+      should have seen). ``lo=None`` = empty source key set: no
+      target row could match, winner adds are irrelevant.
+
+    Any interposed change to the CHECK-constraint set rejects
+    unconditionally — the loser's staged files were enforced against
+    the constraints it resolved, not the winner's. Conservative
+    everywhere: missing stats, un-orderable stat types, or an
+    unclassified commit shape mean "recompute", never "assume safe".
+    """
+    kind = conflict.get("kind")
+    reads = (
+        {tuple(r) for r in conflict.get("read", ())}
+        if kind == "pruned"
+        else set()
+    )
+    key_col = conflict.get("key_col")
+    lo, hi = conflict.get("lo"), conflict.get("hi")
+    for w in interposed:
+        if dict(w.get("constraints", {})) != dict(constraints):
+            return False
+        if w.get("remove_all"):
+            if kind != "append":
+                return False
+            continue
+        if kind == "append":
+            continue
+        if kind != "pruned":
+            return False
+        for r in w.get("remove", []):
+            if tuple(r) in reads:
+                return False
+        if lo is None:
+            continue
+        for e in w.get("add", []):
+            if e.get("rows", 1) == 0:
+                continue
+            bounds = (e.get("stats") or {}).get(key_col)
+            if not bounds:
+                return False
+            try:
+                if not (bounds[1] < lo or hi < bounds[0]):
+                    return False
+            except TypeError:
+                return False
+    return True
+
+
+def _rebase_prev(
+    spark: SparkSession,
+    root: str,
+    version: int,
+    conflict: dict,
+    constraints: dict,
+) -> dict | None:
+    """After a CAS loss at ``version``: read the interposed winner
+    segments and return the NEW previous manifest to re-base onto when
+    :func:`_rebase_ok` proves the loser logically disjoint from every
+    winner — else None (caller falls back to the strict raise →
+    :func:`commit_with_retry` recompute)."""
+    new_cur = current_version(spark, root)
+    if new_cur < version:
+        return None
+    interposed = []
+    for w in range(version, new_cur + 1):
+        try:
+            interposed.append(_read_manifest(spark, root, w))
+        except (FileNotFoundError, OSError):
+            return None
+    if not _rebase_ok(interposed, conflict, constraints):
+        return None
+    return interposed[-1]
+
+
+def _restamp_cdf(
+    spark: SparkSession, root: str, old_dir: str, new_version: int
+) -> str:
+    """Re-stamp a staged changefeed directory for a re-based commit:
+    change rows carry ``_commit_version`` IN the data (the streaming
+    contract), so a loser re-publishing at a bumped version must
+    rewrite them — O(change batch), still far cheaper than re-running
+    the upstream job. Writes a fresh version-stamped dir and drops the
+    stale one."""
+    new_dir = f"v{new_version}-{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(f"{root}/{CDF_DIR}/{old_dir}").withColumn(
+        "_commit_version", F.lit(new_version)
+    ).write.mode("errorifexists").parquet(f"{root}/{CDF_DIR}/{new_dir}")
+    fs, _ = _hadoop_fs(spark, root)
+    fs.delete(_jpath(spark, f"{root}/{CDF_DIR}/{old_dir}"), True)
+    return new_dir
+
+
 def _commit(
     spark: SparkSession,
     root: str,
@@ -956,6 +1081,7 @@ def _commit(
     cdf: DataFrame | str | None = None,
     add_entries: list[dict] | None = None,
     schema_json_override: str | None = None,
+    conflict: dict | None = None,
 ) -> int:
     # The commit version is PINNED to the snapshot the caller resolved
     # (prev) — never re-read at publish time. Re-reading would silently
@@ -1103,18 +1229,99 @@ def _commit(
         manifest["txn"] = txn
     if cdf_mark is not None:
         manifest["cdf"] = cdf_mark
-    try:
-        _write_manifest_atomic(spark, root, version, manifest)
-    except RuntimeError:
-        # losing writer: reclaim its never-referenced staging dirs
-        fs, _ = _hadoop_fs(spark, root)
-        if df is not None:
-            fs.delete(_jpath(spark, commit_dir), True)
-        if isinstance(cdf_mark, dict):
-            fs.delete(
-                _jpath(spark, f"{root}/{CDF_DIR}/{cdf_mark['dir']}"), True
+    # Publish with REBASE-on-conflict (Delta's conflict checker): a
+    # loser whose declared read/write footprint is provably disjoint
+    # from every interposed winner re-publishes its ALREADY-STAGED
+    # files at the bumped version — the data job never re-runs; only
+    # the version-dependent manifest fields (version, txn carry,
+    # schema evolution base, running totals, CDF version stamp) are
+    # re-derived against the winner's snapshot. An unclassifiable or
+    # genuinely overlapping loss cleans its staging dirs and raises,
+    # handing recompute to commit_with_retry. Bounded attempts: under
+    # pathological contention recompute is the honest answer.
+    rebases = 0
+    while True:
+        try:
+            _write_manifest_atomic(spark, root, version, manifest)
+            break
+        except RuntimeError as race:
+            new_prev = None
+            if (
+                conflict is not None
+                and rebases < 20
+                and "concurrent commit" in str(race)
+            ):
+                new_prev = _rebase_prev(
+                    spark, root, version, conflict, constraints
+                )
+            rederived = None
+            if new_prev is not None:
+                try:
+                    # schema evolution re-validates against the
+                    # winner's schema: a type conflict here is real
+                    # (recompute would hit it too) — fall through to
+                    # the strict cleanup and raise IT, not the race
+                    rederived = (
+                        _evolve_schema(new_prev.get("schema"), df.schema)
+                        if df is not None and schema_json_override is None
+                        else (
+                            schema_json_override
+                            if schema_json_override is not None
+                            else new_prev.get("schema")
+                        )
+                    )
+                except ValueError as exc:
+                    race = exc
+                    new_prev = None
+            if new_prev is None:
+                # losing writer: reclaim its never-referenced staging
+                # dirs
+                fs, _ = _hadoop_fs(spark, root)
+                if df is not None:
+                    fs.delete(_jpath(spark, commit_dir), True)
+                if isinstance(cdf_mark, dict):
+                    fs.delete(
+                        _jpath(
+                            spark, f"{root}/{CDF_DIR}/{cdf_mark['dir']}"
+                        ),
+                        True,
+                    )
+                raise race
+            rebases += 1
+            prev = new_prev
+            version = prev["version"] + 1
+            schema_json = rederived
+            txn = dict(prev.get("txn", {}))
+            txn.update((extra or {}).get("txn", {}))
+            total_files = prev["total_files"] - len(removes) + len(new_files)
+            total_rows = prev["total_rows"] - removed_rows + added_rows
+            total_dv_files = (
+                prev.get("total_dv_files", 0) - removed_dv[0] + add_dv_files
             )
-        raise
+            total_dv_rows = (
+                prev.get("total_dv_rows", 0) - removed_dv[1] + add_dv_rows
+            )
+            if isinstance(cdf_mark, dict):
+                cdf_mark = {
+                    "dir": _restamp_cdf(
+                        spark, root, cdf_mark["dir"], version
+                    )
+                }
+            manifest["version"] = version
+            manifest["ts"] = _time.time()
+            manifest["total_files"] = total_files
+            manifest["total_rows"] = total_rows
+            manifest["total_dv_files"] = total_dv_files
+            manifest["total_dv_rows"] = total_dv_rows
+            for key, val in (
+                ("schema", schema_json),
+                ("txn", txn),
+                ("cdf", cdf_mark),
+            ):
+                if val:
+                    manifest[key] = val
+                else:
+                    manifest.pop(key, None)
     _maybe_checkpoint(spark, root, version)
     return version
 
@@ -1143,6 +1350,9 @@ def commit_append(
     return _commit(
         spark, root, df, "append", cols, prev=prev,
         cdf="from_add" if changefeed else None,
+        # AddFile-only, reads nothing: a CAS loss re-publishes the
+        # staged files at the bumped version (never re-runs the job)
+        conflict={"kind": "append"},
     )
 
 
@@ -1325,6 +1535,16 @@ def commit_upsert(
             removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
+            # key-pruned footprint: a CAS loss re-bases when every
+            # winner is provably outside [lo, hi] and removed none of
+            # the touched files (see _rebase_ok)
+            conflict={
+                "kind": "pruned",
+                "read": _rm(touched),
+                "key_col": prune_col,
+                "lo": lo,
+                "hi": hi,
+            },
         )
     finally:
         for c in cached:
@@ -2233,6 +2453,23 @@ def commit_merge(
             cdf_frame = ch[0]
             for c in ch[1:]:
                 cdf_frame = cdf_frame.unionByName(c)
+        # conflict footprint for the CAS re-base: without by-source
+        # clauses the merge's result depends only on target rows in
+        # the source key range — it read the key-pruned files (anti-
+        # join + cardinality) and removed/rewrote `touched`. A
+        # by-source clause reads rows under an ARBITRARY predicate:
+        # no stats proof possible, stay strict (recompute on loss).
+        conflict_info = (
+            {
+                "kind": "pruned",
+                "read": sorted(set(_rm(key_files)) | set(_rm(touched))),
+                "key_col": prune_col,
+                "lo": lo,
+                "hi": hi,
+            }
+            if not nmbs
+            else None
+        )
         try:
             v = _commit(
                 spark,
@@ -2246,6 +2483,7 @@ def commit_merge(
                 prev=seg,
                 cdf=cdf_frame,
                 add_entries=new_entries,
+                conflict=conflict_info,
             )
         except RuntimeError:
             if dv_path is not None:
@@ -2257,6 +2495,54 @@ def commit_merge(
     if mode == "dv":
         return v, 0, seg["total_files"]
     return v, len(touched), n_kept
+
+
+#: the stats-provable CHECK shape: one column compared to one literal
+#: (number or single-quoted string). Anything richer (conjunctions,
+#: arithmetic, functions) is simply "not provable from stats" — the
+#: file scans, never a wrong skip.
+_SIMPLE_CHECK = _re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|==|=|<|>)\s*"
+    r"('[^'\\]*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _stats_prove_check(entry: dict, expr: str) -> bool:
+    """Can this file's manifest [min,max] PROVE every row satisfies the
+    CHECK expression? Only the simple ``col OP literal`` shape is
+    attempted (see ``_SIMPLE_CHECK``); stats cover non-NULL values
+    only, which suffices — SQL CHECK passes NULL rows anyway. Missing
+    stats, type mismatches, or an unparseable expression mean "not
+    proved" (scan the file), never "assume clean"."""
+    m = _SIMPLE_CHECK.match(expr)
+    if not m:
+        return False
+    col, op, lit = m.groups()
+    bounds = (entry.get("stats") or {}).get(col)
+    if not bounds:
+        return False
+    lo, hi = bounds
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return False
+    if lit.startswith("'"):
+        val = lit[1:-1]
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            return False
+    else:
+        val = float(lit) if ("." in lit or "e" in lit) else int(lit)
+        if not (
+            isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+        ):
+            return False
+    if op in ("=", "=="):
+        return lo == hi == val
+    if op == "<":
+        return hi < val
+    if op == "<=":
+        return hi <= val
+    if op == ">":
+        return lo > val
+    return lo >= val  # ">="
 
 
 def restore_version(
@@ -2347,15 +2633,40 @@ def restore_version(
     # with the CHECK error. One predicate-pushed scan, like ADD.
     active_cons = cur_seg.get("constraints", {})
     if active_cons:
-        tgt_live = _snapshot_read(
-            spark, root, target_seg,
-            _pruned_entries(spark, root, res_t, slim=True),
+        # STATS-PRUNED validation: a file whose manifest [min,max]
+        # proves every active CHECK (simple range constraints on a
+        # stats column) never scans — a frequent restore on a huge
+        # table with a bounded-column constraint reads only the files
+        # the stats can't clear. Full entries (with stats) cost one
+        # index read; unproved files fall through to the one
+        # predicate-pushed scan, exactly as before.
+        tgt_full = _pruned_entries(spark, root, res_t)
+        suspect = [
+            e
+            for e in tgt_full
+            if not all(
+                _stats_prove_check(e, x) for x in active_cons.values()
+            )
+        ]
+        tgt_live = (
+            _snapshot_read(spark, root, target_seg, suspect)
+            if suspect
+            else None
         )
         if tgt_live is not None:
             ok = F.lit(True)
             for cexpr in active_cons.values():
                 ok = ok & F.coalesce(F.expr(cexpr), F.lit(True))
-            if not tgt_live.where(~ok).isEmpty():
+            try:
+                violated = not tgt_live.where(~ok).isEmpty()
+            except AnalysisException:
+                # a constraint referencing a column BORN AFTER the
+                # target snapshot (added post-evolution): the target
+                # schema cannot even express it — the snapshot cannot
+                # satisfy the constraint, same clean error as a
+                # violating row, never an opaque analyzer trace
+                violated = True
+            if violated:
                 raise ValueError(
                     f"cannot restore to v{version}: rows there violate "
                     f"the active CHECK constraints "
@@ -2539,6 +2850,14 @@ def apply_changes(
             extra=extra_meta,
             prev=seg,
             cdf=cdf_frame,
+            # same key-pruned re-base contract as commit_upsert
+            conflict={
+                "kind": "pruned",
+                "read": _rm(touched),
+                "key_col": key_col,
+                "lo": lo,
+                "hi": hi,
+            },
         )
     finally:
         # unpersist on failure too: a long-lived streaming driver
@@ -2978,16 +3297,21 @@ def stream_table_changes(
 
 
 def commit_with_retry(fn, attempts: int = 3):
-    """Optimistic-concurrency retry loop: run ``fn()`` (a closure over
-    commit_append / commit_upsert / apply_changes — each re-resolves
-    the CURRENT snapshot at call time, so a retry merges against the
-    winner's table state, never a stale one) and re-invoke it when it
-    loses a commit race. This is the whole client-side story of
-    optimistic concurrency — the loser's work is recomputed against
-    the new snapshot, exactly Delta's conflict-retry semantics for
-    non-overlapping writers. Raises the last conflict after
-    ``attempts`` losses (persistent contention needs coordination, not
-    more retries)."""
+    """Optimistic-concurrency retry loop — the RECOMPUTE tier of the
+    two-tier conflict story. Tier 1 lives INSIDE the commit (see
+    :func:`_rebase_ok`): a loser whose footprint is provably disjoint
+    from every interposed winner re-publishes its already-staged files
+    at the bumped version without re-running the Spark job (appends
+    always; key-pruned merges/upserts/CDC when the winner's file set
+    and key range don't overlap theirs). Only when that classification
+    says "genuinely overlapping" (or the commit shape is
+    unclassifiable — predicate DELETE/UPDATE, optimize, restore) does
+    the conflict surface here, and ``fn()`` (a closure over
+    commit_append / commit_upsert / commit_merge / apply_changes —
+    each re-resolves the CURRENT snapshot at call time) is re-invoked
+    to recompute against the winner's table state. Raises the last
+    conflict after ``attempts`` losses (persistent contention needs
+    coordination, not more retries)."""
     last: Exception | None = None
     for _ in range(attempts):
         try:
@@ -3073,13 +3397,33 @@ def describe_detail(
     file list; at 10^6 files this is an index-parquet scan, not 10^6
     fs calls). ``size_files_unknown`` counts pre-upgrade entries whose
     manifest predates size recording — ``size_bytes`` is exact when it
-    is 0, a lower bound otherwise."""
+    is 0, a lower bound otherwise. ``last_checkpoint_version`` /
+    ``checkpoint_lag`` surface checkpoint health: a lag persistently
+    above CHECKPOINT_EVERY means checkpoint writes are failing (see
+    :func:`_maybe_checkpoint`) and reads fold a growing segment
+    suffix."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
     v = cur if version is None else version
     res = _resolve(spark, root, v)
     seg = res["seg"]
+    # checkpoint health: how stale is the newest COMPLETE checkpoint
+    # at-or-below this snapshot? A lag persistently exceeding
+    # CHECKPOINT_EVERY means checkpoint writes are failing (see
+    # _maybe_checkpoint's warning). Newest-first, stop at the first
+    # complete one — O(failed checkpoints) existence probes, not
+    # O(all). None = no checkpoint yet (young table).
+    _, ckpts = _list_log(spark, root)
+    last_ckpt = next(
+        (
+            c
+            for c in sorted(ckpts, reverse=True)
+            if c <= v and _ckpt_complete(spark, root, c)
+        ),
+        None,
+    )
+    ckpt_lag = (v - last_ckpt) if last_ckpt is not None else v + 1
     if res["ckpt"] is None:
         # driver regime (below a checkpoint): the resolve already
         # holds every entry — never route a handful of in-memory
@@ -3106,6 +3450,8 @@ def describe_detail(
         "stats_cols": seg.get("stats_cols", []),
         "schema": _manifest_schema(seg),
         "ts": seg.get("ts"),
+        "last_checkpoint_version": last_ckpt,
+        "checkpoint_lag": ckpt_lag,
     }
 
 

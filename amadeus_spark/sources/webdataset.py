@@ -483,8 +483,13 @@ def write_webdataset_shards(
             ),
             buf,
         )
+        # same driver-captured caps as the shard sink (closure-capture
+        # contract): a cap override must govern index publication too,
+        # even though index files are tiny at real sizes
         side = _WriteSink(
-            _sub_path(out_root, f"{prefix}-{shard_id:05d}.index.parquet")
+            _sub_path(out_root, f"{prefix}-{shard_id:05d}.index.parquet"),
+            put_cap,
+            mp_part,
         )
         try:
             side.write(buf.getvalue())

@@ -1,0 +1,399 @@
+"""Conflict CLASSIFICATION in the commit layer (Delta's conflict
+checker, re-expressed for the manifest log): a loser whose footprint is
+provably disjoint from every interposed winner re-publishes its
+ALREADY-STAGED files at the bumped version — the Spark job never
+re-runs; genuinely overlapping (or unclassifiable) losses still
+recompute through commit_with_retry. Reference has no commit layer at
+all — this is beyond-reference Delta parity (the stated model)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.operators import versioned as V
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vt")
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr("id AS k", f"'{tag}' AS v")
+
+
+def _arm_race(monkeypatch, winner_fn):
+    """Patch the CAS publish so the NEXT publish loses: immediately
+    before it runs, ``winner_fn()`` lands a real commit through the
+    original publish path (the patch disarms itself, so the winner and
+    every later publish go straight through)."""
+    orig = V._write_manifest_atomic
+    state = {"armed": True}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            winner_fn()
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    return state
+
+
+def _data_dirs(root):
+    return sorted(os.listdir(os.path.join(root, V.DATA_DIR)))
+
+
+# ---------------------------------------------------------------- appends
+
+
+def test_append_race_rebases_without_restaging(spark, root, monkeypatch):
+    """Two racing appends BOTH commit; the loser re-publishes its
+    already-staged files at the bumped version. Pinned by file-path
+    identity: the loser's add entries keep the PRE-RACE version stamp
+    in their staging dir name (a recompute would have staged a fresh
+    commit-v2-* dir), and no orphan staging dir is left behind."""
+    V.commit_append(spark, root, _df(spark, 0, 100, "base"), ["k"])
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(spark, root, _df(spark, 100, 110, "win")),
+    )
+    v = V.commit_append(spark, root, _df(spark, 200, 210, "lose"))
+    assert v == 2  # lost v1, re-based to v2 without re-running
+    man = V._read_manifest(spark, root, 2)
+    assert man["add"] and all(
+        e["dir"].startswith("commit-v1-") for e in man["add"]
+    )
+    # exactly three staging dirs: base, winner, loser — no re-stage
+    assert len(_data_dirs(root)) == 3
+    got = V.read_version(spark, root)
+    assert got.count() == 120
+    assert got.where("v = 'win'").count() == 10
+    assert got.where("v = 'lose'").count() == 10
+    # running totals re-derived against the winner's snapshot
+    assert man["total_rows"] == 120 and man["total_files"] == len(
+        V._live_entries(spark, root, 2)
+    )
+
+
+def test_append_race_restamps_changefeed(spark, root, monkeypatch):
+    """A re-based changefeed append must re-stamp ``_commit_version``
+    IN the staged change rows (the streaming contract) and drop the
+    stale CDF dir."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "base"), ["k"])
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(spark, root, _df(spark, 10, 20, "win")),
+    )
+    v = V.commit_append(
+        spark, root, _df(spark, 20, 30, "lose"), changefeed=True
+    )
+    assert v == 2
+    cdf_dirs = os.listdir(os.path.join(root, V.CDF_DIR))
+    assert len(cdf_dirs) == 1 and cdf_dirs[0].startswith("v2-")
+    ch = V.table_changes(spark, root, starting_version=2)
+    rows = ch.collect()
+    assert {r["_commit_version"] for r in rows} == {2}
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert sorted(r["k"] for r in rows) == list(range(20, 30))
+
+
+def test_append_race_across_remove_all_rebases(spark, root, monkeypatch):
+    """An append re-bases even over a full-rewrite OPTIMIZE: its rows
+    were never part of the compacted snapshot, and the log fold replays
+    the append AFTER the rewrite barrier."""
+    for lo in (0, 50):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "base").coalesce(1), ["k"]
+        )
+    _arm_race(monkeypatch, lambda: V.optimize(spark, root, n_files=1))
+    v = V.commit_append(spark, root, _df(spark, 100, 110, "lose"))
+    assert v == 3  # optimize took v2
+    man = V._read_manifest(spark, root, 3)
+    assert all(e["dir"].startswith("commit-v2-") for e in man["add"])
+    got = V.read_version(spark, root)
+    assert got.count() == 110 and got.where("v = 'lose'").count() == 10
+
+
+def test_append_race_constraint_change_recomputes(spark, root, monkeypatch):
+    """An interposed CHECK-constraint change rejects the re-base — the
+    loser's staged files were never enforced against it. The recompute
+    (commit_with_retry) re-runs the append, which enforces the new
+    constraint in its write pass."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "base"), ["k"])
+    _arm_race(
+        monkeypatch,
+        lambda: V.set_check_constraint(spark, root, "k_cap", "k < 1000"),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_append(spark, root, _df(spark, 100, 110, "lose"))
+
+    v = V.commit_with_retry(closure)
+    assert calls["n"] == 2  # classification refused, recompute ran
+    assert v == 2
+    assert V.read_version(spark, root).count() == 20
+
+
+# --------------------------------------------------- key-pruned writers
+
+
+def _two_file_table(spark, root):
+    """Two files with provably disjoint key ranges: [0,100) and
+    [1000,1100)."""
+    V.commit_append(
+        spark, root, _df(spark, 0, 100, "base").coalesce(1), ["k"]
+    )
+    V.commit_append(
+        spark, root, _df(spark, 1000, 1100, "base").coalesce(1)
+    )
+
+
+def test_upsert_race_disjoint_rebases(spark, root, monkeypatch):
+    """Two upserts into provably disjoint key ranges: the loser
+    re-bases (closure runs ONCE; staged files keep the pre-race dir
+    stamp) and both updates land."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_upsert(
+            spark, root, _df(spark, 1000, 1010, "win"), "k"
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_upsert(spark, root, _df(spark, 0, 10, "lose"), "k")
+
+    v, rewritten, _ = V.commit_with_retry(closure)
+    assert calls["n"] == 1  # re-based inside _commit, never recomputed
+    assert v == 3 and rewritten == 1
+    man = V._read_manifest(spark, root, 3)
+    assert all(e["dir"].startswith("commit-v2-") for e in man["add"])
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] == "lose" for k in range(0, 10))
+    assert all(got[k] == "win" for k in range(1000, 1010))
+    assert got[50] == "base" and got[1050] == "base"
+    assert len(got) == 200
+
+
+def test_upsert_race_overlapping_recomputes(spark, root, monkeypatch):
+    """Overlapping key ranges: classification refuses (the winner
+    rewrote a file the loser read), commit_with_retry recomputes, and
+    the retried upsert applies ON TOP of the winner's rows."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_upsert(spark, root, _df(spark, 0, 10, "win"), "k"),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_upsert(spark, root, _df(spark, 5, 15, "lose"), "k")
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 2
+    assert v == 3
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] == "win" for k in range(0, 5))
+    assert all(got[k] == "lose" for k in range(5, 15))
+    assert got[20] == "base"
+
+
+def test_merge_race_disjoint_rebases(spark, root, monkeypatch):
+    """A MERGE whose key range and file set are disjoint from the
+    winner's re-bases without recompute."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_upsert(
+            spark, root, _df(spark, 1000, 1005, "win"), "k"
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_merge(
+            spark,
+            root,
+            _df(spark, 0, 5, "merged").unionAll(
+                _df(spark, 200, 205, "merged")
+            ),
+            "k",
+            matched=[{"action": "update", "set": {"v": "s.v"}}],
+            not_matched=[{"action": "insert"}],
+        )
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 1
+    assert v == 3
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] == "merged" for k in list(range(0, 5)) + list(range(200, 205)))
+    assert all(got[k] == "win" for k in range(1000, 1005))
+    assert len(got) == 205
+
+
+def test_merge_race_overlapping_recomputes(spark, root, monkeypatch):
+    """A winner INSERTING keys inside the loser's merge range rejects
+    the re-base — the loser's insert anti-join never saw those rows
+    (re-basing would duplicate them). The recompute merges correctly:
+    no duplicate keys, winner rows updated."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        # winner APPENDS new rows inside the loser's key range
+        lambda: V.commit_append(
+            spark, root, _df(spark, 200, 203, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_merge(
+            spark,
+            root,
+            _df(spark, 198, 208, "merged"),
+            "k",
+            matched=[{"action": "update", "set": {"v": "s.v"}}],
+            not_matched=[{"action": "insert"}],
+        )
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 2
+    assert v == 3
+    got = V.read_version(spark, root)
+    assert got.count() == got.select("k").distinct().count()  # no dups
+    vals = {r["k"]: r["v"] for r in got.collect()}
+    assert all(vals[k] == "merged" for k in range(198, 208))
+
+
+def test_merge_race_by_source_clause_stays_strict(spark, root, monkeypatch):
+    """A by-source clause reads under an arbitrary predicate — no
+    stats proof possible, so ANY loss recomputes (conservative)."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_upsert(
+            spark, root, _df(spark, 1000, 1002, "win"), "k"
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_merge(
+            spark,
+            root,
+            _df(spark, 0, 3, "merged"),
+            "k",
+            matched=[{"action": "update", "set": {"v": "s.v"}}],
+            not_matched_by_source=[
+                {"action": "update", "set": {"v": "'expired'"},
+                 "condition": "k >= 2000"}
+            ],
+        )
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 2
+
+
+def test_cdc_race_disjoint_rebases_with_changefeed(spark, root, monkeypatch):
+    """apply_changes re-bases like an upsert; its staged changefeed is
+    re-stamped to the final version."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_upsert(
+            spark, root, _df(spark, 1050, 1060, "win"), "k"
+        ),
+    )
+    changes = spark.createDataFrame(
+        [(1, "cdc", 1, "U"), (2, "cdc", 1, "U")], "k long, v string, ts long, op string"
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.apply_changes(
+            spark, root, changes, "k", "ts", changefeed=True
+        )
+
+    v, n_up, n_del = V.commit_with_retry(closure)
+    assert calls["n"] == 1 and (n_up, n_del) == (2, 0)
+    assert v == 3
+    ch = V.table_changes(spark, root, starting_version=3)
+    assert {r["_commit_version"] for r in ch.collect()} == {3}
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert got[1] == "cdc" and got[2] == "cdc" and got[1055] == "win"
+
+
+def test_pruned_race_across_remove_all_recomputes(spark, root, monkeypatch):
+    """A full-rewrite OPTIMIZE invalidates every file a pruned writer
+    read — classification refuses, recompute applies on the compacted
+    snapshot."""
+    _two_file_table(spark, root)
+    _arm_race(monkeypatch, lambda: V.optimize(spark, root, n_files=1))
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_upsert(spark, root, _df(spark, 0, 5, "lose"), "k")
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 2 and v == 3
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] == "lose" for k in range(0, 5)) and got[50] == "base"
+
+
+# ------------------------------------------------------- unit (no Spark)
+
+
+def test_rebase_ok_classification_matrix():
+    seg = lambda **kw: {  # noqa: E731
+        "remove": kw.get("remove", []),
+        "add": kw.get("add", []),
+        "remove_all": kw.get("remove_all", False),
+        "constraints": kw.get("constraints", {}),
+    }
+    add = lambda lo, hi, rows=5: {  # noqa: E731
+        "dir": "d", "path": "p", "rows": rows, "stats": {"k": [lo, hi]}
+    }
+    app = {"kind": "append"}
+    pruned = {"kind": "pruned", "read": [("a", "f1")], "key_col": "k",
+              "lo": 0, "hi": 10}
+    # appends pass everything except a constraint change
+    assert V._rebase_ok([seg(remove_all=True)], app, {})
+    assert V._rebase_ok([seg(add=[add(0, 10)])], app, {})
+    assert not V._rebase_ok([seg(constraints={"c": "k > 0"})], app, {})
+    assert V._rebase_ok(
+        [seg(constraints={"c": "k > 0"})], app, {"c": "k > 0"}
+    )
+    # pruned: remove of a read file rejects
+    assert not V._rebase_ok([seg(remove=[["a", "f1"]])], pruned, {})
+    assert V._rebase_ok([seg(remove=[["a", "other"]])], pruned, {})
+    # adds: disjoint stats pass, overlap/missing/unorderable reject
+    assert V._rebase_ok([seg(add=[add(100, 200)])], pruned, {})
+    assert not V._rebase_ok([seg(add=[add(5, 200)])], pruned, {})
+    assert not V._rebase_ok(
+        [seg(add=[{"dir": "d", "path": "p", "rows": 5, "stats": {}}])],
+        pruned, {},
+    )
+    assert not V._rebase_ok([seg(add=[add("a", "b")])], pruned, {})
+    # zero-row adds are irrelevant
+    assert V._rebase_ok([seg(add=[add(5, 6, rows=0)])], pruned, {})
+    # empty source key range: adds never matter
+    empty = dict(pruned, lo=None, hi=None)
+    assert V._rebase_ok([seg(add=[add(0, 10)])], empty, {})
+    # remove_all rejects pruned
+    assert not V._rebase_ok([seg(remove_all=True)], pruned, {})
+    # unclassified kind rejects
+    assert not V._rebase_ok([seg()], {"kind": "mystery"}, {})

@@ -2413,3 +2413,115 @@ def test_check_constraint_restore_and_optimize_interplay(spark, root):
     assert V.read_version(spark, root).count() == 1
     assert V.describe_detail(spark, root)["constraints"] == {
         "nonneg": "val >= 0"}
+
+
+def test_checkpoint_failure_warns_and_commit_survives(
+    spark, root, monkeypatch
+):
+    """A failing checkpoint write must never fail the durable commit —
+    but it must WARN (a persistently failing checkpoint silently
+    degrades every reader to an ever-growing segment fold), and
+    describe_detail must surface the staleness."""
+    import warnings as _w
+
+    for i in range(V.CHECKPOINT_EVERY):
+        V.commit_append(spark, root, _df(spark, i, i + 1, "a"), ["k"])
+
+    def boom(*a, **k):
+        raise OSError("disk quota exceeded")
+
+    real_ckpt = V._write_checkpoint
+    monkeypatch.setattr(V, "_write_checkpoint", boom)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        v = V.commit_append(
+            spark, root, _df(spark, 100, 101, "a")
+        )  # crosses the checkpoint boundary
+    assert v == V.CHECKPOINT_EVERY
+    msgs = [str(w.message) for w in caught]
+    assert any("checkpoint write failed" in m for m in msgs)
+    d = V.describe_detail(spark, root)
+    assert d["last_checkpoint_version"] is None
+    assert d["checkpoint_lag"] == v + 1
+    monkeypatch.setattr(V, "_write_checkpoint", real_ckpt)  # disarm
+    # next boundary checkpoints fine and the lag resets
+    for i in range(V.CHECKPOINT_EVERY):
+        V.commit_append(spark, root, _df(spark, 200 + i, 201 + i, "a"))
+    d = V.describe_detail(spark, root)
+    assert d["last_checkpoint_version"] == 2 * V.CHECKPOINT_EVERY
+    assert d["checkpoint_lag"] == 0
+
+
+def test_restore_constraint_validation_stats_pruned(
+    spark, root, monkeypatch
+):
+    """RESTORE under a simple range CHECK on a stats column must skip
+    scanning files whose manifest [min,max] PROVE the constraint —
+    pinned by intercepting the snapshot read: zero scans when every
+    file is provably clean, one scan when the constraint shape is
+    unprovable."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1, 5), (2, 7)], "k bigint, val bigint")
+        .coalesce(1), ["k", "val"])
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(3, 0), (4, 9)], "k bigint, val bigint")
+        .coalesce(1))
+    V.set_check_constraint(spark, root, "nonneg", "val >= 0")
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(1, 6)], "k bigint, val bigint"), "k")
+
+    calls = {"n": 0}
+    real = V._snapshot_read
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(V, "_snapshot_read", counting)
+    v, relinked, removed = V.restore_version(spark, root, 1)
+    assert calls["n"] == 0  # every target file proven by stats
+    assert relinked >= 1
+    got = {r["k"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert got == {1: 5, 2: 7, 3: 0, 4: 9}
+    monkeypatch.setattr(V, "_snapshot_read", real)  # disarm
+    # an unprovable constraint shape still scans (and passes)
+    V.set_check_constraint(spark, root, "pos_expr", "val + 0 >= 0")
+    calls["n"] = 0
+    monkeypatch.setattr(V, "_snapshot_read", counting)
+    V.restore_version(spark, root, 1)
+    assert calls["n"] == 1
+
+
+def test_restore_constraint_on_post_evolution_column_clean_error(spark, root):
+    """Restoring to a snapshot that PREDATES the column an active CHECK
+    references must raise the clean 'cannot restore' ValueError, not an
+    opaque AnalysisException from the probe."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1,)], "k bigint").coalesce(1), ["k"])
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(2, 5)], "k bigint, val bigint"))
+    V.set_check_constraint(spark, root, "nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="cannot restore to v0"):
+        V.restore_version(spark, root, 0)
+
+
+def test_stats_prove_check_matrix():
+    e = lambda lo, hi: {"stats": {"val": [lo, hi]}}  # noqa: E731
+    P = V._stats_prove_check
+    assert P(e(0, 10), "val >= 0") and not P(e(-1, 10), "val >= 0")
+    assert P(e(1, 10), "val > 0") and not P(e(0, 10), "val > 0")
+    assert P(e(0, 99), "val < 100") and not P(e(0, 100), "val < 100")
+    assert P(e(0, 100), "val <= 100") and not P(e(0, 101), "val <= 100")
+    assert P(e(7, 7), "val = 7") and not P(e(6, 7), "val = 7")
+    assert P(e("a", "b"), "val >= 'a'") and not P(e("A", "b"), "val >= 'a'")
+    # type mismatch / missing stats / rich expression -> not proved
+    assert not P(e("a", "b"), "val >= 0")
+    assert not P(e(0, 1), "val >= 'a'")
+    assert not P({"stats": {}}, "val >= 0")
+    assert not P(e(0, 1), "val >= 0 AND val < 10")
+    assert not P(e(0, 1), "abs(val) >= 0")
