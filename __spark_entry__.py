@@ -3172,6 +3172,123 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: column_mapping gate constants — ONE set drives both dialects
+_CM_BASE = "o_orderkey % 3 = 0"
+_CM_VAL = "CAST(o_orderkey % 1000 AS BIGINT) * 3"
+_CM_SRC = "o_orderkey % 6 < 2"
+_CM_SVAL = "CAST(o_orderkey % 1000 AS BIGINT) * 5"
+_CM_APP = "o_orderkey % 5 = 2"
+_CM_AVAL = "CAST(o_orderkey % 1000 AS BIGINT) * 7"
+_CM_TAG_MOD = 7
+
+
+def _cm_tag(prefix: str, dialect: str) -> str:
+    cast = "VARCHAR" if dialect == "duckdb" else "STRING"
+    return (
+        f"'{prefix}' || CAST(o_orderkey % {_CM_TAG_MOD} AS {cast})"
+        if dialect == "duckdb"
+        else f"concat('{prefix}', CAST(o_orderkey % {_CM_TAG_MOD} "
+             f"AS {cast}))"
+    )
+
+
+def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME/DROP via column mapping end-to-end through real
+    storage (operators/versioned.py rename_column/drop_column, new r13
+    — Delta's columnMapping name mode): rename val→amount
+    (metadata-only; the physical parquet name stays), upsert through
+    the NEW name with changefeed, DROP tag (physical tombstoned), then
+    re-ADD a column named tag whose fresh physical can never resurrect
+    the dropped values. Output = final state (re-added tag is NULL for
+    every pre-drop row), the TIME-TRAVEL read of v0 under its original
+    name, and the upsert's change feed served under ENDING-version
+    logical names (rows written before the rename unify by physical
+    identity; the dropped tag leaves the feed). The oracle reconstructs
+    the whole lifecycle relationally, so the mapping reads, tombstone
+    freshness, CDF projection and time travel must all reproduce exact
+    Delta columnMapping semantics to hash-match. Materializes eagerly
+    BY NATURE (commits are actions)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_cm_")
+    try:
+        root = os.path.join(tmp, "vt")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_CM_BASE)
+            .selectExpr(
+                "o_orderkey AS k",
+                f"{_CM_VAL} AS val",
+                f"{_cm_tag('t', 'spark')} AS tag",
+            )
+            .repartitionByRange(3, "k"),
+            ["k"],
+        )
+        V.rename_column(spark, root, "val", "amount")
+        src = orders.filter(_CM_SRC).selectExpr(
+            "o_orderkey AS k",
+            f"{_CM_SVAL} AS amount",
+            f"{_cm_tag('u', 'spark')} AS tag",
+        )
+        v2, _, _ = V.commit_upsert(spark, root, src, "k", changefeed=True)
+        V.drop_column(spark, root, "tag")
+        V.commit_append(
+            spark,
+            root,
+            orders.filter(_CM_APP).selectExpr(
+                "o_orderkey AS k",
+                f"{_CM_AVAL} AS amount",
+                f"{_cm_tag('w', 'spark')} AS tag",
+            ),
+        )
+        grp5 = F.expr("CAST(k % 5 AS STRING)").alias("grp")
+        state = (
+            V.read_version(spark, root)
+            .groupBy(grp5)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").cast("bigint").alias("sum_a"),
+                F.count("tag").cast("bigint").alias("n_tag"),
+            )
+            .select(F.lit("state").alias("section"), "grp", "n_rows",
+                    "sum_a", "n_tag")
+        )
+        tt = (
+            V.read_version(spark, root, 0)
+            .groupBy(grp5)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_a"),
+                F.count("tag").cast("bigint").alias("n_tag"),
+            )
+            .select(F.lit("tt").alias("section"), "grp", "n_rows",
+                    "sum_a", "n_tag")
+        )
+        cdf = (
+            V.table_changes(spark, root, v2, v2)
+            .groupBy(F.col("_change_type").alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").cast("bigint").alias("sum_a"),
+            )
+            .select(F.lit("cdf").alias("section"), "grp", "n_rows",
+                    "sum_a", F.lit(0).cast("bigint").alias("n_tag"))
+        )
+        rows = state.unionByName(tt).unionByName(cdf).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "section string, grp string, n_rows bigint, sum_a bigint, "
+        "n_tag bigint",
+    )
+
+
 def q_dv_debt_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DV-debt observability end-to-end (operators/versioned.py
     history() dv_files/dv_rows running totals + optimize's
@@ -4044,24 +4161,23 @@ def _table_changes_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the driver's CORRECTNESS gate verifies
-        # only the FIRST 50 dict entries. ROUND-12 ROTATION: the window
-        # takes (a) everything whose code changed this round — the two
-        # NEW gates for the r12 features (schema_evolution: MERGE +
-        # UPDATE evolve_schema through real storage; dv_debt_purge:
-        # history() DV-debt totals + optimize's purge_dv_over gate,
-        # golden-VALUES fixture) plus every query exercising the
-        # changed versioned-table layer (merge_into, dml_delete_update,
-        # restore_table, time_travel_asof, table_changes, cdc_apply,
-        # snapshot_diff) and the changed WebDataset write path
-        # (webdataset_roundtrip; webdataset_index is in (b)) — and
-        # (b) all 35 oracle-checked queries whose newest external
-        # hash-green is r9 (the TPC-H pack, fuzzy joins, postgres/
-        # xml sources, corpusflow) — after this round no oracle-
-        # checked query's newest green is older than r10. The 5
-        # remaining slots rotate the alphabetically-first r10-greens
-        # (all_any, asof_join, bm25_topk, bpe_token_stats,
-        # chain_union). Everything below the marker stays oracle-/
+        # only the FIRST 50 dict entries. ROUND-13 ROTATION: the window
+        # takes (a) the NEW gate for the r13 feature (column_mapping:
+        # rename/drop via Delta-style column mapping — metadata-only
+        # commits, physical-name stability, tombstoned drops, CDF/time
+        # travel across the rename) plus every query exercising the
+        # changed versioned-table layer (conflict re-base lives in
+        # _commit, mapping rides every read/write funnel:
+        # schema_evolution, dv_debt_purge, merge_into,
+        # dml_delete_update, restore_table, time_travel_asof,
+        # webdataset_roundtrip, table_changes, cdc_apply,
+        # snapshot_diff) — and (b) all 39 oracle-checked queries whose
+        # newest external hash-green is r10 (the r10 operator pack:
+        # cloudfront/cube/rollup/pivot/sessionization/windows/...).
+        # After this round no oracle-checked query's newest green is
+        # older than r11. Everything below the marker stays oracle-/
         # property-verified locally on every pytest run.
+        "column_mapping": q_column_mapping,
         "schema_evolution": q_schema_evolution,
         "dv_debt_purge": q_dv_debt_purge,
         "merge_into": q_merge_into,
@@ -4072,6 +4188,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "cdc_apply": q_cdc_apply,
         "snapshot_diff": q_snapshot_diff,
+        "cloudfront_logs": q_cloudfront_logs,
+        "cluster_keep_best": q_cluster_keep_best,
+        "cohort_retention": q_cohort_retention,
+        "cube": q_cube,
+        "decontamination": q_decontamination,
+        "distinct_count": q_distinct_count,
+        "epoch_shuffle": q_epoch_shuffle,
+        "fingerprint_dedup": q_fingerprint_dedup,
+        "flat_map": q_flat_map,
+        "fold_udaf": q_fold_udaf,
+        "funnel_steps": q_funnel_steps,
+        "gap_fill_events": q_gap_fill_events,
+        "gopher_quality": q_gopher_quality,
+        "histogram": q_histogram,
+        "hourly_events": q_hourly_events,
+        "html_text_extract": q_html_text_extract,
+        "json_props": q_json_props,
+        "lang_id": q_lang_id,
+        "map_filter": q_map_filter,
+        "mixture_sample": q_mixture_sample,
+        "nested_array_ops": q_nested_array_ops,
+        "nested_fixture_read": q_nested_fixture_read,
+        "nested_struct_map": q_nested_struct_map,
+        "pii_scrub": q_pii_scrub,
+        "pivot": q_pivot,
+        "range_join": q_range_join,
+        "repetition_filter": q_repetition_filter,
+        "rolling_window": q_rolling_window,
+        "rollup": q_rollup,
+        "salted_skew_join": q_salted_skew_join,
+        "sessionization": q_sessionization,
+        "sort_n_by": q_sort_n_by,
+        "supplier_part_share": q_supplier_part_share,
+        "time_rollup": q_time_rollup,
+        "token_stats": q_token_stats,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "warc_stats": q_warc_stats,
+        "window_functions": q_window_functions,
+        # ---- below the 50-entry gate ----
         "cluster_safe_split": q_cluster_safe_split,
         "corpusflow_e2e": q_corpusflow_e2e,
         "domain_stats": q_domain_stats,
@@ -4112,7 +4268,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bpe_token_stats": q_bpe_token_stats,
         "chain_union": q_chain_union,
-        # ---- below the 50-entry gate ----
         "mp4_frame_plan": q_mp4_frame_plan,
         "mp3_segment_plan": q_mp3_segment_plan,
         "media_frame_sample": q_media_frame_sample,
@@ -4158,45 +4313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_pipeline": q_training_pipeline,
         "variant_props": q_variant_props,
         "weighted_sample": q_weighted_sample,
-        "cluster_keep_best": q_cluster_keep_best,
-        "cloudfront_logs": q_cloudfront_logs,
-        "cohort_retention": q_cohort_retention,
-        "cube": q_cube,
-        "decontamination": q_decontamination,
-        "distinct_count": q_distinct_count,
-        "epoch_shuffle": q_epoch_shuffle,
-        "fingerprint_dedup": q_fingerprint_dedup,
-        "flat_map": q_flat_map,
-        "fold_udaf": q_fold_udaf,
-        "funnel_steps": q_funnel_steps,
-        "gap_fill_events": q_gap_fill_events,
-        "gopher_quality": q_gopher_quality,
-        "histogram": q_histogram,
-        "hourly_events": q_hourly_events,
-        "html_text_extract": q_html_text_extract,
-        "json_props": q_json_props,
-        "lang_id": q_lang_id,
-        "map_filter": q_map_filter,
-        "mixture_sample": q_mixture_sample,
-        "nested_array_ops": q_nested_array_ops,
-        "nested_fixture_read": q_nested_fixture_read,
-        "nested_struct_map": q_nested_struct_map,
-        "pii_scrub": q_pii_scrub,
-        "pivot": q_pivot,
-        "range_join": q_range_join,
-        "repetition_filter": q_repetition_filter,
-        "rolling_window": q_rolling_window,
-        "rollup": q_rollup,
-        "salted_skew_join": q_salted_skew_join,
-        "sessionization": q_sessionization,
-        "sort_n_by": q_sort_n_by,
-        "supplier_part_share": q_supplier_part_share,
-        "time_rollup": q_time_rollup,
-        "token_stats": q_token_stats,
-        "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "warc_stats": q_warc_stats,
-        "window_functions": q_window_functions,
         # rows-only (no oracle) entries: CONTIGUOUS TAIL — weakest
         # signal last, so a truncating gate drops them first
         "compensated_moments": q_compensated_moments,
@@ -4596,6 +4712,62 @@ def _schema_evolution_oracle() -> str:
                CAST(SUM(val) AS BIGINT), CAST(COUNT(note) AS BIGINT),
                CAST(COALESCE(SUM(mark), 0) AS BIGINT)
         FROM changes2 GROUP BY 2
+    """
+
+
+def _column_mapping_oracle() -> str:
+    """DuckDB twin of q_column_mapping — the rename is a plain column
+    alias (the oracle never knew the physical name), the drop makes
+    every pre-drop row's re-added tag NULL, the upsert is the usual
+    src ∪ (base minus src-keys) replacement, and the change feed is
+    re-derived from the pre/post join under the FINAL logical names."""
+    t_t = _cm_tag("t", "duckdb")
+    t_u = _cm_tag("u", "duckdb")
+    t_w = _cm_tag("w", "duckdb")
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_CM_VAL} AS a, {t_t} AS tag
+            FROM orders WHERE {_CM_BASE}
+        ), src AS (
+            SELECT o_orderkey AS k, {_CM_SVAL} AS a, {t_u} AS tag
+            FROM orders WHERE {_CM_SRC}
+        ), app AS (
+            SELECT o_orderkey AS k, {_CM_AVAL} AS a, {t_w} AS tag
+            FROM orders WHERE {_CM_APP}
+        ), r1 AS (
+            SELECT k, a FROM src
+            UNION ALL
+            SELECT b.k, b.a FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.k = b.k)
+        ), fin AS (
+            SELECT k, a, CAST(NULL AS VARCHAR) AS tag FROM r1
+            UNION ALL SELECT k, a, tag FROM app
+        ), m AS (
+            SELECT b.k, b.a AS pre_a, s.a AS post_a,
+                   s.k IS NOT NULL AS hit
+            FROM base b LEFT JOIN src s ON b.k = s.k
+        ), changes AS (
+            SELECT 'update_preimage' AS grp, k, pre_a AS a
+            FROM m WHERE hit
+            UNION ALL
+            SELECT 'update_postimage', k, post_a FROM m WHERE hit
+            UNION ALL
+            SELECT 'insert', s.k, s.a FROM src s
+            WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.k = s.k)
+        )
+        SELECT 'state' AS section, CAST(k % 5 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(a) AS BIGINT) AS sum_a,
+               CAST(COUNT(tag) AS BIGINT) AS n_tag
+        FROM fin GROUP BY 2
+        UNION ALL
+        SELECT 'tt', CAST(k % 5 AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(a) AS BIGINT), CAST(COUNT(tag) AS BIGINT)
+        FROM base GROUP BY 2
+        UNION ALL
+        SELECT 'cdf', grp, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(a) AS BIGINT), CAST(0 AS BIGINT)
+        FROM changes GROUP BY 2
     """
 
 
@@ -5161,6 +5333,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_into": _merge_into_oracle(),
         "restore_table": _restore_table_oracle(),
         "schema_evolution": _schema_evolution_oracle(),
+        "column_mapping": _column_mapping_oracle(),
         "dv_debt_purge": _DVD_ORACLE,
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),

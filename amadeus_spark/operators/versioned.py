@@ -390,12 +390,63 @@ def _manifest_schema(man: dict):
     return StructType.fromJson(json.loads(sj))
 
 
+def _col_mapping(man: dict) -> dict:
+    """The segment's COLUMN MAPPING (Delta's columnMapping, name mode):
+    ``{logical name -> physical parquet name}``, SPARSE — only columns
+    whose physical name differs are listed. Physical names are frozen
+    at column birth; RENAME moves the logical name over the same
+    physical (metadata-only), DROP removes the logical name and
+    tombstones the physical (``dropped_physical``) so a later re-add
+    of the same logical name gets a FRESH physical and can never
+    resurrect old values. Pre-mapping manifests return {} — the
+    zero-cost legacy path (physical == logical everywhere)."""
+    return dict(man.get("column_mapping", {}))
+
+
+def _phys_name(man: dict, logical: str) -> str:
+    return man.get("column_mapping", {}).get(logical, logical)
+
+
+def _physical_schema(man: dict):
+    """The manifest schema with every field under its PHYSICAL name —
+    what the parquet files actually store; scans plan against this."""
+    schema = _manifest_schema(man)
+    if schema is None:
+        return None
+    mapping = man.get("column_mapping", {})
+    if not mapping:
+        return schema
+    return _st.StructType(
+        [
+            _st.StructField(
+                mapping.get(f.name, f.name), f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+
+
+def _to_logical(df: DataFrame, man: dict) -> DataFrame:
+    """Rename a physically-planned frame back to LOGICAL names; columns
+    outside the mapping (identity/meta staging) pass through. No-op
+    (no projection at all) for unmapped tables."""
+    mapping = man.get("column_mapping", {})
+    if not mapping or df is None:
+        return df
+    p2l = {p: l for l, p in mapping.items()}
+    return df.select(
+        *[F.col(c).alias(p2l.get(c, c)) for c in df.columns]
+    )
+
+
 def _reader(spark: SparkSession, man: dict):
     """The one schema-evolution read contract: plan against the
     manifest schema when recorded (mixed-vintage files agree on
     columns, old files read NULL for later-added ones, no footer
-    merging), plain reader for pre-schema manifests."""
-    schema = _manifest_schema(man)
+    merging), plain reader for pre-schema manifests. Plans against the
+    PHYSICAL schema — callers surfacing rows to users rename through
+    :func:`_to_logical` (on unmapped tables the two are identical)."""
+    schema = _physical_schema(man)
     return spark.read.schema(schema) if schema is not None else spark.read
 
 
@@ -752,6 +803,10 @@ def _pruned_entries(
     index — at the 10^6-file regime the hot read path must not pay
     driver deserialization for stats it discards; only writers that
     RE-ADD entries (DV legs, restore) need the full form."""
+    if key_col is not None:
+        # entry stats are keyed by PHYSICAL parquet names; callers
+        # pass logical ones (no-op on unmapped tables)
+        key_col = _phys_name(res["seg"], key_col)
     if res["ckpt"] is None:
         adds = res["adds"]
         if lo is not None and key_col is not None:
@@ -891,7 +946,9 @@ def _snapshot_read(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
-    return out
+    # files store PHYSICAL names; every consumer sees LOGICAL ones
+    # (identity staging columns pass through untouched)
+    return _to_logical(out, seg)
 
 
 def _write_checkpoint(spark: SparkSession, root: str, version: int) -> None:
@@ -954,7 +1011,11 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
 
 
 def _rebase_ok(
-    interposed: list[dict], conflict: dict, constraints: dict
+    interposed: list[dict],
+    conflict: dict,
+    constraints: dict,
+    mapping: dict | None = None,
+    tomb: list | None = None,
 ) -> bool:
     """Delta-style conflict CLASSIFICATION: can this losing commit be
     re-published at the bumped version WITHOUT re-running its Spark
@@ -994,6 +1055,12 @@ def _rebase_ok(
     for w in interposed:
         if dict(w.get("constraints", {})) != dict(constraints):
             return False
+        # an interposed rename/drop changes what the loser's staged
+        # PHYSICAL files mean — always a real conflict
+        if dict(w.get("column_mapping", {})) != dict(mapping or {}):
+            return False
+        if set(w.get("dropped_physical", [])) != set(tomb or []):
+            return False
         if w.get("remove_all"):
             if kind != "append":
                 return False
@@ -1027,6 +1094,8 @@ def _rebase_prev(
     version: int,
     conflict: dict,
     constraints: dict,
+    mapping: dict | None = None,
+    tomb: list | None = None,
 ) -> dict | None:
     """After a CAS loss at ``version``: read the interposed winner
     segments and return the NEW previous manifest to re-base onto when
@@ -1042,7 +1111,7 @@ def _rebase_prev(
             interposed.append(_read_manifest(spark, root, w))
         except (FileNotFoundError, OSError):
             return None
-    if not _rebase_ok(interposed, conflict, constraints):
+    if not _rebase_ok(interposed, conflict, constraints, mapping, tomb):
         return None
     return interposed[-1]
 
@@ -1103,6 +1172,8 @@ def _commit(
     txn: dict = {}
     prev_schema = None
     constraints: dict = {}
+    mapping: dict = {}
+    tomb: list = []
     if cur >= 0:
         if prev is None:
             prev = _read_manifest(spark, root, cur)
@@ -1111,9 +1182,17 @@ def _commit(
         # CHECK constraints carry forward like txn; set/drop commits
         # pass the full replacement map through extra
         constraints = dict(prev.get("constraints", {}))
+        # column mapping + dropped-physical tombstones carry the same
+        # way; rename/drop/restore pass replacements through extra
+        mapping = dict(prev.get("column_mapping", {}))
+        tomb = list(prev.get("dropped_physical", []))
     txn.update((extra or {}).get("txn", {}))
     if "constraints" in (extra or {}):
         constraints = dict(extra["constraints"])
+    if "column_mapping" in (extra or {}):
+        mapping = dict(extra["column_mapping"])
+    if "dropped_physical" in (extra or {}):
+        tomb = list(extra["dropped_physical"])
     # UNIQUE staging dir: a crashed/losing writer's data can never
     # collide with a later commit's errorifexists write (orphans are
     # unreferenced and vacuumable)
@@ -1133,6 +1212,35 @@ def _commit(
     )
     if schema_json_override is not None:
         schema_json = schema_json_override
+    # the RESOLVED mapping (before any new-column assignment below) —
+    # what a rebase-time winner must match exactly
+    base_mapping, base_tomb = dict(mapping), list(tomb)
+    if df is not None and (mapping or tomb):
+        # MAPPED table: columns born THIS commit get a collision-free
+        # physical name — never one already in use or tombstoned by a
+        # drop (reusing a dropped physical would resurrect old values
+        # out of carried files). Pre-existing columns keep theirs.
+        prev_logical = (
+            {
+                f["name"]
+                for f in json.loads(prev_schema).get("fields", [])
+            }
+            if prev_schema
+            else set()
+        )
+        used_phys = {mapping.get(n, n) for n in prev_logical}
+        for f in df.schema.fields:
+            if f.name in prev_logical:
+                continue
+            phys = f.name
+            if phys in used_phys or phys in tomb:
+                phys = f"{f.name}_{uuid.uuid4().hex[:8]}"
+                mapping[f.name] = phys
+            used_phys.add(phys)
+    # the LOGICAL schema of the staged frame — the rebase loop re-runs
+    # schema evolution against the winner's schema with it (df itself
+    # may be renamed to physical names below)
+    df_logical_schema = df.schema if df is not None else None
     if df is not None:
         # optimize rewrites only rows that already passed enforcement
         # at their original write (ADD validates existing data,
@@ -1140,6 +1248,12 @@ def _commit(
         # CHECK chain over a full-table compaction is pure waste
         if constraints and op != "optimize":
             df = _enforce_constraints(df, constraints)
+        if mapping and any(c in mapping for c in df.columns):
+            # rename to PHYSICAL names for the write (enforcement just
+            # ran on logical names); stats_cols are physical already
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
         df.write.mode("errorifexists").parquet(commit_dir)
         new_files = new_files + _file_entries(commit_dir, stats_cols)
     # changefeed capture (Delta CDF shape): change rows are written
@@ -1168,6 +1282,13 @@ def _commit(
         )
     if cdf is not None:
         cdf_dir = f"v{version}-{uuid.uuid4().hex[:8]}"
+        if mapping and any(c in mapping for c in cdf.columns):
+            # change files store PHYSICAL names too (the from_add path
+            # already does: it re-reads the committed files) — a feed
+            # spanning a rename unifies on the stable physical name
+            cdf = cdf.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in cdf.columns]
+            )
         cdf.withColumn("_commit_version", F.lit(version)).write.mode(
             "errorifexists"
         ).parquet(f"{root}/{CDF_DIR}/{cdf_dir}")
@@ -1175,6 +1296,17 @@ def _commit(
     elif op == "append":
         cdf_mark = "add"
     elif op == "optimize":
+        cdf_mark = "none"
+    elif (
+        df is None
+        and not new_files
+        and not (removes or remove_all)
+    ):
+        # METADATA-ONLY commit (rename/drop column, set/drop
+        # constraint, a no-op restore): no logical row changed — the
+        # changefeed spans it contributing nothing, same as a
+        # compaction. Commits that move entries (restore, DV) still
+        # need explicit changefeed capture to be readable as changes.
         cdf_mark = "none"
     removes = list(removes or [])
     added_rows = sum(e["rows"] for e in new_files)
@@ -1218,11 +1350,16 @@ def _commit(
         **{
             k: v
             for k, v in (extra or {}).items()
-            if k not in ("txn", "constraints")
+            if k
+            not in ("txn", "constraints", "column_mapping", "dropped_physical")
         },
     }
     if constraints:
         manifest["constraints"] = constraints
+    if mapping:
+        manifest["column_mapping"] = mapping
+    if tomb:
+        manifest["dropped_physical"] = tomb
     if schema_json:
         manifest["schema"] = schema_json
     if txn:
@@ -1252,7 +1389,8 @@ def _commit(
                 and "concurrent commit" in str(race)
             ):
                 new_prev = _rebase_prev(
-                    spark, root, version, conflict, constraints
+                    spark, root, version, conflict, constraints,
+                    base_mapping, base_tomb,
                 )
             rederived = None
             if new_prev is not None:
@@ -1262,7 +1400,9 @@ def _commit(
                     # (recompute would hit it too) — fall through to
                     # the strict cleanup and raise IT, not the race
                     rederived = (
-                        _evolve_schema(new_prev.get("schema"), df.schema)
+                        _evolve_schema(
+                            new_prev.get("schema"), df_logical_schema
+                        )
                         if df is not None and schema_json_override is None
                         else (
                             schema_json_override
@@ -1423,7 +1563,7 @@ def read_version(
     seg = res["seg"]
     lo = hi = None
     if key_range is not None:
-        if key_col is None or key_col not in seg["stats_cols"]:
+        if key_col is None or _phys_name(seg, key_col) not in seg["stats_cols"]:
             raise ValueError(
                 f"key_range needs key_col with manifest stats "
                 f"(stats_cols={seg['stats_cols']})"
@@ -1468,7 +1608,7 @@ def commit_upsert(
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
-    if prune_col not in seg["stats_cols"]:
+    if _phys_name(seg, prune_col) not in seg["stats_cols"]:
         raise ValueError(
             f"{prune_col} has no manifest stats (stats_cols="
             f"{seg['stats_cols']}); re-create the table with it"
@@ -2116,7 +2256,7 @@ def commit_merge(
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
-    if prune_col not in seg["stats_cols"]:
+    if _phys_name(seg, prune_col) not in seg["stats_cols"]:
         raise ValueError(
             f"{prune_col} has no manifest stats (stats_cols="
             f"{seg['stats_cols']}); re-create the table with it"
@@ -2698,7 +2838,17 @@ def restore_version(
         removes=[list(k) for k in removes],
         removed_rows=sum(cur_entries[k]["rows"] for k in removed_keys),
         removed_dv=_dv_debit([cur_entries[k] for k in removed_keys]),
-        extra={"restored_version": version},
+        extra={
+            "restored_version": version,
+            # the column mapping rolls back WITH the schema — a
+            # restore across a rename serves the old names again;
+            # tombstones roll back too (a restored drop makes its
+            # physical live again)
+            "column_mapping": _col_mapping(target_seg),
+            "dropped_physical": list(
+                target_seg.get("dropped_physical", [])
+            ),
+        },
         prev=cur_seg,
         cdf=cdf_frame,
         add_entries=adds,
@@ -2755,7 +2905,7 @@ def apply_changes(
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, cur)
     seg = res["seg"]
-    if key_col not in seg["stats_cols"]:
+    if _phys_name(seg, key_col) not in seg["stats_cols"]:
         raise ValueError(
             f"{key_col} has no manifest stats (stats_cols="
             f"{seg['stats_cols']})"
@@ -2959,12 +3109,19 @@ def optimize(
     if zorder_cols:
         from amadeus_spark.operators.storage import zorder_layout
 
+        # user-facing zorder cols are LOGICAL; the manifest's
+        # stats_cols list is PHYSICAL (footer-derived)
         out = zorder_layout(df, zorder_cols, n_out)
         stats_cols = stats_cols + [
-            c for c in zorder_cols if c not in stats_cols
+            p
+            for p in (_phys_name(seg, c) for c in zorder_cols)
+            if p not in stats_cols
         ]
     else:
-        key = stats_cols[0] if stats_cols else None
+        # the compaction frame carries LOGICAL names; stats_cols are
+        # physical — sort by the first stats column's logical twin
+        p2l = {p: l for l, p in _col_mapping(seg).items()}
+        key = p2l.get(stats_cols[0], stats_cols[0]) if stats_cols else None
         out = (
             df.repartitionByRange(n_out, key).sortWithinPartitions(key)
             if key
@@ -3184,6 +3341,30 @@ def table_changes(
     end = cur if ending_version is None else ending_version
     if end > cur:
         raise ValueError(f"ending_version {end} > current version {cur}")
+    # change files store PHYSICAL names (stable across renames): the
+    # feed serves the ENDING version's LOGICAL names, unifying rows
+    # from before a rename under the new name by physical identity
+    # (Delta's columnMapping CDF contract). A physical dropped by the
+    # ending version is omitted — it is not part of the read schema.
+    end_seg = _read_manifest(spark, root, end)
+    end_schema = _manifest_schema(end_seg)
+    p2l_end = (
+        {_phys_name(end_seg, f.name): f.name for f in end_schema.fields}
+        if end_schema is not None
+        else None
+    )
+
+    def _serve_logical(df: DataFrame) -> DataFrame:
+        if p2l_end is None:
+            return df
+        cols = []
+        for c in df.columns:
+            if c in ("_change_type", "_commit_version"):
+                cols.append(F.col(c))
+            elif c in p2l_end:
+                cols.append(F.col(c).alias(p2l_end[c]))
+        return df.select(*cols)
+
     frames: list[DataFrame] = []
     for v in range(starting_version, end + 1):
         seg = _read_manifest(spark, root, v)
@@ -3205,7 +3386,7 @@ def table_changes(
         elif isinstance(mark, dict):
             # _change_type AND _commit_version live IN the files (the
             # streamable-feed contract)
-            schema = _manifest_schema(seg)
+            schema = _physical_schema(seg)
             rd = spark.read
             if schema is not None:
                 from pyspark.sql.types import LongType, StringType
@@ -3222,7 +3403,7 @@ def table_changes(
                 "commit it with changefeed=True to make it readable "
                 "as changes"
             )
-        frames.append(df)
+        frames.append(_serve_logical(df))
     if not frames:
         return spark.createDataFrame(
             [], "_change_type string, _commit_version bigint"
@@ -3273,7 +3454,8 @@ def stream_table_changes(
         raise FileNotFoundError(f"no versioned table at {root}")
     from pyspark.sql.types import LongType, StringType
 
-    schema = _manifest_schema(_read_manifest(spark, root, cur))
+    cur_seg = _read_manifest(spark, root, cur)
+    schema = _physical_schema(cur_seg)
     if schema is None:
         raise ValueError(
             f"{root}: table has no manifest schema to stream with"
@@ -3291,6 +3473,9 @@ def stream_table_changes(
         .option("pathGlobFilter", "*.parquet")
         .parquet(f"{root}/{CDF_DIR}/*")
     )
+    # change files carry PHYSICAL names; serve the pinned (current)
+    # LOGICAL ones — one projection, streaming-safe
+    feed = _to_logical(feed, cur_seg)
     if starting_version is not None:
         feed = feed.filter(F.col("_commit_version") >= starting_version)
     return feed
@@ -3387,6 +3572,111 @@ def drop_check_constraint(
     )
 
 
+def _check_constraint_refs(constraints: dict, col: str, what: str) -> None:
+    """Refuse a rename/drop of a column a CHECK constraint references
+    (word-boundary match — conservative: a false positive just forces
+    dropping and re-adding the constraint, Delta's own discipline; a
+    silent rename would leave the constraint enforcing against a name
+    that no longer resolves)."""
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    hit = sorted(n for n, x in constraints.items() if pat.search(x))
+    if hit:
+        raise ValueError(
+            f"cannot {what} column {col!r}: CHECK constraints {hit} "
+            "reference it — drop them first and re-add against the "
+            "new name"
+        )
+
+
+def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
+    """RENAME COLUMN as a METADATA-ONLY commit (Delta's columnMapping,
+    name mode): the logical name moves; the PHYSICAL parquet name —
+    frozen at the column's birth — stays, so zero data rewrites, and
+    time travel / CDF / restore keep working: each snapshot reads
+    through its own mapping, serving the names it was committed under.
+    Columns referenced by CHECK constraints must drop those first
+    (Delta's rule). Returns the new version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    schema = _manifest_schema(seg)
+    if schema is None:
+        raise ValueError(f"{root}: pre-schema table cannot rename columns")
+    names = [f.name for f in schema.fields]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (columns: {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists (columns: {names})")
+    _check_reserved([new], "rename target", prefix=True)
+    _check_constraint_refs(dict(seg.get("constraints", {})), old, "rename")
+    mapping = _col_mapping(seg)
+    phys = mapping.pop(old, old)
+    if phys != new:
+        mapping[new] = phys
+    renamed = _st.StructType(
+        [
+            _st.StructField(
+                new if f.name == old else f.name, f.dataType, f.nullable
+            )
+            for f in schema.fields
+        ]
+    )
+    return _commit(
+        spark, root, None, "rename_column", seg["stats_cols"],
+        prev=seg,
+        extra={
+            "column_mapping": mapping,
+            "dropped_physical": list(seg.get("dropped_physical", [])),
+            "renamed": {"from": old, "to": new},
+        },
+        schema_json_override=renamed.json(),
+    )
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> int:
+    """DROP COLUMN as a METADATA-ONLY commit: the logical column leaves
+    the schema; its physical parquet column stays in the files, unread
+    (scans plan against the manifest schema, never footers), and its
+    physical name is TOMBSTONED so a later re-add of the same logical
+    name gets a fresh physical and can never resurrect the old values
+    out of carried files. Time travel to pre-drop snapshots still
+    serves the column. Returns the new version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    schema = _manifest_schema(seg)
+    if schema is None:
+        raise ValueError(f"{root}: pre-schema table cannot drop columns")
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} (columns: {names})")
+    if len(names) == 1:
+        raise ValueError("cannot drop the table's only column")
+    _check_constraint_refs(dict(seg.get("constraints", {})), name, "drop")
+    mapping = _col_mapping(seg)
+    phys = mapping.pop(name, name)
+    tomb = list(seg.get("dropped_physical", []))
+    tomb.append(phys)
+    remaining = _st.StructType(
+        [f for f in schema.fields if f.name != name]
+    )
+    # the dropped physical leaves stats_cols (new files won't carry
+    # it; old entries' stats keys are harmless leftovers)
+    stats_cols = [c for c in seg["stats_cols"] if c != phys]
+    return _commit(
+        spark, root, None, "drop_column", stats_cols,
+        prev=seg,
+        extra={
+            "column_mapping": mapping,
+            "dropped_physical": tomb,
+            "dropped": name,
+        },
+        schema_json_override=remaining.json(),
+    )
+
+
 def describe_detail(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict:
@@ -3449,6 +3739,7 @@ def describe_detail(
         "constraints": dict(seg.get("constraints", {})),
         "stats_cols": seg.get("stats_cols", []),
         "schema": _manifest_schema(seg),
+        "column_mapping": _col_mapping(seg),
         "ts": seg.get("ts"),
         "last_checkpoint_version": last_ckpt,
         "checkpoint_lag": ckpt_lag,

@@ -53,6 +53,27 @@ def _chunks(items: list, chunk_size: int) -> list[list]:
     return [items[i : i + chunk_size] for i in range(0, len(items), chunk_size)]
 
 
+def _noise_sentinel() -> dict:
+    """Machine-noise self-attribution: a FIXED pure-python CPU spin
+    (no JVM, no I/O — its wall time moves only with CPU contention /
+    frequency state) plus the 1-min load average. Recorded per chunk
+    into bench_results.json so a dirty-box run identifies itself:
+    on a quiet box the spin is stable (~±10%) across chunks and
+    rounds; a +23%-wall run whose spins are inflated too is machine
+    drift, not a code regression (the r12 driver artifact took manual
+    isolated probes to prove — this field replaces that)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+    spin_ms = (time.perf_counter() - t0) * 1000
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:
+        load1 = -1.0
+    return {"spin_ms": round(spin_ms, 1), "load1": round(load1, 2)}
+
+
 def run_chunk(
     chunk: list, sf_dir: str, reps: int, slice_s: float
 ) -> dict:
@@ -67,6 +88,7 @@ def run_chunk(
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     reps_used: dict[str, int] = {}
+    noise = _noise_sentinel()  # BEFORE boot: the box as the chunk found it
     spark = get_spark("amadeus_spark_bench")
     # Warm up JVM + codegen so the first measured query isn't paying
     # session startup (the driver measures engine speed, not boot).
@@ -126,7 +148,12 @@ def run_chunk(
         runs.sort()
         timings[name] = round(runs[0], 4)  # min of warm timed reps
         spread[name] = round(runs[-1] - runs[0], 4)
-    return {"timings": timings, "spread": spread, "reps_used": reps_used}
+    return {
+        "timings": timings,
+        "spread": spread,
+        "reps_used": reps_used,
+        "noise": noise,
+    }
 
 
 def main() -> None:
@@ -208,6 +235,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     reps_used: dict[str, int] = {}
+    noise: list[dict] = []
     here = os.path.dirname(os.path.abspath(__file__))
     for i in range(len(chunks)):
         if len(chunks) == 1:
@@ -235,6 +263,7 @@ def main() -> None:
         timings.update(part["timings"])
         spread.update(part["spread"])
         reps_used.update(part["reps_used"])
+        noise.append(part.get("noise", {}))
 
     total = round(sum(timings.values()), 4)
     full = {
@@ -246,6 +275,9 @@ def main() -> None:
         "reps": reps,
         "reps_used": reps_used,
         "bench_wall_s": round(time.perf_counter() - bench_t0, 1),
+        # per-chunk machine-noise sentinel (see _noise_sentinel): file
+        # + full stdout line only — never the compact last line
+        "noise": noise,
         "sf": sf,
     }
     # Full-precision record → file (committed per round) + one stdout

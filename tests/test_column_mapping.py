@@ -1,0 +1,242 @@
+"""Column mapping (Delta columnMapping, name mode): RENAME/DROP as
+metadata-only commits — physical parquet names are frozen at column
+birth, logical names move over them, dropped physicals are tombstoned
+so a re-added name can never resurrect old values. Time travel, CDF and
+restore all read through each snapshot's own mapping."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amadeus_spark.operators import versioned as V
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "vt")
+
+
+def _df(spark, lo, hi, tag, cols="k, v"):
+    k, v = [c.strip() for c in cols.split(",")]
+    return spark.range(lo, hi).selectExpr(
+        f"id AS {k}", f"'{tag}' AS {v}"
+    )
+
+
+def _physical_cols(root, version_dir_prefix=None):
+    """Footer column names across the table's data files."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    ddir = os.path.join(root, V.DATA_DIR)
+    for d in sorted(os.listdir(ddir)):
+        for f in sorted(os.listdir(os.path.join(ddir, d))):
+            if f.endswith(".parquet"):
+                out[(d, f)] = pq.read_schema(
+                    os.path.join(ddir, d, f)
+                ).names
+    return out
+
+
+def test_rename_lifecycle_time_travel_and_cdf(spark, root):
+    V.commit_append(
+        spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"],
+        changefeed=True,
+    )
+    v1 = V.rename_column(spark, root, "v", "label")
+    assert V.history(spark, root)[-1]["op"] == "rename_column"
+    # current read serves the NEW logical name, same values
+    cur = V.read_version(spark, root)
+    assert cur.columns == ["k", "label"]
+    assert cur.where("label = 'a'").count() == 10
+    # mapping recorded: logical label -> physical v
+    assert V.describe_detail(spark, root)["column_mapping"] == {
+        "label": "v"
+    }
+    # writes through the new name land under the OLD physical name
+    upd = spark.createDataFrame([(3, "B")], "k bigint, label string")
+    v2, rewritten, _ = V.commit_upsert(
+        spark, root, upd, "k", changefeed=True
+    )
+    assert rewritten == 1
+    got = {r["k"]: r["label"] for r in V.read_version(spark, root).collect()}
+    assert got[3] == "B" and got[0] == "a"
+    phys = _physical_cols(root)
+    assert all("v" in names and "label" not in names
+               for names in phys.values())
+    # TIME TRAVEL serves the PRE-RENAME logical name
+    old = V.read_version(spark, root, 0)
+    assert old.columns == ["k", "v"]
+    assert old.where("v = 'a'").count() == 10
+    # CDF ACROSS THE RENAME: one feed, ending-version logical names
+    # unify rows from before the rename by physical identity
+    ch = V.table_changes(spark, root, 0)
+    assert "label" in ch.columns and "v" not in ch.columns
+    by = {(r["_commit_version"], r["_change_type"], r["k"]): r["label"]
+          for r in ch.collect()}
+    assert by[(0, "insert", 3)] == "a"          # pre-rename insert
+    assert by[(v2, "update_preimage", 3)] == "a"
+    assert by[(v2, "update_postimage", 3)] == "B"
+    assert v1 == 1
+    # streaming feed schema serves current logical names too
+    assert "label" in V.stream_table_changes(spark, root).columns
+
+
+def test_rename_prune_key_still_prunes(spark, root):
+    for lo in (0, 1000):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 100, "base").coalesce(1),
+            ["k"],
+        )
+    V.rename_column(spark, root, "k", "id")
+    upd = spark.createDataFrame([(1005, "new")], "id bigint, v string")
+    v, rewritten, carried = V.commit_upsert(spark, root, upd, "id")
+    assert (rewritten, carried) == (1, 1)  # stats pruning through the map
+    got = {r["id"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert got[1005] == "new" and got[5] == "base"
+    # read-side key_range pruning translates too
+    assert V.read_version(
+        spark, root, key_col="id", key_range=(0, 50)
+    ).count() == 100  # file-level pruning keeps the whole first file
+
+
+def test_drop_and_readd_never_resurrects(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 5, "old").coalesce(1), ["k"])
+    V.drop_column(spark, root, "v")
+    assert V.read_version(spark, root).columns == ["k"]
+    # re-ADD a column with the SAME logical name: fresh physical via
+    # the tombstone — pre-drop values must NOT come back
+    V.commit_append(
+        spark, root, _df(spark, 10, 15, "new").coalesce(1)
+    )
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] is None for k in range(0, 5))      # no resurrection
+    assert all(got[k] == "new" for k in range(10, 15))
+    # the fresh physical name is uuid-suffixed, tombstone recorded
+    seg = V._read_manifest(spark, root, V.current_version(spark, root))
+    assert seg["dropped_physical"] == ["v"]
+    assert seg["column_mapping"]["v"].startswith("v_")
+    # time travel to the pre-drop snapshot still serves the old values
+    old = {r["k"]: r["v"] for r in V.read_version(spark, root, 0).collect()}
+    assert all(old[k] == "old" for k in range(0, 5))
+
+
+def test_restore_across_rename_rolls_mapping_back(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 5, "a").coalesce(1), ["k"])
+    V.rename_column(spark, root, "v", "w")
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(0, "W")], "k bigint, w string"), "k")
+    v, relinked, removed = V.restore_version(spark, root, 0)
+    cur = V.read_version(spark, root)
+    assert cur.columns == ["k", "v"]
+    assert {r["v"] for r in cur.collect()} == {"a"}
+    assert V.describe_detail(spark, root)["column_mapping"] == {}
+    # and the table keeps working: rename again, write, read
+    V.rename_column(spark, root, "v", "z")
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(1, "Z")], "k bigint, z string"), "k")
+    got = {r["k"]: r["z"] for r in V.read_version(spark, root).collect()}
+    assert got[1] == "Z" and got[0] == "a"
+
+
+def test_rename_readd_old_name_gets_fresh_physical(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 3, "a").coalesce(1), ["k"])
+    V.rename_column(spark, root, "v", "label")
+    # a NEW column reusing the old logical name "v": physical "v" is
+    # taken (by label) -> fresh uuid physical; label values untouched
+    wide = spark.range(10, 13).selectExpr(
+        "id AS k", "'lab' AS label", "'fresh' AS v"
+    )
+    V.commit_append(spark, root, wide)
+    seg = V._read_manifest(spark, root, V.current_version(spark, root))
+    assert seg["column_mapping"]["label"] == "v"
+    assert seg["column_mapping"]["v"].startswith("v_")
+    got = {r["k"]: (r["label"], r["v"])
+           for r in V.read_version(spark, root).collect()}
+    assert got[0] == ("a", None) and got[10] == ("lab", "fresh")
+
+
+def test_rename_drop_guards(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 3, "a").coalesce(1), ["k"])
+    with pytest.raises(ValueError, match="no column"):
+        V.rename_column(spark, root, "nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        V.rename_column(spark, root, "v", "k")
+    with pytest.raises(ValueError, match="reserved"):
+        V.rename_column(spark, root, "v", "__dv_dir")
+    with pytest.raises(ValueError, match="no column"):
+        V.drop_column(spark, root, "nope")
+    V.drop_column(spark, root, "v")
+    with pytest.raises(ValueError, match="only column"):
+        V.drop_column(spark, root, "k")
+    # constraint-referenced columns refuse rename/drop
+    root2 = root + "2"
+    V.commit_append(
+        spark, root2,
+        spark.createDataFrame([(1, 5)], "k bigint, val bigint")
+        .coalesce(1), ["k"])
+    V.set_check_constraint(spark, root2, "nonneg", "val >= 0")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        V.rename_column(spark, root2, "val", "amount")
+    with pytest.raises(ValueError, match="CHECK constraints"):
+        V.drop_column(spark, root2, "val")
+    # unreferenced columns still rename under constraints
+    V.rename_column(spark, root2, "k", "id")
+    assert V.read_version(spark, root2).columns == ["id", "val"]
+
+
+def test_optimize_and_dv_after_rename(spark, root):
+    for lo in (0, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 100, "a").coalesce(1), ["k"]
+        )
+    V.rename_column(spark, root, "k", "id")
+    # DV delete through the renamed predicate column
+    v, _, _, n_del = V.commit_delete_where(
+        spark, root, "id % 10 = 0", mode="dv"
+    )
+    assert n_del == 20
+    assert V.read_version(spark, root).count() == 180
+    # compaction range-sorts by the stats column's LOGICAL twin and
+    # purges the DVs
+    V.optimize(spark, root, n_files=1)
+    df = V.read_version(spark, root)
+    assert df.columns == ["id", "v"] and df.count() == 180
+    assert V.describe_detail(spark, root)["dv_files"] == 0
+
+
+def test_rename_race_rejects_rebase(spark, root, monkeypatch):
+    """An interposed RENAME changes what the loser's staged physical
+    files mean — classification must refuse and recompute."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "a").coalesce(1), ["k"])
+    orig = V._write_manifest_atomic
+    state = {"armed": True}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            V.rename_column(spark, root, "v", "w")
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        # the retry re-resolves: second attempt must use the NEW name
+        cols = V.read_version(spark, root).columns
+        payload = "'x' AS " + ("w" if "w" in cols else "v")
+        return V.commit_append(
+            spark, root,
+            spark.range(100, 105).selectExpr("id AS k", payload))
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 2
+    got = V.read_version(spark, root)
+    assert got.columns == ["k", "w"]
+    assert got.where("w = 'x'").count() == 5
