@@ -1037,6 +1037,11 @@ def _rebase_ok(
       (an unproved file might hold a row the loser's match/anti-join
       should have seen). ``lo=None`` = empty source key set: no
       target row could match, winner adds are irrelevant.
+    - ``{"kind": "predicate", "pred_phys": "col OP lit"}`` — a simple
+      predicate DELETE/UPDATE: it read the whole snapshot, so any
+      winner REMOVE conflicts; winner ADDS pass only when their stats
+      REFUTE the predicate (see :func:`_stats_refute_check`) — the
+      ingest-appends-racing-a-takedown shape.
 
     Any interposed change to the CHECK-constraint set rejects
     unconditionally — the loser's staged files were enforced against
@@ -1066,6 +1071,19 @@ def _rebase_ok(
                 return False
             continue
         if kind == "append":
+            continue
+        if kind == "predicate":
+            # a predicate DELETE/UPDATE read the WHOLE snapshot (the
+            # finding scan): any winner remove invalidates it; winner
+            # ADDS pass only when their stats REFUTE the predicate
+            # (the ingest-appends-vs-takedown race — the common one)
+            if w.get("remove", []):
+                return False
+            for e in w.get("add", []):
+                if e.get("rows", 1) == 0:
+                    continue
+                if not _stats_refute_check(e, conflict["pred_phys"]):
+                    return False
             continue
         if kind != "pruned":
             return False
@@ -1360,6 +1378,13 @@ def _commit(
         manifest["column_mapping"] = mapping
     if tomb:
         manifest["dropped_physical"] = tomb
+    if df is not None:
+        # the commit's OWN staging dir, recorded for history()'s
+        # files_added/relinked split: a RE-BASED commit publishes at a
+        # bumped version while its staging dir keeps the pre-race
+        # stamp, so the "commit-v{v}-" prefix heuristic would misread
+        # its fresh files as relinks
+        manifest["staging_dir"] = os.path.basename(commit_dir.rstrip("/"))
     if schema_json:
         manifest["schema"] = schema_json
     if txn:
@@ -1781,8 +1806,10 @@ def commit_delete_where(
     # deserializing the per-file stats maps through a checkpoint index)
     refs = _pruned_entries(spark, root, res, slim=(mode != "dv"))
     if mode == "dv":
-        return _delete_where_dv(spark, root, cur, seg, refs, pred,
-                                changefeed)
+        return _delete_where_dv(
+            spark, root, cur, seg, refs, pred, changefeed,
+            conflict=_predicate_conflict(seg, predicate),
+        )
     touched = _touched_by_predicate(spark, root, seg, refs, pred)
     if not touched:
         return cur, 0, len(refs), 0
@@ -1810,11 +1837,20 @@ def commit_delete_where(
             removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
+            # simple predicates classify: a racing APPEND whose stats
+            # refute the predicate re-bases this delete instead of
+            # recomputing it (see _rebase_ok kind="predicate")
+            conflict=_predicate_conflict(seg, predicate),
         )
     finally:
         for c in cached:
             c.unpersist()
-    n_deleted = seg["total_rows"] - _read_manifest(spark, root, v)["total_rows"]
+    # count from THIS commit's own entries (touched minus kept-rows
+    # written) — rebase-proof, unlike a stale-snapshot totals diff
+    # (a re-based loser's final total also carries the winner's adds)
+    n_deleted = _nrows(touched) - sum(
+        e["rows"] for e in _read_manifest(spark, root, v).get("add", [])
+    )
     return v, len(touched), n_kept, n_deleted
 
 
@@ -1917,6 +1953,7 @@ def _delete_where_dv(
     refs: list[dict],
     pred,
     changefeed: bool,
+    conflict: dict | None = None,
 ) -> tuple[int, int, int, int]:
     """The merge-on-read DELETE leg: one DV-applied scan finds the
     matched LIVE rows; their identities (plus the touched files'
@@ -1955,6 +1992,7 @@ def _delete_where_dv(
                 prev=seg,
                 cdf=cdf_frame,
                 add_entries=new_entries,
+                conflict=conflict,
             )
         except RuntimeError:
             _drop_dv_dir(spark, dv_path)
@@ -2055,7 +2093,7 @@ def commit_update_where(
     if mode == "dv":
         return _update_where_dv(
             spark, root, cur, seg, refs, pred, apply_set, widen,
-            changefeed
+            changefeed, conflict=_predicate_conflict(seg, predicate),
         )
     touched = _touched_by_predicate(spark, root, seg, refs, pred)
     if not touched:
@@ -2091,6 +2129,7 @@ def commit_update_where(
             removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
+            conflict=_predicate_conflict(seg, predicate),
         )
     finally:
         for c in cached:
@@ -2108,6 +2147,7 @@ def _update_where_dv(
     apply_set,
     widen,
     changefeed: bool,
+    conflict: dict | None = None,
 ) -> tuple[int, int, int]:
     """The merge-on-read UPDATE leg (Delta's DV update): the matched
     LIVE rows are DV-deleted in place and their post-images append as
@@ -2145,6 +2185,7 @@ def _update_where_dv(
                 prev=seg,
                 cdf=cdf_frame,
                 add_entries=new_entries,
+                conflict=conflict,
             )
         except RuntimeError:
             _drop_dv_dir(spark, dv_path)
@@ -2683,6 +2724,62 @@ def _stats_prove_check(entry: dict, expr: str) -> bool:
     if op == ">":
         return lo > val
     return lo >= val  # ">="
+
+
+def _stats_refute_check(entry: dict, expr: str) -> bool:
+    """Can this file's manifest [min,max] prove NO row satisfies the
+    predicate? The mirror of :func:`_stats_prove_check` (same
+    ``col OP literal`` shape, same conservative failure direction:
+    missing stats / type mismatch / rich expression = "cannot refute").
+    NULL-valued rows never satisfy a comparison predicate, so stats
+    over non-NULL values suffice here too. Used by the conflict
+    checker: a winner-ADDED file whose rows provably cannot match a
+    losing DELETE/UPDATE's predicate does not conflict with it."""
+    m = _SIMPLE_CHECK.match(expr)
+    if not m:
+        return False
+    col, op, lit = m.groups()
+    bounds = (entry.get("stats") or {}).get(col)
+    if not bounds:
+        return False
+    lo, hi = bounds
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return False
+    if lit.startswith("'"):
+        val = lit[1:-1]
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            return False
+    else:
+        val = float(lit) if ("." in lit or "e" in lit) else int(lit)
+        if not (
+            isinstance(lo, (int, float)) and isinstance(hi, (int, float))
+        ):
+            return False
+    if op in ("=", "=="):
+        return val < lo or val > hi
+    if op == "<":
+        return lo >= val
+    if op == "<=":
+        return lo > val
+    if op == ">":
+        return hi <= val
+    return hi < val  # ">="
+
+
+def _predicate_conflict(seg: dict, predicate: str) -> dict | None:
+    """Conflict footprint for a predicate DELETE/UPDATE: only the
+    simple ``col OP literal`` shape classifies (the predicate is
+    rewritten onto the column's PHYSICAL name — entry stats are keyed
+    by it); anything richer stays strict (None → any CAS loss
+    recomputes)."""
+    m = _SIMPLE_CHECK.match(predicate)
+    if not m:
+        return None
+    col, op, lit = m.groups()
+    return {
+        "kind": "predicate",
+        "pred_phys": f"{_phys_name(seg, col)} {op} {lit}",
+    }
 
 
 def restore_version(
@@ -3785,11 +3882,13 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 # previous snapshot's file count.
                 "files_added": sum(
                     1 for e in m.get("add", [])
-                    if e["dir"].startswith(f"commit-v{v}-")
+                    if e["dir"] == m.get("staging_dir", f"commit-v{v}-?")
+                    or e["dir"].startswith(f"commit-v{v}-")
                 ),
                 "files_relinked": sum(
                     1 for e in m.get("add", [])
-                    if not e["dir"].startswith(f"commit-v{v}-")
+                    if e["dir"] != m.get("staging_dir")
+                    and not e["dir"].startswith(f"commit-v{v}-")
                 ),
                 "files_removed": (
                     len(m.get("remove", []))
@@ -3805,7 +3904,8 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 ),
                 "rows_added": sum(
                     e["rows"] for e in m.get("add", [])
-                    if e["dir"].startswith(f"commit-v{v}-")
+                    if e["dir"] == m.get("staging_dir", f"commit-v{v}-?")
+                    or e["dir"].startswith(f"commit-v{v}-")
                 ),
                 # wall-clock commit time (epoch s); None on pre-ts logs
                 "ts": m.get("ts"),

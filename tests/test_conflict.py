@@ -77,6 +77,11 @@ def test_append_race_rebases_without_restaging(spark, root, monkeypatch):
     assert man["total_rows"] == 120 and man["total_files"] == len(
         V._live_entries(spark, root, 2)
     )
+    # history reads the re-based files as fresh INGEST, not relinks
+    # (the staging dir's pre-race stamp must not fool the metrics)
+    h2 = V.history(spark, root)[2]
+    assert h2["files_added"] == len(man["add"])
+    assert h2["files_relinked"] == 0 and h2["rows_added"] == 10
 
 
 def test_append_race_restamps_changefeed(spark, root, monkeypatch):
@@ -397,3 +402,117 @@ def test_rebase_ok_classification_matrix():
     assert not V._rebase_ok([seg(remove_all=True)], pruned, {})
     # unclassified kind rejects
     assert not V._rebase_ok([seg()], {"kind": "mystery"}, {})
+
+
+# ------------------------------------------- predicate DELETE/UPDATE
+
+
+def test_delete_race_refuted_append_rebases(spark, root, monkeypatch):
+    """The ingest-vs-takedown race: a DELETE WHERE k < 100 losing to an
+    APPEND whose stats prove no new row matches re-bases — both land,
+    no recompute."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 5000, 5010, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_delete_where(spark, root, "k < 100")
+
+    v, rewritten, _, n_deleted = V.commit_with_retry(closure)
+    assert calls["n"] == 1
+    assert v == 3 and rewritten == 1 and n_deleted == 100
+    got = V.read_version(spark, root)
+    assert got.count() == 110  # 200 - 100 deleted + 10 appended
+    assert got.where("k < 100").count() == 0
+    assert got.where("v = 'win'").count() == 10
+
+
+def test_delete_race_matching_append_recomputes(spark, root, monkeypatch):
+    """A winner-appended row INSIDE the delete predicate range must
+    force a recompute — re-basing would leave it alive."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 50, 60, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_delete_where(spark, root, "k < 100")
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 2
+    assert V.read_version(spark, root).where("k < 100").count() == 0
+
+
+def test_dv_update_race_refuted_append_rebases(spark, root, monkeypatch):
+    """The merge-on-read UPDATE leg classifies too: a refuted winner
+    append re-bases the DV commit (same staged DV dir, bumped
+    version)."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 5000, 5005, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_update_where(
+            spark, root, "k <= 10", {"v": "'upd'"}, mode="dv"
+        )
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 1
+    assert v == 3
+    got = {r["k"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert all(got[k] == "upd" for k in range(0, 11))
+    assert got[50] == "base" and got[5000] == "win"
+
+
+def test_complex_predicate_stays_strict(spark, root, monkeypatch):
+    """An unparseable (rich) predicate never classifies — any loss
+    recomputes, even against a provably-disjoint append."""
+    _two_file_table(spark, root)
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 5000, 5005, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_delete_where(spark, root, "k < 100 AND k > 10")
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 2
+
+
+def test_stats_refute_check_matrix():
+    e = lambda lo, hi: {"stats": {"k": [lo, hi]}}  # noqa: E731
+    R = V._stats_refute_check
+    assert R(e(100, 200), "k < 100") and not R(e(99, 200), "k < 100")
+    assert R(e(101, 200), "k <= 100") and not R(e(100, 200), "k <= 100")
+    assert R(e(0, 100), "k > 100") and not R(e(0, 101), "k > 100")
+    assert R(e(0, 99), "k >= 100") and not R(e(0, 100), "k >= 100")
+    assert R(e(0, 6), "k = 7") and R(e(8, 9), "k = 7")
+    assert not R(e(0, 7), "k = 7")
+    assert R(e("b", "c"), "k < 'a'")       # no string in [b,c] is < 'a'
+    assert not R(e("a", "c"), "k <= 'a'")  # 'a' itself matches
+    # conservative failures: no stats, type mismatch, rich expression
+    assert not R({"stats": {}}, "k < 100")
+    assert not R(e("a", "b"), "k < 100")
+    assert not R(e(0, 1), "k < 100 AND k > 10")
