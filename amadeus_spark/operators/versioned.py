@@ -1016,6 +1016,7 @@ def _rebase_ok(
     constraints: dict,
     mapping: dict | None = None,
     tomb: list | None = None,
+    stats_cols: list | None = None,
 ) -> bool:
     """Delta-style conflict CLASSIFICATION: can this losing commit be
     re-published at the bumped version WITHOUT re-running its Spark
@@ -1028,7 +1029,9 @@ def _rebase_ok(
       re-bases over — the appended rows were never part of the
       compacted snapshot).
     - ``{"kind": "pruned", "read": [(dir, path)...], "key_col": c,
-      "lo": v, "hi": v}`` — a key-pruned merge/upsert/CDC: it read
+      "lo": v, "hi": v}`` — ``key_col`` is the PHYSICAL stats key
+      (callers translate through the mapping; entry stats are keyed
+      by parquet names). A key-pruned merge/upsert/CDC: it read
       (and possibly removed) exactly ``read``, and its result depends
       only on target rows whose ``key_col`` falls in [lo, hi]. Safe
       iff no winner REMOVED a file the loser read (the loser's
@@ -1065,6 +1068,14 @@ def _rebase_ok(
         if dict(w.get("column_mapping", {})) != dict(mapping or {}):
             return False
         if set(w.get("dropped_physical", [])) != set(tomb or []):
+            return False
+        # stats_cols is carried state like constraints/mapping: a
+        # re-based loser would republish its stale list as the
+        # table's newest, silently reverting an interposed zorder's
+        # stats-cols widening — reject and recompute instead
+        if stats_cols is not None and list(
+            w.get("stats_cols", [])
+        ) != list(stats_cols):
             return False
         if w.get("remove_all"):
             if kind != "append":
@@ -1114,6 +1125,7 @@ def _rebase_prev(
     constraints: dict,
     mapping: dict | None = None,
     tomb: list | None = None,
+    stats_cols: list | None = None,
 ) -> dict | None:
     """After a CAS loss at ``version``: read the interposed winner
     segments and return the NEW previous manifest to re-base onto when
@@ -1129,7 +1141,9 @@ def _rebase_prev(
             interposed.append(_read_manifest(spark, root, w))
         except (FileNotFoundError, OSError):
             return None
-    if not _rebase_ok(interposed, conflict, constraints, mapping, tomb):
+    if not _rebase_ok(
+        interposed, conflict, constraints, mapping, tomb, stats_cols
+    ):
         return None
     return interposed[-1]
 
@@ -1415,7 +1429,7 @@ def _commit(
             ):
                 new_prev = _rebase_prev(
                     spark, root, version, conflict, constraints,
-                    base_mapping, base_tomb,
+                    base_mapping, base_tomb, list(stats_cols),
                 )
             rederived = None
             if new_prev is not None:
@@ -1706,7 +1720,7 @@ def commit_upsert(
             conflict={
                 "kind": "pruned",
                 "read": _rm(touched),
-                "key_col": prune_col,
+                "key_col": _phys_name(seg, prune_col),
                 "lo": lo,
                 "hi": hi,
             },
@@ -2644,7 +2658,7 @@ def commit_merge(
             {
                 "kind": "pruned",
                 "read": sorted(set(_rm(key_files)) | set(_rm(touched))),
-                "key_col": prune_col,
+                "key_col": _phys_name(seg, prune_col),
                 "lo": lo,
                 "hi": hi,
             }
@@ -2688,33 +2702,46 @@ _SIMPLE_CHECK = _re.compile(
 )
 
 
-def _stats_prove_check(entry: dict, expr: str) -> bool:
-    """Can this file's manifest [min,max] PROVE every row satisfies the
-    CHECK expression? Only the simple ``col OP literal`` shape is
-    attempted (see ``_SIMPLE_CHECK``); stats cover non-NULL values
-    only, which suffices — SQL CHECK passes NULL rows anyway. Missing
-    stats, type mismatches, or an unparseable expression mean "not
-    proved" (scan the file), never "assume clean"."""
+def _parse_simple_stats(entry: dict, expr: str):
+    """Shared preamble of the stats prove/refute pair: ``(op, literal,
+    lo, hi)`` when ``expr`` is the simple col-OP-literal shape AND the
+    entry carries type-compatible [min,max] stats for the column; None
+    otherwise — which every caller treats as "cannot decide", the
+    conservative direction for BOTH proof (scan the file) and
+    refutation (treat as conflicting)."""
     m = _SIMPLE_CHECK.match(expr)
     if not m:
-        return False
+        return None
     col, op, lit = m.groups()
     bounds = (entry.get("stats") or {}).get(col)
     if not bounds:
-        return False
+        return None
     lo, hi = bounds
     if isinstance(lo, bool) or isinstance(hi, bool):
-        return False
+        return None
     if lit.startswith("'"):
         val = lit[1:-1]
         if not (isinstance(lo, str) and isinstance(hi, str)):
-            return False
+            return None
     else:
-        val = float(lit) if ("." in lit or "e" in lit) else int(lit)
+        val = float(lit) if "." in lit else int(lit)
         if not (
             isinstance(lo, (int, float)) and isinstance(hi, (int, float))
         ):
-            return False
+            return None
+    return op, val, lo, hi
+
+
+def _stats_prove_check(entry: dict, expr: str) -> bool:
+    """Can this file's manifest [min,max] PROVE every row satisfies the
+    CHECK expression? Stats cover non-NULL values only, which suffices
+    — SQL CHECK passes NULL rows anyway. The expression's column name
+    must be the PHYSICAL stats key (callers translate). "Not proved"
+    means "scan the file", never "assume clean"."""
+    parsed = _parse_simple_stats(entry, expr)
+    if parsed is None:
+        return False
+    op, val, lo, hi = parsed
     if op in ("=", "=="):
         return lo == hi == val
     if op == "<":
@@ -2728,33 +2755,16 @@ def _stats_prove_check(entry: dict, expr: str) -> bool:
 
 def _stats_refute_check(entry: dict, expr: str) -> bool:
     """Can this file's manifest [min,max] prove NO row satisfies the
-    predicate? The mirror of :func:`_stats_prove_check` (same
-    ``col OP literal`` shape, same conservative failure direction:
-    missing stats / type mismatch / rich expression = "cannot refute").
-    NULL-valued rows never satisfy a comparison predicate, so stats
-    over non-NULL values suffice here too. Used by the conflict
-    checker: a winner-ADDED file whose rows provably cannot match a
-    losing DELETE/UPDATE's predicate does not conflict with it."""
-    m = _SIMPLE_CHECK.match(expr)
-    if not m:
+    predicate? The mirror of :func:`_stats_prove_check` (same parse,
+    same conservative failure direction). NULL-valued rows never
+    satisfy a comparison predicate, so stats over non-NULL values
+    suffice here too. Used by the conflict checker: a winner-ADDED
+    file whose rows provably cannot match a losing DELETE/UPDATE's
+    predicate does not conflict with it."""
+    parsed = _parse_simple_stats(entry, expr)
+    if parsed is None:
         return False
-    col, op, lit = m.groups()
-    bounds = (entry.get("stats") or {}).get(col)
-    if not bounds:
-        return False
-    lo, hi = bounds
-    if isinstance(lo, bool) or isinstance(hi, bool):
-        return False
-    if lit.startswith("'"):
-        val = lit[1:-1]
-        if not (isinstance(lo, str) and isinstance(hi, str)):
-            return False
-    else:
-        val = float(lit) if ("." in lit or "e" in lit) else int(lit)
-        if not (
-            isinstance(lo, (int, float)) and isinstance(hi, (int, float))
-        ):
-            return False
+    op, val, lo, hi = parsed
     if op in ("=", "=="):
         return val < lo or val > hi
     if op == "<":
@@ -2874,17 +2884,49 @@ def restore_version(
         # proves every active CHECK (simple range constraints on a
         # stats column) never scans — a frequent restore on a huge
         # table with a bounded-column constraint reads only the files
-        # the stats can't clear. Full entries (with stats) cost one
-        # index read; unproved files fall through to the one
-        # predicate-pushed scan, exactly as before.
-        tgt_full = _pruned_entries(spark, root, res_t)
-        suspect = [
-            e
-            for e in tgt_full
-            if not all(
-                _stats_prove_check(e, x) for x in active_cons.values()
+        # the stats can't clear. Proofs must bind exactly like the
+        # scan below does: the scan evaluates against TARGET-logical
+        # names (the names the restored table will serve — the
+        # constraint applies to THAT binding afterwards), so a
+        # parseable constraint (a) fails fast when the target cannot
+        # express its column at all, and (b) reads stats under the
+        # TARGET's physical key for it. Unparseable shapes prune
+        # nothing — then skip the full-stats index read entirely
+        # (10^6-file driver deserialization for zero wins) and keep
+        # the slim fetch + full scan, exactly as before.
+        tgt_schema_names = {
+            f.name for f in (_manifest_schema(target_seg) or _st.StructType([])).fields
+        }
+        provable: dict[str, str] = {}
+        for cname in sorted(active_cons):
+            cexpr = active_cons[cname]
+            m = _SIMPLE_CHECK.match(cexpr)
+            if not m:
+                continue
+            col = m.group(1)
+            if col not in tgt_schema_names:
+                raise ValueError(
+                    f"cannot restore to v{version}: active CHECK "
+                    f"constraint {cname!r} ({cexpr}) references column "
+                    f"{col!r}, which the target snapshot does not "
+                    "serve under that name (renamed/dropped since, or "
+                    "born later) — drop the constraint first and "
+                    "re-add it against the restored schema"
+                )
+            provable[cname] = (
+                f"{_phys_name(target_seg, col)} {m.group(2)} {m.group(3)}"
             )
-        ]
+        if len(provable) == len(active_cons):
+            tgt_full = _pruned_entries(spark, root, res_t)
+            suspect = [
+                e
+                for e in tgt_full
+                if not all(
+                    _stats_prove_check(e, px) for px in provable.values()
+                )
+            ]
+        else:
+            suspect = _pruned_entries(spark, root, res_t, slim=True)
         tgt_live = (
             _snapshot_read(spark, root, target_seg, suspect)
             if suspect
@@ -2897,12 +2939,19 @@ def restore_version(
             try:
                 violated = not tgt_live.where(~ok).isEmpty()
             except AnalysisException:
-                # a constraint referencing a column BORN AFTER the
-                # target snapshot (added post-evolution): the target
-                # schema cannot even express it — the snapshot cannot
-                # satisfy the constraint, same clean error as a
-                # violating row, never an opaque analyzer trace
-                violated = True
+                # an unparseable constraint referencing a column the
+                # target snapshot cannot express (born later, or
+                # served under a pre-rename name): the restored table
+                # could never enforce it — refuse with the remedy,
+                # never an opaque analyzer trace
+                raise ValueError(
+                    f"cannot restore to v{version}: an active CHECK "
+                    f"constraint ({sorted(active_cons)}) references a "
+                    "column the target snapshot does not serve under "
+                    "that name (renamed/dropped since, or born later) "
+                    "— drop the constraint first and re-add it "
+                    "against the restored schema"
+                ) from None
             if violated:
                 raise ValueError(
                     f"cannot restore to v{version}: rows there violate "
@@ -3101,7 +3150,7 @@ def apply_changes(
             conflict={
                 "kind": "pruned",
                 "read": _rm(touched),
-                "key_col": key_col,
+                "key_col": _phys_name(seg, key_col),
                 "lo": lo,
                 "hi": hi,
             },

@@ -240,3 +240,86 @@ def test_rename_race_rejects_rebase(spark, root, monkeypatch):
     got = V.read_version(spark, root)
     assert got.columns == ["k", "w"]
     assert got.where("w = 'x'").count() == 5
+
+
+def test_upsert_race_rebases_through_renamed_prune_key(
+    spark, root, monkeypatch
+):
+    """The conflict checker's key-range proof must read entry stats
+    under the PHYSICAL key: after rename k->id, disjoint racing upserts
+    on 'id' still re-base (stats live under physical 'k')."""
+    for lo in (0, 1000):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 100, "base").coalesce(1),
+            ["k"],
+        )
+    V.rename_column(spark, root, "k", "id")
+    orig = V._write_manifest_atomic
+    state = {"armed": True}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            V.commit_upsert(
+                spark, root,
+                spark.createDataFrame([(1001, "win")], "id bigint, v string"),
+                "id")
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_upsert(
+            spark, root,
+            spark.createDataFrame([(1, "lose")], "id bigint, v string"),
+            "id")
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 1  # re-based: the physical-stats proof fired
+    got = {r["id"]: r["v"] for r in V.read_version(spark, root).collect()}
+    assert got[1] == "lose" and got[1001] == "win" and got[50] == "base"
+
+
+def test_restore_refuses_constraint_on_renamed_column(spark, root):
+    """A parseable CHECK whose column the TARGET snapshot serves under
+    a different (pre-rename) name fails fast with the remedy — the
+    restored table could never enforce it."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1, 5)], "k bigint, val bigint")
+        .coalesce(1), ["k"])
+    V.rename_column(spark, root, "val", "amount")
+    V.set_check_constraint(spark, root, "nonneg", "amount >= 0")
+    with pytest.raises(ValueError, match="does not serve under that name"):
+        V.restore_version(spark, root, 0)
+
+
+def test_append_race_stats_cols_change_recomputes(spark, root, monkeypatch):
+    """An interposed stats_cols change (zorder widening, explicit
+    append override) rejects the re-base — republishing the stale list
+    would silently revert it."""
+    V.commit_append(spark, root, _df(spark, 0, 10, "base"), ["k"])
+    orig = V._write_manifest_atomic
+    state = {"armed": True}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            V.commit_append(
+                spark, root, _df(spark, 10, 20, "win"), ["k", "v"])
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_append(spark, root, _df(spark, 20, 30, "lose"))
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 2  # recompute resolved the winner's list
+    seg = V._read_manifest(spark, root, V.current_version(spark, root))
+    assert seg["stats_cols"] == ["k", "v"]
+    assert V.read_version(spark, root).count() == 30
