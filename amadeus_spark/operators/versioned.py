@@ -1045,6 +1045,14 @@ def _rebase_ok(
       winner REMOVE conflicts; winner ADDS pass only when their stats
       REFUTE the predicate (see :func:`_stats_refute_check`) — the
       ingest-appends-racing-a-takedown shape.
+    - ``{"kind": "compact", "read": [(dir, path)...]}`` — an
+      INCREMENTAL compaction: it read and removed exactly ``read``
+      and changed no logical row. Winner ADDS are irrelevant (the new
+      files simply stay live, uncompacted until the next run); only a
+      winner REMOVING one of the compacted files conflicts. This is
+      the background-compaction-racing-ingest shape — the standard
+      contention on an always-ingesting table. (A FULL rewrite never
+      re-bases: its remove_all segment would drop the winner's rows.)
 
     Any interposed change to the CHECK-constraint set rejects
     unconditionally — the loser's staged files were enforced against
@@ -1094,6 +1102,14 @@ def _rebase_ok(
                 if e.get("rows", 1) == 0:
                     continue
                 if not _stats_refute_check(e, conflict["pred_phys"]):
+                    return False
+            continue
+        if kind == "compact":
+            # no logical row changes: only a winner removing one of
+            # the compacted files conflicts; winner adds stay live
+            compacted = {tuple(r) for r in conflict.get("read", ())}
+            for r in w.get("remove", []):
+                if tuple(r) in compacted:
                     return False
             continue
         if kind != "pruned":
@@ -3289,6 +3305,20 @@ def optimize(
         removed_dv=_dv_debit([e for e, _ in rewrite]) if incremental
         else (0, 0),
         prev=seg,
+        # an INCREMENTAL compaction losing the CAS race to a writer
+        # that didn't touch its files (ingest appends, disjoint
+        # merges) re-publishes the compacted output at the bumped
+        # version — background compaction must not recompute per
+        # ingest commit. A full rewrite stays strict: its remove_all
+        # segment would drop the winner's rows.
+        conflict=(
+            {
+                "kind": "compact",
+                "read": [(e["dir"], e["path"]) for e, _ in rewrite],
+            }
+            if incremental
+            else None
+        ),
     )
     new_files = _read_manifest(spark, root, v)["total_files"]
     return v, seg["total_files"], new_files

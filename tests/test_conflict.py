@@ -402,6 +402,23 @@ def test_rebase_ok_classification_matrix():
     assert not V._rebase_ok([seg(remove_all=True)], pruned, {})
     # unclassified kind rejects
     assert not V._rebase_ok([seg()], {"kind": "mystery"}, {})
+    # compact: winner adds irrelevant; removing a compacted file rejects
+    compact = {"kind": "compact", "read": [("a", "f1")]}
+    assert V._rebase_ok([seg(add=[add(0, 10)])], compact, {})
+    assert V._rebase_ok([seg(remove=[["a", "other"]])], compact, {})
+    assert not V._rebase_ok([seg(remove=[["a", "f1"]])], compact, {})
+    assert not V._rebase_ok([seg(remove_all=True)], compact, {})
+    # stats_cols is guarded carried state like constraints/mapping
+    assert not V._rebase_ok(
+        [{"remove": [], "add": [], "remove_all": False,
+          "constraints": {}, "stats_cols": ["k", "v"]}],
+        app, {}, stats_cols=["k"],
+    )
+    assert V._rebase_ok(
+        [{"remove": [], "add": [], "remove_all": False,
+          "constraints": {}, "stats_cols": ["k"]}],
+        app, {}, stats_cols=["k"],
+    )
 
 
 # ------------------------------------------- predicate DELETE/UPDATE
@@ -516,3 +533,89 @@ def test_stats_refute_check_matrix():
     assert not R({"stats": {}}, "k < 100")
     assert not R(e("a", "b"), "k < 100")
     assert not R(e(0, 1), "k < 100 AND k > 10")
+
+
+# ---------------------------------------------------- incremental compaction
+
+
+def test_incremental_optimize_race_append_rebases(spark, root, monkeypatch):
+    """Background compaction racing ingest: an incremental OPTIMIZE
+    losing the CAS to an APPEND re-publishes its compacted output —
+    the winner's files simply stay live, uncompacted until the next
+    run. No recompute, nothing lost."""
+    for lo in (0, 50, 100):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "base").coalesce(1), ["k"]
+        )
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 900, 910, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        # every base file is "small": all three compact into one
+        return V.optimize(spark, root, small_file_mb=1024)
+
+    v, before, after = V.commit_with_retry(closure)
+    assert calls["n"] == 1  # re-based, never recomputed
+    assert v == 4  # lost v3 to the append
+    got = V.read_version(spark, root)
+    assert got.count() == 160
+    assert got.where("v = 'win'").count() == 10
+    # the compacted snapshot: 1 compacted file + the winner's file
+    assert V._read_manifest(spark, root, 4)["total_files"] == 2
+
+
+def test_incremental_optimize_race_dv_on_compacted_file_recomputes(
+    spark, root, monkeypatch
+):
+    """A winner DV-DELETING rows inside a file the compaction is
+    rewriting invalidates the rewrite (it would resurrect them) —
+    classification refuses, recompute re-reads through the DV."""
+    for lo in (0, 50):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "base").coalesce(1), ["k"]
+        )
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_delete_where(spark, root, "k = 7", mode="dv"),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.optimize(spark, root, small_file_mb=1024)
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 2
+    got = V.read_version(spark, root)
+    assert got.count() == 99 and got.where("k = 7").count() == 0
+
+
+def test_full_rewrite_optimize_race_stays_strict(spark, root, monkeypatch):
+    """A FULL rewrite (remove_all) must never re-base — its segment
+    would drop the winner's rows at the log fold."""
+    for lo in (0, 50):
+        V.commit_append(
+            spark, root, _df(spark, lo, lo + 50, "base").coalesce(1), ["k"]
+        )
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 900, 905, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.optimize(spark, root, n_files=1)  # full rewrite
+
+    V.commit_with_retry(closure)
+    assert calls["n"] == 2  # recompute folded the winner's rows in
+    got = V.read_version(spark, root)
+    assert got.count() == 105 and got.where("v = 'win'").count() == 5
