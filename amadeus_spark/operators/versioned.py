@@ -1063,7 +1063,7 @@ def _rebase_ok(
     kind = conflict.get("kind")
     reads = (
         {tuple(r) for r in conflict.get("read", ())}
-        if kind == "pruned"
+        if kind in ("pruned", "compact")
         else set()
     )
     key_col = conflict.get("key_col")
@@ -1107,9 +1107,8 @@ def _rebase_ok(
         if kind == "compact":
             # no logical row changes: only a winner removing one of
             # the compacted files conflicts; winner adds stay live
-            compacted = {tuple(r) for r in conflict.get("read", ())}
             for r in w.get("remove", []):
-                if tuple(r) in compacted:
+                if tuple(r) in reads:
                     return False
             continue
         if kind != "pruned":
@@ -3296,9 +3295,7 @@ def optimize(
         "optimize",
         stats_cols,
         remove_all=not incremental,
-        removes=[(e["dir"], e["path"]) for e, _ in rewrite]
-        if incremental
-        else None,
+        removes=_rm([e for e, _ in rewrite]) if incremental else None,
         removed_rows=sum(e["rows"] for e, _ in rewrite)
         if incremental
         else 0,
@@ -3312,10 +3309,7 @@ def optimize(
         # ingest commit. A full rewrite stays strict: its remove_all
         # segment would drop the winner's rows.
         conflict=(
-            {
-                "kind": "compact",
-                "read": [(e["dir"], e["path"]) for e, _ in rewrite],
-            }
+            {"kind": "compact", "read": _rm([e for e, _ in rewrite])}
             if incremental
             else None
         ),

@@ -346,7 +346,6 @@ def test_zorder_after_rename_translates_stats_cols(spark, root):
     pruned = V._pruned_entries(spark, root, res, "score", 0, 40)
     assert 0 < len(pruned) < seg["total_files"]
     df = V.read_version(spark, root, key_col="score", key_range=(0, 40))
-    assert df.where("score > 40").count() == 0 or True  # file-level only
-    assert df.count() >= 41  # every matching row present
+    assert df.count() >= 41  # every matching row present (file-level skip)
     got = {r["k"] for r in df.where("score <= 40").collect()}
     assert got == {k for k in range(200) if (k * 37) % 200 <= 40}
