@@ -3847,6 +3847,174 @@ def drop_column(spark: SparkSession, root: str, name: str) -> int:
     )
 
 
+def _adopt_files(srcs: list[str], commit_dir: str) -> None:
+    """Bring existing parquet files under a table's staging dir with
+    ZERO data movement where the filesystem allows it: ``os.link`` on
+    a local same-device path (the file content is never read), else a
+    pyarrow stream copy (cross-device local, object stores — still
+    one-pass, no decode). Adopted names keep their basenames (unique
+    within one staging dir by construction: callers pass one source
+    directory's listing, or uuid-prefix on collision)."""
+    import shutil as _sh
+
+    fs_dst, dst_rel = _arrow_fs(commit_dir)
+    if _is_local(commit_dir):
+        os.makedirs(_local_path(commit_dir), exist_ok=True)
+    else:
+        fs_dst.create_dir(dst_rel, recursive=True)
+    seen: set[str] = set()
+    for src in srcs:
+        base = os.path.basename(src)
+        if base in seen:
+            base = f"{uuid.uuid4().hex[:8]}-{base}"
+        seen.add(base)
+        if _is_local(commit_dir) and _is_local(src):
+            s, d = _local_path(src), os.path.join(
+                _local_path(commit_dir), base
+            )
+            try:
+                os.link(s, d)
+                continue
+            except OSError:
+                _sh.copyfile(s, d)  # cross-device: one-pass copy
+                continue
+        fs_src, src_rel = _arrow_fs(src)
+        with fs_src.open_input_stream(src_rel) as fin, \
+                fs_dst.open_output_stream(f"{dst_rel}/{base}") as fout:
+            _sh.copyfileobj(fin, fout, 8 * 1024 * 1024)
+
+
+def convert_to_versioned(
+    spark: SparkSession,
+    root: str,
+    src_dir: str,
+    stats_cols: list[str] | None = None,
+) -> tuple[int, int, int]:
+    """CONVERT TO DELTA: adopt an existing plain-parquet directory as
+    version 0 of a NEW versioned table with zero data rewrites — on a
+    local filesystem the files are HARD-LINKED into the table's
+    staging layout (content never read beyond the footers), elsewhere
+    they stream-copy once. Footer min/max stats for ``stats_cols``
+    are harvested at convert time exactly like a fresh commit's, so
+    key-range pruning/upserts work immediately; the schema comes from
+    one footer-merge read of the source. This is how a 100 TB
+    already-landed parquet lake joins the log without a rewrite
+    campaign. Returns ``(version, n_files, n_rows)``."""
+    _require_plain_root(root, "convert_to_versioned")
+    if current_version(spark, root) >= 0:
+        raise ValueError(
+            f"{root} is already a versioned table — convert targets a "
+            "fresh root"
+        )
+    from pyarrow import fs as pafs
+
+    fs_src, src_rel = _arrow_fs(src_dir)
+    files = sorted(
+        info.path
+        for info in fs_src.get_file_info(pafs.FileSelector(src_rel))
+        if info.path.endswith(".parquet")
+    )
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {src_dir}")
+    scheme = src_dir.split("://", 1)[0] + "://" if "://" in src_dir else ""
+    srcs = [f"{scheme}{p}" for p in files]
+    schema_json = spark.read.parquet(src_dir).schema.json()
+    commit_dir = f"{root}/{DATA_DIR}/commit-v0-{uuid.uuid4().hex[:8]}"
+    _adopt_files(srcs, commit_dir)
+    entries = _file_entries(commit_dir, stats_cols or [])
+    v = _commit(
+        spark, root, None, "convert", stats_cols or [],
+        add_entries=entries, schema_json_override=schema_json,
+    )
+    return v, len(entries), _nrows(entries)
+
+
+def clone_table(
+    spark: SparkSession,
+    src_root: str,
+    dst_root: str,
+    version: int | None = None,
+    as_of_ts: float | _dt.datetime | None = None,
+) -> tuple[int, int, int]:
+    """CLONE a versioned table's snapshot into a NEW independent table
+    — the zero-copy dev/test/branching snapshot (Delta's CLONE): on a
+    local filesystem every live data file (and any deletion-vector
+    file it reads through) is HARD-LINKED into the clone's own layout,
+    so cloning a 100 TB table costs O(files) metadata; elsewhere the
+    files stream-copy once. The clone carries the source snapshot's
+    schema, column mapping, tombstones and CHECK constraints, starts
+    its own log at version 0, and shares NO log state afterwards —
+    writes/vacuum on either side never affect the other (links count
+    references; the OS reclaims content when both drop it). Pin the
+    source snapshot with ``version``/``as_of_ts`` (defaults to
+    current). Returns ``(version, n_files, n_rows)``."""
+    _require_plain_root(src_root, "clone_table (source)")
+    _require_plain_root(dst_root, "clone_table (destination)")
+    if current_version(spark, dst_root) >= 0:
+        raise ValueError(
+            f"{dst_root} is already a versioned table — clone targets "
+            "a fresh root"
+        )
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_as_of(spark, src_root, as_of_ts)
+    cur = current_version(spark, src_root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {src_root}")
+    v_src = cur if version is None else version
+    res = _resolve(spark, src_root, v_src)
+    seg = res["seg"]
+    entries = _pruned_entries(spark, src_root, res)  # full: stats carry
+    # MIRROR the source's staging-dir layout verbatim: entries (and
+    # their deletion-vector refs) carry over UNCHANGED, so the DV
+    # anti-join's physical row identity — (staging dir, file name,
+    # row index) read off _metadata — still matches the dv parquet's
+    # recorded rows. Renaming adopted files would silently break that
+    # match and resurrect deleted rows.
+    new_entries = [dict(e) for e in entries]
+    by_dir: dict[str, list[dict]] = {}
+    dv_dirs: set[str] = set()
+    for e in entries:
+        by_dir.setdefault(e["dir"], []).append(e)
+        if e.get("dv"):
+            dv_dirs.add(e["dv"]["dir"])
+    scheme = (
+        src_root.split("://", 1)[0] + "://" if "://" in src_root else ""
+    )
+    for d, es in sorted(by_dir.items()):
+        _adopt_files(
+            [f"{src_root}/{DATA_DIR}/{d}/{e['path']}" for e in es],
+            f"{dst_root}/{DATA_DIR}/{d}",
+        )
+    from pyarrow import fs as pafs
+
+    for dv_dir in sorted(dv_dirs):
+        sfs, srel = _arrow_fs(f"{src_root}/{DV_DIR}/{dv_dir}")
+        dv_files = [
+            info.path
+            for info in sfs.get_file_info(pafs.FileSelector(srel))
+            if info.path.endswith(".parquet")
+        ]
+        _adopt_files(
+            [f"{scheme}{p}" for p in dv_files],
+            f"{dst_root}/{DV_DIR}/{dv_dir}",
+        )
+    extra: dict = {"cloned_from": {"root": src_root, "version": v_src}}
+    if seg.get("column_mapping"):
+        extra["column_mapping"] = dict(seg["column_mapping"])
+    if seg.get("dropped_physical"):
+        extra["dropped_physical"] = list(seg["dropped_physical"])
+    if seg.get("constraints"):
+        extra["constraints"] = dict(seg["constraints"])
+    v = _commit(
+        spark, dst_root, None, "clone", seg.get("stats_cols", []),
+        add_entries=new_entries, extra=extra,
+        schema_json_override=seg.get("schema"),
+    )
+    return v, len(new_entries), _nrows(new_entries)
+
+
 def describe_detail(
     spark: SparkSession, root: str, version: int | None = None
 ) -> dict:
