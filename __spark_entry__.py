@@ -4228,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_stats": q_warc_stats,
         "window_functions": q_window_functions,
         # ---- below the 50-entry gate ----
+        "convert_clone": q_convert_clone,  # NEW r13: rotates into r14
         "cluster_safe_split": q_cluster_safe_split,
         "corpusflow_e2e": q_corpusflow_e2e,
         "domain_stats": q_domain_stats,
@@ -4768,6 +4769,96 @@ def _column_mapping_oracle() -> str:
         SELECT 'cdf', grp, CAST(COUNT(*) AS BIGINT),
                CAST(SUM(a) AS BIGINT), CAST(0 AS BIGINT)
         FROM changes GROUP BY 2
+    """
+
+
+#: convert_clone gate constants — ONE set drives both dialects
+_CV_BASE = "o_orderkey % 7 = 3"
+_CV_VAL = "CAST(o_orderkey % 500 AS BIGINT) * 2"
+_CV_UP = "o_orderkey % 14 = 3"
+_CV_UVAL = "CAST(o_orderkey % 500 AS BIGINT) * 9"
+
+
+def q_convert_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA + CLONE end-to-end through real storage
+    (operators/versioned.py convert_to_versioned/clone_table, new r13):
+    a plain parquet directory is ADOPTED as a versioned table with
+    zero data movement (hard links; footer stats harvested at convert
+    feed the upsert's file pruning), a CLONE branches it, and an
+    upsert lands ONLY on the clone — the adopted source table must
+    stay byte-identical (full log independence). Output = per-group
+    aggregates of the UNTOUCHED source and the diverged clone; the
+    oracle reconstructs both relationally, so the adoption, the
+    harvested-stats pruning, the branch isolation and the replacement
+    semantics must all reproduce to hash-match. Materializes eagerly
+    BY NATURE (commits are actions)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_cv_")
+    try:
+        lake_dir = os.path.join(tmp, "lake")
+        orders.filter(_CV_BASE).selectExpr(
+            "o_orderkey AS k", f"{_CV_VAL} AS val"
+        ).repartitionByRange(3, "k").write.parquet(lake_dir)
+        root = os.path.join(tmp, "vt")
+        V.convert_to_versioned(spark, root, lake_dir, ["k"])
+        branch = os.path.join(tmp, "branch")
+        V.clone_table(spark, root, branch)
+        ups = orders.filter(_CV_UP).selectExpr(
+            "o_orderkey AS k", f"{_CV_UVAL} AS val"
+        )
+        V.commit_upsert(spark, branch, ups, "k")
+        grp5 = F.expr("CAST(k % 5 AS STRING)").alias("grp")
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ]
+        src = (
+            V.read_version(spark, root).groupBy(grp5).agg(*aggs)
+            .select(F.lit("src").alias("section"), "grp", "n_rows",
+                    "sum_val")
+        )
+        cl = (
+            V.read_version(spark, branch).groupBy(grp5).agg(*aggs)
+            .select(F.lit("clone").alias("section"), "grp", "n_rows",
+                    "sum_val")
+        )
+        rows = src.unionByName(cl).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, grp string, n_rows bigint, sum_val bigint"
+    )
+
+
+def _convert_clone_oracle() -> str:
+    """DuckDB twin of q_convert_clone — the adopted source is the raw
+    filter; the clone is the usual upsert replacement over it."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_CV_VAL} AS val
+            FROM orders WHERE {_CV_BASE}
+        ), ups AS (
+            SELECT o_orderkey AS k, {_CV_UVAL} AS val
+            FROM orders WHERE {_CV_UP}
+        ), clone AS (
+            SELECT k, val FROM ups
+            UNION ALL
+            SELECT b.k, b.val FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = b.k)
+        )
+        SELECT 'src' AS section, CAST(k % 5 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val
+        FROM base GROUP BY 2
+        UNION ALL
+        SELECT 'clone', CAST(k % 5 AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(val) AS BIGINT)
+        FROM clone GROUP BY 2
     """
 
 
@@ -5334,6 +5425,7 @@ def oracle_sql() -> dict[str, str]:
         "restore_table": _restore_table_oracle(),
         "schema_evolution": _schema_evolution_oracle(),
         "column_mapping": _column_mapping_oracle(),
+        "convert_clone": _convert_clone_oracle(),
         "dv_debt_purge": _DVD_ORACLE,
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),
