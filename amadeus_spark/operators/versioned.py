@@ -1316,6 +1316,12 @@ def _commit(
     # carries the version + a uuid so a losing commit's leftovers can
     # never collide and are vacuumable.
     cdf_mark: str | dict | None = None
+    if isinstance(cdf, str) and cdf == "none":
+        # explicit feed-transparent mark for add_entries commits that
+        # are not row changes in CDF terms (convert/clone — Delta's
+        # CDF serves neither): feeds SPAN them contributing nothing
+        cdf_mark = "none"
+        cdf = None
     if isinstance(cdf, str) and cdf == "from_add":
         # streamable append: re-read the JUST-COMMITTED files (cheaper
         # than re-running an expensive upstream plan twice) and copy
@@ -3901,6 +3907,7 @@ def convert_to_versioned(
     already-landed parquet lake joins the log without a rewrite
     campaign. Returns ``(version, n_files, n_rows)``."""
     _require_plain_root(root, "convert_to_versioned")
+    _require_plain_root(src_dir, "convert_to_versioned source")
     if current_version(spark, root) >= 0:
         raise ValueError(
             f"{root} is already a versioned table — convert targets a "
@@ -3909,23 +3916,60 @@ def convert_to_versioned(
     from pyarrow import fs as pafs
 
     fs_src, src_rel = _arrow_fs(src_dir)
-    files = sorted(
+    # FLAT directories only: a hive-partitioned lake encodes partition
+    # VALUES in directory names — adopting its leaf files would read
+    # the partition columns as NULL forever. Refuse loudly instead of
+    # adopting partially/wrongly (the recursive listing exists to make
+    # that refusal reliable, never to adopt nested files).
+    all_pq = [
         info.path
-        for info in fs_src.get_file_info(pafs.FileSelector(src_rel))
+        for info in fs_src.get_file_info(
+            pafs.FileSelector(src_rel, recursive=True)
+        )
         if info.path.endswith(".parquet")
-    )
+    ]
+    depth = len(src_rel.rstrip("/").split("/"))
+    nested = [p for p in all_pq if len(p.split("/")) > depth + 1]
+    if nested:
+        raise ValueError(
+            f"{src_dir} holds parquet under subdirectories (e.g. "
+            f"{nested[0]!r}) — convert adopts FLAT directories only "
+            "(hive-partitioned layouts would lose their partition "
+            "columns); read and commit_append partitioned lakes "
+            "instead"
+        )
+    files = sorted(p for p in all_pq if len(p.split("/")) == depth + 1)
     if not files:
         raise FileNotFoundError(f"no parquet files under {src_dir}")
     scheme = src_dir.split("://", 1)[0] + "://" if "://" in src_dir else ""
     srcs = [f"{scheme}{p}" for p in files]
-    schema_json = spark.read.parquet(src_dir).schema.json()
+    # UNION of every footer's schema (mergeSchema): a schema-evolved
+    # lake must not silently lose later-added columns to whichever
+    # single footer Spark happens to sample
+    schema_json = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(src_dir)
+        .schema.json()
+    )
     commit_dir = f"{root}/{DATA_DIR}/commit-v0-{uuid.uuid4().hex[:8]}"
     _adopt_files(srcs, commit_dir)
     entries = _file_entries(commit_dir, stats_cols or [])
-    v = _commit(
-        spark, root, None, "convert", stats_cols or [],
-        add_entries=entries, schema_json_override=schema_json,
-    )
+    try:
+        # version PINNED to 0 (the emptiness check above): an
+        # interposed table creation COLLIDES on the CAS instead of
+        # this convert silently landing on top of it as v1
+        v = _commit(
+            spark, root, None, "convert", stats_cols or [],
+            add_entries=entries, schema_json_override=schema_json,
+            prev={"version": -1, "total_files": 0, "total_rows": 0},
+            cdf="none",
+        )
+    except Exception:
+        # the adopted staging dir is this convert's own (links/copies
+        # of still-intact source files) — reclaim it on any failure
+        fs, _ = _hadoop_fs(spark, root)
+        fs.delete(_jpath(spark, commit_dir), True)
+        raise
     return v, len(entries), _nrows(entries)
 
 
@@ -4007,11 +4051,26 @@ def clone_table(
         extra["dropped_physical"] = list(seg["dropped_physical"])
     if seg.get("constraints"):
         extra["constraints"] = dict(seg["constraints"])
-    v = _commit(
-        spark, dst_root, None, "clone", seg.get("stats_cols", []),
-        add_entries=new_entries, extra=extra,
-        schema_json_override=seg.get("schema"),
-    )
+    try:
+        # version PINNED to 0 (the fresh-root check above): an
+        # interposed creation at dst COLLIDES instead of this clone
+        # silently landing on top of it
+        v = _commit(
+            spark, dst_root, None, "clone", seg.get("stats_cols", []),
+            add_entries=new_entries, extra=extra,
+            schema_json_override=seg.get("schema"),
+            prev={"version": -1, "total_files": 0, "total_rows": 0},
+            cdf="none",
+        )
+    except Exception:
+        # dst is fresh and nothing references the mirrored dirs:
+        # reclaim them (links only — source content is untouched)
+        fs, _ = _hadoop_fs(spark, dst_root)
+        for d in sorted(by_dir):
+            fs.delete(_jpath(spark, f"{dst_root}/{DATA_DIR}/{d}"), True)
+        for dv_dir in sorted(dv_dirs):
+            fs.delete(_jpath(spark, f"{dst_root}/{DV_DIR}/{dv_dir}"), True)
+        raise
     return v, len(new_entries), _nrows(new_entries)
 
 
@@ -4084,6 +4143,21 @@ def describe_detail(
     }
 
 
+def _own(m: dict, v: int, e: dict) -> bool:
+    """Did THIS commit physically stage this add entry? Exact match on
+    the recorded staging dir when present (rebase-proof, r13);
+    otherwise the version-prefix heuristic for pre-r13 logs — except
+    clone/restore, whose adds are by-reference/mirrored EVEN when the
+    dir names happen to carry a matching version stamp (a clone of a
+    source whose data landed at its own v0 must not read as ingest)."""
+    own = m.get("staging_dir")
+    if own is not None:
+        return e["dir"] == own
+    if m.get("op") in ("clone", "restore"):
+        return False
+    return e["dir"].startswith(f"commit-v{v}-")
+
+
 def history(spark: SparkSession, root: str) -> list[dict]:
     """Commit log: version, op, file and row counts per snapshot —
     O(versions) segment reads (counts are running totals in each
@@ -4122,14 +4196,10 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 # implicit (the segment lists none): report the
                 # previous snapshot's file count.
                 "files_added": sum(
-                    1 for e in m.get("add", [])
-                    if e["dir"] == m.get("staging_dir", f"commit-v{v}-?")
-                    or e["dir"].startswith(f"commit-v{v}-")
+                    1 for e in m.get("add", []) if _own(m, v, e)
                 ),
                 "files_relinked": sum(
-                    1 for e in m.get("add", [])
-                    if e["dir"] != m.get("staging_dir")
-                    and not e["dir"].startswith(f"commit-v{v}-")
+                    1 for e in m.get("add", []) if not _own(m, v, e)
                 ),
                 "files_removed": (
                     len(m.get("remove", []))
@@ -4144,9 +4214,7 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                     )
                 ),
                 "rows_added": sum(
-                    e["rows"] for e in m.get("add", [])
-                    if e["dir"] == m.get("staging_dir", f"commit-v{v}-?")
-                    or e["dir"].startswith(f"commit-v{v}-")
+                    e["rows"] for e in m.get("add", []) if _own(m, v, e)
                 ),
                 # wall-clock commit time (epoch s); None on pre-ts logs
                 "ts": m.get("ts"),

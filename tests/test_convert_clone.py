@@ -124,3 +124,84 @@ def test_clone_guards(spark, root, tmp_path):
     V.clone_table(spark, root, dst)
     with pytest.raises(ValueError, match="already a versioned table"):
         V.clone_table(spark, root, dst)
+
+
+def test_convert_merges_evolved_footers(spark, root, tmp_path):
+    """A schema-evolved lake (older files missing a later-added column)
+    converts with the UNION schema — the late column must not be lost
+    to whichever single footer Spark samples."""
+    src = str(tmp_path / "lake")
+    _df(spark, 0, 5, "a").coalesce(1).write.parquet(src)
+    spark.range(10, 15).selectExpr(
+        "id AS k", "'b' AS v", "id * 2 AS w"
+    ).coalesce(1).write.mode("append").parquet(src)
+    V.convert_to_versioned(spark, root, src, ["k"])
+    got = V.read_version(spark, root)
+    assert set(got.columns) == {"k", "v", "w"}
+    vals = {r["k"]: r["w"] for r in got.collect()}
+    assert vals[0] is None and vals[10] == 20
+
+
+def test_convert_refuses_nested_and_query_string(spark, root, tmp_path):
+    src = str(tmp_path / "lake")
+    _df(spark, 0, 5, "a").write.partitionBy("v").parquet(src)
+    with pytest.raises(ValueError, match="FLAT directories only"):
+        V.convert_to_versioned(spark, root, src)
+    with pytest.raises(ValueError, match="plain"):
+        V.convert_to_versioned(spark, root, src + "?region=x")
+
+
+def test_convert_race_collides_and_cleans_up(spark, root, tmp_path,
+                                             monkeypatch):
+    """A table created between convert's fresh-root check and its
+    publish must COLLIDE (version pinned to 0), never be silently
+    buried under the adopted files — and the loser's adopted staging
+    dir is reclaimed."""
+    src = str(tmp_path / "lake")
+    _df(spark, 0, 5, "a").coalesce(1).write.parquet(src)
+    orig = V._write_manifest_atomic
+    state = {"armed": True}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            V.commit_append(spark, root, _df(spark, 50, 55, "win"), ["k"])
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        V.convert_to_versioned(spark, root, src, ["k"])
+    # the winner's table is intact and the loser left no orphan dirs
+    assert V.read_version(spark, root).count() == 5
+    assert V.read_version(spark, root).where("v = 'win'").count() == 5
+    dirs = os.listdir(os.path.join(root, V.DATA_DIR))
+    assert len(dirs) == 1  # only the winner's staging dir
+
+
+def test_changefeed_spans_convert_and_clone(spark, root, tmp_path):
+    """CDF parity with Delta: neither CONVERT nor CLONE serves change
+    rows — a feed spanning version 0 skips them instead of raising."""
+    src = str(tmp_path / "lake")
+    _df(spark, 0, 5, "a").coalesce(1).write.parquet(src)
+    V.convert_to_versioned(spark, root, src, ["k"])
+    V.commit_append(spark, root, _df(spark, 10, 12, "b"))
+    ch = V.table_changes(spark, root, 0)
+    assert sorted(r["k"] for r in ch.collect()) == [10, 11]
+    dst = str(tmp_path / "branch")
+    V.clone_table(spark, root, dst)
+    V.commit_append(spark, dst, _df(spark, 20, 21, "c"))
+    ch2 = V.table_changes(spark, dst, 0)
+    assert sorted(r["k"] for r in ch2.collect()) == [20]
+
+
+def test_clone_history_reads_as_relink(spark, root, tmp_path):
+    """A clone of a source whose data landed at the SOURCE's v0 (dirs
+    named commit-v0-*) must still read as files_relinked, never as
+    ingest — by-reference semantics, not the dir-name heuristic."""
+    dst = str(tmp_path / "branch")
+    V.commit_append(spark, root, _df(spark, 0, 5, "a").coalesce(1), ["k"])
+    V.clone_table(spark, root, dst)
+    h0 = V.history(spark, dst)[0]
+    assert h0["op"] == "clone"
+    assert h0["files_added"] == 0 and h0["rows_added"] == 0
+    assert h0["files_relinked"] == 1
