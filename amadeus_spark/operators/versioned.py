@@ -3330,6 +3330,7 @@ def vacuum(
     keep_last: int = 1,
     keep_since: float | _dt.datetime | None = None,
     dry_run: bool = False,
+    min_staging_age_s: float = 4 * 3600.0,
 ) -> tuple[int, int]:
     """Reclaim space: delete log segments/checkpoints older than the
     retention window and every data file no kept snapshot references.
@@ -3359,7 +3360,19 @@ def vacuum(
     ``dry_run=True`` (Delta's ``VACUUM ... DRY RUN``): report the same
     counts while deleting NOTHING — no segment, checkpoint, change-data,
     DV or data file is touched, and the checkpoint-before-truncation
-    write is skipped too (a dry run must not mutate the log)."""
+    write is skipped too (a dry run must not mutate the log).
+
+    ``min_staging_age_s`` is the IN-FLIGHT-WRITER grace window: a
+    writer stages its data/change-feed/deletion-vector directories
+    BEFORE the manifest CAS (and a re-basing CAS loser holds them
+    through manifest re-reads), so an unreferenced directory is
+    indistinguishable from a live commit-in-progress until it has
+    sat unreferenced for a while. Unreferenced dirs whose mtime is
+    younger than the window are SKIPPED (Delta's retention-duration
+    floor applied to staging) — deleting them would let the writer's
+    CAS succeed and publish a manifest pointing at deleted files,
+    silent data loss. Default 4 h; pass ``0`` only when every writer
+    is provably quiesced (tests, single-process maintenance)."""
     _require_plain_root(root, "vacuum")
     cur = current_version(spark, root)
     if cur < 0:
@@ -3423,6 +3436,21 @@ def vacuum(
         if not dry_run:
             fs.delete(jp, recursive)
 
+    grace_ms = max(0.0, min_staging_age_s) * 1000.0
+    now_ms = _time.time() * 1000.0
+
+    def _settled(jp) -> bool:
+        """Is this UNREFERENCED dir past the in-flight grace window?
+        Staged-but-unpublished commits look identical to reclaimable
+        orphans; only age separates them. Stat failures read as
+        in-flight (skip) — the conservative direction."""
+        if grace_ms <= 0:
+            return True
+        try:
+            return now_ms - fs.getFileStatus(jp).getModificationTime() >= grace_ms
+        except Exception:
+            return False
+
     n_manifests = 0
     for v in sorted(segs):
         if v >= cutoff:
@@ -3448,7 +3476,9 @@ def vacuum(
     cdir = _jpath(spark, f"{root}/{CDF_DIR}")
     if fs.exists(cdir):
         for st in fs.listStatus(cdir):
-            if st.getPath().getName() not in kept_cdf:
+            if st.getPath().getName() not in kept_cdf and _settled(
+                st.getPath()
+            ):
                 _delete(st.getPath(), True)
     # deletion-vector dirs: keep only those a KEPT snapshot's live
     # entries reference — superseded DVs (a newer DV delete re-pointed
@@ -3456,7 +3486,9 @@ def vacuum(
     vdir = _jpath(spark, f"{root}/{DV_DIR}")
     if fs.exists(vdir):
         for st in fs.listStatus(vdir):
-            if st.getPath().getName() not in kept_dv:
+            if st.getPath().getName() not in kept_dv and _settled(
+                st.getPath()
+            ):
                 _delete(st.getPath(), True)
     n_data = 0
     ddir = _jpath(spark, f"{root}/{DATA_DIR}")
@@ -3468,7 +3500,11 @@ def vacuum(
                 # orphan staging dirs from crashed/losing commits):
                 # count its parquet files, then drop the whole
                 # directory so the _SUCCESS/.crc markers go with it
-                # (a parquet-only delete left every dir alive forever)
+                # (a parquet-only delete left every dir alive forever).
+                # Young dirs may be an IN-FLIGHT writer's staging —
+                # the grace window leaves them for a later vacuum
+                if not _settled(commit_status.getPath()):
+                    continue
                 n_data += sum(
                     1
                     for st in fs.listStatus(commit_status.getPath())

@@ -197,7 +197,10 @@ def main(sf_dir: str) -> None:
         print("stats-pruned read plans", len(sliver.inputFiles()), "of",
               n_after, "files")
         n_man, n_data = V.vacuum(
-            spark, root, keep_last=2, keep_since=ts_cdc
+            # this process is the only writer and it is quiesced here,
+            # so the in-flight grace window can be waived
+            spark, root, keep_last=2, keep_since=ts_cdc,
+            min_staging_age_s=0.0,
         )
         print(f"vacuum: {n_man} manifests, {n_data} data files reclaimed;",
               "history now", [h["version"] for h in V.history(spark, root)])

@@ -112,7 +112,7 @@ def test_clone_carries_dv_constraints_and_mapping(spark, root, tmp_path):
             spark.createDataFrame([(500, -1)], "k bigint, score bigint"))
     # vacuuming the SOURCE never breaks the clone (links hold content)
     V.optimize(spark, root, n_files=1)
-    V.vacuum(spark, root, keep_last=1)
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     assert V.read_version(spark, dst).count() == 90
 
 

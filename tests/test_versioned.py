@@ -170,7 +170,7 @@ def test_vacuum_reclaims_unreferenced(spark, root):
             spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
         )
     V.optimize(spark, root)  # v2 references only its own files
-    n_man, n_data = V.vacuum(spark, root, keep_last=1)
+    n_man, n_data = V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     assert n_man == 2 and n_data == 2
     assert V.read_version(spark, root).count() == 100  # current fine
     assert [h["version"] for h in V.history(spark, root)] == [2]
@@ -187,7 +187,7 @@ def test_vacuum_keeps_referenced_carryovers(spark, root):
             spark, root, _df(spark, lo, lo + 100, "base").coalesce(1), ["k"]
         )
     V.commit_upsert(spark, root, _df(spark, 150, 160, "new"), "k")
-    n_man, n_data = V.vacuum(spark, root, keep_last=1)
+    n_man, n_data = V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     assert n_man == 2
     assert n_data == 1  # only the REWRITTEN [100,200) original dies
     df = V.read_version(spark, root)
@@ -271,9 +271,9 @@ def test_vacuum_twice_with_wider_window(spark, root):
         V.commit_append(
             spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
         )
-    V.vacuum(spark, root, keep_last=1)  # drops manifests v0, v1
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)  # drops manifests v0, v1
     V.commit_append(spark, root, _df(spark, 150, 200, "a").coalesce(1))
-    n_man, n_data = V.vacuum(spark, root, keep_last=3)  # window spans v1+
+    n_man, n_data = V.vacuum(spark, root, keep_last=3, min_staging_age_s=0.0)  # window spans v1+
     assert n_man == 0 and n_data == 0  # nothing left to reclaim
     assert V.read_version(spark, root).count() == 200
 
@@ -286,7 +286,7 @@ def test_vacuum_removes_whole_dereferenced_dirs(spark, root):
             spark, root, _df(spark, lo, lo + 50, "a").coalesce(1), ["k"]
         )
     V.optimize(spark, root)
-    V.vacuum(spark, root, keep_last=1)
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     # _SUCCESS markers must not keep dereferenced commit dirs alive
     dirs = sorted(os.listdir(f"{root}/data"))
     assert len(dirs) == 1 and dirs[0].startswith("commit-v2-")
@@ -540,7 +540,7 @@ def test_orphan_staging_dir_never_wedges_commits(spark, root):
     # version 1 commits fine despite the crashed v1 attempt's debris
     V.commit_append(spark, root, _df(spark, 10, 20, "b").coalesce(1))
     assert V.read_version(spark, root).count() == 20
-    _, n_data = V.vacuum(spark, root, keep_last=1)
+    _, n_data = V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     assert n_data == 1  # the orphan's file
     assert not os.path.exists(orphan)
 
@@ -750,7 +750,7 @@ def test_vacuum_reclaims_stale_change_data(spark, root):
         )
     cdf_root = os.path.join(root, V.CDF_DIR)
     assert len(os.listdir(cdf_root)) == 3
-    V.vacuum(spark, root, keep_last=1)
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     # only the newest version's change dir survives
     assert len(os.listdir(cdf_root)) == 1
     assert V.table_changes(
@@ -956,7 +956,7 @@ def test_vacuum_aborts_when_checkpoint_fails(spark, root, monkeypatch):
 
     monkeypatch.setattr(V, "_write_checkpoint", broken_ckpt)
     with pytest.raises(RuntimeError, match="vacuum aborted"):
-        V.vacuum(spark, root, keep_last=1)
+        V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     # nothing was deleted: every version still resolves
     for v in range(3):
         assert V.read_version(spark, root, version=v).count() == (v + 1) * 50
@@ -1029,7 +1029,7 @@ def test_vacuum_undrained_changefeed_documented_loss(spark, root, tmp_path):
     V.commit_append(
         spark, root, _df(spark, 10, 12, "c").coalesce(1), changefeed=True
     )  # v2
-    V.vacuum(spark, root, keep_last=1)  # keep window = v2 only
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)  # keep window = v2 only
     drain()
     versions = {v for v, _, _ in rows}
     assert 1 not in versions  # v1's undrained changes: silently lost
@@ -1095,14 +1095,14 @@ def test_vacuum_keep_since_wall_clock(spark, root, monkeypatch):
     ]
     # keep_last=1 alone would keep only v4; keep_since=3500 anchors the
     # as-of snapshot at v2 (ts 3000) — protective union keeps v2..v4
-    n_man, _ = V.vacuum(spark, root, keep_last=1, keep_since=3500.0)
+    n_man, _ = V.vacuum(spark, root, keep_last=1, keep_since=3500.0, min_staging_age_s=0.0)
     assert n_man == 2  # v0, v1 truncated
     assert V.read_version(spark, root, 2).count() == 30  # as-of works
     assert V.read_version(spark, root, 4).count() == 50
     with pytest.raises((FileNotFoundError, OSError)):
         V.read_version(spark, root, 1)
     # keep_since older than every commit → nothing further deleted
-    n_man, n_data = V.vacuum(spark, root, keep_last=1, keep_since=500.0)
+    n_man, n_data = V.vacuum(spark, root, keep_last=1, keep_since=500.0, min_staging_age_s=0.0)
     assert n_man == 0 and n_data == 0
     # datetime form accepted; future instant → anchor is the current
     # version, keep_last still protects the same window
@@ -1113,6 +1113,7 @@ def test_vacuum_keep_since_wall_clock(spark, root, monkeypatch):
         root,
         keep_last=2,
         keep_since=dt.datetime.fromtimestamp(9e9),
+        min_staging_age_s=0.0,
     )
     assert n_man == 1  # v2 goes; v3 kept by keep_last=2
     assert V.read_version(spark, root, 3).count() == 40
@@ -1156,7 +1157,7 @@ def test_read_version_as_of_timestamp(spark, root, monkeypatch):
         V.version_as_of(spark, root, 500.0)
     with pytest.raises(ValueError, match="not both"):
         V.read_version(spark, root, version=0, as_of_ts=1000.0)
-    V.vacuum(spark, root, keep_last=1)
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     with pytest.raises(FileNotFoundError, match="truncated"):
         V.version_as_of(spark, root, 1500.0)
 
@@ -1532,7 +1533,7 @@ def test_restore_vacuumed_version_raises(spark, root):
     for i in range(4):
         V.commit_append(spark, root, _df(spark, i * 10, i * 10 + 10, "a"),
                         ["k"])
-    V.vacuum(spark, root, keep_last=2)
+    V.vacuum(spark, root, keep_last=2, min_staging_age_s=0.0)
     with pytest.raises((FileNotFoundError, OSError)):
         V.restore_version(spark, root, version=0)
     rv, _, _ = V.restore_version(spark, root, version=2)
@@ -1716,7 +1717,7 @@ def test_dv_optimize_purges(spark, root):
     assert not any(e.get("dv") for e in ent)
     df = V.read_version(spark, root)
     assert df.count() == 200 and df.where("k % 2 = 1").count() == 0
-    V.vacuum(spark, root, keep_last=1)
+    V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     dv_root = _os.path.join(str(root), V.DV_DIR)
     assert not _os.path.exists(dv_root) or not _os.listdir(dv_root)
     assert V.read_version(spark, root).count() == 200
@@ -2151,7 +2152,7 @@ def test_query_string_root_refused_loudly(spark, root):
     with pytest.raises(ValueError, match="plain"):
         V.table_changes(spark, q)
     with pytest.raises(ValueError, match="plain"):
-        V.vacuum(spark, q)
+        V.vacuum(spark, q, min_staging_age_s=0.0)
     with pytest.raises(ValueError, match="plain"):
         V.stream_table_changes(spark, q)
 
@@ -2302,11 +2303,11 @@ def test_vacuum_dry_run(spark, root):
         V.commit_append(spark, root, _df(spark, lo, lo + 100, "a")
                         .coalesce(1), ["k"])
     V.commit_upsert(spark, root, _df(spark, 50, 60, "u"), "k")
-    dry = V.vacuum(spark, root, keep_last=1, dry_run=True)
+    dry = V.vacuum(spark, root, keep_last=1, dry_run=True, min_staging_age_s=0.0)
     # nothing deleted: the oldest snapshot still reads
     assert V.read_version(spark, root, 0).count() == 100
     assert V.read_version(spark, root).count() == 300
-    real = V.vacuum(spark, root, keep_last=1)
+    real = V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
     assert real == dry and real[0] >= 1 and real[1] >= 1
     with pytest.raises((FileNotFoundError, OSError)):
         V.read_version(spark, root, 0)
@@ -2525,3 +2526,105 @@ def test_stats_prove_check_matrix():
     assert not P({"stats": {}}, "val >= 0")
     assert not P(e(0, 1), "val >= 0 AND val < 10")
     assert not P(e(0, 1), "abs(val) >= 0")
+
+
+# ------------------------------------------------- vacuum vs in-flight
+# writers: the grace window (r13 verdict finding). A writer stages its
+# data/CDF/DV dirs BEFORE the manifest CAS; an unreferenced dir younger
+# than min_staging_age_s is indistinguishable from a live commit in
+# progress and must survive vacuum, or the writer's CAS publishes a
+# manifest referencing deleted files.
+
+
+def _age_dir(path, hours=5.0):
+    import time as _t
+
+    old = _t.time() - hours * 3600
+    os.utime(path, (old, old))
+
+
+def test_vacuum_grace_spares_inflight_staging(spark, root, monkeypatch):
+    """Vacuum forced INTO the publish window (after staging, before the
+    CAS) with the DEFAULT grace: the in-flight commit completes and
+    every file it published — data AND its pre-staged changefeed — is
+    readable afterwards."""
+    V.commit_append(spark, root, _df(spark, 0, 50, "base").coalesce(1), ["k"])
+    orig = V._write_manifest_atomic
+    state = {"armed": True, "ran": False}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            V.vacuum(sp, rt, keep_last=1)  # default grace window
+            state["ran"] = True
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    V.commit_append(
+        spark, root, _df(spark, 50, 100, "live").coalesce(1), ["k"],
+        changefeed=True,
+    )
+    assert state["ran"]
+    assert V.read_version(spark, root).count() == 100
+    ch = V.table_changes(spark, root, 1, 1)
+    assert ch.where("_change_type = 'insert'").count() == 50
+
+
+def test_vacuum_without_grace_is_the_hazard(spark, root, monkeypatch):
+    """The counterfactual pinning that the grace window is load-bearing:
+    the same mid-flight vacuum with min_staging_age_s=0 deletes the
+    live writer's staged files, the CAS then SUCCEEDS, and the
+    published snapshot is unreadable — exactly the silent-loss shape
+    the default exists to prevent."""
+    V.commit_append(spark, root, _df(spark, 0, 50, "base").coalesce(1), ["k"])
+    orig = V._write_manifest_atomic
+    state = {"armed": True}
+
+    def racy(sp, rt, version, manifest):
+        if state["armed"]:
+            state["armed"] = False
+            V.vacuum(sp, rt, keep_last=1, min_staging_age_s=0.0)
+        return orig(sp, rt, version, manifest)
+
+    monkeypatch.setattr(V, "_write_manifest_atomic", racy)
+    v = V.commit_append(
+        spark, root, _df(spark, 50, 100, "live").coalesce(1), ["k"]
+    )
+    assert v == 1  # the CAS went through — that is the bug's shape
+    with pytest.raises(Exception):
+        V.read_version(spark, root).count()
+
+
+def test_vacuum_grace_reclaims_old_crashed_staging(spark, root):
+    """An hours-old orphan staging dir (crashed writer) IS reclaimed
+    under the default window; a fresh orphan is left for later."""
+    V.commit_append(spark, root, _df(spark, 0, 50, "a").coalesce(1), ["k"])
+    young = os.path.join(root, V.DATA_DIR, "commit-v1-deadbeef")
+    os.makedirs(young)
+    with open(os.path.join(young, "junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    n_man, n_data = V.vacuum(spark, root)
+    assert n_data == 0 and os.path.exists(young)
+    _age_dir(young)
+    n_man, n_data = V.vacuum(spark, root)
+    assert n_data == 1 and not os.path.exists(young)
+
+
+def test_vacuum_grace_covers_cdf_and_dv_orphans(spark, root):
+    """Unreferenced change-data and deletion-vector dirs get the same
+    grace: young orphans survive, aged ones are reclaimed."""
+    V.commit_append(spark, root, _df(spark, 0, 50, "a").coalesce(1), ["k"])
+    orphans = []
+    for sub in (V.CDF_DIR, V.DV_DIR):
+        d = os.path.join(root, sub, "v9-orphan")
+        os.makedirs(d)
+        with open(os.path.join(d, "x.parquet"), "wb") as f:
+            f.write(b"x")
+        orphans.append(d)
+    V.vacuum(spark, root)
+    assert all(os.path.exists(d) for d in orphans)
+    for d in orphans:
+        _age_dir(d)
+    V.vacuum(spark, root)
+    assert not any(os.path.exists(d) for d in orphans)
+    assert V.read_version(spark, root).count() == 50
