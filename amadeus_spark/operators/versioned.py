@@ -1437,6 +1437,7 @@ def _commit(
     # handing recompute to commit_with_retry. Bounded attempts: under
     # pathological contention recompute is the honest answer.
     rebases = 0
+    orig_version = version
     while True:
         try:
             _write_manifest_atomic(spark, root, version, manifest)
@@ -1509,6 +1510,13 @@ def _commit(
                 }
             manifest["version"] = version
             manifest["ts"] = _time.time()
+            # rebase OBSERVABILITY (contention telemetry): the version
+            # this commit originally pinned and how many interposed
+            # winners it re-based over — history() surfaces both so
+            # operators can SEE contention rates instead of inferring
+            # them from staging-dir version stamps
+            manifest["rebased_from"] = orig_version
+            manifest["rebases"] = rebases
             manifest["total_files"] = total_files
             manifest["total_rows"] = total_rows
             manifest["total_dv_files"] = total_dv_files
@@ -4254,6 +4262,17 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 ),
                 # wall-clock commit time (epoch s); None on pre-ts logs
                 "ts": m.get("ts"),
+                # contention telemetry: present only on commits that
+                # lost the CAS and re-based (the version they first
+                # pinned + how many winners they re-based over)
+                **(
+                    {
+                        "rebased_from": m["rebased_from"],
+                        "rebases": m.get("rebases", 1),
+                    }
+                    if "rebased_from" in m
+                    else {}
+                ),
             }
         )
     return out

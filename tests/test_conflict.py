@@ -619,3 +619,22 @@ def test_full_rewrite_optimize_race_stays_strict(spark, root, monkeypatch):
     assert calls["n"] == 2  # recompute folded the winner's rows in
     got = V.read_version(spark, root)
     assert got.count() == 105 and got.where("v = 'win'").count() == 5
+
+
+def test_rebase_is_observable_in_history(spark, root, monkeypatch):
+    """Contention telemetry (r13 verdict item): a re-based commit's
+    manifest records the version it originally pinned and how many
+    winners it re-based over; history() surfaces both, and commits
+    that never raced carry neither."""
+    V.commit_append(spark, root, _df(spark, 0, 100, "base"), ["k"])
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(spark, root, _df(spark, 100, 110, "win")),
+    )
+    v = V.commit_append(spark, root, _df(spark, 200, 210, "lose"))
+    assert v == 2
+    h = {r["version"]: r for r in V.history(spark, root)}
+    assert h[2]["rebased_from"] == 1 and h[2]["rebases"] == 1
+    assert "rebased_from" not in h[0] and "rebased_from" not in h[1]
+    man = V._read_manifest(spark, root, 2)
+    assert man["rebased_from"] == 1 and man["rebases"] == 1
