@@ -980,7 +980,9 @@ def _maybe_checkpoint(spark: SparkSession, root: str, version: int) -> None:
             )
 
 
-def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
+def _enforce_constraints(
+    df: DataFrame, constraints: dict, gate: str | None = None
+) -> DataFrame:
     """Single-pass write-time CHECK enforcement (Delta's constraint
     contract): the first output column is rewritten through a CASE
     that yields its own value when every constraint is NOT FALSE (SQL
@@ -990,8 +992,16 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
     name and the row as JSON — no second validation scan, no commit,
     no manifest published (the staged files are unreferenced orphans,
     vacuumable). A frame that omits a constrained column fails loudly
-    at analysis instead of writing unchecked rows."""
+    at analysis instead of writing unchecked rows.
+
+    ``gate``: a boolean column name — rows where it is false BYPASS
+    the whole chain (CASE's lazy evaluation never touches the
+    constraint expressions). For rewrite commits whose output mixes
+    pass-through rows with changed ones in a single frame (merge),
+    gating on the changed-flag skips re-validating rows that already
+    passed enforcement at their original write."""
     c0 = df.columns[0]
+    row_cols = [c for c in df.columns if c != gate]
     col = F.col(c0)
     for name in sorted(constraints, reverse=True):
         expr = constraints[name]
@@ -1003,10 +1013,12 @@ def _enforce_constraints(df: DataFrame, constraints: dict) -> DataFrame:
                         f"CHECK constraint {name!r} ({expr}) "
                         "violated by row: "
                     ),
-                    F.to_json(F.struct(*[F.col(c) for c in df.columns])),
+                    F.to_json(F.struct(*[F.col(c) for c in row_cols])),
                 )
             )
         )
+    if gate is not None:
+        col = F.when(~F.col(gate), F.col(c0)).otherwise(col)
     return df.withColumn(c0, col)
 
 
@@ -1198,6 +1210,7 @@ def _commit(
     add_entries: list[dict] | None = None,
     schema_json_override: str | None = None,
     conflict: dict | None = None,
+    pre_checked: bool = False,
 ) -> int:
     # The commit version is PINNED to the snapshot the caller resolved
     # (prev) — never re-read at publish time. Re-reading would silently
@@ -1292,8 +1305,12 @@ def _commit(
         # optimize rewrites only rows that already passed enforcement
         # at their original write (ADD validates existing data,
         # restore re-validates the restored snapshot) — re-running the
-        # CHECK chain over a full-table compaction is pure waste
-        if constraints and op != "optimize":
+        # CHECK chain over a full-table compaction is pure waste.
+        # pre_checked: the caller already enforced the CHANGED legs of
+        # its rewrite (upsert/update/merge/cdc) — pass-through rows
+        # passed enforcement at their original write, so the full-
+        # frame chain here would be the same pure waste
+        if constraints and op != "optimize" and not pre_checked:
             df = _enforce_constraints(df, constraints)
         if mapping and any(c in mapping for c in df.columns):
             # rename to PHYSICAL names for the write (enforcement just
@@ -1689,6 +1706,13 @@ def commit_upsert(
     touched = _pruned_entries(spark, root, res, prune_col, lo, hi,
                               slim=True)
     n_kept = seg["total_files"] - len(touched)
+    # CHECK enforcement on the CHANGED leg only: survivors passed the
+    # chain at their original write (pre_checked below skips the
+    # full-frame re-validation _commit would otherwise run); the CDF
+    # copies stay unchained — a violation aborts on the data write,
+    # which runs first
+    cons = seg.get("constraints") or {}
+    upd_checked = _enforce_constraints(updates, cons) if cons else updates
     cached = []
     cdf_frame = None
     try:
@@ -1707,7 +1731,9 @@ def commit_upsert(
                 updates.select(*key_cols).distinct(), key_cols,
                 "left_anti"
             )
-            merged = survivors.unionByName(updates, allowMissingColumns=True)
+            merged = survivors.unionByName(
+                upd_checked, allowMissingColumns=True
+            )
             if changefeed:
                 pre = touched_read.join(
                     updates.select(*key_cols), key_cols, "left_semi"
@@ -1727,7 +1753,7 @@ def commit_upsert(
                     ch_post, allowMissingColumns=True
                 ).unionByName(ch_ins, allowMissingColumns=True)
         else:
-            merged = updates
+            merged = upd_checked
             if changefeed:
                 cdf_frame = updates.withColumn(
                     "_change_type", F.lit("insert")
@@ -1743,6 +1769,7 @@ def commit_upsert(
             removed_dv=_dv_debit(touched),
             prev=seg,
             cdf=cdf_frame,
+            pre_checked=True,
             # key-pruned footprint: a CAS loss re-bases when every
             # winner is provably outside [lo, hi] and removed none of
             # the touched files (see _rebase_ok)
@@ -1875,6 +1902,9 @@ def commit_delete_where(
             keep,
             "delete",
             seg["stats_cols"],
+            # a DELETE writes only pass-through survivors — rows that
+            # passed CHECK at their original write; nothing to enforce
+            pre_checked=True,
             removes=_rm(touched),
             removed_rows=_nrows(touched),
             removed_dv=_dv_debit(touched),
@@ -2154,7 +2184,13 @@ def commit_update_where(
         )
         pre = touched_read.where(pred)
         post = apply_set(pre)
-        merged = unchanged.unionByName(post)
+        # CHECK only the UPDATED leg — unchanged rows passed the chain
+        # at their original write (pre_checked below); the CDF copies
+        # stay unchained (the data write runs first and aborts)
+        cons = seg.get("constraints") or {}
+        merged = unchanged.unionByName(
+            _enforce_constraints(post, cons) if cons else post
+        )
         if changefeed:
             cdf_frame = widen(pre).withColumn(
                 "_change_type", F.lit("update_preimage")
@@ -2173,6 +2209,7 @@ def commit_update_where(
             prev=seg,
             cdf=cdf_frame,
             conflict=_predicate_conflict(seg, predicate),
+            pre_checked=True,
         )
     finally:
         for c in cached:
@@ -2497,6 +2534,12 @@ def commit_merge(
         )
 
         # ---- rewritten target rows (matched + not-matched-by-source)
+        # CHECK enforcement is per-LEG: the rewrite frame gates the
+        # chain on __upd (pass-through rows skip the constraint
+        # expressions entirely — they passed at their original write),
+        # inserts/DV post-images are all-changed and chain plainly;
+        # _commit then skips its full-frame pass (pre_checked)
+        cons = seg.get("constraints") or {}
         rewritten = None
         upd_clauses = []  # (flag column name, set dict or None-for-delete)
         if touched_read is not None:
@@ -2600,8 +2643,14 @@ def commit_merge(
                 j = j.persist()
                 cached.append(j)
             rewritten = j.where(~F.col("__del")).select(
-                *[F.col(f.name) for f in schema.fields]
+                *[F.col(f.name) for f in schema.fields],
+                F.col("__upd"),
             )
+            if cons:
+                rewritten = _enforce_constraints(
+                    rewritten, cons, gate="__upd"
+                )
+            rewritten = rewritten.drop("__upd")
 
         # ---- inserts (not matched by target)
         ins_rows = None
@@ -2629,6 +2678,8 @@ def commit_merge(
                          .otherwise(v)
                 ins_cols.append(v.alias(f.name))
             ins_rows = ins_src.where(any_fl).select(*ins_cols)
+            if cons:
+                ins_rows = _enforce_constraints(ins_rows, cons)
             if changefeed:
                 ins_rows = ins_rows.persist()
                 cached.append(ins_rows)
@@ -2653,6 +2704,9 @@ def commit_merge(
                 rewritten = j.where(F.col("__upd")).select(
                     *[F.col(f.name) for f in schema.fields]
                 )
+                if cons:
+                    # DV post-images are all changed rows: plain chain
+                    rewritten = _enforce_constraints(rewritten, cons)
         parts = [p for p in (rewritten, ins_rows) if p is not None]
         if not parts and not (mode == "dv" and new_entries):
             return cur, 0, len(refs)
@@ -2708,6 +2762,7 @@ def commit_merge(
                 cdf=cdf_frame,
                 add_entries=new_entries,
                 conflict=conflict_info,
+                pre_checked=True,
             )
         except RuntimeError:
             if dv_path is not None:
@@ -3111,6 +3166,11 @@ def apply_changes(
     n_deletes = int(agg["nd"] or 0)
     n_upserts = int(agg["n"]) - n_deletes
     upserts = latest.filter(F.col(op_col) != delete_op).select(payload_cols)
+    # CHECK the CHANGED leg only (survivors passed at original write;
+    # _commit skips its full-frame pass via pre_checked); CDF copies
+    # stay unchained — the data write runs first and aborts
+    cons = seg.get("constraints") or {}
+    ups_checked = _enforce_constraints(upserts, cons) if cons else upserts
     cached = [latest]
     try:
         # hybrid pruning (same path as commit_upsert/read_version):
@@ -3133,7 +3193,9 @@ def apply_changes(
             survivors = touched_read.join(
                 latest.select(key_col).distinct(), key_col, "left_anti"
             )
-            merged = survivors.unionByName(upserts, allowMissingColumns=True)
+            merged = survivors.unionByName(
+                ups_checked, allowMissingColumns=True
+            )
             if changefeed:
                 pre = touched_read.join(
                     latest.select(key_col, op_col), key_col, "inner"
@@ -3156,7 +3218,7 @@ def apply_changes(
                     ch_post, allowMissingColumns=True
                 ).unionByName(ch_ins, allowMissingColumns=True)
         else:
-            merged = upserts
+            merged = ups_checked
             if changefeed:
                 # empty touch set: every non-delete is an insert,
                 # every delete hit an absent key (no change row)
@@ -3169,6 +3231,7 @@ def apply_changes(
             merged,
             "cdc",
             seg["stats_cols"],
+            pre_checked=True,
             removes=_rm(touched),
             removed_rows=_nrows(touched),
             removed_dv=_dv_debit(touched),

@@ -2628,3 +2628,90 @@ def test_vacuum_grace_covers_cdf_and_dv_orphans(spark, root):
     V.vacuum(spark, root)
     assert not any(os.path.exists(d) for d in orphans)
     assert V.read_version(spark, root).count() == 50
+
+
+def test_check_enforcement_only_on_changed_legs(spark, root, monkeypatch):
+    """Rewrite commits validate ONLY their changed legs (r12 advice /
+    r13 verdict nit): pass-through rows passed the CHECK chain at
+    their original write, so upsert/update/merge/cdc enforce the
+    updated/inserted frames (merge gates its single rewrite frame on
+    __upd) and DELETE enforces nothing; _commit's full-frame pass is
+    skipped (pre_checked). Pinned by counting _enforce_constraints
+    invocations per op — one extra call means the full merged frame
+    went back through the chain."""
+    calls = []
+    orig = V._enforce_constraints
+
+    def counting(df, constraints, gate=None):
+        calls.append(gate)
+        return orig(df, constraints, gate)
+
+    monkeypatch.setattr(V, "_enforce_constraints", counting)
+    V.commit_append(
+        spark, root,
+        spark.range(20).selectExpr("id AS k", "id * 2 AS val").coalesce(1),
+        ["k"],
+    )
+    V.set_check_constraint(spark, root, "nonneg", "val >= 0")
+    calls.clear()
+    # append: the whole frame IS the changed leg -> 1 ungated call
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(100, 1)], "k bigint, val bigint"))
+    assert calls == [None]
+    calls.clear()
+    # upsert: updates leg only
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(3, 7)], "k bigint, val bigint"), "k")
+    assert calls == [None]
+    calls.clear()
+    # update rewrite: post leg only
+    V.commit_update_where(spark, root, "k = 5", {"val": "val + 1"})
+    assert calls == [None]
+    calls.clear()
+    # delete rewrite: pure pass-through, NOTHING re-validates
+    V.commit_delete_where(spark, root, "k = 7")
+    assert calls == []
+    calls.clear()
+    # merge rewrite: ONE gated call for the mixed frame + one for ins
+    src = spark.createDataFrame([(2, 5), (500, 9)], "k bigint, v bigint")
+    V.commit_merge(
+        spark, root, src, "k",
+        matched=[{"action": "update", "set": {"val": "s.v"}}],
+        not_matched=[{"action": "insert",
+                      "values": {"k": "k", "val": "v"}}],
+    )
+    assert sorted(calls, key=str) == [None, "__upd"]
+    calls.clear()
+    # cdc: upserts leg only
+    V.apply_changes(
+        spark, root,
+        spark.createDataFrame([(4, 8, 1, "u")],
+                              "k bigint, val bigint, ts bigint, op string"),
+        key_col="k", ts_col="ts", op_col="op", delete_op="d",
+    )
+    assert calls == [None]
+    # every leg still lands correctly
+    got = {r["k"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert got[3] == 7 and got[5] == 11 and 7 not in got
+    assert got[2] == 5 and got[500] == 9 and got[4] == 8
+
+
+def test_check_gate_skips_passthrough_rows(spark):
+    """The merge gate is load-bearing: a frame holding a VIOLATING
+    pass-through row (gate false) writes fine — CASE laziness never
+    evaluates the constraint for it — while the same row with the
+    gate set aborts."""
+    df = spark.createDataFrame(
+        [(1, -5, False), (2, 3, True)], "k bigint, val bigint, ch boolean"
+    )
+    ok = V._enforce_constraints(df, {"nonneg": "val >= 0"}, gate="ch")
+    # collect (not count - count would let Catalyst prune the chained
+    # column away entirely): the violating row's gate is false, so the
+    # CASE never evaluates its constraint
+    assert len(ok.collect()) == 2
+    bad = df.selectExpr("k", "val", "true AS ch")
+    chained = V._enforce_constraints(bad, {"nonneg": "val >= 0"}, gate="ch")
+    with pytest.raises(Exception, match="CHECK constraint 'nonneg'"):
+        chained.collect()
