@@ -300,15 +300,32 @@ def _write_manifest_atomic(
 def _list_log(spark: SparkSession, root: str) -> tuple[set[int], set[int]]:
     """One listing of the log dir → (segment versions, checkpoint
     versions). O(versions), the same cost class as Delta's log
-    listing."""
-    fs, _ = _hadoop_fs(spark, root)
-    mdir = _jpath(spark, f"{root}/{MANIFEST_DIR}")
+    listing. ``s3://`` roots list through pyarrow (the Python-side
+    layer that owns that scheme — manifest I/O already does), so the
+    manifest-only surfaces (current_version, version_as_of, shallow
+    clone) work without hadoop-aws jars; ``s3a://`` stays on the
+    Hadoop FS API the JVM owns."""
     segs: set[int] = set()
     ckpts: set[int] = set()
-    if not fs.exists(mdir):
-        return segs, ckpts
-    for status in fs.listStatus(mdir):
-        name = status.getPath().getName()
+    if root.startswith("s3://"):
+        from pyarrow import fs as pafs
+
+        afs, rel = _arrow_fs(_sub_uri(root, MANIFEST_DIR))
+        names = [
+            os.path.basename(i.path.rstrip("/"))
+            for i in afs.get_file_info(
+                pafs.FileSelector(rel, allow_not_found=True)
+            )
+        ]
+    else:
+        fs, _ = _hadoop_fs(spark, root)
+        mdir = _jpath(spark, f"{root}/{MANIFEST_DIR}")
+        if not fs.exists(mdir):
+            return segs, ckpts
+        names = [
+            status.getPath().getName() for status in fs.listStatus(mdir)
+        ]
+    for name in names:
         try:
             if name.startswith("v") and name.endswith(".json"):
                 segs.add(int(name[1:-5]))
@@ -327,6 +344,13 @@ def _ckpt_complete(spark: SparkSession, root: str, version: int) -> bool:
     """A checkpoint is only trusted with its _SUCCESS marker — a
     crashed checkpoint write degrades readers to folding more
     segments, never to a partial file list."""
+    if root.startswith("s3://"):
+        from pyarrow import fs as pafs
+
+        afs, rel = _arrow_fs(
+            _sub_uri(root, f"{MANIFEST_DIR}/ckpt-v{version}.parquet/_SUCCESS")
+        )
+        return afs.get_file_info(rel).type == pafs.FileType.File
     fs, _ = _hadoop_fs(spark, root)
     return fs.exists(_jpath(spark, f"{_ckpt_path(root, version)}/_SUCCESS"))
 
@@ -836,8 +860,57 @@ def _live_entries(spark: SparkSession, root: str, version: int) -> list[dict]:
     return [_row_entry(r) for r in _index_df(spark, root, res).collect()]
 
 
+def _is_abs_dir(d: str) -> bool:
+    """Clone-by-reference entries carry an ABSOLUTE commit-dir URI
+    (the source table's data dir); table-local entries a bare name."""
+    return "://" in d or d.startswith("/")
+
+
+def _dir_uri(root: str, d: str) -> str:
+    """Physical location of a commit dir: table-local under
+    root/data/, foreign (shallow-clone) dirs verbatim."""
+    return d if _is_abs_dir(d) else f"{root}/{DATA_DIR}/{d}"
+
+
+def _dv_uri(root: str, d: str) -> str:
+    """Physical location of a deletion-vector dir (same foreign/local
+    split as :func:`_dir_uri`)."""
+    return d if _is_abs_dir(d) else f"{root}/{DV_DIR}/{d}"
+
+
+def _ident_key(e: dict) -> tuple[str, str]:
+    """The (dir, path) an entry's rows carry in _metadata-derived
+    identity space: the segment after the owning table's ``data/``.
+    Table-local entries are their own key; a foreign entry's files
+    still live under the SOURCE's data/, so its derived dir is the
+    source staging dir's BASENAME."""
+    d = e["dir"]
+    if _is_abs_dir(d):
+        d = os.path.basename(d.rstrip("/"))
+    return d, e["path"]
+
+
+def _ident_map(refs: list[dict], what: str) -> dict[tuple, dict]:
+    """identity key -> entry, for mapping scan-derived row identities
+    back to snapshot entries (DV staging, touched-file finding).
+    Raises on the (improbable) basename collision between a foreign
+    dir and another entry — identity would be ambiguous; compaction
+    localizes the files and clears it."""
+    out: dict[tuple, dict] = {}
+    for e in refs:
+        key = _ident_key(e)
+        if key in out:
+            raise ValueError(
+                f"{what}: ambiguous physical identity {key} (a clone-"
+                "by-reference dir's basename collides with another "
+                "entry) — run optimize() to localize the files first"
+            )
+        out[key] = e
+    return out
+
+
 def _paths(root: str, refs) -> list[str]:
-    return [f"{root}/{DATA_DIR}/{d}/{p}" for d, p in refs]
+    return [f"{_dir_uri(root, d)}/{p}" for d, p in refs]
 
 
 def _rm(entries: list[dict]) -> list[tuple[str, str]]:
@@ -902,7 +975,14 @@ def _snapshot_read(
     construction; AQE broadcasts it (OPTIMIZE purges DVs physically
     when it rewrites). ``keep_identity=True`` keeps the
     (dir, path, row_index) identity columns on the output (DV writers
-    need them); returns None for an empty entry list."""
+    need them); returns None for an empty entry list.
+
+    Entries whose path carries subdirectories (hive-partitioned
+    CONVERT adoptions, ``region=EU/part-0.parquet``) scan with
+    ``basePath`` set to their commit dir, so Spark materializes the
+    partition columns from the directory names natively — ONE scan
+    node per adopted lake, no per-partition unions, partition values
+    typed by the manifest schema."""
     plain = [e for e in entries if not e.get("dv")]
     dved = [e for e in entries if e.get("dv")]
     schema = _manifest_schema(seg)
@@ -912,27 +992,60 @@ def _snapshot_read(
         # column by the same name would be silently corrupted
         _check_reserved([f.name for f in schema.fields], "table schema")
     frames = []
+    # physical row identity from the file path, derived RELATIVE to
+    # the owning table's data/ dir (greedy regexp → LAST "/data/";
+    # hive segments are "k=v", never a bare "data", so the last one
+    # is the real anchor): dir = first segment, path = the rest —
+    # equal to the old (-2 segment, file name) derivation on flat
+    # layouts, and equal to entry (dir, path) on hive layouts, which
+    # keeps DV anti-joins exact for both
+    _rel = F.regexp_extract(
+        F.col("_metadata.file_path"), f"^.*/{DATA_DIR}/(.+)$", 1
+    )
+    _dir = F.substring_index(_rel, "/", 1)
     ident = [
-        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -2)
-        .alias(_ID_COLS[0]),
-        F.col("_metadata.file_name").alias(_ID_COLS[1]),
+        _dir.alias(_ID_COLS[0]),
+        F.substr(_rel, F.length(_dir) + F.lit(2)).alias(_ID_COLS[1]),
         F.col("_metadata.row_index").alias(_ID_COLS[2]),
     ]
+
+    def _scans(subset: list[dict]) -> list[DataFrame]:
+        """One scan for the flat pool + one per hive commit dir."""
+        out = []
+        flat = [e for e in subset if "/" not in e["path"]]
+        if flat:
+            out.append(
+                _reader(spark, seg).parquet(
+                    *_paths(root, [(e["dir"], e["path"]) for e in flat])
+                )
+            )
+        hive: dict[str, list[dict]] = {}
+        for e in subset:
+            if "/" in e["path"]:
+                hive.setdefault(e["dir"], []).append(e)
+        for d in sorted(hive):
+            base = _dir_uri(root, d)
+            out.append(
+                _reader(spark, seg)
+                .option("basePath", base)
+                .parquet(*[f"{base}/{e['path']}" for e in hive[d]])
+            )
+        return out
+
     if plain:
-        df = _reader(spark, seg).parquet(
-            *_paths(root, [(e["dir"], e["path"]) for e in plain])
-        )
-        if keep_identity:
-            df = df.select("*", *ident)
-        frames.append(df)
+        for df in _scans(plain):
+            if keep_identity:
+                df = df.select("*", *ident)
+            frames.append(df)
     if dved:
-        data = _reader(spark, seg).parquet(
-            *_paths(root, [(e["dir"], e["path"]) for e in dved])
-        ).select("*", *ident)
+        data = None
+        for s in _scans(dved):
+            s = s.select("*", *ident)
+            data = s if data is None else data.unionByName(s)
         dv_dirs = sorted({e["dv"]["dir"] for e in dved})
         dvf = spark.read.schema(
             "dir string, path string, row_index bigint"
-        ).parquet(*[f"{root}/{DV_DIR}/{d}" for d in dv_dirs]).select(
+        ).parquet(*[_dv_uri(root, d) for d in dv_dirs]).select(
             F.col("dir").alias(_ID_COLS[0]),
             F.col("path").alias(_ID_COLS[1]),
             F.col("row_index").alias(_ID_COLS[2]),
@@ -1808,7 +1921,7 @@ def _touched_by_predicate(
         .distinct()
         .collect()
     )
-    by_key = {(e["dir"], e["path"]): e for e in refs}
+    by_key = _ident_map(refs, "predicate file-finding")
     out = []
     for r in matched:
         key = (r[_ID_COLS[0]], r[_ID_COLS[1]])
@@ -1952,7 +2065,7 @@ def _stage_dv(
     }
     if not per_file:
         return None
-    by_key = {(e["dir"], e["path"]): e for e in refs}
+    by_key = _ident_map(refs, "deletion-vector staging")
     missing = [k for k in per_file if k not in by_key]
     if missing:
         raise RuntimeError(
@@ -1975,12 +2088,14 @@ def _stage_dv(
         old = spark.read.schema(
             "dir string, path string, row_index bigint"
         ).parquet(*sorted(
-            {f"{root}/{DV_DIR}/{e['dv']['dir']}" for e in with_old}
+            {_dv_uri(root, e["dv"]["dir"]) for e in with_old}
         ))
         # keep only rows of the files re-pointing at the new DV (a
-        # dv dir is shared per commit; other files keep their ref)
+        # dv dir is shared per commit; other files keep their ref).
+        # DV rows live in IDENTITY space (path-derived), which differs
+        # from entry space only for clone-by-reference entries
         keys = spark.createDataFrame(
-            [(e["dir"], e["path"]) for e in with_old],
+            [_ident_key(e) for e in with_old],
             "dir string, path string",
         )
         dv_frames.append(
@@ -2001,7 +2116,7 @@ def _stage_dv(
     dv_all.write.mode("errorifexists").parquet(dv_path)
     new_entries = []
     for e in touched:
-        n_new = per_file[(e["dir"], e["path"])]
+        n_new = per_file[_ident_key(e)]
         ne = dict(e)
         ne["rows"] = e["rows"] - n_new
         ne["dv"] = {
@@ -3304,11 +3419,17 @@ def optimize(
             # pre-upgrade entry (manifest written before sizes were
             # recorded): one driver fs call — the fallback, not the
             # norm; at 10^6 files the index carries every size
-            if fs_ is None:
-                fs_, _rel = _arrow_fs(root)
-            sz = fs_.get_file_info(
-                f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}"
-            ).size or 0
+            if _is_abs_dir(e["dir"]):
+                # clone-by-reference entry without a recorded size:
+                # stat through the FOREIGN dir's own filesystem
+                ffs, frel = _arrow_fs(f"{e['dir']}/{e['path']}")
+                sz = ffs.get_file_info(frel).size or 0
+            else:
+                if fs_ is None:
+                    fs_, _rel = _arrow_fs(root)
+                sz = fs_.get_file_info(
+                    f"{_rel}/{DATA_DIR}/{e['dir']}/{e['path']}"
+                ).size or 0
         sized.append((e, sz))
     if incremental:
         # DV'd files qualify: compacting them PURGES their deletion
@@ -3576,16 +3697,20 @@ def vacuum(
                 # the grace window leaves them for a later vacuum
                 if not _settled(commit_status.getPath()):
                     continue
-                n_data += sum(
-                    1
-                    for st in fs.listStatus(commit_status.getPath())
-                    if st.getPath().getName().endswith(".parquet")
-                )
+                it = fs.listFiles(commit_status.getPath(), True)
+                while it.hasNext():
+                    if it.next().getPath().getName().endswith(".parquet"):
+                        n_data += 1
                 _delete(commit_status.getPath(), True)
                 continue
-            for st in fs.listStatus(commit_status.getPath()):
-                fname = st.getPath().getName()
-                if fname.endswith(".parquet") and (cname, fname) not in keep_refs:
+            # recursive walk: hive-adopted dirs nest their files under
+            # partition subdirs; entry paths are data/-relative
+            base_len = len(commit_status.getPath().toString()) + 1
+            it = fs.listFiles(commit_status.getPath(), True)
+            while it.hasNext():
+                st = it.next()
+                relp = st.getPath().toString()[base_len:]
+                if relp.endswith(".parquet") and (cname, relp) not in keep_refs:
                     _delete(st.getPath(), False)
                     n_data += 1
     return n_manifests, n_data
@@ -3997,11 +4122,29 @@ def _adopt_files(srcs: list[str], commit_dir: str) -> None:
             _sh.copyfileobj(fin, fout, 8 * 1024 * 1024)
 
 
+def _pval_stat(dtype, raw: str):
+    """Directory-name partition value → manifest-stats form, typed to
+    match what footer stats of the same column yield once later
+    commits materialize it as a data column (int stays int, date stays
+    its ISO string — :func:`_stat_jsonable`'s form). Unsupported types
+    (bool, timestamp — dir encoding differs from isoformat) carry no
+    stats: conservative, the file is simply never pruned on them."""
+    if isinstance(dtype, (_st.ByteType, _st.ShortType, _st.IntegerType,
+                          _st.LongType)):
+        return int(raw)
+    if isinstance(dtype, (_st.FloatType, _st.DoubleType)):
+        return float(raw)
+    if isinstance(dtype, (_st.StringType, _st.DateType)):
+        return raw
+    return None
+
+
 def convert_to_versioned(
     spark: SparkSession,
     root: str,
     src_dir: str,
     stats_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> tuple[int, int, int]:
     """CONVERT TO DELTA: adopt an existing plain-parquet directory as
     version 0 of a NEW versioned table with zero data rewrites — on a
@@ -4012,7 +4155,22 @@ def convert_to_versioned(
     key-range pruning/upserts work immediately; the schema comes from
     one footer-merge read of the source. This is how a 100 TB
     already-landed parquet lake joins the log without a rewrite
-    campaign. Returns ``(version, n_files, n_rows)``."""
+    campaign. Returns ``(version, n_files, n_rows)``.
+
+    ``partition_cols`` adopts a HIVE-PARTITIONED lake (Delta's
+    ``CONVERT TO DELTA ... PARTITIONED BY``): every file must sit at
+    exactly ``name=value/...`` depth in the declared column order; the
+    directory layout is MIRRORED under the staging dir (entry paths
+    keep their partition subpath), values parse out of the directory
+    names as per-file min==max stats — so partition PRUNING falls out
+    of the ordinary stats machinery — and reads materialize the
+    columns natively via one ``basePath`` scan (see
+    :func:`_snapshot_read`). Partition columns are appended to the
+    recorded stats_cols: later commits write them as ordinary data
+    columns and harvest footer stats, so pruning survives rewrites.
+    (Reference reads hive-partitioned fixtures:
+    /root/reference/tests/parquet.rs; this is the Spark-first log
+    adoption of the same layout.)"""
     _require_plain_root(root, "convert_to_versioned")
     _require_plain_root(src_dir, "convert_to_versioned source")
     if current_version(spark, root) >= 0:
@@ -4020,14 +4178,11 @@ def convert_to_versioned(
             f"{root} is already a versioned table — convert targets a "
             "fresh root"
         )
+    from urllib.parse import unquote
+
     from pyarrow import fs as pafs
 
     fs_src, src_rel = _arrow_fs(src_dir)
-    # FLAT directories only: a hive-partitioned lake encodes partition
-    # VALUES in directory names — adopting its leaf files would read
-    # the partition columns as NULL forever. Refuse loudly instead of
-    # adopting partially/wrongly (the recursive listing exists to make
-    # that refusal reliable, never to adopt nested files).
     all_pq = [
         info.path
         for info in fs_src.get_file_info(
@@ -4036,31 +4191,103 @@ def convert_to_versioned(
         if info.path.endswith(".parquet")
     ]
     depth = len(src_rel.rstrip("/").split("/"))
-    nested = [p for p in all_pq if len(p.split("/")) > depth + 1]
-    if nested:
+    pcols = list(partition_cols or [])
+    if not pcols:
+        # FLAT directories only: a hive-partitioned lake encodes
+        # partition VALUES in directory names — adopting its leaf
+        # files without declaring them would read the partition
+        # columns as NULL forever. Refuse loudly instead of adopting
+        # partially/wrongly.
+        nested = [p for p in all_pq if len(p.split("/")) > depth + 1]
+        if nested:
+            raise ValueError(
+                f"{src_dir} holds parquet under subdirectories (e.g. "
+                f"{nested[0]!r}) — declare the layout with "
+                "partition_cols=[...] to adopt a hive-partitioned "
+                "lake, or pass a flat directory"
+            )
+    files = sorted(
+        p for p in all_pq
+        if len(p.split("/")) == depth + 1 + len(pcols)
+    )
+    stray = sorted(set(all_pq) - set(files))
+    if stray:
         raise ValueError(
-            f"{src_dir} holds parquet under subdirectories (e.g. "
-            f"{nested[0]!r}) — convert adopts FLAT directories only "
-            "(hive-partitioned layouts would lose their partition "
-            "columns); read and commit_append partitioned lakes "
-            "instead"
+            f"{src_dir}: {stray[0]!r} does not sit at the declared "
+            f"partition depth ({len(pcols)} levels of name=value) — "
+            "mixed layouts cannot be adopted"
         )
-    files = sorted(p for p in all_pq if len(p.split("/")) == depth + 1)
     if not files:
         raise FileNotFoundError(f"no parquet files under {src_dir}")
+    # per-leaf partition values, validated against the declared order
+    leaf_vals: dict[str, list[str]] = {}
+    for p in files:
+        rel = p[len(src_rel.rstrip("/")) + 1:]
+        segs = rel.split("/")[:-1]
+        vals = []
+        for i, seg in enumerate(segs):
+            name, eq, raw = seg.partition("=")
+            if not eq or name != pcols[i]:
+                raise ValueError(
+                    f"{src_dir}: segment {seg!r} of {rel!r} does not "
+                    f"match partition column {pcols[i]!r} — directory "
+                    "order must equal partition_cols order"
+                )
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                raise ValueError(
+                    f"{src_dir}: {rel!r} carries a NULL partition "
+                    "value (__HIVE_DEFAULT_PARTITION__) — NULL-keyed "
+                    "partitions cannot be adopted"
+                )
+            vals.append(unquote(raw))
+        leaf_vals.setdefault("/".join(segs), vals)
     scheme = src_dir.split("://", 1)[0] + "://" if "://" in src_dir else ""
-    srcs = [f"{scheme}{p}" for p in files]
     # UNION of every footer's schema (mergeSchema): a schema-evolved
     # lake must not silently lose later-added columns to whichever
-    # single footer Spark happens to sample
-    schema_json = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(src_dir)
-        .schema.json()
+    # single footer Spark happens to sample. Reading the lake ROOT
+    # also runs Spark's own partition discovery, so partition columns
+    # arrive typed (int/date/string inference) in this schema.
+    inferred = (
+        spark.read.option("mergeSchema", "true").parquet(src_dir).schema
     )
+    missing = [c for c in pcols if c not in inferred.names]
+    if missing:
+        raise ValueError(
+            f"partition_cols {missing} not discovered in {src_dir} "
+            f"(schema: {inferred.names})"
+        )
+    schema_json = inferred.json()
+    ptypes = {c: inferred[c].dataType for c in pcols}
     commit_dir = f"{root}/{DATA_DIR}/commit-v0-{uuid.uuid4().hex[:8]}"
-    _adopt_files(srcs, commit_dir)
-    entries = _file_entries(commit_dir, stats_cols or [])
+    staging_name = os.path.basename(commit_dir)
+    entries: list[dict] = []
+    if pcols:
+        by_leaf: dict[str, list[str]] = {}
+        for p in files:
+            rel = p[len(src_rel.rstrip("/")) + 1:]
+            by_leaf.setdefault(os.path.dirname(rel), []).append(
+                f"{scheme}{p}"
+            )
+        for leaf in sorted(by_leaf):
+            _adopt_files(sorted(by_leaf[leaf]), f"{commit_dir}/{leaf}")
+            pstats = {}
+            for c, raw in zip(pcols, leaf_vals[leaf]):
+                v = _pval_stat(ptypes[c], raw)
+                if v is not None:
+                    pstats[c] = [v, v]  # a partition IS min==max
+            for e in _file_entries(f"{commit_dir}/{leaf}",
+                                   stats_cols or []):
+                e["dir"] = staging_name
+                e["path"] = f"{leaf}/{e['path']}"
+                e["stats"].update(pstats)
+                entries.append(e)
+        stats_cols = list(stats_cols or []) + [
+            c for c in pcols if c not in (stats_cols or [])
+        ]
+        entries.sort(key=lambda e: (e["dir"], e["path"]))
+    else:
+        _adopt_files([f"{scheme}{p}" for p in files], commit_dir)
+        entries = _file_entries(commit_dir, stats_cols or [])
     try:
         # version PINNED to 0 (the emptiness check above): an
         # interposed table creation COLLIDES on the CAS instead of
@@ -4086,6 +4313,7 @@ def clone_table(
     dst_root: str,
     version: int | None = None,
     as_of_ts: float | _dt.datetime | None = None,
+    shallow: bool = False,
 ) -> tuple[int, int, int]:
     """CLONE a versioned table's snapshot into a NEW independent table
     — the zero-copy dev/test/branching snapshot (Delta's CLONE): on a
@@ -4098,7 +4326,19 @@ def clone_table(
     writes/vacuum on either side never affect the other (links count
     references; the OS reclaims content when both drop it). Pin the
     source snapshot with ``version``/``as_of_ts`` (defaults to
-    current). Returns ``(version, n_files, n_rows)``."""
+    current). Returns ``(version, n_files, n_rows)``.
+
+    ``shallow=True`` is Delta's SHALLOW CLONE — BY REFERENCE on any
+    store: no data object moves at all; the clone's entries carry the
+    source commit dirs as ABSOLUTE URIs (``_dir_uri``), reads resolve
+    them directly, writes land under the clone's own root, and the
+    clone's ``vacuum`` never touches foreign-rooted files (they are
+    not under its data/ dir to list). O(files) MANIFEST metadata even
+    on an object store, where a deep clone would stream-copy the
+    corpus. The one shared-fate caveat (same as Delta's): vacuuming
+    the SOURCE can remove files a shallow clone still references —
+    run ``optimize`` on the clone to localize before retiring the
+    source."""
     _require_plain_root(src_root, "clone_table (source)")
     _require_plain_root(dst_root, "clone_table (destination)")
     if current_version(spark, dst_root) >= 0:
@@ -4123,35 +4363,96 @@ def clone_table(
     # row index) read off _metadata — still matches the dv parquet's
     # recorded rows. Renaming adopted files would silently break that
     # match and resurrect deleted rows.
-    new_entries = [dict(e) for e in entries]
-    by_dir: dict[str, list[dict]] = {}
-    dv_dirs: set[str] = set()
-    for e in entries:
-        by_dir.setdefault(e["dir"], []).append(e)
-        if e.get("dv"):
-            dv_dirs.add(e["dv"]["dir"])
-    scheme = (
-        src_root.split("://", 1)[0] + "://" if "://" in src_root else ""
-    )
-    for d, es in sorted(by_dir.items()):
-        _adopt_files(
-            [f"{src_root}/{DATA_DIR}/{d}/{e['path']}" for e in es],
-            f"{dst_root}/{DATA_DIR}/{d}",
+    new_entries: list[dict] = []
+    staged_dirs: list[str] = []
+    staged_dv: list[str] = []
+    if shallow:
+        # entries flip to absolute source URIs; nothing is staged.
+        # (A source entry already foreign — clone of a shallow clone —
+        # stays as it is: _dir_uri returns absolutes verbatim.)
+        base = (
+            src_root if "://" in src_root else os.path.abspath(src_root)
         )
-    from pyarrow import fs as pafs
+        for e in entries:
+            ne = dict(e)
+            ne["dir"] = _dir_uri(base, e["dir"])
+            if e.get("dv"):
+                ne["dv"] = dict(e["dv"], dir=_dv_uri(base, e["dv"]["dir"]))
+            new_entries.append(ne)
+        # fail NOW on a derived-identity collision, not at first DML
+        _ident_map(new_entries, "clone_table(shallow=True)")
+    else:
+        from pyarrow import fs as pafs
 
-    for dv_dir in sorted(dv_dirs):
-        sfs, srel = _arrow_fs(f"{src_root}/{DV_DIR}/{dv_dir}")
-        dv_files = [
-            info.path
-            for info in sfs.get_file_info(pafs.FileSelector(srel))
-            if info.path.endswith(".parquet")
-        ]
-        _adopt_files(
-            [f"{scheme}{p}" for p in dv_files],
-            f"{dst_root}/{DV_DIR}/{dv_dir}",
-        )
-    extra: dict = {"cloned_from": {"root": src_root, "version": v_src}}
+        # deep clone LOCALIZES: a foreign entry (source was itself a
+        # shallow clone) copies in under its source dir's basename —
+        # derived row identity is that basename already, so carried
+        # DV rows keep matching
+        by_dir: dict[str, list[dict]] = {}
+        dv_dirs: set[str] = set()
+        for e in entries:
+            ne = dict(e)
+            if _is_abs_dir(e["dir"]):
+                ne["dir"] = os.path.basename(e["dir"].rstrip("/"))
+            if e.get("dv"):
+                dvd = e["dv"]["dir"]
+                if _is_abs_dir(dvd):
+                    ne["dv"] = dict(
+                        e["dv"], dir=os.path.basename(dvd.rstrip("/"))
+                    )
+            new_entries.append(ne)
+            by_dir.setdefault(e["dir"], []).append(e)
+            if e.get("dv"):
+                dv_dirs.add(e["dv"]["dir"])
+        _ident_map(new_entries, "clone_table")
+        for d, es in sorted(by_dir.items()):
+            src_base = _dir_uri(src_root, d)
+            d_local = (
+                os.path.basename(d.rstrip("/")) if _is_abs_dir(d) else d
+            )
+            staged_dirs.append(d_local)
+            # hive-adopted entries nest under partition subdirs:
+            # mirror the subpath, or entry paths would dangle
+            by_sub: dict[str, list[dict]] = {}
+            for e in es:
+                by_sub.setdefault(
+                    os.path.dirname(e["path"]), []
+                ).append(e)
+            for sub, ses in sorted(by_sub.items()):
+                dst = f"{dst_root}/{DATA_DIR}/{d_local}" + (
+                    f"/{sub}" if sub else ""
+                )
+                _adopt_files(
+                    [f"{src_base}/{e['path']}" for e in ses], dst
+                )
+        for dv_dir in sorted(dv_dirs):
+            src_uri = _dv_uri(src_root, dv_dir)
+            sch = (
+                src_uri.split("://", 1)[0] + "://"
+                if "://" in src_uri
+                else ""
+            )
+            dv_local = (
+                os.path.basename(dv_dir.rstrip("/"))
+                if _is_abs_dir(dv_dir)
+                else dv_dir
+            )
+            staged_dv.append(dv_local)
+            sfs, srel = _arrow_fs(src_uri)
+            dv_files = [
+                info.path
+                for info in sfs.get_file_info(pafs.FileSelector(srel))
+                if info.path.endswith(".parquet")
+            ]
+            _adopt_files(
+                [f"{sch}{p}" for p in dv_files],
+                f"{dst_root}/{DV_DIR}/{dv_local}",
+            )
+    extra: dict = {
+        "cloned_from": {
+            "root": src_root, "version": v_src, "shallow": shallow
+        }
+    }
     if seg.get("column_mapping"):
         extra["column_mapping"] = dict(seg["column_mapping"])
     if seg.get("dropped_physical"):
@@ -4171,11 +4472,12 @@ def clone_table(
         )
     except Exception:
         # dst is fresh and nothing references the mirrored dirs:
-        # reclaim them (links only — source content is untouched)
+        # reclaim them (links only — source content is untouched;
+        # a shallow clone staged nothing)
         fs, _ = _hadoop_fs(spark, dst_root)
-        for d in sorted(by_dir):
+        for d in staged_dirs:
             fs.delete(_jpath(spark, f"{dst_root}/{DATA_DIR}/{d}"), True)
-        for dv_dir in sorted(dv_dirs):
+        for dv_dir in staged_dv:
             fs.delete(_jpath(spark, f"{dst_root}/{DV_DIR}/{dv_dir}"), True)
         raise
     return v, len(new_entries), _nrows(new_entries)
@@ -4225,12 +4527,24 @@ def describe_detail(
         sizes = [e.get("bytes") for e in res["adds"]]
         total_b = sum(sz for sz in sizes if sz is not None)
         unknown = sum(1 for sz in sizes if sz is None)
+        foreign = sum(1 for e in res["adds"] if _is_abs_dir(e["dir"]))
     else:
         agg = _index_df(spark, root, res).agg(
             F.sum("bytes").alias("b"),
             F.count(F.when(F.col("bytes").isNull(), 1)).alias("unk"),
+            # shallow-clone debt: files living under a FOREIGN root
+            # (absolute dir) — vacuum here can't reclaim them and a
+            # source-side vacuum can break them; optimize localizes
+            F.count(
+                F.when(
+                    F.col("dir").startswith("/")
+                    | F.col("dir").contains("://"),
+                    1,
+                )
+            ).alias("fr"),
         ).collect()[0]
         total_b, unknown = int(agg["b"] or 0), int(agg["unk"])
+        foreign = int(agg["fr"])
     return {
         "version": v,
         "op": seg["op"],
@@ -4240,6 +4554,7 @@ def describe_detail(
         "dv_rows": seg.get("total_dv_rows", 0),
         "size_bytes": int(total_b),
         "size_files_unknown": int(unknown),
+        "foreign_files": int(foreign),
         "constraints": dict(seg.get("constraints", {})),
         "stats_cols": seg.get("stats_cols", []),
         "schema": _manifest_schema(seg),

@@ -145,7 +145,7 @@ def test_convert_merges_evolved_footers(spark, root, tmp_path):
 def test_convert_refuses_nested_and_query_string(spark, root, tmp_path):
     src = str(tmp_path / "lake")
     _df(spark, 0, 5, "a").write.partitionBy("v").parquet(src)
-    with pytest.raises(ValueError, match="FLAT directories only"):
+    with pytest.raises(ValueError, match="partition_cols"):
         V.convert_to_versioned(spark, root, src)
     with pytest.raises(ValueError, match="plain"):
         V.convert_to_versioned(spark, root, src + "?region=x")
@@ -205,3 +205,196 @@ def test_clone_history_reads_as_relink(spark, root, tmp_path):
     assert h0["op"] == "clone"
     assert h0["files_added"] == 0 and h0["rows_added"] == 0
     assert h0["files_relinked"] == 1
+
+
+# -------------------------------------------------- hive-partitioned
+# CONVERT (r13 verdict item #3): Delta's CONVERT TO DELTA ...
+# PARTITIONED BY — partition values parse out of directory names as
+# per-file min==max stats (pruning falls out of the ordinary stats
+# machinery) and reads materialize the columns natively via basePath.
+
+
+def _hive_lake(spark, tmp_path):
+    src = str(tmp_path / "hlake")
+    (
+        spark.range(90)
+        .selectExpr(
+            "id AS k",
+            "id * 2 AS val",
+            "CASE WHEN id % 2 = 0 THEN 'EU' ELSE 'US' END AS region",
+            "date_add(date'2024-01-01', CAST(id % 3 AS INT)) AS dt",
+        )
+        .write.partitionBy("region", "dt")
+        .parquet(src)
+    )
+    return src
+
+
+def test_convert_hive_partitioned_lake(spark, root, tmp_path):
+    src = _hive_lake(spark, tmp_path)
+    src_inodes = _inodes(src)
+    v, n_files, n_rows = V.convert_to_versioned(
+        spark, root, src, stats_cols=["k"],
+        partition_cols=["region", "dt"],
+    )
+    assert (v, n_rows) == (0, 90)
+    # still zero data movement: adopted hive leaves are hard links
+    tbl_inodes = _inodes(os.path.join(root, V.DATA_DIR))
+    assert set(tbl_inodes.values()) == set(src_inodes.values())
+    got = V.read_version(spark, root)
+    # partition columns materialize TYPED from the directory names
+    types = dict(got.dtypes)
+    assert types["region"] == "string" and types["dt"] == "date"
+    assert got.count() == 90
+    assert got.where("region = 'EU'").count() == 45
+    assert {r["dt"].isoformat() for r in got.select("dt").distinct()
+            .collect()} == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    # partition PRUNING from the parsed min==max stats: a key-range
+    # read plans only the matching partition's files
+    pruned = V.read_version(
+        spark, root, key_range=("EU", "EU"), key_col="region"
+    )
+    assert 0 < len(pruned.inputFiles()) < n_files
+    assert pruned.where("region = 'EU'").count() == 45
+    import datetime
+
+    d1 = datetime.date(2024, 1, 2)
+    p2 = V.read_version(spark, root, key_range=(d1, d1), key_col="dt")
+    assert 0 < len(p2.inputFiles()) < n_files
+    assert p2.where("dt = date'2024-01-02'").count() == 30
+    # partition cols joined stats_cols: later commits keep pruning
+    assert set(V.describe_detail(spark, root)["stats_cols"]) == {
+        "k", "region", "dt"}
+
+
+def test_convert_hive_layout_validation(spark, root, tmp_path):
+    src = _hive_lake(spark, tmp_path)
+    # wrong declared order
+    with pytest.raises(ValueError, match="order"):
+        V.convert_to_versioned(
+            spark, root, src, partition_cols=["dt", "region"])
+    # wrong depth (declares one level, lake has two)
+    with pytest.raises(ValueError, match="partition depth"):
+        V.convert_to_versioned(
+            spark, root, src, partition_cols=["region"])
+    # NULL partition value refused
+    src2 = str(tmp_path / "nlake")
+    spark.createDataFrame(
+        [(1, None), (2, "x")], "k bigint, region string"
+    ).write.partitionBy("region").parquet(src2)
+    with pytest.raises(ValueError, match="NULL partition"):
+        V.convert_to_versioned(
+            spark, root, src2, partition_cols=["region"])
+
+
+def test_convert_hive_dml_lifecycle(spark, root, tmp_path):
+    """The adopted hive table is a FULL citizen: DV deletes map row
+    identity through the partition subpaths, rewrites/upserts write
+    flat files carrying the partition columns as data, optimize
+    compacts across layouts, vacuum walks the nested dirs."""
+    src = _hive_lake(spark, tmp_path)
+    V.convert_to_versioned(
+        spark, root, src, stats_cols=["k"],
+        partition_cols=["region", "dt"],
+    )
+    V.commit_delete_where(spark, root, "k = 4", mode="dv")
+    got = V.read_version(spark, root)
+    assert got.count() == 89 and got.where("k = 4").count() == 0
+    V.commit_update_where(spark, root, "k = 5", {"val": "999"})
+    assert V.read_version(spark, root).where("k = 5").collect()[0][
+        "val"] == 999
+    import datetime
+
+    ups = spark.createDataFrame(
+        [(7, 777, "US", datetime.date(2024, 1, 2))],
+        "k bigint, val bigint, region string, dt date",
+    )
+    V.commit_upsert(spark, root, ups, "k")
+    assert V.read_version(spark, root).where("k = 7").collect()[0][
+        "val"] == 777
+    # changes survive compaction (hive + flat files union cleanly)
+    V.optimize(spark, root, n_files=2)
+    after = V.read_version(spark, root)
+    assert after.count() == 89
+    assert after.where("region = 'EU'").count() == 44  # k=4 (EU) deleted
+    nm, nd = V.vacuum(spark, root, keep_last=1, min_staging_age_s=0.0)
+    assert nd > 0  # the superseded hive files reclaimed recursively
+    assert V.read_version(spark, root).count() == 89
+
+
+def test_convert_hive_clone_both_modes(spark, root, tmp_path):
+    """Deep clone mirrors the partition subpaths; shallow clone reads
+    the hive files by reference."""
+    src = _hive_lake(spark, tmp_path)
+    V.convert_to_versioned(
+        spark, root, src, stats_cols=["k"],
+        partition_cols=["region", "dt"],
+    )
+    deep = str(tmp_path / "deep")
+    V.clone_table(spark, root, deep)
+    assert V.read_version(spark, deep).count() == 90
+    assert V.read_version(spark, deep).where("region='US'").count() == 45
+    sh = str(tmp_path / "sh")
+    V.clone_table(spark, root, sh, shallow=True)
+    assert V.read_version(spark, sh).where("region='US'").count() == 45
+    assert V.describe_detail(spark, sh)["foreign_files"] > 0
+
+
+# ---------------------------------------------------- SHALLOW CLONE
+# (r13 verdict item #4): by reference on ANY store — entries carry
+# absolute source URIs, zero data objects move.
+
+
+def test_shallow_clone_zero_copy_and_isolation(spark, root, tmp_path):
+    import glob
+
+    cl = str(tmp_path / "sh")
+    V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(2), ["k"])
+    V.commit_delete_where(spark, root, "k = 3", mode="dv")
+    v, nf, nr = V.clone_table(spark, root, cl, shallow=True)
+    assert (v, nf, nr) == (0, 2, 99)
+    # ZERO objects staged — not even links
+    assert not glob.glob(cl + "/data/**/*.parquet", recursive=True)
+    assert not os.path.isdir(os.path.join(cl, V.DV_DIR))
+    got = V.read_version(spark, cl)
+    # reads resolve the foreign refs, source DV included
+    assert got.count() == 99 and got.where("k = 3").count() == 0
+    assert V.describe_detail(spark, cl)["foreign_files"] == 2
+    assert V._read_manifest(spark, cl, 0)["cloned_from"]["shallow"]
+    # writes are isolated both ways
+    V.commit_append(spark, cl, _df(spark, 900, 910, "cl").coalesce(1))
+    assert V.read_version(spark, cl).count() == 109
+    assert V.read_version(spark, root).count() == 99
+    # vacuum on the clone NEVER touches source objects
+    src_files = set(glob.glob(root + "/data/**/*.parquet", recursive=True))
+    V.vacuum(spark, cl, keep_last=1, min_staging_age_s=0.0)
+    assert src_files == set(
+        glob.glob(root + "/data/**/*.parquet", recursive=True))
+    assert V.read_version(spark, cl).count() == 109
+
+
+def test_shallow_clone_dml_and_localize(spark, root, tmp_path):
+    """DML through foreign entries: DV deletes map row identity via the
+    derived (basename, path) key; rewrites copy-on-write into LOCAL
+    files; optimize localizes everything (foreign_files -> 0); a deep
+    clone OF a shallow clone localizes too."""
+    cl = str(tmp_path / "sh")
+    V.commit_append(spark, root, _df(spark, 0, 100, "a").coalesce(2), ["k"])
+    V.clone_table(spark, root, cl, shallow=True)
+    V.commit_delete_where(spark, cl, "k = 5", mode="dv")
+    assert V.read_version(spark, cl).where("k = 5").count() == 0
+    assert V.read_version(spark, root).where("k = 5").count() == 1
+    V.commit_upsert(
+        spark, cl,
+        spark.createDataFrame([(7, "CL")], "k bigint, v string"), "k")
+    assert V.read_version(spark, cl).where("v = 'CL'").count() == 1
+    assert V.read_version(spark, root).where("v = 'CL'").count() == 0
+    V.optimize(spark, cl, n_files=1)
+    assert V.describe_detail(spark, cl)["foreign_files"] == 0
+    assert V.read_version(spark, cl).count() == 99
+    # deep clone of a (fresh) shallow clone copies the data in
+    sh2, deep = str(tmp_path / "sh2"), str(tmp_path / "deep")
+    V.clone_table(spark, root, sh2, shallow=True)
+    V.clone_table(spark, sh2, deep)
+    assert V.describe_detail(spark, deep)["foreign_files"] == 0
+    assert V.read_version(spark, deep).count() == 100

@@ -502,3 +502,85 @@ def test_webdataset_forced_multipart_e2e(spark, s3_server, monkeypatch):
         for r in W.fetch_members(idx).collect()
     }
     assert pay == {n: d for s in G.GOLDEN for n, d in G.members(s)}
+
+
+def test_shallow_clone_from_object_store(spark, s3_server, tmp_path,
+                                         monkeypatch):
+    """SHALLOW CLONE of an s3-rooted versioned table (r13 verdict item
+    #4): zero data objects move — the clone's entries carry absolute
+    s3:// URIs, describe_detail counts them as foreign, and vacuum on
+    the clone never deletes a source object. Plain s3:// roots reach
+    moto via the ambient-credential env (AWS_ENDPOINT_URL — the same
+    contract real deployments use); Spark-side scans of the foreign
+    refs need hadoop-aws (s3a), absent in this sandbox by design, so
+    row-level read equality is pinned by the local-filesystem shallow
+    clone tests (tests/test_convert_clone.py) — the manifest mechanics
+    here are scheme-independent."""
+    import glob
+    import os
+
+    from amadeus_spark.operators import versioned as V
+
+    port = s3_server
+    monkeypatch.setenv("AWS_ENDPOINT_URL", f"http://127.0.0.1:{port}")
+    monkeypatch.setenv("AWS_ACCESS_KEY_ID", KEY_ID)
+    monkeypatch.setenv("AWS_SECRET_ACCESS_KEY", SECRET)
+    monkeypatch.setenv("AWS_DEFAULT_REGION", "us-east-1")
+    monkeypatch.setenv("AWS_EC2_METADATA_DISABLED", "true")
+    client = _client(port)
+    bucket = "shallow-src-bucket"
+    client.create_bucket(Bucket=bucket)
+    # build the source table's v0 the manifest-only way: stage parquet
+    # locally, harvest entries (footer stats + sizes), upload the data
+    # objects, publish the manifest through the same conditional-PUT
+    # path every s3 commit uses
+    stage = str(tmp_path / "commit-v0-src0")
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS val")
+    df.coalesce(2).write.parquet(stage)
+    entries = V._file_entries(stage, ["k"])
+    for e in entries:
+        e["dir"] = "commit-v0-src0"
+        with open(os.path.join(stage, e["path"]), "rb") as f:
+            client.put_object(
+                Bucket=bucket,
+                Key=f"tbl/data/commit-v0-src0/{e['path']}",
+                Body=f.read(),
+            )
+    src_root = f"s3://{bucket}/tbl"
+    v = V._commit(
+        spark, src_root, None, "convert", ["k"],
+        add_entries=entries, schema_json_override=df.schema.json(),
+        prev={"version": -1, "total_files": 0, "total_rows": 0},
+        cdf="none",
+    )
+    assert v == 0 and V.current_version(spark, src_root) == 0
+    keys_before = _keys(client, bucket, "tbl/")
+    # ---- the shallow clone: manifest read + local manifest write only
+    cl = str(tmp_path / "clone")
+    v, nf, nr = V.clone_table(spark, src_root, cl, shallow=True)
+    assert (v, nf, nr) == (0, 2, 100)
+    # ZERO objects copied or created on either side's data area
+    assert _keys(client, bucket, "tbl/") == keys_before
+    assert not glob.glob(cl + "/data/**/*.parquet", recursive=True)
+    man = V._read_manifest(spark, cl, 0)
+    assert all(
+        e["dir"] == f"s3://{bucket}/tbl/data/commit-v0-src0"
+        for e in man["add"]
+    )
+    assert man["cloned_from"] == {
+        "root": src_root, "version": 0, "shallow": True}
+    d = V.describe_detail(spark, cl)
+    assert d["foreign_files"] == 2 and d["n_rows"] == 100
+    assert d["size_bytes"] > 0  # sizes carried in the entries
+    # key-range pruning works off the carried stats without touching s3
+    pruned = V._pruned_entries(
+        spark, cl, V._resolve(spark, cl, 0), "k", 0, 10)
+    assert len(pruned) == 1
+    # local writes coexist; vacuum on the clone leaves the source alone
+    V.commit_append(
+        spark, cl,
+        spark.range(200, 210).selectExpr("id AS k", "id * 2 AS val")
+        .coalesce(1))
+    V.vacuum(spark, cl, keep_last=1, min_staging_age_s=0.0)
+    assert _keys(client, bucket, "tbl/") == keys_before
+    assert V.describe_detail(spark, cl)["foreign_files"] == 2
