@@ -4161,27 +4161,73 @@ def _table_changes_oracle() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordering is deliberate: the driver's CORRECTNESS gate verifies
-        # only the FIRST 50 dict entries. ROUND-13 ROTATION: the window
-        # takes (a) the NEW gate for the r13 feature (column_mapping:
-        # rename/drop via Delta-style column mapping — metadata-only
-        # commits, physical-name stability, tombstoned drops, CDF/time
-        # travel across the rename) plus every query exercising the
-        # changed versioned-table layer (conflict re-base lives in
-        # _commit, mapping rides every read/write funnel:
-        # schema_evolution, dv_debt_purge, merge_into,
-        # dml_delete_update, restore_table, time_travel_asof,
-        # webdataset_roundtrip, table_changes, cdc_apply,
-        # snapshot_diff) — and (b) all 39 oracle-checked queries whose
-        # newest external hash-green is r10 (the r10 operator pack:
-        # cloudfront/cube/rollup/pivot/sessionization/windows/...).
-        # After this round no oracle-checked query's newest green is
-        # older than r11. Everything below the marker stays oracle-/
-        # property-verified locally on every pytest run.
+        # only the FIRST 50 dict entries. ROUND-14 ROTATION: the window
+        # takes (a) convert_clone's FIRST external green (new in r13,
+        # queued per plan) plus the two NEW r14 feature gates
+        # (hive_convert: partitioned-lake adoption with stats-derived
+        # partition pruning; shallow_clone: by-reference clone with
+        # DV/upsert divergence through foreign refs) and the two
+        # heaviest DML gates whose enforcement path changed this round
+        # (merge_into, dml_delete_update - CHECK now chains only the
+        # changed legs), and (b) all 45 oracle-checked queries whose
+        # newest external hash-green is r11. After this round no
+        # oracle-checked query's newest green is older than r12.
+        # Everything below the marker stays oracle-/property-verified
+        # locally on every pytest run.
+        "convert_clone": q_convert_clone,
+        "hive_convert": q_hive_convert,
+        "shallow_clone": q_shallow_clone,
+        "merge_into": q_merge_into,
+        "dml_delete_update": q_dml_delete_update,
+        "ann_lsh": q_ann_lsh,
+        "c4_quality": q_c4_quality,
+        "cosine_topk": q_cosine_topk,
+        "data_expectations": q_data_expectations,
+        "decon_span_scrub": q_decon_span_scrub,
+        "doc_chunking": q_doc_chunking,
+        "dsir_select": q_dsir_select,
+        "duplicated_spans": q_duplicated_spans,
+        "embedding_neardup": q_embedding_neardup,
+        "equidepth_histogram": q_equidepth_histogram,
+        "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
+        "group_sink_nation": q_group_sink_nation,
+        "grouped_topn": q_grouped_topn,
+        "hard_negatives": q_hard_negatives,
+        "incremental_neardup": q_incremental_neardup,
+        "inner_join": q_inner_join,
+        "inverted_index": q_inverted_index,
+        "key_skew_profile": q_key_skew_profile,
+        "left_join": q_left_join,
+        "media_frame_sample": q_media_frame_sample,
+        "minhash_lsh": q_minhash_lsh,
+        "most_distinct": q_most_distinct,
+        "most_frequent": q_most_frequent,
+        "mp3_segment_plan": q_mp3_segment_plan,
+        "mp4_frame_plan": q_mp4_frame_plan,
+        "multimodal_features": q_multimodal_features,
+        "neardup_clusters": q_neardup_clusters,
+        "ngram_jaccard": q_ngram_jaccard,
+        "pagerank": q_pagerank,
+        "percentiles": q_percentiles,
+        "sample_deterministic": q_sample_deterministic,
+        "scd2_user_episodes": q_scd2_user_episodes,
+        "semantic_decontamination": q_semantic_decontamination,
+        "semi_anti_join": q_semi_anti_join,
+        "sequence_packing": q_sequence_packing,
+        "set_ops": q_set_ops,
+        "simhash": q_simhash,
+        "span_scrub": q_span_scrub,
+        "stratified_sample": q_stratified_sample,
+        "temperature_mixture": q_temperature_mixture,
+        "text_normalize": q_text_normalize,
+        "token_budget_sample": q_token_budget_sample,
+        "training_pipeline": q_training_pipeline,
+        "variant_props": q_variant_props,
+        "weighted_sample": q_weighted_sample,
+        # ---- below the 50-entry gate ----
         "column_mapping": q_column_mapping,
         "schema_evolution": q_schema_evolution,
         "dv_debt_purge": q_dv_debt_purge,
-        "merge_into": q_merge_into,
-        "dml_delete_update": q_dml_delete_update,
         "restore_table": q_restore_table,
         "time_travel_asof": q_time_travel_asof,
         "webdataset_roundtrip": q_webdataset_roundtrip,
@@ -4227,8 +4273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "warc_stats": q_warc_stats,
         "window_functions": q_window_functions,
-        # ---- below the 50-entry gate ----
-        "convert_clone": q_convert_clone,  # NEW r13: rotates into r14
         "cluster_safe_split": q_cluster_safe_split,
         "corpusflow_e2e": q_corpusflow_e2e,
         "domain_stats": q_domain_stats,
@@ -4269,51 +4313,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bpe_token_stats": q_bpe_token_stats,
         "chain_union": q_chain_union,
-        "mp4_frame_plan": q_mp4_frame_plan,
-        "mp3_segment_plan": q_mp3_segment_plan,
-        "media_frame_sample": q_media_frame_sample,
-        "multimodal_features": q_multimodal_features,
-        "fuzzy_dict_lookup_d3": q_fuzzy_dict_lookup_d3,
-        "ann_lsh": q_ann_lsh,
-        "c4_quality": q_c4_quality,
-        "cosine_topk": q_cosine_topk,
-        "data_expectations": q_data_expectations,
-        "decon_span_scrub": q_decon_span_scrub,
-        "doc_chunking": q_doc_chunking,
-        "dsir_select": q_dsir_select,
-        "duplicated_spans": q_duplicated_spans,
-        "embedding_neardup": q_embedding_neardup,
-        "equidepth_histogram": q_equidepth_histogram,
-        "group_sink_nation": q_group_sink_nation,
-        "grouped_topn": q_grouped_topn,
-        "hard_negatives": q_hard_negatives,
-        "incremental_neardup": q_incremental_neardup,
-        "inner_join": q_inner_join,
-        "inverted_index": q_inverted_index,
-        "key_skew_profile": q_key_skew_profile,
-        "left_join": q_left_join,
-        "minhash_lsh": q_minhash_lsh,
-        "most_distinct": q_most_distinct,
-        "most_frequent": q_most_frequent,
-        "neardup_clusters": q_neardup_clusters,
-        "ngram_jaccard": q_ngram_jaccard,
-        "pagerank": q_pagerank,
-        "percentiles": q_percentiles,
-        "sample_deterministic": q_sample_deterministic,
-        "scd2_user_episodes": q_scd2_user_episodes,
-        "semantic_decontamination": q_semantic_decontamination,
-        "semi_anti_join": q_semi_anti_join,
-        "sequence_packing": q_sequence_packing,
-        "set_ops": q_set_ops,
-        "simhash": q_simhash,
-        "span_scrub": q_span_scrub,
-        "stratified_sample": q_stratified_sample,
-        "temperature_mixture": q_temperature_mixture,
-        "text_normalize": q_text_normalize,
-        "token_budget_sample": q_token_budget_sample,
-        "training_pipeline": q_training_pipeline,
-        "variant_props": q_variant_props,
-        "weighted_sample": q_weighted_sample,
         # rows-only (no oracle) entries: CONTIGUOUS TAIL — weakest
         # signal last, so a truncating gate drops them first
         "compensated_moments": q_compensated_moments,
@@ -4859,6 +4858,215 @@ def _convert_clone_oracle() -> str:
         SELECT 'clone', CAST(k % 5 AS VARCHAR),
                CAST(COUNT(*) AS BIGINT), CAST(SUM(val) AS BIGINT)
         FROM clone GROUP BY 2
+    """
+
+
+#: hive_convert shared constants (iron rule 7: one set, two dialects)
+_HC_BASE = "o_orderkey % 5 = 2"
+_HC_VAL = "CAST(o_orderkey % 1000 AS BIGINT) * 3"
+_HC_UPD = "status = 'F' AND k % 2 = 0"
+_HC_UVAL = "val + 100000"
+
+
+def q_hive_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned CONVERT TO DELTA (operators/versioned.py
+    convert_to_versioned(partition_cols=...), new r14): a
+    status-partitioned lake is ADOPTED with zero data movement —
+    partition values parse out of the directory names as per-file
+    min==max stats and the columns materialize natively on read via
+    basePath — then a predicate UPDATE rewrites only the matching
+    partition's rows (the predicate references the MATERIALIZED
+    partition column). Output = per-status aggregates, the same
+    aggregates through a stats-PRUNED read (key_range on the partition
+    column), and a meta row pinning that the pruned plan touched
+    strictly fewer files. The oracle reconstructs the update
+    relationally. (Reference reads hive-partitioned parquet:
+    /root/reference/amadeus-parquet tests; this is the log-adoption
+    twin.) Materializes eagerly BY NATURE (commits are actions)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="amadeus_hc_")
+    try:
+        lake_dir = os.path.join(tmp, "lake")
+        (
+            orders.filter(_HC_BASE)
+            .selectExpr(
+                "o_orderkey AS k", f"{_HC_VAL} AS val",
+                "o_orderstatus AS status",
+            )
+            .repartition(2)
+            .write.partitionBy("status")
+            .parquet(lake_dir)
+        )
+        root = os.path.join(tmp, "vt")
+        V.convert_to_versioned(
+            spark, root, lake_dir, stats_cols=["k"],
+            partition_cols=["status"],
+        )
+        V.commit_update_where(spark, root, _HC_UPD, {"val": _HC_UVAL})
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ]
+        full = V.read_version(spark, root)
+        out_all = (
+            full.groupBy(F.col("status").alias("grp")).agg(*aggs)
+            .select(F.lit("all").alias("section"), "grp", "n_rows",
+                    "sum_val")
+        )
+        pruned = V.read_version(
+            spark, root, key_range=("F", "F"), key_col="status"
+        )
+        out_pruned = (
+            pruned.where("status = 'F'")
+            .groupBy(F.lit("F").alias("grp")).agg(*aggs)
+            .select(F.lit("pruned").alias("section"), "grp", "n_rows",
+                    "sum_val")
+        )
+        rows = out_all.unionByName(out_pruned).collect()
+        # partition pruning must be REAL: the pruned plan touches
+        # strictly fewer files than the full snapshot
+        rows.append(
+            (
+                "meta", "pruning_works",
+                1 if len(pruned.inputFiles()) < len(full.inputFiles())
+                else 0,
+                0,
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, grp string, n_rows bigint, sum_val bigint"
+    )
+
+
+def _hive_convert_oracle() -> str:
+    """DuckDB twin of q_hive_convert — the adopted lake is the raw
+    filter; the predicate update is a CASE; pruning is a pinned
+    literal (a DuckDB query has no file plan to compare)."""
+    return f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, {_HC_VAL} AS val,
+                   o_orderstatus AS status
+            FROM orders WHERE {_HC_BASE}
+        ), upd AS (
+            SELECT k,
+                   CASE WHEN {_HC_UPD} THEN {_HC_UVAL} ELSE val END AS val,
+                   status
+            FROM base
+        )
+        SELECT 'all' AS section, status AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val
+        FROM upd GROUP BY 2
+        UNION ALL
+        SELECT 'pruned', 'F', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(val) AS BIGINT)
+        FROM upd WHERE status = 'F'
+        UNION ALL
+        SELECT 'meta', 'pruning_works', 1, 0
+    """
+
+
+#: shallow_clone shared constants
+_SC_VAL = "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+_SC_DEL = "k % 10 = 3"
+_SC_UPK = "k % 10 = 4"
+_SC_UVAL = "CAST(k % 97 AS BIGINT)"
+
+
+def q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE by reference (operators/versioned.py
+    clone_table(shallow=True), new r14): the clone stages ZERO data
+    objects — its entries carry absolute source URIs — then diverges
+    via a deletion-vector DELETE and an upsert, both resolving row
+    identity THROUGH the foreign references; the source must stay
+    byte-identical. Output = per-group aggregates of both sides plus
+    meta rows pinning the zero-copy invariant (no parquet staged under
+    the clone's data dir) and the foreign-file debt surfaced by
+    describe_detail. Oracle reconstructs the divergence relationally.
+    Materializes eagerly BY NATURE (commits are actions)."""
+    import glob
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    cust = _t(spark, sf_dir, "customer")
+    tmp = tempfile.mkdtemp(prefix="amadeus_sc_")
+    try:
+        root = os.path.join(tmp, "vt")
+        base = cust.selectExpr("c_custkey AS k", f"{_SC_VAL} AS val")
+        V.commit_append(spark, root, base.repartitionByRange(3, "k"),
+                        ["k"])
+        branch = os.path.join(tmp, "branch")
+        V.clone_table(spark, root, branch, shallow=True)
+        zero_copy = not glob.glob(
+            os.path.join(branch, "data", "**", "*.parquet"),
+            recursive=True,
+        )
+        foreign = V.describe_detail(spark, branch)["foreign_files"]
+        V.commit_delete_where(spark, branch, _SC_DEL, mode="dv")
+        ups = base.filter(_SC_UPK).selectExpr("k", f"{_SC_UVAL} AS val")
+        V.commit_upsert(spark, branch, ups, "k")
+        grp3 = F.expr("CAST(k % 3 AS STRING)").alias("grp")
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("val").cast("bigint").alias("sum_val"),
+        ]
+        src = (
+            V.read_version(spark, root).groupBy(grp3).agg(*aggs)
+            .select(F.lit("src").alias("section"), "grp", "n_rows",
+                    "sum_val")
+        )
+        cl = (
+            V.read_version(spark, branch).groupBy(grp3).agg(*aggs)
+            .select(F.lit("clone").alias("section"), "grp", "n_rows",
+                    "sum_val")
+        )
+        rows = src.unionByName(cl).collect()
+        rows.append(("meta", "zero_copy", 1 if zero_copy else 0, 0))
+        rows.append(("meta", "foreign_files", int(foreign > 0), 0))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, grp string, n_rows bigint, sum_val bigint"
+    )
+
+
+def _shallow_clone_oracle() -> str:
+    """DuckDB twin of q_shallow_clone — the clone is the base minus
+    the DV-deleted keys with the upsert replacement applied; the
+    zero-copy/foreign meta rows are pinned literals."""
+    return f"""
+        WITH base AS (
+            SELECT c_custkey AS k, {_SC_VAL} AS val FROM customer
+        ), ups AS (
+            SELECT k, {_SC_UVAL} AS val FROM base WHERE {_SC_UPK}
+        ), clone AS (
+            SELECT k, val FROM ups
+            UNION ALL
+            SELECT b.k, b.val FROM base b
+            WHERE NOT ({_SC_DEL.replace("k %", "b.k %")})
+              AND NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = b.k)
+        )
+        SELECT 'src' AS section, CAST(k % 3 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val
+        FROM base GROUP BY 2
+        UNION ALL
+        SELECT 'clone', CAST(k % 3 AS VARCHAR),
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(val) AS BIGINT)
+        FROM clone GROUP BY 2
+        UNION ALL
+        SELECT 'meta', 'zero_copy', 1, 0
+        UNION ALL
+        SELECT 'meta', 'foreign_files', 1, 0
     """
 
 
@@ -5426,6 +5634,8 @@ def oracle_sql() -> dict[str, str]:
         "schema_evolution": _schema_evolution_oracle(),
         "column_mapping": _column_mapping_oracle(),
         "convert_clone": _convert_clone_oracle(),
+        "hive_convert": _hive_convert_oracle(),
+        "shallow_clone": _shallow_clone_oracle(),
         "dv_debt_purge": _DVD_ORACLE,
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),
         "webdataset_index": _wds_golden.oracle_sql(),
