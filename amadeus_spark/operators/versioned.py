@@ -126,14 +126,19 @@ def _arrow_fs(uri: str):
     """pyarrow ``(fs, path)`` for a table URI. ``s3a://`` — the JVM/
     Hadoop spelling Spark writes through — maps to pyarrow's native
     ``s3://`` client over the SAME objects (the read_warc streaming
-    posture; pyarrow rejects the s3a scheme outright); bare paths get
-    ``file://``."""
+    posture; pyarrow rejects the s3a scheme outright). Local paths go
+    straight to LocalFileSystem, NEVER through from_uri — URI parsing
+    rejects legal path characters (a hive partition dir like
+    ``tag=a b`` carries a literal space; hive escapes only
+    ``"#%'*/:=?``-class chars)."""
     from pyarrow import fs as pafs
 
     if uri.startswith("s3a://"):
         uri = "s3://" + uri[len("s3a://"):]
+    elif uri.startswith("file://"):
+        return pafs.LocalFileSystem(), uri[len("file://"):]
     elif "://" not in uri:
-        uri = f"file://{uri}"
+        return pafs.LocalFileSystem(), os.path.abspath(uri)
     return pafs.FileSystem.from_uri(uri)
 
 
@@ -998,9 +1003,19 @@ def _snapshot_read(
     # is the real anchor): dir = first segment, path = the rest —
     # equal to the old (-2 segment, file name) derivation on flat
     # layouts, and equal to entry (dir, path) on hive layouts, which
-    # keeps DV anti-joins exact for both
-    _rel = F.regexp_extract(
-        F.col("_metadata.file_path"), f"^.*/{DATA_DIR}/(.+)$", 1
+    # keeps DV anti-joins exact for both. _metadata.file_path is
+    # URI-ENCODED ("tag=a b" surfaces as "tag=a%20b"): percent-decode
+    # back into entry-path space, protecting literal "+" first
+    # (url_decode is java URLDecoder, which would turn it into a
+    # space; encoding never creates "/" so the split stays safe)
+    _rel = F.url_decode(
+        F.replace(
+            F.regexp_extract(
+                F.col("_metadata.file_path"), f"^.*/{DATA_DIR}/(.+)$", 1
+            ),
+            F.lit("+"),
+            F.lit("%2B"),
+        )
     )
     _dir = F.substring_index(_rel, "/", 1)
     ident = [

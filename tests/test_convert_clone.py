@@ -398,3 +398,51 @@ def test_shallow_clone_dml_and_localize(spark, root, tmp_path):
     V.clone_table(spark, sh2, deep)
     assert V.describe_detail(spark, deep)["foreign_files"] == 0
     assert V.read_version(spark, deep).count() == 100
+
+
+def test_convert_hive_escaped_and_int_partitions(spark, root, tmp_path):
+    """Hive dir values URL-escape special chars (%XX) — convert must
+    UNQUOTE them for stats so pruning bounds compare in value space;
+    int-typed partition values prune as ints."""
+    src = str(tmp_path / "elake")
+    spark.createDataFrame(
+        [(1, "a b", 10), (2, "c=d", 20), (3, "a b", 10)],
+        "k bigint, tag string, bucket int",
+    ).repartition(1).write.partitionBy("tag", "bucket").parquet(src)
+    V.convert_to_versioned(
+        spark, root, src, stats_cols=["k"],
+        partition_cols=["tag", "bucket"],
+    )
+    got = V.read_version(spark, root)
+    assert {r["tag"] for r in got.select("tag").distinct().collect()} == {
+        "a b", "c=d"}
+    # string pruning on the unquoted value
+    p = V.read_version(spark, root, key_range=("a b", "a b"),
+                       key_col="tag")
+    assert p.count() == 2 and len(p.inputFiles()) == 1
+    # int pruning on the int-typed partition value
+    p2 = V.read_version(spark, root, key_range=(15, 25), key_col="bucket")
+    assert p2.count() == 1 and len(p2.inputFiles()) == 1
+    # DV identity survives URI encoding (_metadata.file_path surfaces
+    # the space as %20; the derived identity must decode back into
+    # entry-path space or the delete misses its entry)
+    V.commit_delete_where(spark, root, "k = 1", mode="dv")
+    got2 = V.read_version(spark, root)
+    assert got2.count() == 2 and got2.where("k = 1").count() == 0
+
+
+def test_shallow_clone_pins_version_and_restores(spark, root, tmp_path):
+    """A shallow clone pins a historical snapshot like a deep one; a
+    restore on the clone rolls its own divergence back to the all-
+    foreign v0 state without touching the source."""
+    cl = str(tmp_path / "sh")
+    V.commit_append(spark, root, _df(spark, 0, 50, "a").coalesce(1), ["k"])
+    V.commit_append(spark, root, _df(spark, 50, 100, "b").coalesce(1))
+    V.clone_table(spark, root, cl, version=0, shallow=True)
+    assert V.read_version(spark, cl).count() == 50  # pinned at v0
+    V.commit_delete_where(spark, cl, "k < 10", mode="dv")
+    assert V.read_version(spark, cl).count() == 40
+    V.restore_version(spark, cl, 0)
+    assert V.read_version(spark, cl).count() == 50
+    assert V.describe_detail(spark, cl)["foreign_files"] == 1
+    assert V.read_version(spark, root).count() == 100  # source untouched
