@@ -20,10 +20,12 @@ import shutil
 import sys
 import tempfile
 
-from pyspark.sql import functions as F
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from amadeus_spark.operators import versioned as V
-from amadeus_spark.session import get_spark
+from pyspark.sql import functions as F  # noqa: E402
+
+from amadeus_spark.operators import versioned as V  # noqa: E402
+from amadeus_spark.session import get_spark  # noqa: E402
 
 
 def main(sf_dir: str) -> None:
