@@ -139,7 +139,24 @@ def _arrow_fs(uri: str):
         return pafs.LocalFileSystem(), uri[len("file://"):]
     elif "://" not in uri:
         return pafs.LocalFileSystem(), os.path.abspath(uri)
-    return pafs.FileSystem.from_uri(uri)
+    # object stores: build the fs from the BUCKET root (credentials in
+    # the authority, connection spec in the query string) and append
+    # the object path RAW — running the full uri through from_uri
+    # would percent-DECODE hive-escaped path segments (tag=a%3Ab →
+    # tag=a:b addresses the wrong key) and reject literal spaces,
+    # the same legal-path-character problem as the local branch
+    scheme, _, rest = uri.partition("://")
+    query = ""
+    if "?" in rest:
+        rest, q = rest.split("?", 1)
+        query = f"?{q}"
+    authority, _, sub = rest.partition("/")  # creds@bucket
+    fs, base_rel = pafs.FileSystem.from_uri(
+        f"{scheme}://{authority}{query}"
+    )
+    if sub:
+        return fs, f"{base_rel.rstrip('/')}/{sub}"
+    return fs, base_rel
 
 
 def _is_local(root: str) -> bool:
@@ -2776,7 +2793,10 @@ def commit_merge(
                 *[F.col(f.name) for f in schema.fields],
                 F.col("__upd"),
             )
-            if cons:
+            # dv mode discards this frame below (only __upd rows leave
+            # their files, chained plainly there) — don't build a dead
+            # gated chain for it
+            if cons and mode != "dv":
                 rewritten = _enforce_constraints(
                     rewritten, cons, gate="__upd"
                 )
@@ -3649,12 +3669,25 @@ def vacuum(
     def _settled(jp) -> bool:
         """Is this UNREFERENCED dir past the in-flight grace window?
         Staged-but-unpublished commits look identical to reclaimable
-        orphans; only age separates them. Stat failures read as
-        in-flight (skip) — the conservative direction."""
+        orphans; only age separates them. Object-store "directories"
+        are synthetic (S3A reports mtime 0 for prefixes), so an
+        implausible dir mtime falls back to the NEWEST object under
+        the prefix — real objects carry real mtimes. Stat failures
+        and empty prefixes read as in-flight (skip) — the
+        conservative direction."""
         if grace_ms <= 0:
             return True
         try:
-            return now_ms - fs.getFileStatus(jp).getModificationTime() >= grace_ms
+            age_ref = fs.getFileStatus(jp).getModificationTime()
+            if age_ref <= 0:
+                newest = 0
+                it = fs.listFiles(jp, True)
+                while it.hasNext():
+                    newest = max(newest, it.next().getModificationTime())
+                if newest <= 0:
+                    return False
+                age_ref = newest
+            return now_ms - age_ref >= grace_ms
         except Exception:
             return False
 
@@ -4140,17 +4173,28 @@ def _adopt_files(srcs: list[str], commit_dir: str) -> None:
 def _pval_stat(dtype, raw: str):
     """Directory-name partition value → manifest-stats form, typed to
     match what footer stats of the same column yield once later
-    commits materialize it as a data column (int stays int, date stays
-    its ISO string — :func:`_stat_jsonable`'s form). Unsupported types
-    (bool, timestamp — dir encoding differs from isoformat) carry no
-    stats: conservative, the file is simply never pruned on them."""
-    if isinstance(dtype, (_st.ByteType, _st.ShortType, _st.IntegerType,
-                          _st.LongType)):
-        return int(raw)
-    if isinstance(dtype, (_st.FloatType, _st.DoubleType)):
-        return float(raw)
-    if isinstance(dtype, (_st.StringType, _st.DateType)):
-        return raw
+    commits materialize it as a data column (int stays int, date
+    NORMALIZES to its zero-padded ISO string — :func:`_stat_jsonable`'s
+    form; a non-Spark writer's ``dt=2024-1-2`` dir would otherwise
+    misorder lexicographically against the padded bounds
+    :func:`_bound` emits and silently mis-prune). Unsupported types
+    (bool, timestamp — dir encoding differs from isoformat) and
+    unparseable values carry no stats: conservative, the file is
+    simply never pruned on them."""
+    try:
+        if isinstance(dtype, (_st.ByteType, _st.ShortType,
+                              _st.IntegerType, _st.LongType)):
+            return int(raw)
+        if isinstance(dtype, (_st.FloatType, _st.DoubleType)):
+            return float(raw)
+        if isinstance(dtype, _st.StringType):
+            return raw
+        if isinstance(dtype, _st.DateType):
+            return (
+                _dt.datetime.strptime(raw, "%Y-%m-%d").date().isoformat()
+            )
+    except ValueError:
+        return None
     return None
 
 

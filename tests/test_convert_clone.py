@@ -446,3 +446,44 @@ def test_shallow_clone_pins_version_and_restores(spark, root, tmp_path):
     assert V.read_version(spark, cl).count() == 50
     assert V.describe_detail(spark, cl)["foreign_files"] == 1
     assert V.read_version(spark, root).count() == 100  # source untouched
+
+
+def test_convert_hive_nonpadded_date_dirs_stay_consistent(
+    spark, root, tmp_path
+):
+    """A non-Spark writer's dt=2024-1-2 directory: Spark's partition
+    inference types the column STRING (its date parse is strict
+    padded), so the materialized values, the harvested stats and any
+    pruning bound all live in the same raw-string space — reads and
+    string pruning stay exact, nothing silently mis-prunes. (The
+    _pval_stat date branch additionally NORMALIZES to padded ISO as
+    defense for any inference that does yield DateType for loose
+    input — pinned directly below.)"""
+    import datetime
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "dlake")
+    for d, ks in [("2024-1-2", [1, 2]), ("2024-11-20", [3])]:
+        leaf = _os.path.join(src, f"dt={d}")
+        _os.makedirs(leaf)
+        pq.write_table(
+            pa.table({"k": pa.array(ks, pa.int64())}),
+            _os.path.join(leaf, "part-0.parquet"),
+        )
+    V.convert_to_versioned(
+        spark, root, src, stats_cols=["k"], partition_cols=["dt"])
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes)["dt"] == "string"
+    assert got.where("dt = '2024-1-2'").count() == 2
+    p = V.read_version(
+        spark, root, key_range=("2024-1-2", "2024-1-2"), key_col="dt")
+    assert p.count() == 2 and len(p.inputFiles()) == 1
+    # the defensive normalization: a DateType partition value parses
+    # non-padded input into _stat_jsonable's padded ISO form
+    assert V._pval_stat(T.DateType(), "2024-1-2") == "2024-01-02"
+    assert V._pval_stat(T.DateType(), "garbage") is None

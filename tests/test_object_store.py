@@ -584,3 +584,24 @@ def test_shallow_clone_from_object_store(spark, s3_server, tmp_path,
     V.vacuum(spark, cl, keep_last=1, min_staging_age_s=0.0)
     assert _keys(client, bucket, "tbl/") == keys_before
     assert V.describe_detail(spark, cl)["foreign_files"] == 2
+
+
+def test_arrow_fs_preserves_special_char_object_paths(s3_server):
+    """_arrow_fs must address object keys RAW: running the full URI
+    through FileSystem.from_uri would percent-decode hive-escaped
+    segments (tag=a%3Ab -> tag=a:b reads the wrong key) and reject
+    literal spaces (review finding r14). The fs comes from the bucket
+    root; the path is appended untouched."""
+    from amadeus_spark.operators.versioned import _arrow_fs
+
+    port = s3_server
+    client = _client(port)
+    bucket = "special-key-bucket"
+    client.create_bucket(Bucket=bucket)
+    q = f"?endpoint_override=127.0.0.1:{port}&scheme=http&region=us-east-1"
+    keys = ["lake/tag=a b/f.parquet", "lake/tag=a%3Ab/f.parquet"]
+    for i, key in enumerate(keys):
+        client.put_object(Bucket=bucket, Key=key, Body=f"body{i}".encode())
+    for i, key in enumerate(keys):
+        fs, rel = _arrow_fs(f"s3://{KEY_ID}:{SECRET}@{bucket}/{key}{q}")
+        assert fs.open_input_stream(rel).read() == f"body{i}".encode()

@@ -2715,3 +2715,41 @@ def test_check_gate_skips_passthrough_rows(spark):
     chained = V._enforce_constraints(bad, {"nonneg": "val >= 0"}, gate="ch")
     with pytest.raises(Exception, match="CHECK constraint 'nonneg'"):
         chained.collect()
+
+
+def test_check_enforcement_dv_merge_chains_postimages_only(
+    spark, root, monkeypatch
+):
+    """DV-mode merge: only the post-image frame chains (plainly) — the
+    rewrite-mode gated chain must not be built for a frame dv mode
+    discards (review finding r14)."""
+    calls = []
+    orig = V._enforce_constraints
+
+    def counting(df, constraints, gate=None):
+        calls.append(gate)
+        return orig(df, constraints, gate)
+
+    monkeypatch.setattr(V, "_enforce_constraints", counting)
+    V.commit_append(
+        spark, root,
+        spark.range(20).selectExpr("id AS k", "id * 2 AS val").coalesce(1),
+        ["k"],
+    )
+    V.set_check_constraint(spark, root, "nonneg", "val >= 0")
+    calls.clear()
+    src = spark.createDataFrame([(2, 5)], "k bigint, v bigint")
+    V.commit_merge(
+        spark, root, src, "k", mode="dv",
+        matched=[{"action": "update", "set": {"val": "s.v"}}],
+    )
+    assert calls == [None]
+    assert V.read_version(spark, root).where("k = 2").collect()[0][
+        "val"] == 5
+    # and the constraint still bites on a violating dv-mode post-image
+    bad = spark.createDataFrame([(3, -9)], "k bigint, v bigint")
+    with pytest.raises(Exception, match="CHECK constraint 'nonneg'"):
+        V.commit_merge(
+            spark, root, bad, "k", mode="dv",
+            matched=[{"action": "update", "set": {"val": "s.v"}}],
+        )
