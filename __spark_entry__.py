@@ -4225,6 +4225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props": q_variant_props,
         "weighted_sample": q_weighted_sample,
         # ---- below the 50-entry gate ----
+        # NEW r14, queued FIRST for the r15 rotation (the convert_clone pattern)
+        "alter_schema": q_alter_schema,
         "column_mapping": q_column_mapping,
         "schema_evolution": q_schema_evolution,
         "dv_debt_purge": q_dv_debt_purge,
@@ -5070,6 +5072,116 @@ def _shallow_clone_oracle() -> str:
     """
 
 
+#: alter_schema shared constants (iron rule 7)
+_AS_VAL = "CAST(p_retailprice * 100 AS INT)"
+_AS_UPK = "k % 7 = 1"
+_AS_BIG = "CAST(k AS BIGINT) * 1099511627776"  # 2^40: needs the widening
+
+
+def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metadata-only ALTER family end-to-end (operators/versioned.py
+    add_column/widen_column_type, new r14): a table born with an INT
+    value column gains a string column (ADD COLUMN — old rows
+    NULL-backfill through the manifest schema, zero rewrites) and
+    widens the value to BIGINT (type widening — old narrow files read
+    upcast, no rewrite), then an upsert lands values above 2^31 that
+    only exist BECAUSE of the widening. Output = per-group aggregates
+    over the mixed-vintage files plus meta rows pinning that both
+    ALTERs moved zero data files and that time travel still serves the
+    pre-ALTER schema. Oracle reconstructs the final state relationally.
+    Materializes eagerly BY NATURE (commits are actions)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    part = _t(spark, sf_dir, "part")
+    tmp = tempfile.mkdtemp(prefix="amadeus_as_")
+    try:
+        root = os.path.join(tmp, "vt")
+        base = part.selectExpr(
+            "CAST(p_partkey AS INT) AS k", f"{_AS_VAL} AS val"
+        )
+        V.commit_append(spark, root, base.repartitionByRange(3, "k"),
+                        ["k"])
+        V.add_column(spark, root, "tag", "string")
+        V.widen_column_type(spark, root, "val", "bigint")
+        ups = part.selectExpr(
+            "CAST(p_partkey AS INT) AS k",
+            f"{_AS_BIG} AS val",
+            "p_brand AS tag",
+        ).where(_AS_UPK)
+        V.commit_upsert(spark, root, ups, "k")
+        grp5 = F.expr("CAST(k % 5 AS STRING)").alias("grp")
+        rows = (
+            V.read_version(spark, root)
+            .groupBy(grp5)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("val").cast("bigint").alias("sum_val"),
+                F.count("tag").alias("n_tagged"),
+            )
+            .select(F.lit("agg").alias("section"), "grp", "n_rows",
+                    "sum_val", "n_tagged")
+            .collect()
+        )
+        # both ALTERs are metadata-only: zero files moved
+        h = {r["version"]: r for r in V.history(spark, root)}
+        rows.append((
+            "meta", "alters_moved_zero_files",
+            h[1]["files_added"] + h[2]["files_added"]
+            + h[1]["files_relinked"] + h[2]["files_relinked"],
+            0, 0,
+        ))
+        # time travel serves the pre-ALTER shape: 2 narrow columns
+        v0 = V.read_version(spark, root, 0)
+        rows.append((
+            "meta", "v0_schema",
+            len(v0.columns),
+            1 if dict(v0.dtypes)["val"] == "int" else 0,
+            0,
+        ))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "section string, grp string, n_rows bigint, sum_val bigint, "
+        "n_tagged bigint",
+    )
+
+
+def _alter_schema_oracle() -> str:
+    """DuckDB twin of q_alter_schema — the final state is the upsert
+    replacement over the NULL-tagged widened base; meta rows are
+    pinned literals."""
+    return f"""
+        WITH base AS (
+            SELECT CAST(p_partkey AS INTEGER) AS k,
+                   CAST({_AS_VAL.replace('AS INT', 'AS INTEGER')} AS BIGINT) AS val,
+                   CAST(NULL AS VARCHAR) AS tag
+            FROM part
+        ), ups AS (
+            SELECT CAST(p_partkey AS INTEGER) AS k,
+                   {_AS_BIG} AS val, p_brand AS tag
+            FROM part WHERE CAST(p_partkey AS INTEGER) % 7 = 1
+        ), final AS (
+            SELECT k, val, tag FROM ups
+            UNION ALL
+            SELECT b.k, b.val, b.tag FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.k = b.k)
+        )
+        SELECT 'agg' AS section, CAST(k % 5 AS VARCHAR) AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(val) AS BIGINT) AS sum_val,
+               CAST(COUNT(tag) AS BIGINT) AS n_tagged
+        FROM final GROUP BY 2
+        UNION ALL
+        SELECT 'meta', 'alters_moved_zero_files', 0, 0, 0
+        UNION ALL
+        SELECT 'meta', 'v0_schema', 2, 1, 0
+    """
+
+
 #: dv_debt_purge golden literals — computed by INDEPENDENT arithmetic
 #: over the deterministic range build (media_golden discipline: the
 #: replay never runs the code under test). State groups: keys in
@@ -5635,6 +5747,7 @@ def oracle_sql() -> dict[str, str]:
         "column_mapping": _column_mapping_oracle(),
         "convert_clone": _convert_clone_oracle(),
         "hive_convert": _hive_convert_oracle(),
+        "alter_schema": _alter_schema_oracle(),
         "shallow_clone": _shallow_clone_oracle(),
         "dv_debt_purge": _DVD_ORACLE,
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),

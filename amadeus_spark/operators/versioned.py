@@ -4133,6 +4133,131 @@ def drop_column(spark: SparkSession, root: str, name: str) -> int:
     )
 
 
+def add_column(
+    spark: SparkSession, root: str, name: str, dtype: str
+) -> int:
+    """ADD COLUMN as a METADATA-ONLY commit (Delta's ``ALTER TABLE ...
+    ADD COLUMNS``): the schema widens by one nullable column; existing
+    files never carry it and read NULL through the manifest schema —
+    zero data rewrites on a 100 TB table. On a mapped table (or when
+    the name was previously dropped) the new column gets a fresh
+    physical name so it can never resurrect tombstoned values out of
+    carried files. ``dtype`` is a Spark DDL type string ("bigint",
+    "array<double>", ...). Returns the new version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    schema = _manifest_schema(seg)
+    if schema is None:
+        raise ValueError(f"{root}: pre-schema table cannot add columns")
+    names = [f.name for f in schema.fields]
+    if name in names:
+        raise ValueError(f"column {name!r} already exists (columns: {names})")
+    _check_reserved([name], "add_column", prefix=True)
+    new_type = _st.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
+    mapping = _col_mapping(seg)
+    tomb = list(seg.get("dropped_physical", []))
+    used_phys = {mapping.get(n, n) for n in names}
+    extra: dict = {"added": {"column": name, "type": dtype}}
+    if name in used_phys or name in tomb:
+        mapping[name] = f"{name}_{uuid.uuid4().hex[:8]}"
+    if mapping:
+        extra["column_mapping"] = mapping
+        extra["dropped_physical"] = tomb
+    widened = _st.StructType(
+        list(schema.fields) + [_st.StructField(name, new_type, True)]
+    )
+    return _commit(
+        spark, root, None, "add_column", seg["stats_cols"],
+        prev=seg, extra=extra, schema_json_override=widened.json(),
+    )
+
+
+#: lossless type-widening matrix (Delta type widening, restricted to
+#: pairs whose MANIFEST-STATS collation space stays compatible: int
+#: stats compare numerically against double bounds, so numeric
+#: widenings prune correctly on old entries; date→timestamp is
+#: EXCLUDED — date stats are ISO-day strings that misorder against
+#: timestamp bounds and would silently mis-prune old files)
+_WIDEN_OK: dict[type, tuple[type, ...]] = {}
+
+
+def _widen_matrix():
+    if not _WIDEN_OK:
+        _WIDEN_OK.update(
+            {
+                _st.ByteType: (
+                    _st.ShortType, _st.IntegerType, _st.LongType,
+                    _st.DoubleType,
+                ),
+                _st.ShortType: (
+                    _st.IntegerType, _st.LongType, _st.DoubleType,
+                ),
+                _st.IntegerType: (_st.LongType, _st.DoubleType),
+                _st.FloatType: (_st.DoubleType,),
+            }
+        )
+    return _WIDEN_OK
+
+
+def widen_column_type(
+    spark: SparkSession, root: str, name: str, dtype: str
+) -> int:
+    """TYPE WIDENING as a METADATA-ONLY commit (Delta's type widening):
+    the column's declared type widens losslessly (byte→short→int→long,
+    byte/short/int→double, float→double); existing parquet files stay
+    untouched — Spark's scan upcasts their narrower physical type
+    through the manifest schema — and later writes land in the wide
+    type. Stats keep pruning correctly: old integer min/max compare
+    numerically against widened bounds. Narrowing or lossy pairs
+    (long→double truncates above 2^53; date→timestamp would misorder
+    the stats collation space) are refused. Returns the new version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    schema = _manifest_schema(seg)
+    if schema is None:
+        raise ValueError(f"{root}: pre-schema table cannot widen columns")
+    names = [f.name for f in schema.fields]
+    if name not in names:
+        raise ValueError(f"no column {name!r} (columns: {names})")
+    new_type = _st.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
+    old_type = schema[name].dataType
+    if type(new_type) is type(old_type):
+        return cur  # no-op: already that type
+    allowed = _widen_matrix().get(type(old_type), ())
+    if not isinstance(new_type, allowed):
+        raise ValueError(
+            f"cannot widen {name!r} from {old_type.simpleString()} to "
+            f"{new_type.simpleString()} — lossless widenings only: "
+            "byte→short→int→long, byte/short/int→double, float→double"
+        )
+    widened = _st.StructType(
+        [
+            _st.StructField(
+                f.name,
+                new_type if f.name == name else f.dataType,
+                f.nullable,
+            )
+            for f in schema.fields
+        ]
+    )
+    return _commit(
+        spark, root, None, "widen_type", seg["stats_cols"],
+        prev=seg,
+        extra={
+            "widened": {
+                "column": name,
+                "from": old_type.simpleString(),
+                "to": new_type.simpleString(),
+            }
+        },
+        schema_json_override=widened.json(),
+    )
+
+
 def _adopt_files(srcs: list[str], commit_dir: str) -> None:
     """Bring existing parquet files under a table's staging dir with
     ZERO data movement where the filesystem allows it: ``os.link`` on

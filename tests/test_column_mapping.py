@@ -349,3 +349,108 @@ def test_zorder_after_rename_translates_stats_cols(spark, root):
     assert df.count() >= 41  # every matching row present (file-level skip)
     got = {r["k"] for r in df.where("score <= 40").collect()}
     assert got == {k for k in range(200) if (k * 37) % 200 <= 40}
+
+
+# ------------------------------------------------- ALTER family (r14):
+# ADD COLUMN and TYPE WIDENING as metadata-only commits.
+
+
+def test_add_column_metadata_only(spark, root):
+    V.commit_append(
+        spark, root,
+        spark.range(10).selectExpr("id AS k", "id * 2 AS val").coalesce(1),
+        ["k"],
+    )
+    v = V.add_column(spark, root, "tag", "string")
+    assert v == 1
+    h = {r["version"]: r for r in V.history(spark, root)}
+    assert h[1]["op"] == "add_column" and h[1]["files_added"] == 0
+    got = V.read_version(spark, root)
+    assert got.columns == ["k", "val", "tag"]
+    assert got.where("tag IS NULL").count() == 10  # NULL-backfilled
+    # writes through the widened schema; old rows stay NULL
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(100, 1, "x")],
+                              "k bigint, val bigint, tag string"))
+    vals = {r["k"]: r["tag"] for r in V.read_version(spark, root).collect()}
+    assert vals[100] == "x" and vals[0] is None
+    # time travel serves the pre-add schema
+    assert V.read_version(spark, root, 0).columns == ["k", "val"]
+    with pytest.raises(ValueError, match="already exists"):
+        V.add_column(spark, root, "tag", "string")
+
+
+def test_add_column_after_drop_gets_fresh_physical(spark, root):
+    V.commit_append(
+        spark, root,
+        spark.range(5).selectExpr("id AS k", "id * 7 AS val").coalesce(1),
+        ["k"],
+    )
+    V.drop_column(spark, root, "val")
+    v = V.add_column(spark, root, "val", "bigint")
+    man = V._read_manifest(spark, root, v)
+    # fresh physical: never resurrects the tombstoned values
+    assert man["column_mapping"]["val"] != "val"
+    assert "val" in man["dropped_physical"]
+    got = V.read_version(spark, root)
+    assert got.where("val IS NULL").count() == 5  # old values stay gone
+    # and it is writable under the new physical
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(2, 99)], "k bigint, val bigint"), "k")
+    vals = {r["k"]: r["val"] for r in V.read_version(spark, root).collect()}
+    assert vals[2] == 99 and vals[3] is None
+
+
+def test_widen_column_type_lifecycle(spark, root):
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, val int")
+        .coalesce(1),
+        ["k"],
+    )
+    v = V.widen_column_type(spark, root, "val", "bigint")
+    assert v == 1
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes)["val"] == "bigint"
+    # old narrow files read upcast; new wide values land
+    big = 1 << 40
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(3, big)], "k int, val bigint")
+        .coalesce(1))
+    assert V.read_version(spark, root).where(f"val = {big}").count() == 1
+    # pruning on the INT-statted key survives widened bounds
+    V.widen_column_type(spark, root, "k", "bigint")
+    p = V.read_version(spark, root, key_range=(3, 3), key_col="k")
+    assert p.count() == 1 and len(p.inputFiles()) == 1
+    # time travel serves the narrow schema
+    assert dict(V.read_version(spark, root, 0).dtypes)["val"] == "int"
+    # CDF spans the widening: types unify on the wide side
+    ch = V.table_changes(spark, root, 0)
+    assert ch.where("_change_type = 'insert'").count() == 3
+    # no-op and refusals
+    assert V.widen_column_type(spark, root, "val", "bigint") == 3
+    for bad in [("val", "int"), ("val", "string"), ("val", "double")]:
+        with pytest.raises(ValueError, match="lossless widenings only"):
+            V.widen_column_type(spark, root, *bad)
+    h = V.history(spark, root)
+    assert [r["op"] for r in h][:2] == ["append", "widen_type"]
+
+
+def test_widen_float_and_small_ints(spark, root):
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 1.5, 7)],
+            "k bigint, f float, b tinyint",
+        ).coalesce(1),
+        ["k"],
+    )
+    V.widen_column_type(spark, root, "f", "double")
+    V.widen_column_type(spark, root, "b", "int")
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes) == {"k": "bigint", "f": "double", "b": "int"}
+    r = got.collect()[0]
+    assert r["f"] == 1.5 and r["b"] == 7
