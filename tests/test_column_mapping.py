@@ -454,3 +454,28 @@ def test_widen_float_and_small_ints(spark, root):
     assert dict(got.dtypes) == {"k": "bigint", "f": "double", "b": "int"}
     r = got.collect()[0]
     assert r["f"] == 1.5 and r["b"] == 7
+
+
+def test_widen_after_rename_through_mapping(spark, root):
+    """Widening a RENAMED column: the logical schema widens while the
+    frozen physical name keeps serving the old narrow files through
+    the mapping."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1, 10)], "k int, val int").coalesce(1),
+        ["k"],
+    )
+    V.rename_column(spark, root, "val", "score")
+    V.widen_column_type(spark, root, "score", "bigint")
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes)["score"] == "bigint"
+    assert got.collect()[0]["score"] == 10
+    big = 1 << 40
+    V.commit_upsert(
+        spark, root,
+        spark.createDataFrame([(2, big)], "k int, score bigint"), "k")
+    vals = {r["k"]: r["score"] for r in V.read_version(spark, root).collect()}
+    assert vals == {1: 10, 2: big}
+    # physical name stayed frozen through both ALTERs
+    assert V.describe_detail(spark, root)["column_mapping"] == {
+        "score": "val"}
