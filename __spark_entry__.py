@@ -5072,10 +5072,14 @@ def _shallow_clone_oracle() -> str:
     """
 
 
-#: alter_schema shared constants (iron rule 7)
-_AS_VAL = "CAST(p_retailprice * 100 AS INT)"
+#: alter_schema shared constants (iron rule 7: every fragment feeds
+#: BOTH dialects). ROUND before the int cast — Spark CAST truncates
+#: where DuckDB rounds, and two-decimal prices sit on x.999... doubles.
+#: 2^32 needs the widening (> int32 max) while keeping per-group sums
+#: ~3.7x under the int64 cap even at sf1.
+_AS_VAL = "CAST(ROUND(p_retailprice * 100) AS INT)"
 _AS_UPK = "k % 7 = 1"
-_AS_BIG = "CAST(k AS BIGINT) * 1099511627776"  # 2^40: needs the widening
+_AS_BIG = "CAST(k AS BIGINT) * 4294967296"
 
 
 def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5161,9 +5165,11 @@ def _alter_schema_oracle() -> str:
                    CAST(NULL AS VARCHAR) AS tag
             FROM part
         ), ups AS (
-            SELECT CAST(p_partkey AS INTEGER) AS k,
-                   {_AS_BIG} AS val, p_brand AS tag
-            FROM part WHERE CAST(p_partkey AS INTEGER) % 7 = 1
+            SELECT k, {_AS_BIG} AS val, tag
+            FROM (
+                SELECT CAST(p_partkey AS INTEGER) AS k, p_brand AS tag
+                FROM part
+            ) WHERE {_AS_UPK}
         ), final AS (
             SELECT k, val, tag FROM ups
             UNION ALL

@@ -4062,7 +4062,9 @@ def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
     names = [f.name for f in schema.fields]
     if old not in names:
         raise ValueError(f"no column {old!r} (columns: {names})")
-    if new in names:
+    # case-INSENSITIVE: 'VAL' over 'val' would go ambiguous under
+    # Spark's default case-insensitive resolution
+    if new.lower() in {n.lower() for n in names if n != old}:
         raise ValueError(f"column {new!r} already exists (columns: {names})")
     _check_reserved([new], "rename target", prefix=True)
     _check_constraint_refs(dict(seg.get("constraints", {})), old, "rename")
@@ -4152,7 +4154,10 @@ def add_column(
     if schema is None:
         raise ValueError(f"{root}: pre-schema table cannot add columns")
     names = [f.name for f in schema.fields]
-    if name in names:
+    # case-INSENSITIVE duplicate check: Spark resolution is
+    # case-insensitive by default, so committing both 'val' and 'VAL'
+    # would make every later reference AMBIGUOUS_REFERENCE — brick
+    if name.lower() in {n.lower() for n in names}:
         raise ValueError(f"column {name!r} already exists (columns: {names})")
     _check_reserved([name], "add_column", prefix=True)
     new_type = _st.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
@@ -4180,25 +4185,14 @@ def add_column(
 #: widenings prune correctly on old entries; date→timestamp is
 #: EXCLUDED — date stats are ISO-day strings that misorder against
 #: timestamp bounds and would silently mis-prune old files)
-_WIDEN_OK: dict[type, tuple[type, ...]] = {}
-
-
-def _widen_matrix():
-    if not _WIDEN_OK:
-        _WIDEN_OK.update(
-            {
-                _st.ByteType: (
-                    _st.ShortType, _st.IntegerType, _st.LongType,
-                    _st.DoubleType,
-                ),
-                _st.ShortType: (
-                    _st.IntegerType, _st.LongType, _st.DoubleType,
-                ),
-                _st.IntegerType: (_st.LongType, _st.DoubleType),
-                _st.FloatType: (_st.DoubleType,),
-            }
-        )
-    return _WIDEN_OK
+_WIDEN_OK: dict[type, tuple[type, ...]] = {
+    _st.ByteType: (
+        _st.ShortType, _st.IntegerType, _st.LongType, _st.DoubleType,
+    ),
+    _st.ShortType: (_st.IntegerType, _st.LongType, _st.DoubleType),
+    _st.IntegerType: (_st.LongType, _st.DoubleType),
+    _st.FloatType: (_st.DoubleType,),
+}
 
 
 def widen_column_type(
@@ -4227,7 +4221,7 @@ def widen_column_type(
     old_type = schema[name].dataType
     if type(new_type) is type(old_type):
         return cur  # no-op: already that type
-    allowed = _widen_matrix().get(type(old_type), ())
+    allowed = _WIDEN_OK.get(type(old_type), ())
     if not isinstance(new_type, allowed):
         raise ValueError(
             f"cannot widen {name!r} from {old_type.simpleString()} to "

@@ -479,3 +479,23 @@ def test_widen_after_rename_through_mapping(spark, root):
     # physical name stayed frozen through both ALTERs
     assert V.describe_detail(spark, root)["column_mapping"] == {
         "score": "val"}
+
+
+def test_alter_duplicate_checks_are_case_insensitive(spark, root):
+    """Spark resolution is case-insensitive by default: committing both
+    'val' and 'VAL' would make every later reference ambiguous (review
+    finding r14) — add/rename refuse case-variant duplicates."""
+    V.commit_append(
+        spark, root,
+        spark.range(3).selectExpr("id AS k", "id AS val").coalesce(1),
+        ["k"],
+    )
+    with pytest.raises(ValueError, match="already exists"):
+        V.add_column(spark, root, "VAL", "string")
+    with pytest.raises(ValueError, match="already exists"):
+        V.rename_column(spark, root, "val", "K")
+    # a case-only rename of the SAME column is legitimate
+    V.rename_column(spark, root, "val", "VAL")
+    got = V.read_version(spark, root)
+    assert got.columns == ["k", "VAL"]
+    assert got.where("VAL = 2").count() == 1
