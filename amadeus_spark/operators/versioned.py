@@ -521,11 +521,23 @@ def _evolve_schema(prev_json: str | None, new_struct) -> str:
         if pf is not None and (
             pf.dataType.simpleString() != f.dataType.simpleString()
         ):
+            # a frame NARROWER than a widened table is fine: the files
+            # land narrow and read upcast through the wide manifest
+            # schema — exactly the type-widening read contract (old
+            # writers keep working after widen_column_type)
+            if type(pf.dataType) in _WIDEN_OK.get(type(f.dataType), ()):
+                continue
+            wider = type(f.dataType) in _WIDEN_OK.get(type(pf.dataType), ())
             raise ValueError(
                 f"type change for column {f.name!r}: table has "
                 f"{pf.dataType.simpleString()}, commit has "
-                f"{f.dataType.simpleString()} — versioned tables only "
-                "ADD columns; rewrite into a new table to retype"
+                f"{f.dataType.simpleString()} — "
+                + (
+                    "run widen_column_type first (lossless widening)"
+                    if wider
+                    else "versioned tables only ADD columns; rewrite "
+                    "into a new table to retype"
+                )
             )
     merged = list(prev_struct.fields) + [
         f for f in new_struct.fields if f.name not in prev_by_name

@@ -499,3 +499,33 @@ def test_alter_duplicate_checks_are_case_insensitive(spark, root):
     got = V.read_version(spark, root)
     assert got.columns == ["k", "VAL"]
     assert got.where("VAL = 2").count() == 1
+
+
+def test_widened_table_accepts_narrow_writers(spark, root):
+    """After widen_column_type, OLD writers still committing the narrow
+    type keep working: their files land narrow and read upcast through
+    the wide manifest schema (the widening read contract). A frame
+    WIDER than the table still raises, pointing at widen_column_type."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(1, 10)], "k int, val int").coalesce(1),
+        ["k"],
+    )
+    V.widen_column_type(spark, root, "val", "bigint")
+    # narrow-typed writer: accepted, schema stays wide
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame([(2, 20)], "k int, val int").coalesce(1))
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes)["val"] == "bigint"
+    assert {r["val"] for r in got.collect()} == {10, 20}
+    # wider-than-table frame: refused with the widening hint
+    with pytest.raises(ValueError, match="widen_column_type"):
+        V.commit_append(
+            spark, root,
+            spark.createDataFrame([(3, 3)], "k bigint, val bigint"))
+    # a non-widening retype still gets the hard refusal
+    with pytest.raises(ValueError, match="only ADD columns"):
+        V.commit_append(
+            spark, root,
+            spark.createDataFrame([(3, "x")], "k int, val string"))
