@@ -524,10 +524,11 @@ def _evolve_schema(prev_json: str | None, new_struct) -> str:
             # a frame NARROWER than a widened table is fine: the files
             # land narrow and read upcast through the wide manifest
             # schema — exactly the type-widening read contract (old
-            # writers keep working after widen_column_type)
-            if type(pf.dataType) in _WIDEN_OK.get(type(f.dataType), ()):
+            # writers keep working after widen_column_type; nested and
+            # decimal positions widen by the same recursion)
+            if _widen_allowed(f.dataType, pf.dataType):
                 continue
-            wider = type(f.dataType) in _WIDEN_OK.get(type(pf.dataType), ())
+            wider = _widen_allowed(pf.dataType, f.dataType)
             raise ValueError(
                 f"type change for column {f.name!r}: table has "
                 f"{pf.dataType.simpleString()}, commit has "
@@ -3601,6 +3602,13 @@ def vacuum(
     DV or data file is touched, and the checkpoint-before-truncation
     write is skipped too (a dry run must not mutate the log).
 
+    SHALLOW-CLONE hazard (Delta has the identical one): a shallow
+    clone made FROM this table references this table's data files by
+    absolute URI, and this table has no registry of its clones — a
+    vacuum here can delete files a clone still reads. Before retiring
+    or aggressively vacuuming a table that may have been shallow-
+    cloned, run ``optimize`` on each clone to localize its files.
+
     ``min_staging_age_s`` is the IN-FLIGHT-WRITER grace window: a
     writer stages its data/change-feed/deletion-vector directories
     BEFORE the manifest CAS (and a re-basing CAS loser holds them
@@ -3676,7 +3684,23 @@ def vacuum(
             fs.delete(jp, recursive)
 
     grace_ms = max(0.0, min_staging_age_s) * 1000.0
+    # Age in the STORE's clock domain: driver wall-clock compared
+    # against object-store mtimes silently SHRINKS the grace window
+    # when the store clock runs behind the driver (the dangerous
+    # direction — an in-flight writer's fresh dir reads as skew-old).
+    # The current manifest's own store mtime is a store-side "recent
+    # now": store-mtime vs store-mtime is skew-proof, and on a quiet
+    # table it only UNDERSTATES orphan age (conservative — the orphan
+    # waits for the next commit or an explicit min_staging_age_s=0).
     now_ms = _time.time() * 1000.0
+    try:
+        _man_ms = fs.getFileStatus(
+            _jpath(spark, f"{root}/{MANIFEST_DIR}/v{cur}.json")
+        ).getModificationTime()
+        if _man_ms > 0:
+            now_ms = _man_ms
+    except Exception:
+        pass  # checkpointed-away manifest / exotic store: driver clock
 
     def _settled(jp) -> bool:
         """Is this UNREFERENCED dir past the in-flight grace window?
@@ -3686,7 +3710,11 @@ def vacuum(
         implausible dir mtime falls back to the NEWEST object under
         the prefix — real objects carry real mtimes. Stat failures
         and empty prefixes read as in-flight (skip) — the
-        conservative direction."""
+        conservative direction. KNOWN LEAK, accepted: an EMPTY
+        object-store prefix with a persistent dir marker (no objects
+        to age it) is never reclaimed by a graced vacuum — it holds
+        zero data bytes; a quiesced `min_staging_age_s=0` run clears
+        it."""
         if grace_ms <= 0:
             return True
         try:
@@ -4072,8 +4100,7 @@ def rename_column(spark: SparkSession, root: str, old: str, new: str) -> int:
     if schema is None:
         raise ValueError(f"{root}: pre-schema table cannot rename columns")
     names = [f.name for f in schema.fields]
-    if old not in names:
-        raise ValueError(f"no column {old!r} (columns: {names})")
+    old = _resolve_col(names, old, "rename_column")
     # case-INSENSITIVE: 'VAL' over 'val' would go ambiguous under
     # Spark's default case-insensitive resolution
     if new.lower() in {n.lower() for n in names if n != old}:
@@ -4120,8 +4147,7 @@ def drop_column(spark: SparkSession, root: str, name: str) -> int:
     if schema is None:
         raise ValueError(f"{root}: pre-schema table cannot drop columns")
     names = [f.name for f in schema.fields]
-    if name not in names:
-        raise ValueError(f"no column {name!r} (columns: {names})")
+    name = _resolve_col(names, name, "drop_column")
     if len(names) == 1:
         raise ValueError("cannot drop the table's only column")
     _check_constraint_refs(dict(seg.get("constraints", {})), name, "drop")
@@ -4207,18 +4233,79 @@ _WIDEN_OK: dict[type, tuple[type, ...]] = {
 }
 
 
+def _widen_allowed(old, new) -> bool:
+    """Is ``new`` a LOSSLESS widening of ``old`` (equal counts)? The
+    scalar matrix above, recursed into every NESTED position — array
+    elements, map VALUES, struct fields — because Spark's parquet scan
+    upcasts nested leaf types through the declared read schema exactly
+    like top-level ones (probe-verified: array<int> files read as
+    array<long>, struct field float as double). The stats-collation
+    audit that restricts the scalar matrix is VACUOUS below top level:
+    :func:`_file_entries` matches stats by top-level leaf path only, so
+    nested columns never carry manifest stats and no pruning decision
+    can misorder. Map KEYS are frozen (key equality drives lookup/join
+    semantics; Delta freezes them too). Decimal widens to any
+    ``decimal(p2,s2)`` with ``s2 >= s`` and ``p2-s2 >= p-s`` (integer
+    digits never shrink — every representable value carries over
+    exactly; decimal footer stats are Decimal objects
+    :func:`_stat_jsonable` already refuses, so decimal columns carry
+    no manifest stats and the collation space is untouched)."""
+    if old.simpleString() == new.simpleString():
+        return True
+    if isinstance(old, _st.ArrayType) and isinstance(new, _st.ArrayType):
+        return _widen_allowed(old.elementType, new.elementType)
+    if isinstance(old, _st.MapType) and isinstance(new, _st.MapType):
+        return (
+            old.keyType.simpleString() == new.keyType.simpleString()
+            and _widen_allowed(old.valueType, new.valueType)
+        )
+    if isinstance(old, _st.StructType) and isinstance(new, _st.StructType):
+        return len(old.fields) == len(new.fields) and all(
+            of.name == nf.name and _widen_allowed(of.dataType, nf.dataType)
+            for of, nf in zip(old.fields, new.fields)
+        )
+    if isinstance(old, _st.DecimalType) and isinstance(new, _st.DecimalType):
+        return new.scale >= old.scale and (
+            new.precision - new.scale >= old.precision - old.scale
+        )
+    return type(new) in _WIDEN_OK.get(type(old), ())
+
+
+def _resolve_col(names: list[str], name: str, what: str) -> str:
+    """Resolve ``name`` against the schema CASE-INSENSITIVELY — Spark's
+    default resolution is, so an ALTER addressed as 'Val' must find the
+    column every read and write already resolves as 'val'. Returns the
+    schema's actual spelling; raises on absent (the add/rename dup
+    checks guarantee at most one case-insensitive match exists)."""
+    hits = [n for n in names if n.lower() == name.lower()]
+    if not hits:
+        raise ValueError(f"{what}: no column {name!r} (columns: {names})")
+    return hits[0]
+
+
 def widen_column_type(
     spark: SparkSession, root: str, name: str, dtype: str
 ) -> int:
     """TYPE WIDENING as a METADATA-ONLY commit (Delta's type widening):
     the column's declared type widens losslessly (byte→short→int→long,
-    byte/short/int→double, float→double); existing parquet files stay
-    untouched — Spark's scan upcasts their narrower physical type
-    through the manifest schema — and later writes land in the wide
-    type. Stats keep pruning correctly: old integer min/max compare
-    numerically against widened bounds. Narrowing or lossy pairs
-    (long→double truncates above 2^53; date→timestamp would misorder
-    the stats collation space) are refused. Returns the new version."""
+    byte/short/int→double, float→double, ``decimal(p,s)`` to any
+    decimal whose scale and integer-digit count both grow-or-hold —
+    and the SAME pairs at any NESTED position: ``array<int>`` →
+    ``array<long>``, map VALUE types, struct fields, recursively);
+    existing parquet files stay untouched — Spark's scan upcasts their
+    narrower physical type through the manifest schema, nested leaves
+    included — and later writes land in the wide type. Stats keep
+    pruning correctly: old integer min/max compare numerically against
+    widened bounds; nested and decimal columns carry no manifest stats
+    at all, so no pruning decision rides on those positions. Narrowing
+    or lossy pairs (long→double truncates above 2^53; date→timestamp
+    would misorder the stats collation space), map KEY changes (key
+    equality is lookup semantics — frozen, as in Delta), and struct
+    field add/remove/reorder are refused. ``name`` resolves
+    case-insensitively, matching Spark's resolution. NO-OP (returns the
+    CURRENT version, no commit — callers chaining ``history()`` by
+    returned version should compare against ``current_version`` first)
+    when the column already has exactly the requested type."""
     cur = current_version(spark, root)
     if cur < 0:
         raise FileNotFoundError(f"no versioned table at {root}")
@@ -4227,18 +4314,30 @@ def widen_column_type(
     if schema is None:
         raise ValueError(f"{root}: pre-schema table cannot widen columns")
     names = [f.name for f in schema.fields]
-    if name not in names:
-        raise ValueError(f"no column {name!r} (columns: {names})")
+    name = _resolve_col(names, name, "widen_column_type")
     new_type = _st.StructType.fromDDL(f"`{name}` {dtype}")[name].dataType
     old_type = schema[name].dataType
-    if type(new_type) is type(old_type):
-        return cur  # no-op: already that type
-    allowed = _WIDEN_OK.get(type(old_type), ())
-    if not isinstance(new_type, allowed):
+    if old_type.simpleString() == new_type.simpleString():
+        return cur  # no-op: already that type (no commit is written)
+    if not _widen_allowed(old_type, new_type):
+        key_change = (
+            isinstance(old_type, _st.MapType)
+            and isinstance(new_type, _st.MapType)
+            and old_type.keyType.simpleString()
+            != new_type.keyType.simpleString()
+        )
         raise ValueError(
             f"cannot widen {name!r} from {old_type.simpleString()} to "
-            f"{new_type.simpleString()} — lossless widenings only: "
-            "byte→short→int→long, byte/short/int→double, float→double"
+            f"{new_type.simpleString()} — "
+            + (
+                "map KEY types are frozen (key equality is lookup/join "
+                "semantics); widen the VALUE type only"
+                if key_change
+                else "lossless widenings only: byte→short→int→long, "
+                "byte/short/int→double, float→double, decimal scale/"
+                "precision growth, and the same pairs inside array "
+                "elements, map values and struct fields"
+            )
         )
     widened = _st.StructType(
         [
@@ -4557,6 +4656,19 @@ def clone_table(
     staged_dirs: list[str] = []
     staged_dv: list[str] = []
     if shallow:
+        # surface the shared-fate caveat AT CREATION — the source has
+        # no registry of its clones, so this is the one moment both
+        # sides are in hand to say it (the source's vacuum docstring
+        # carries the mirror warning)
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"shallow clone {dst_root} references {src_root}'s data "
+            "files by URI: vacuum/retirement of the SOURCE can break "
+            "this clone — run optimize on the clone to localize "
+            "before retiring the source",
+            stacklevel=2,
+        )
         # entries flip to absolute source URIs; nothing is staged.
         # (A source entry already foreign — clone of a shallow clone —
         # stays as it is: _dir_uri returns absolutes verbatim.)
@@ -4832,13 +4944,16 @@ def history(spark: SparkSession, root: str) -> list[dict]:
                 "ts": m.get("ts"),
                 # contention telemetry: present only on commits that
                 # lost the CAS and re-based (the version they first
-                # pinned + how many winners they re-based over)
+                # pinned + how many winners they re-based over). Both
+                # keys are written together; gate on both so a
+                # half-present manifest surfaces as no-telemetry
+                # instead of a fabricated count
                 **(
                     {
                         "rebased_from": m["rebased_from"],
-                        "rebases": m.get("rebases", 1),
+                        "rebases": m["rebases"],
                     }
-                    if "rebased_from" in m
+                    if "rebased_from" in m and "rebases" in m
                     else {}
                 ),
             }

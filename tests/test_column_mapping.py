@@ -529,3 +529,119 @@ def test_widened_table_accepts_narrow_writers(spark, root):
         V.commit_append(
             spark, root,
             spark.createDataFrame([(3, "x")], "k int, val string"))
+
+
+def test_widen_nested_positions(spark, root):
+    """NESTED type widening (Delta type widening inside array/map/
+    struct): the scalar matrix recursed into element/value/field
+    positions — metadata-only, old files read upcast at the nested
+    leaves (Spark's parquet scan promotes nested leaf types through
+    the declared read schema exactly like top-level ones)."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3], {"a": 5}, (7, 1.5))],
+        T.StructType([
+            T.StructField("k", T.LongType()),
+            T.StructField("arr", T.ArrayType(T.IntegerType())),
+            T.StructField("m", T.MapType(T.StringType(), T.IntegerType())),
+            T.StructField("s", T.StructType([
+                T.StructField("x", T.IntegerType()),
+                T.StructField("y", T.FloatType()),
+            ])),
+        ]),
+    ).coalesce(1)
+    V.commit_append(spark, root, df, ["k"])
+    V.widen_column_type(spark, root, "arr", "array<bigint>")
+    V.widen_column_type(spark, root, "m", "map<string,bigint>")
+    V.widen_column_type(spark, root, "s", "struct<x:double,y:double>")
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes) == {
+        "k": "bigint",
+        "arr": "array<bigint>",
+        "m": "map<string,bigint>",
+        "s": "struct<x:double,y:double>",
+    }
+    r = got.collect()[0]
+    assert r["arr"] == [1, 2, 3] and r["m"] == {"a": 5}
+    assert r["s"]["x"] == 7.0 and r["s"]["y"] == 1.5
+    # wide values land; NARROW writers keep working post-widen (the
+    # nested recursion applies to _evolve_schema's acceptance too)
+    big = 1 << 40
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(2, [big], {"b": big}, (0.5, 0.5))],
+            "k bigint, arr array<bigint>, m map<string,bigint>, "
+            "s struct<x:double,y:double>").coalesce(1))
+    V.commit_append(spark, root, df.selectExpr(
+        "k + 10 AS k", "arr", "m", "s"))
+    assert V.read_version(spark, root).count() == 3
+    # time travel serves the narrow nested schema
+    assert dict(V.read_version(spark, root, 0).dtypes)["arr"] == "array<int>"
+    # refusals: map KEY change, struct field add, element narrowing
+    with pytest.raises(ValueError, match="KEY types are frozen"):
+        V.widen_column_type(spark, root, "m", "map<bigint,bigint>")
+    with pytest.raises(ValueError, match="lossless widenings"):
+        V.widen_column_type(
+            spark, root, "s", "struct<x:double,y:double,z:int>")
+    with pytest.raises(ValueError, match="lossless widenings"):
+        V.widen_column_type(spark, root, "arr", "array<int>")
+
+
+def test_widen_decimal_precision_and_scale(spark, root):
+    """decimal(p,s) widens to any decimal whose scale AND integer-digit
+    count grow-or-hold (Delta type widening): every representable value
+    carries over exactly; decimal columns carry no manifest stats
+    (footer stats are Decimal objects _stat_jsonable refuses), so the
+    collation space is untouched. Integer-digit shrink is refused."""
+    import decimal
+
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(1, decimal.Decimal("12345678.91"))],
+            "k bigint, amt decimal(10,2)").coalesce(1),
+        ["k"],
+    )
+    V.widen_column_type(spark, root, "amt", "decimal(14,2)")
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes)["amt"] == "decimal(14,2)"
+    assert got.collect()[0]["amt"] == decimal.Decimal("12345678.91")
+    # scale growth with integer digits held
+    V.widen_column_type(spark, root, "amt", "decimal(18,6)")
+    assert V.read_version(spark, root).collect()[0]["amt"] == (
+        decimal.Decimal("12345678.910000"))
+    # narrow decimal writers still land (read upcast)
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(2, decimal.Decimal("1.50"))],
+            "k bigint, amt decimal(10,2)").coalesce(1))
+    assert V.read_version(spark, root).count() == 2
+    # integer digits would shrink: 12 - 8 < 18 - 6 — refused
+    with pytest.raises(ValueError, match="lossless widenings"):
+        V.widen_column_type(spark, root, "amt", "decimal(12,8)")
+    with pytest.raises(ValueError, match="lossless widenings"):
+        V.widen_column_type(spark, root, "amt", "decimal(18,2)")
+
+
+def test_alter_resolution_is_case_insensitive(spark, root):
+    """ALTERs resolve the TARGET column case-insensitively (r14 advice):
+    Spark resolution is, so widen/rename/drop addressed as 'Val' must
+    find the column every read already resolves as 'val'."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 10, 5)], "k bigint, val int, aux int").coalesce(1),
+        ["k"],
+    )
+    V.widen_column_type(spark, root, "VAL", "bigint")
+    got = V.read_version(spark, root)
+    assert dict(got.dtypes)["val"] == "bigint"  # schema spelling kept
+    V.rename_column(spark, root, "Val", "score")
+    V.drop_column(spark, root, "AUX")
+    got = V.read_version(spark, root)
+    assert got.columns == ["k", "score"]
+    with pytest.raises(ValueError, match="no column"):
+        V.widen_column_type(spark, root, "gone", "bigint")
