@@ -71,7 +71,18 @@ def _noise_sentinel() -> dict:
         load1 = os.getloadavg()[0]
     except OSError:
         load1 = -1.0
-    return {"spin_ms": round(spin_ms, 1), "load1": round(load1, 2)}
+    # The spin is contention-blind in one axis (r14 adjudication): a
+    # just-finished heavy job shows up in load1 (runnable backlog, page
+    # cache churn, JVM reclaim) while instantaneous spins read quiet —
+    # the r14 driver chunk-1 spun 235 ms (quiet band) at load1 6.21 and
+    # exactly its heavies inflated 2-4.8x. Flag the chunk DIRTY when
+    # the box reports meaningful pre-boot load so inflated records
+    # self-identify instead of costing an isolated probe each round.
+    return {
+        "spin_ms": round(spin_ms, 1),
+        "load1": round(load1, 2),
+        "dirty": load1 > 2.0,
+    }
 
 
 def run_chunk(
@@ -266,6 +277,7 @@ def main() -> None:
         noise.append(part.get("noise", {}))
 
     total = round(sum(timings.values()), 4)
+    dirty_chunks = sum(1 for n in noise if n.get("dirty"))
     full = {
         "metric": "amadeus_spark headline queries wall-clock",
         "value": total,
@@ -278,6 +290,10 @@ def main() -> None:
         # per-chunk machine-noise sentinel (see _noise_sentinel): file
         # + full stdout line only — never the compact last line
         "noise": noise,
+        # chunks whose PRE-BOOT load1 exceeded the dirty threshold:
+        # their timings ran on a contended box — compare noise before
+        # calling any of their queries a regression
+        "dirty_chunks": dirty_chunks,
         "sf": sf,
     }
     # Full-precision record → file (committed per round) + one stdout
@@ -299,6 +315,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "dirty_chunks": dirty_chunks,
         "queries_full": "bench_results.json",
         "queries": {},
     }
