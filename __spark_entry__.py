@@ -4169,9 +4169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack, fuzzy family, sources, basic operators), and (c) the
         # 8 storage-family r13 greens whose code paths this round's
         # versioned.py changes touched (_evolve_schema recursion,
-        # history telemetry gating, vacuum clock domain) plus
-        # gap_fill_events (r14 watch-list item - a fresh record
-        # adjudicates the driver-only +0.45s). After this round no
+        # history telemetry gating, vacuum clock domain) plus the
+        # NEW r15 feature gate bloom_point_lookup (per-file bloom
+        # index, set_bloom_index + read_version(key_in=...) - stats
+        # cannot prune its interleaved commits; the bitmaps must).
+        # After this round no
         # oracle-checked query's newest green is older than r13.
         # Everything below the marker stays oracle-/property-verified
         # locally on every pytest run.
@@ -4224,9 +4226,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_changes": q_table_changes,
         "snapshot_diff": q_snapshot_diff,
         "cdc_apply": q_cdc_apply,
-        "gap_fill_events": q_gap_fill_events,
+        "bloom_point_lookup": q_bloom_point_lookup,
         # ---- below the 50-entry gate ----
         # r13 greens queued nearest the window for the r16 rotation
+        "gap_fill_events": q_gap_fill_events,
         "cloudfront_logs": q_cloudfront_logs,
         "cluster_keep_best": q_cluster_keep_best,
         "cohort_retention": q_cohort_retention,
@@ -5233,6 +5236,92 @@ def _alter_schema_oracle() -> str:
 #: over the deterministic range build (media_golden discipline: the
 #: replay never runs the code under test). State groups: keys in
 #: [0,400) minus {k%10 in (4,8)}, val = 3k + 1000*[k%100==1].
+#: bloom_point_lookup shared constants (iron rule 7)
+_BPL_KEYS = [1, 3, 5]
+
+
+def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter file index end-to-end (operators/versioned.py
+    set_bloom_index / read_version(key_in=...), new r15 — Delta's
+    bloomFilterIndex): orders land in three commits INTERLEAVED by
+    o_orderkey % 3, so every file's [min,max] key interval overlaps
+    every other and stats alone can prune NOTHING — the needle
+    use-case the per-file bitmaps exist for. The index activates
+    after the first commit (its files stay unindexed → kept
+    conservatively); a three-needle point lookup then reads through
+    the sidecar membership test. Output = the needle rows plus meta
+    rows pinning that every needle was found (no false negatives —
+    the bloom contract) and that the lookup scanned STRICTLY fewer
+    files than the snapshot holds (bloom pruning is real; xxhash64 is
+    deterministic, so the scanned set is reproducible). Materializes
+    eagerly BY NATURE (commits are actions)."""
+    import shutil
+    import tempfile
+
+    from amadeus_spark.operators import versioned as V
+
+    orders = _t(spark, sf_dir, "orders")
+    keys = _BPL_KEYS
+    tmp = tempfile.mkdtemp(prefix="amadeus_bpl_")
+    try:
+        root = os.path.join(tmp, "vt")
+        base = orders.selectExpr(
+            "o_orderkey AS k",
+            "'doc-' || CAST(o_orderkey AS STRING) AS doc",
+        )
+        V.commit_append(
+            spark, root, base.where("k % 3 = 0").repartition(2, "k"),
+            ["k"],
+        )
+        V.set_bloom_index(spark, root, ["doc"], fpp=0.01)
+        V.commit_append(
+            spark, root, base.where("k % 3 = 1").repartition(2, "k")
+        )
+        V.commit_append(
+            spark, root, base.where("k % 3 = 2").repartition(2, "k")
+        )
+        probes = [f"doc-{k}" for k in keys]
+        got = V.read_version(spark, root, key_in=probes, key_col="doc")
+        hits = (
+            got.where(F.col("doc").isin(probes))
+            .select(F.lit("hit").alias("section"), "doc",
+                    F.col("k").cast("bigint").alias("k"))
+            .collect()
+        )
+        n_total = V.describe_detail(spark, root)["n_files"]
+        rows = sorted(hits)
+        rows.append((
+            "meta", "found_all",
+            1 if len(hits) == len(keys) else 0,
+        ))
+        rows.append((
+            "meta", "bloom_pruned",
+            1 if len(got.inputFiles()) < n_total else 0,
+        ))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "section string, doc string, k bigint"
+    )
+
+
+def _bloom_point_lookup_oracle() -> str:
+    """DuckDB twin of q_bloom_point_lookup — the needles relationally;
+    the index meta rows are pinned literals (a DuckDB query has no
+    file plan to compare)."""
+    keys = ", ".join(str(k) for k in _BPL_KEYS)
+    return f"""
+        SELECT 'hit' AS section,
+               'doc-' || CAST(o_orderkey AS VARCHAR) AS doc,
+               CAST(o_orderkey AS BIGINT) AS k
+        FROM orders WHERE o_orderkey IN ({keys})
+        UNION ALL
+        SELECT 'meta', 'found_all', 1
+        UNION ALL
+        SELECT 'meta', 'bloom_pruned', 1
+    """
+
+
 _DVD_ORACLE = """
     SELECT section, grp, n_rows, a, b FROM (VALUES
         ('debt', 'v0-append', CAST(100 AS BIGINT), CAST(0 AS BIGINT),
@@ -5795,6 +5884,7 @@ def oracle_sql() -> dict[str, str]:
         "convert_clone": _convert_clone_oracle(),
         "hive_convert": _hive_convert_oracle(),
         "alter_schema": _alter_schema_oracle(),
+        "bloom_point_lookup": _bloom_point_lookup_oracle(),
         "shallow_clone": _shallow_clone_oracle(),
         "dv_debt_purge": _DVD_ORACLE,
         "postgres_copy_decode": _pg_golden.golden_oracle_sql(),

@@ -85,6 +85,8 @@ import time as _time
 import uuid
 import warnings
 
+import numpy as np
+import pandas as pd
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +98,7 @@ MANIFEST_DIR = "_manifests"
 DATA_DIR = "data"
 CDF_DIR = "_change_data"
 DV_DIR = "_deletion_vectors"
+BLOOM_DIR = "_bloom"
 
 #: Write a parquet checkpoint of the full live-file index every this
 #: many commits. Between checkpoints a reader folds at most this many
@@ -895,6 +898,265 @@ def _live_entries(spark: SparkSession, root: str, version: int) -> list[dict]:
     return [_row_entry(r) for r in _index_df(spark, root, res).collect()]
 
 
+# ------------------------------------------------------- bloom index
+# per-FILE Bloom filters for point-lookup file skipping (Delta's bloom
+# filter index): min/max stats cannot prune an equality probe on a
+# high-cardinality column whose values span every file (a uuid/doc_id
+# needle in a 100 TB haystack hits every [min,max] interval). A small
+# per-file bitmap answers "can this file possibly hold v?" and prunes
+# the scan to the files that might. Bitmaps live in SIDECAR parquet
+# under _bloom/<commit-dir>/ — never in the manifest JSON (a 1 MB
+# bitmap per file would bloat every segment read; Delta keeps its
+# index beside the data for the same reason) — written by ONE
+# distributed job per data commit and read back distributed at lookup
+# time, so no bitmap ever transits the driver.
+
+
+def _bloom_canon(col: Column, dtype) -> Column:
+    """The TYPE-STABLE hash input: integral columns hash through a
+    canonical BIGINT cast so widen_column_type(int→bigint) cannot
+    split the hash space between old files' bitmaps and new probes
+    (xxhash64 hashes int and long differently); strings hash as-is.
+    set_bloom_index restricts cols to exactly these families."""
+    return col.cast("bigint") if isinstance(
+        dtype, (_st.ByteType, _st.ShortType, _st.IntegerType, _st.LongType)
+    ) else col
+
+
+#: bitmap size ceiling (bits) — a pathological 100M-row file degrades
+#: to a higher fp rate instead of a 120 MB sidecar row (stays correct:
+#: a bloom false positive only costs an extra file scan)
+_BLOOM_MAX_BITS = 1 << 27
+
+_BLOOM_SIDECAR_SCHEMA = (
+    "dir string, path string, col string, m bigint, k bigint, w binary"
+)
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    root: str,
+    commit_dir: str,
+    spec: dict,
+    fresh: list[dict],
+    schema,
+) -> None:
+    """Build per-(file, column) Bloom bitmaps for the files just staged
+    under ``commit_dir`` and write them as sidecar parquet at
+    ``_bloom/<commit-dir name>/`` — one distributed job: hashes are
+    computed JVM-side (xxhash64 over the canonical cast), partial
+    bitmaps accumulate per input partition (mapInPandas — an input
+    split covers ~one file, so partials rarely straddle), and the
+    per-file OR-merge shuffles only bitmap rows, never data. Sizing is
+    per file from its entry row count (``optimal_params``), capped at
+    ``_BLOOM_MAX_BITS``. NULLs are never indexed (xxhash64(NULL) would
+    alias a phantom value — rows carry an is-not-null flag instead and
+    drop before positioning); a column absent from the staged frame
+    (narrow writer) produces no rows, which the lookup reads as "all
+    NULL here" and prunes — correct, not conservative. ``spec`` cols
+    are PHYSICAL names (the staged files' own)."""
+    from amadeus_spark.functions.bloom import (
+        H2_SEED, _positions, optimal_params,
+    )
+
+    caps = {
+        e["path"]: e["rows"] for e in fresh if e["rows"] > 0
+    }
+    dirname = os.path.basename(commit_dir.rstrip("/"))
+    present = (
+        set(spark.read.parquet(commit_dir).columns) if caps else set()
+    )  # narrow writers may omit spec cols
+    cols = [c for c in spec.get("cols", []) if c in present]
+    if not caps or not cols:
+        # the sidecar dir must EXIST even when there is nothing to
+        # index (0-row files / a narrow writer omitting every spec
+        # col): its files hold no value of any indexed column, and
+        # the lookup reads an existing-dir-with-no-row as exactly
+        # that — an absent dir would read as "pre-index, keep"
+        spark.createDataFrame([], _BLOOM_SIDECAR_SCHEMA).coalesce(
+            1
+        ).write.mode("errorifexists").parquet(
+            f"{root}/{BLOOM_DIR}/{dirname}"
+        )
+        return
+    fpp = float(spec.get("fpp", 0.05))
+    params = {}
+    for p, n in caps.items():
+        m, k = optimal_params(n, fpp)
+        params[p] = (min(m, _BLOOM_MAX_BITS), k)
+    by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
+    sel = [
+        F.substring_index(
+            F.col("_metadata.file_path"), "/", -1
+        ).alias("__f")
+    ]
+    for i, c in enumerate(cols):
+        canon = _bloom_canon(F.col(c), by_name.get(c))
+        sel += [
+            F.xxhash64(canon).alias(f"h1_{i}"),
+            F.xxhash64(canon, F.lit(H2_SEED)).alias(f"h2_{i}"),
+            F.col(c).isNotNull().alias(f"v_{i}"),
+        ]
+    df = spark.read.parquet(commit_dir).select(*sel)
+
+    def _partial(batches):
+        acc: dict[tuple[str, str], np.ndarray] = {}
+        for pdf in batches:
+            for i, c in enumerate(cols):
+                live = pdf[pdf[f"v_{i}"]]
+                if len(live) == 0:
+                    continue
+                for fname, grp in live.groupby("__f", sort=False):
+                    m, k = params.get(fname, (0, 0))
+                    if m == 0:
+                        continue  # 0-row entry can't appear; safety
+                    key = (fname, c)
+                    bm = acc.get(key)
+                    if bm is None:
+                        bm = acc[key] = np.zeros(m // 64, dtype=np.uint64)
+                    pos = _positions(
+                        grp[f"h1_{i}"].to_numpy(np.int64),
+                        grp[f"h2_{i}"].to_numpy(np.int64),
+                        k, m,
+                    ).ravel()
+                    np.bitwise_or.at(
+                        bm, pos >> np.uint64(6),
+                        np.uint64(1) << (pos & np.uint64(63)),
+                    )
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "path": [f for f, _ in acc],
+                    "col": [c for _, c in acc],
+                    "w": [bm.tobytes() for bm in acc.values()],
+                }
+            )
+
+    pmap = params  # closure capture for the merge stage
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        fname, c = pdf["path"].iloc[0], pdf["col"].iloc[0]
+        m, k = pmap[fname]
+        bm = np.zeros(m // 64, dtype=np.uint64)
+        for w in pdf["w"]:
+            bm |= np.frombuffer(w, dtype=np.uint64)
+        return pd.DataFrame(
+            {
+                "dir": [dirname], "path": [fname], "col": [c],
+                "m": [m], "k": [k], "w": [bm.tobytes()],
+            }
+        )
+
+    (
+        df.mapInPandas(_partial, schema="path string, col string, w binary")
+        .groupBy("path", "col")
+        .applyInPandas(_merge, schema=_BLOOM_SIDECAR_SCHEMA)
+        .write.mode("errorifexists")
+        .parquet(f"{root}/{BLOOM_DIR}/{dirname}")
+    )
+
+
+def _bloom_probe_hashes(spark: SparkSession, probes: list, dtype):
+    """(h1, h2) int64 pairs for the probe values — computed BY SPARK
+    (a tiny local-relation job) so they are bit-identical to the
+    build-side xxhash64, whatever the JVM does internally; no Python
+    xxhash reimplementation to drift."""
+    from amadeus_spark.functions.bloom import H2_SEED
+
+    integral = isinstance(
+        dtype, (_st.ByteType, _st.ShortType, _st.IntegerType, _st.LongType)
+    )
+    for v in probes:
+        if integral and not isinstance(v, int):
+            raise ValueError(
+                f"key_in probe {v!r} does not match the integral column "
+                "type — pass Python ints"
+            )
+        if isinstance(dtype, _st.StringType) and not isinstance(v, str):
+            raise ValueError(
+                f"key_in probe {v!r} does not match the string column "
+                "type — pass strings"
+            )
+    pdf = spark.createDataFrame(
+        [(v,) for v in probes],
+        "v bigint" if integral else "v string",
+    )
+    rows = pdf.select(
+        F.xxhash64("v").alias("h1"),
+        F.xxhash64("v", F.lit(H2_SEED)).alias("h2"),
+    ).collect()
+    return [(r["h1"], r["h2"]) for r in rows]
+
+
+def _bloom_refine(
+    spark: SparkSession,
+    root: str,
+    entries: list[dict],
+    phys_col: str,
+    probes: list,
+    dtype,
+) -> list[dict]:
+    """Drop entries whose sidecar bitmap proves NONE of the probe
+    values can be in the file. Entries without a sidecar (pre-index
+    commits, by-reference foreign/adopted files) are KEPT — the index
+    accelerates, never changes results. The membership test runs
+    DISTRIBUTED over the candidate dirs' sidecar rows (bitmaps stay
+    executor-side; only per-file booleans collect); a sidecar'd dir
+    with no row for (file, col) means the column was all-NULL there —
+    pruned, by construction not conservatism."""
+    fs, _ = _hadoop_fs(spark, root)
+    bdir = _jpath(spark, f"{root}/{BLOOM_DIR}")
+    if not fs.exists(bdir):
+        return entries
+    indexed = {st.getPath().getName() for st in fs.listStatus(bdir)}
+    cand_dirs = sorted(
+        {
+            e["dir"]
+            for e in entries
+            if not _is_abs_dir(e["dir"]) and e["dir"] in indexed
+        }
+    )
+    if not cand_dirs:
+        return entries
+    hashes = _bloom_probe_hashes(spark, probes, dtype)
+
+    from amadeus_spark.functions.bloom import _positions
+
+    h1s = np.array([h1 for h1, _ in hashes], dtype=np.int64)
+    h2s = np.array([h2 for _, h2 in hashes], dtype=np.int64)
+
+    def _may(batches):
+        for pdf in batches:
+            out = []
+            for wi, mi, ki in zip(pdf["w"], pdf["m"], pdf["k"]):
+                bm = np.frombuffer(wi, dtype=np.uint64)
+                pos = _positions(h1s, h2s, int(ki), int(mi))
+                word = pos >> np.uint64(6)
+                bit = np.uint64(1) << (pos & np.uint64(63))
+                out.append(
+                    bool(((bm[word] & bit) != 0).all(axis=1).any())
+                )
+            yield pd.DataFrame(
+                {"dir": pdf["dir"], "path": pdf["path"], "may": out}
+            )
+
+    rows = (
+        spark.read.schema(_BLOOM_SIDECAR_SCHEMA)
+        .parquet(*[f"{root}/{BLOOM_DIR}/{d}" for d in cand_dirs])
+        .where(F.col("col") == phys_col)
+        .mapInPandas(_may, schema="dir string, path string, may boolean")
+        .collect()
+    )
+    verdict = {(r["dir"], r["path"]): r["may"] for r in rows}
+    return [
+        e
+        for e in entries
+        if e["dir"] not in indexed
+        or _is_abs_dir(e["dir"])
+        or verdict.get((e["dir"], e["path"]), False)
+    ]
+
+
 def _is_abs_dir(d: str) -> bool:
     """Clone-by-reference entries carry an ABSOLUTE commit-dir URI
     (the source table's data dir); table-local entries a bare name."""
@@ -1187,6 +1449,7 @@ def _rebase_ok(
     mapping: dict | None = None,
     tomb: list | None = None,
     stats_cols: list | None = None,
+    bloom: dict | None = None,
 ) -> bool:
     """Delta-style conflict CLASSIFICATION: can this losing commit be
     re-published at the bumped version WITHOUT re-running its Spark
@@ -1255,6 +1518,12 @@ def _rebase_ok(
             w.get("stats_cols", [])
         ) != list(stats_cols):
             return False
+        # bloom-index spec: same carried-state rule — a re-based
+        # loser republishing a stale spec would silently revert an
+        # interposed set/drop_bloom_index (and its staged files were
+        # indexed, or not, under the spec it resolved)
+        if w.get("bloom") != bloom:
+            return False
         if w.get("remove_all"):
             if kind != "append":
                 return False
@@ -1311,6 +1580,7 @@ def _rebase_prev(
     mapping: dict | None = None,
     tomb: list | None = None,
     stats_cols: list | None = None,
+    bloom: dict | None = None,
 ) -> dict | None:
     """After a CAS loss at ``version``: read the interposed winner
     segments and return the NEW previous manifest to re-base onto when
@@ -1327,7 +1597,8 @@ def _rebase_prev(
         except (FileNotFoundError, OSError):
             return None
     if not _rebase_ok(
-        interposed, conflict, constraints, mapping, tomb, stats_cols
+        interposed, conflict, constraints, mapping, tomb, stats_cols,
+        bloom,
     ):
         return None
     return interposed[-1]
@@ -1392,6 +1663,7 @@ def _commit(
     constraints: dict = {}
     mapping: dict = {}
     tomb: list = []
+    bloom_spec: dict | None = None
     if cur >= 0:
         if prev is None:
             prev = _read_manifest(spark, root, cur)
@@ -1404,6 +1676,10 @@ def _commit(
         # way; rename/drop/restore pass replacements through extra
         mapping = dict(prev.get("column_mapping", {}))
         tomb = list(prev.get("dropped_physical", []))
+        # bloom-index spec is carried state too (set/drop_bloom_index
+        # pass the replacement through extra); data commits below
+        # build sidecars for their fresh files when it is active
+        bloom_spec = prev.get("bloom")
     txn.update((extra or {}).get("txn", {}))
     if "constraints" in (extra or {}):
         constraints = dict(extra["constraints"])
@@ -1411,6 +1687,8 @@ def _commit(
         mapping = dict(extra["column_mapping"])
     if "dropped_physical" in (extra or {}):
         tomb = list(extra["dropped_physical"])
+    if "bloom" in (extra or {}):
+        bloom_spec = extra["bloom"]
     # UNIQUE staging dir: a crashed/losing writer's data can never
     # collide with a later commit's errorifexists write (orphans are
     # unreferenced and vacuumable)
@@ -1477,7 +1755,20 @@ def _commit(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
             )
         df.write.mode("errorifexists").parquet(commit_dir)
-        new_files = new_files + _file_entries(commit_dir, stats_cols)
+        fresh = _file_entries(commit_dir, stats_cols)
+        new_files = new_files + fresh
+        if bloom_spec and bloom_spec.get("cols"):
+            # ONE extra bounded job over the just-written files —
+            # bitmaps land as sidecar parquet keyed by this staging
+            # dir; every data-writing path (append/upsert/merge/cdc/
+            # optimize) funnels through here, so rewrites re-index
+            # automatically
+            _write_bloom_sidecar(
+                spark, root, commit_dir, bloom_spec, fresh,
+                _physical_schema(
+                    {"schema": schema_json, "column_mapping": mapping}
+                ),
+            )
     # changefeed capture (Delta CDF shape): change rows are written
     # AT COMMIT TIME, when the merge already knows which rows changed
     # — reconstructing them later would mean diffing whole snapshots.
@@ -1579,7 +1870,10 @@ def _commit(
             k: v
             for k, v in (extra or {}).items()
             if k
-            not in ("txn", "constraints", "column_mapping", "dropped_physical")
+            not in (
+                "txn", "constraints", "column_mapping",
+                "dropped_physical", "bloom",
+            )
         },
     }
     if constraints:
@@ -1588,6 +1882,8 @@ def _commit(
         manifest["column_mapping"] = mapping
     if tomb:
         manifest["dropped_physical"] = tomb
+    if bloom_spec:
+        manifest["bloom"] = bloom_spec
     if df is not None:
         # the commit's OWN staging dir, recorded for history()'s
         # files_added/relinked split: a RE-BASED commit publishes at a
@@ -1627,6 +1923,7 @@ def _commit(
                 new_prev = _rebase_prev(
                     spark, root, version, conflict, constraints,
                     base_mapping, base_tomb, list(stats_cols),
+                    bloom_spec,
                 )
             rederived = None
             if new_prev is not None:
@@ -1777,6 +2074,7 @@ def read_version(
     key_range: tuple | None = None,
     key_col: str | None = None,
     as_of_ts: float | _dt.datetime | None = None,
+    key_in: list | None = None,
 ) -> DataFrame:
     """Snapshot read — exactly the snapshot's files; ``version=None``
     resolves latest at CALL time and stays pinned (snapshot isolation:
@@ -1793,7 +2091,18 @@ def read_version(
     difference between listing a million files and reading the three
     that matter. (Parquet row-group skipping still applies inside the
     files that survive; callers add the matching .filter() for
-    row-level pruning, which pushes into the scan.)"""
+    row-level pruning, which pushes into the scan.)
+
+    ``key_in=[v1, v2, ...]`` with ``key_col`` is the POINT-LOOKUP
+    twin (exclusive with ``key_range``): files prune first by stats
+    against [min(vs), max(vs)], then — when the table carries a bloom
+    index over the column (:func:`set_bloom_index`) — by per-file
+    Bloom membership, which is what actually skips files for a
+    high-cardinality needle whose [min,max] interval every file
+    intersects. Files from pre-index commits (and by-reference
+    foreign/adopted files) are kept conservatively; a Bloom false
+    positive costs one extra file scan, never a wrong result. Callers
+    add ``.filter(col.isin(vs))`` for the row-level cut."""
     _require_plain_root(root, "read_version")
     if as_of_ts is not None:
         if version is not None:
@@ -1804,6 +2113,18 @@ def read_version(
         raise FileNotFoundError(f"no versioned table at {root}")
     res = _resolve(spark, root, v)
     seg = res["seg"]
+    if key_in is not None:
+        if key_range is not None:
+            raise ValueError("pass key_range OR key_in, not both")
+        if key_col is None:
+            raise ValueError("key_in needs key_col")
+        if not key_in:
+            raise ValueError("key_in is empty")
+        # stats prune is best-effort for point lookups: a bloom col
+        # needn't be a stats col (high-cardinality keys rarely are) —
+        # the bloom refine below is the prune that matters there
+        if _phys_name(seg, key_col) in seg["stats_cols"]:
+            key_range = (min(key_in), max(key_in))
     lo = hi = None
     if key_range is not None:
         if key_col is None or _phys_name(seg, key_col) not in seg["stats_cols"]:
@@ -1814,6 +2135,15 @@ def read_version(
         lo, hi = _bound(key_range[0]), _bound(key_range[1])
     entries = _pruned_entries(spark, root, res, key_col, lo, hi,
                               slim=True)
+    if key_in is not None and entries:
+        spec = seg.get("bloom") or {}
+        phys = _phys_name(seg, key_col)
+        if phys in spec.get("cols", []):
+            schema = _manifest_schema(seg)
+            entries = _bloom_refine(
+                spark, root, entries, phys, list(key_in),
+                schema[key_col].dataType if schema else None,
+            )
     out = _snapshot_read(spark, root, seg, entries)
     if out is None:
         schema = _manifest_schema(seg)
@@ -3770,6 +4100,17 @@ def vacuum(
                 st.getPath()
             ):
                 _delete(st.getPath(), True)
+    # bloom-index sidecar dirs are keyed by their data commit dir:
+    # reclaim them exactly when no kept snapshot references that dir
+    # (same grace window — an in-flight writer stages its sidecar
+    # before the CAS too)
+    bdir = _jpath(spark, f"{root}/{BLOOM_DIR}")
+    if fs.exists(bdir):
+        for st in fs.listStatus(bdir):
+            if st.getPath().getName() not in kept_dirs and _settled(
+                st.getPath()
+            ):
+                _delete(st.getPath(), True)
     n_data = 0
     ddir = _jpath(spark, f"{root}/{DATA_DIR}")
     if fs.exists(ddir):
@@ -4363,6 +4704,80 @@ def widen_column_type(
     )
 
 
+def set_bloom_index(
+    spark: SparkSession, root: str, cols: list[str], fpp: float = 0.05
+) -> int:
+    """Enable a per-file BLOOM FILTER INDEX over ``cols`` (Delta's
+    ``bloomFilterIndex`` table property) as a metadata-only commit:
+    every data-writing commit FROM HERE ON builds per-(file, column)
+    bitmaps into ``_bloom/<staging-dir>/`` sidecar parquet — one
+    bounded distributed job over its own fresh files — and
+    :func:`read_version` ``key_in=[...]`` point lookups prune files
+    through them. Files written BEFORE this commit are unindexed and
+    always kept (Delta semantics: the index covers files written
+    under it; an ``optimize`` rewrite re-indexes them, since rewrites
+    funnel through the same commit path). Columns must be integral or
+    string (point equality on floats is ill-defined; integral columns
+    hash through a canonical bigint cast so a later
+    ``widen_column_type`` cannot split the hash space); names resolve
+    case-insensitively and are stored PHYSICAL, so renames never
+    detach the index. ``fpp`` is the per-file false-positive rate —
+    sizing is per file from its row count (~6.2 bits/row at 0.05).
+    Returns the new version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    schema = _manifest_schema(seg)
+    if schema is None:
+        raise ValueError(f"{root}: pre-schema table cannot set a bloom index")
+    if not cols:
+        raise ValueError("set_bloom_index needs at least one column")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    names = [f.name for f in schema.fields]
+    phys: list[str] = []
+    for c in cols:
+        c = _resolve_col(names, c, "set_bloom_index")
+        dt = schema[c].dataType
+        if not isinstance(
+            dt,
+            (
+                _st.ByteType, _st.ShortType, _st.IntegerType,
+                _st.LongType, _st.StringType,
+            ),
+        ):
+            raise ValueError(
+                f"bloom index on {c!r} ({dt.simpleString()}): only "
+                "integral and string columns — point equality on "
+                "float/decimal/nested values is ill-defined"
+            )
+        phys.append(_phys_name(seg, c))
+    return _commit(
+        spark, root, None, "set_bloom_index", seg["stats_cols"],
+        prev=seg,
+        extra={"bloom": {"cols": phys, "fpp": fpp}},
+    )
+
+
+def drop_bloom_index(spark: SparkSession, root: str) -> int:
+    """Disable the bloom index (metadata-only): later commits stop
+    building sidecars and ``key_in`` lookups fall back to stats-only
+    pruning. Existing sidecar dirs become inert and are reclaimed by
+    :func:`vacuum` together with their data dirs. Returns the new
+    version."""
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    seg = _read_manifest(spark, root, cur)
+    if not seg.get("bloom"):
+        return cur  # no-op: no index configured (no commit is written)
+    return _commit(
+        spark, root, None, "drop_bloom_index", seg["stats_cols"],
+        prev=seg, extra={"bloom": None},
+    )
+
+
 def _adopt_files(srcs: list[str], commit_dir: str) -> None:
     """Bring existing parquet files under a table's staging dir with
     ZERO data movement where the filesystem allows it: ``os.link`` on
@@ -4761,6 +5176,12 @@ def clone_table(
         extra["dropped_physical"] = list(seg["dropped_physical"])
     if seg.get("constraints"):
         extra["constraints"] = dict(seg["constraints"])
+    if seg.get("bloom"):
+        # the INDEX CONFIG carries (the clone's own commits build
+        # sidecars); the source's sidecar bitmaps do NOT — cloned
+        # files read as unindexed (kept conservatively) until an
+        # optimize rewrite re-indexes them
+        extra["bloom"] = dict(seg["bloom"])
     try:
         # version PINNED to 0 (the fresh-root check above): an
         # interposed creation at dst COLLIDES instead of this clone
@@ -4859,6 +5280,7 @@ def describe_detail(
         "foreign_files": int(foreign),
         "constraints": dict(seg.get("constraints", {})),
         "stats_cols": seg.get("stats_cols", []),
+        "bloom": dict(seg.get("bloom") or {}),
         "schema": _manifest_schema(seg),
         "column_mapping": _col_mapping(seg),
         "ts": seg.get("ts"),
