@@ -2368,9 +2368,31 @@ def commit_delete_where(
             spark, root, cur, seg, refs, pred, changefeed,
             conflict=_predicate_conflict(seg, predicate),
         )
+    return _delete_where_rewrite(
+        spark, root, cur, seg, refs, pred, changefeed,
+        conflict=_predicate_conflict(seg, predicate),
+    )
+
+
+def _delete_where_rewrite(
+    spark: SparkSession,
+    root: str,
+    cur: int,
+    seg: dict,
+    refs: list[dict],
+    pred,
+    changefeed: bool,
+    conflict: dict | None = None,
+) -> tuple[int, int, int, int]:
+    """The copy-on-write DELETE leg over a candidate set: find the
+    files holding ≥1 matching row, rewrite only them keeping their
+    non-matching rows, carry everything else by reference (shared by
+    :func:`commit_delete_where` — full candidate set — and
+    :func:`commit_delete_keys` — index-pruned candidates)."""
     touched = _touched_by_predicate(spark, root, seg, refs, pred)
     if not touched:
-        return cur, 0, len(refs), 0
+        # carried = the WHOLE snapshot (refs may be a pruned subset)
+        return cur, 0, seg["total_files"], 0
     n_kept = seg["total_files"] - len(touched)
     touched_read = _snapshot_read(spark, root, seg, touched)
     keep = touched_read.where(~F.coalesce(pred, F.lit(False)))
@@ -2400,8 +2422,9 @@ def commit_delete_where(
             cdf=cdf_frame,
             # simple predicates classify: a racing APPEND whose stats
             # refute the predicate re-bases this delete instead of
-            # recomputing it (see _rebase_ok kind="predicate")
-            conflict=_predicate_conflict(seg, predicate),
+            # recomputing it (see _rebase_ok kind="predicate");
+            # keyed deletes classify as kind="pruned" on their range
+            conflict=conflict,
         )
     finally:
         for c in cached:
@@ -2413,6 +2436,87 @@ def commit_delete_where(
         e["rows"] for e in _read_manifest(spark, root, v).get("add", [])
     )
     return v, len(touched), n_kept, n_deleted
+
+
+def commit_delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys: list,
+    key_col: str,
+    changefeed: bool = False,
+    mode: str = "dv",
+) -> tuple[int, int, int, int]:
+    """POINT DELETE by key list — the right-to-be-forgotten fast path
+    (Delta's ``DELETE FROM t WHERE k IN (...)`` accelerated by its
+    file-skipping indexes): on a 100 TB corpus, deleting a handful of
+    known document ids must not scan the corpus to find them. The
+    candidate files come from the INDEX — manifest [min,max] stats
+    against ``[min(keys), max(keys)]`` when ``key_col`` is a stats
+    column, refined per-file through the bloom index when
+    :func:`set_bloom_index` covers it — and only the candidates are
+    scanned for matching rows. Defaults to ``mode="dv"`` (deletion
+    vectors: O(matched rows) written, zero rewrite — the natural pair
+    for a needle delete); ``mode="rewrite"`` copy-on-writes the
+    touched files like :func:`commit_delete_where`.
+
+    Exactly ``key_col IN keys`` semantics (NULL keys are refused —
+    SQL IN never matches NULL, so passing one is a caller bug, not a
+    no-op). Conflict classification: when the key column has stats,
+    the commit declares the ``pruned`` footprint (read set + key
+    range), so a racing append provably outside the range re-bases
+    instead of recomputing. Returns ``(new_version, files_rewritten,
+    files_carried, rows_deleted)``; keys matching nothing are a no-op
+    returning the current version."""
+    if mode not in ("rewrite", "dv"):
+        raise ValueError(f"mode must be 'rewrite' or 'dv', got {mode!r}")
+    if not keys:
+        raise ValueError("commit_delete_keys needs at least one key")
+    if any(k is None for k in keys):
+        raise ValueError(
+            "NULL key in delete list: SQL IN never matches NULL — "
+            "drop it (or use commit_delete_where with IS NULL)"
+        )
+    keys = list(keys)
+    cur = current_version(spark, root)
+    if cur < 0:
+        raise FileNotFoundError(f"no versioned table at {root}")
+    res = _resolve(spark, root, cur)
+    seg = res["seg"]
+    phys = _phys_name(seg, key_col)
+    lo = hi = None
+    if phys in seg["stats_cols"]:
+        lo, hi = _bound(min(keys)), _bound(max(keys))
+    refs = _pruned_entries(
+        spark, root, res,
+        key_col if lo is not None else None, lo, hi,
+        slim=(mode != "dv"),
+    )
+    spec = seg.get("bloom") or {}
+    if refs and phys in spec.get("cols", []):
+        schema = _manifest_schema(seg)
+        refs = _bloom_refine(
+            spark, root, refs, phys, keys,
+            schema[key_col].dataType if schema else None,
+        )
+    if not refs:
+        return cur, 0, seg["total_files"], 0
+    pred = F.col(key_col).isin(keys)
+    conflict = (
+        {
+            "kind": "pruned", "read": [list(r) for r in _rm(refs)],
+            "key_col": phys, "lo": lo, "hi": hi,
+        }
+        if lo is not None
+        else None
+    )
+    if mode == "dv":
+        return _delete_where_dv(
+            spark, root, cur, seg, refs, pred, changefeed,
+            conflict=conflict,
+        )
+    return _delete_where_rewrite(
+        spark, root, cur, seg, refs, pred, changefeed, conflict=conflict
+    )
 
 
 def _stage_dv(
@@ -2533,7 +2637,9 @@ def _delete_where_dv(
     try:
         staged = _stage_dv(spark, root, cur, refs, matched)
         if staged is None:
-            return cur, 0, len(refs), 0
+            # carried = the WHOLE snapshot (refs may be a pruned
+            # subset — the keyed-delete path hands in candidates only)
+            return cur, 0, seg["total_files"], 0
         touched, per_file, dv_path, new_entries = staged
         cdf_frame = (
             matched.drop(*_ID_COLS).withColumn(

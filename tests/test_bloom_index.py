@@ -211,3 +211,42 @@ def test_spec_validation(spark, root):
     # case-insensitive resolution, physical storage
     V.set_bloom_index(spark, root, ["K"])
     assert V.describe_detail(spark, root)["bloom"]["cols"] == ["k"]
+
+
+def test_delete_keys_dv_prunes_and_deletes(spark, root):
+    """commit_delete_keys: the right-to-be-forgotten fast path — the
+    finding scan reads only the stats+bloom candidate files, the DV
+    leg writes O(matched rows)."""
+    V.commit_append(spark, root, _df(spark, 0, 100).coalesce(1), ["k"])
+    V.set_bloom_index(spark, root, ["doc"])
+    V.commit_append(spark, root, _df(spark, 100, 200).coalesce(1))
+    V.commit_append(spark, root, _df(spark, 200, 300).coalesce(1))
+    v, n_rw, n_carry, n_del = V.commit_delete_keys(
+        spark, root, ["a-150", "a-250"], "doc")
+    assert (n_rw, n_carry, n_del) == (0, 3, 2)  # dv: zero rewrites
+    got = V.read_version(spark, root)
+    assert got.count() == 298
+    assert got.where("doc IN ('a-150', 'a-250')").count() == 0
+    # stats path: k is the stats col — candidates prune by range too
+    v2 = V.commit_delete_keys(spark, root, [5, 7], "k", mode="rewrite")[0]
+    assert V.read_version(spark, root).count() == 296
+    # absent keys: no-op, no commit
+    assert V.commit_delete_keys(spark, root, ["nope"], "doc") == (
+        v2, 0, V.describe_detail(spark, root)["n_files"], 0)
+    h = V.history(spark, root)
+    assert [r["op"] for r in h[-2:]] == ["delete", "delete"]
+
+
+def test_delete_keys_changefeed_and_validation(spark, root):
+    V.commit_append(spark, root, _df(spark, 0, 50).coalesce(1), ["k"])
+    V.commit_delete_keys(
+        spark, root, [10, 11], "k", changefeed=True, mode="rewrite")
+    ch = V.table_changes(spark, root, 1, 1)
+    assert {r["k"] for r in ch.where(
+        "_change_type = 'delete'").collect()} == {10, 11}
+    with pytest.raises(ValueError, match="at least one key"):
+        V.commit_delete_keys(spark, root, [], "k")
+    with pytest.raises(ValueError, match="NULL key"):
+        V.commit_delete_keys(spark, root, [1, None], "k")
+    with pytest.raises(ValueError, match="mode"):
+        V.commit_delete_keys(spark, root, [1], "k", mode="zap")
