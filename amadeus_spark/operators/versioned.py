@@ -181,12 +181,40 @@ def _sub_uri(root: str, rel: str) -> str:
     return f"{root.rstrip('/')}/{rel}"
 
 
+#: log features THIS reader understands (Delta's protocol
+#: readerFeatures, as a flat ratchet): every commit records the union
+#: of the features its SNAPSHOT uses; a reader meeting an unknown one
+#: refuses loudly instead of silently misreading — the checkpoint
+#: index has an explicit schema, so a future feature's extra columns
+#: would otherwise just be dropped on the floor mid-resolve
+_SUPPORTED_FEATURES = {
+    "deletion-vectors",
+    "column-mapping",
+    "check-constraints",
+    "bloom-index",
+    "foreign-refs",
+    "hive-paths",
+}
+
+
 def _read_manifest(spark: SparkSession, root: str, version: int) -> dict:
     """One commit's log segment (schema/txn/op/totals + add/remove
-    deltas) — O(batch) bytes, NOT the full file list."""
+    deltas) — O(batch) bytes, NOT the full file list. Refuses a
+    segment whose ``features`` ratchet names a capability this reader
+    lacks (see ``_SUPPORTED_FEATURES``) — failing loudly HERE beats
+    resurrecting DV'd rows or misreading physical names deep inside a
+    query. Pre-ratchet segments (no ``features``) read as legacy."""
     fs, rel = _arrow_fs(_sub_uri(root, f"{MANIFEST_DIR}/v{version}.json"))
     with fs.open_input_file(rel) as f:
-        return json.loads(f.read().decode("utf-8"))
+        m = json.loads(f.read().decode("utf-8"))
+    unknown = set(m.get("features", [])) - _SUPPORTED_FEATURES
+    if unknown:
+        raise RuntimeError(
+            f"{root} v{version} requires log features this reader "
+            f"does not support: {sorted(unknown)} — upgrade "
+            "amadeus_spark before touching this table"
+        )
+    return m
 
 
 def _is_s3(root: str) -> bool:
@@ -1884,6 +1912,29 @@ def _commit(
         manifest["dropped_physical"] = tomb
     if bloom_spec:
         manifest["bloom"] = bloom_spec
+    # the FEATURES RATCHET (Delta's protocol features): the union of
+    # the previous snapshot's features and what THIS commit's content
+    # uses — monotonic, so a reader resolving any later version sees
+    # every capability the snapshot depends on even when the segments
+    # that introduced it were checkpointed away
+    feats = set((prev or {}).get("features", []))
+    feats |= {
+        f
+        for f, on in (
+            ("deletion-vectors", any(e.get("dv") for e in new_files)),
+            ("column-mapping", bool(mapping or tomb)),
+            ("check-constraints", bool(constraints)),
+            ("bloom-index", bool(bloom_spec)),
+            (
+                "foreign-refs",
+                any(_is_abs_dir(e["dir"]) for e in new_files),
+            ),
+            ("hive-paths", any("/" in e["path"] for e in new_files)),
+        )
+        if on
+    }
+    if feats:
+        manifest["features"] = sorted(feats)
     if df is not None:
         # the commit's OWN staging dir, recorded for history()'s
         # files_added/relinked split: a RE-BASED commit publishes at a
@@ -1989,6 +2040,12 @@ def _commit(
             # them from staging-dir version stamps
             manifest["rebased_from"] = orig_version
             manifest["rebases"] = rebases
+            # the ratchet re-unions over the WINNER's features — an
+            # interposed commit may have introduced one
+            if feats or prev.get("features"):
+                manifest["features"] = sorted(
+                    feats | set(prev.get("features", []))
+                )
             manifest["total_files"] = total_files
             manifest["total_rows"] = total_rows
             manifest["total_dv_files"] = total_dv_files

@@ -250,3 +250,30 @@ def test_delete_keys_changefeed_and_validation(spark, root):
         V.commit_delete_keys(spark, root, [1, None], "k")
     with pytest.raises(ValueError, match="mode"):
         V.commit_delete_keys(spark, root, [1], "k", mode="zap")
+
+
+def test_features_ratchet_guards_future_readers(spark, root):
+    """The log features ratchet (Delta protocol features): commits
+    record the union of capabilities their snapshot uses; a reader
+    meeting an unknown feature refuses loudly instead of silently
+    misreading (a checkpoint's explicit index schema would otherwise
+    drop a future feature's columns mid-resolve)."""
+    import json
+
+    V.commit_append(spark, root, _df(spark, 0, 10).coalesce(1), ["k"])
+    assert "features" not in V._read_manifest(spark, root, 0)
+    V.set_bloom_index(spark, root, ["doc"])
+    V.commit_delete_where(spark, root, "k = 3", mode="dv")
+    m = V._read_manifest(spark, root, 2)
+    assert set(m["features"]) == {"bloom-index", "deletion-vectors"}
+    # monotonic: a later plain append keeps the union
+    V.commit_append(spark, root, _df(spark, 10, 20).coalesce(1))
+    assert set(V._read_manifest(spark, root, 3)["features"]) >= {
+        "bloom-index", "deletion-vectors"}
+    # an unknown feature refuses at segment read
+    p = os.path.join(root, V.MANIFEST_DIR, "v3.json")
+    man = json.load(open(p))
+    man["features"].append("time-crystals")
+    json.dump(man, open(p, "w"))
+    with pytest.raises(RuntimeError, match="time-crystals"):
+        V.read_version(spark, root)
