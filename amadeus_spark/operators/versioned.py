@@ -991,6 +991,17 @@ def _write_bloom_sidecar(
         e["path"]: e["rows"] for e in fresh if e["rows"] > 0
     }
     dirname = os.path.basename(commit_dir.rstrip("/"))
+    # MARKER rows (path="") record which columns were IN THE SPEC when
+    # this dir was indexed: "no (file, col) row" only means "all NULL
+    # here" for a column the build actually looked for. Without them,
+    # growing the spec later (set_bloom_index with an extra column)
+    # would make old sidecars read as all-NULL for the new column and
+    # silently prune files that DO hold its values — a false negative,
+    # the one failure mode the index must never have. A dir whose
+    # markers lack the probed column is kept conservatively.
+    markers = [
+        (dirname, "", c, 0, 0, b"") for c in spec.get("cols", [])
+    ]
     present = (
         set(spark.read.parquet(commit_dir).columns) if caps else set()
     )  # narrow writers may omit spec cols
@@ -1001,7 +1012,7 @@ def _write_bloom_sidecar(
         # col): its files hold no value of any indexed column, and
         # the lookup reads an existing-dir-with-no-row as exactly
         # that — an absent dir would read as "pre-index, keep"
-        spark.createDataFrame([], _BLOOM_SIDECAR_SCHEMA).coalesce(
+        spark.createDataFrame(markers, _BLOOM_SIDECAR_SCHEMA).coalesce(
             1
         ).write.mode("errorifexists").parquet(
             f"{root}/{BLOOM_DIR}/{dirname}"
@@ -1079,6 +1090,9 @@ def _write_bloom_sidecar(
         df.mapInPandas(_partial, schema="path string, col string, w binary")
         .groupBy("path", "col")
         .applyInPandas(_merge, schema=_BLOOM_SIDECAR_SCHEMA)
+        .unionByName(
+            spark.createDataFrame(markers, _BLOOM_SIDECAR_SCHEMA)
+        )
         .write.mode("errorifexists")
         .parquet(f"{root}/{BLOOM_DIR}/{dirname}")
     )
@@ -1130,8 +1144,10 @@ def _bloom_refine(
     accelerates, never changes results. The membership test runs
     DISTRIBUTED over the candidate dirs' sidecar rows (bitmaps stay
     executor-side; only per-file booleans collect); a sidecar'd dir
-    with no row for (file, col) means the column was all-NULL there —
-    pruned, by construction not conservatism."""
+    whose MARKER rows name the column but that has no (file, col)
+    bitmap row means the column was all-NULL there — pruned, by
+    construction not conservatism — while a dir indexed under a spec
+    that did NOT include the column (markers lack it) is kept."""
     fs, _ = _hadoop_fs(spark, root)
     bdir = _jpath(spark, f"{root}/{BLOOM_DIR}")
     if not fs.exists(bdir):
@@ -1168,19 +1184,27 @@ def _bloom_refine(
                 {"dir": pdf["dir"], "path": pdf["path"], "may": out}
             )
 
-    rows = (
+    sc = (
         spark.read.schema(_BLOOM_SIDECAR_SCHEMA)
         .parquet(*[f"{root}/{BLOOM_DIR}/{d}" for d in cand_dirs])
         .where(F.col("col") == phys_col)
-        .mapInPandas(_may, schema="dir string, path string, may boolean")
-        .collect()
     )
+    rows = sc.where(F.col("path") != "").mapInPandas(
+        _may, schema="dir string, path string, may boolean"
+    ).collect()
+    # dirs whose build-time spec covered this column (marker rows):
+    # only for those does "no bitmap row" mean "all NULL — prune"
+    covered = {
+        r["dir"]
+        for r in sc.where(F.col("path") == "").select("dir").collect()
+    }
     verdict = {(r["dir"], r["path"]): r["may"] for r in rows}
     return [
         e
         for e in entries
         if e["dir"] not in indexed
         or _is_abs_dir(e["dir"])
+        or e["dir"] not in covered
         or verdict.get((e["dir"], e["path"]), False)
     ]
 

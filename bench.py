@@ -75,13 +75,15 @@ def _noise_sentinel() -> dict:
     # just-finished heavy job shows up in load1 (runnable backlog, page
     # cache churn, JVM reclaim) while instantaneous spins read quiet —
     # the r14 driver chunk-1 spun 235 ms (quiet band) at load1 6.21 and
-    # exactly its heavies inflated 2-4.8x. Flag the chunk DIRTY when
-    # the box reports meaningful pre-boot load so inflated records
-    # self-identify instead of costing an isolated probe each round.
+    # exactly its heavies inflated 2-4.8x. The flag is meaningful ONLY
+    # for the FIRST chunk: later chunks' pre-boot load1 reflects the
+    # bench's OWN just-finished chunk (quiet r13/r14 records show
+    # 2.4-6.9 there) — compare those across rounds instead.
+    first = os.environ.get("SPARK_GRAFT_BENCH_CHUNK_IDX", "0") == "0"
     return {
         "spin_ms": round(spin_ms, 1),
         "load1": round(load1, 2),
-        "dirty": load1 > 2.0,
+        "dirty": bool(first and load1 > 2.0),
     }
 
 

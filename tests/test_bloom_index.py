@@ -277,3 +277,25 @@ def test_features_ratchet_guards_future_readers(spark, root):
     json.dump(man, open(p, "w"))
     with pytest.raises(RuntimeError, match="time-crystals"):
         V.read_version(spark, root)
+
+
+def test_growing_the_spec_never_causes_false_negatives(spark, root):
+    """Sidecar MARKER rows record which columns the build-time spec
+    covered: a dir indexed before a column joined the spec must be
+    KEPT for probes on that column (its absence of bitmap rows means
+    'not indexed', not 'all NULL') — the false-negative hazard of
+    re-running set_bloom_index with more columns."""
+    V.commit_append(spark, root, _df(spark, 0, 10).coalesce(1), ["k"])
+    V.set_bloom_index(spark, root, ["doc"])
+    # this commit's sidecar covers ONLY doc
+    V.commit_append(spark, root, _df(spark, 10, 20).coalesce(1))
+    # grow the spec; later commits cover both
+    V.set_bloom_index(spark, root, ["doc", "small"])
+    V.commit_append(spark, root, _df(spark, 20, 30).coalesce(1))
+    # probe on the NEW column: k=15 has small=1 and lives in the
+    # dir indexed before 'small' joined the spec — it must be found
+    got = V.read_version(spark, root, key_in=[1], key_col="small")
+    assert got.where("k = 15").count() == 1
+    # the doc-covered dir still prunes doc probes as before
+    got = V.read_version(spark, root, key_in=["a-25"], key_col="doc")
+    assert got.where("doc = 'a-25'").count() == 1
