@@ -85,8 +85,6 @@ import time as _time
 import uuid
 import warnings
 
-import numpy as np
-import pandas as pd
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -968,6 +966,7 @@ def _write_bloom_sidecar(
     spec: dict,
     fresh: list[dict],
     schema,
+    present_cols: set[str],
 ) -> None:
     """Build per-(file, column) Bloom bitmaps for the files just staged
     under ``commit_dir`` and write them as sidecar parquet at
@@ -982,7 +981,12 @@ def _write_bloom_sidecar(
     drop before positioning); a column absent from the staged frame
     (narrow writer) produces no rows, which the lookup reads as "all
     NULL here" and prunes — correct, not conservative. ``spec`` cols
-    are PHYSICAL names (the staged files' own)."""
+    are PHYSICAL names (the staged files' own). ``present_cols`` is
+    the staged frame's column set — the caller has it in hand, so no
+    footer re-read decides narrow-writer coverage."""
+    import numpy as np
+    import pandas as pd
+
     from amadeus_spark.functions.bloom import (
         H2_SEED, _positions, optimal_params,
     )
@@ -1002,9 +1006,8 @@ def _write_bloom_sidecar(
     markers = [
         (dirname, "", c, 0, 0, b"") for c in spec.get("cols", [])
     ]
-    present = (
-        set(spark.read.parquet(commit_dir).columns) if caps else set()
-    )  # narrow writers may omit spec cols
+    # narrow writers may omit spec cols
+    present = present_cols if caps else set()
     cols = [c for c in spec.get("cols", []) if c in present]
     if not caps or not cols:
         # the sidecar dir must EXIST even when there is nothing to
@@ -1073,7 +1076,8 @@ def _write_bloom_sidecar(
 
     pmap = params  # closure capture for the merge stage
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge(pdf):  # no type hints: pd is function-local here, and
+        # pyspark resolves string hints against MODULE globals
         fname, c = pdf["path"].iloc[0], pdf["col"].iloc[0]
         m, k = pmap[fname]
         bm = np.zeros(m // 64, dtype=np.uint64)
@@ -1164,41 +1168,53 @@ def _bloom_refine(
         return entries
     hashes = _bloom_probe_hashes(spark, probes, dtype)
 
+    import numpy as np
+
     from amadeus_spark.functions.bloom import _positions
 
     h1s = np.array([h1 for h1, _ in hashes], dtype=np.int64)
     h2s = np.array([h2 for _, h2 in hashes], dtype=np.int64)
 
     def _may(batches):
+        # ONE pass serves both row kinds (a second action would double
+        # the job-launch overhead on the point-lookup hot path):
+        # bitmap rows get a membership verdict; MARKER rows (path="")
+        # pass through with may=NULL and split driver-side
+        import numpy as _n
+        import pandas as _p
+
         for pdf in batches:
             out = []
-            for wi, mi, ki in zip(pdf["w"], pdf["m"], pdf["k"]):
-                bm = np.frombuffer(wi, dtype=np.uint64)
+            for pi, wi, mi, ki in zip(
+                pdf["path"], pdf["w"], pdf["m"], pdf["k"]
+            ):
+                if pi == "":
+                    out.append(None)
+                    continue
+                bm = _n.frombuffer(wi, dtype=_n.uint64)
                 pos = _positions(h1s, h2s, int(ki), int(mi))
-                word = pos >> np.uint64(6)
-                bit = np.uint64(1) << (pos & np.uint64(63))
+                word = pos >> _n.uint64(6)
+                bit = _n.uint64(1) << (pos & _n.uint64(63))
                 out.append(
                     bool(((bm[word] & bit) != 0).all(axis=1).any())
                 )
-            yield pd.DataFrame(
+            yield _p.DataFrame(
                 {"dir": pdf["dir"], "path": pdf["path"], "may": out}
             )
 
-    sc = (
+    rows = (
         spark.read.schema(_BLOOM_SIDECAR_SCHEMA)
         .parquet(*[f"{root}/{BLOOM_DIR}/{d}" for d in cand_dirs])
         .where(F.col("col") == phys_col)
+        .mapInPandas(_may, schema="dir string, path string, may boolean")
+        .collect()
     )
-    rows = sc.where(F.col("path") != "").mapInPandas(
-        _may, schema="dir string, path string, may boolean"
-    ).collect()
     # dirs whose build-time spec covered this column (marker rows):
     # only for those does "no bitmap row" mean "all NULL — prune"
-    covered = {
-        r["dir"]
-        for r in sc.where(F.col("path") == "").select("dir").collect()
+    covered = {r["dir"] for r in rows if r["path"] == ""}
+    verdict = {
+        (r["dir"], r["path"]): r["may"] for r in rows if r["path"] != ""
     }
-    verdict = {(r["dir"], r["path"]): r["may"] for r in rows}
     return [
         e
         for e in entries
@@ -1820,6 +1836,8 @@ def _commit(
                 _physical_schema(
                     {"schema": schema_json, "column_mapping": mapping}
                 ),
+                set(df.columns),  # the frame just written — no
+                # footer re-read to decide narrow-writer coverage
             )
     # changefeed capture (Delta CDF shape): change rows are written
     # AT COMMIT TIME, when the merge already knows which rows changed
@@ -2023,10 +2041,19 @@ def _commit(
                     new_prev = None
             if new_prev is None:
                 # losing writer: reclaim its never-referenced staging
-                # dirs
+                # dirs (data, bloom sidecar, changefeed alike)
                 fs, _ = _hadoop_fs(spark, root)
                 if df is not None:
                     fs.delete(_jpath(spark, commit_dir), True)
+                    if bloom_spec and bloom_spec.get("cols"):
+                        fs.delete(
+                            _jpath(
+                                spark,
+                                f"{root}/{BLOOM_DIR}/"
+                                + os.path.basename(commit_dir.rstrip("/")),
+                            ),
+                            True,
+                        )
                 if isinstance(cdf_mark, dict):
                     fs.delete(
                         _jpath(
@@ -4847,6 +4874,24 @@ def widen_column_type(
     old_type = schema[name].dataType
     if old_type.simpleString() == new_type.simpleString():
         return cur  # no-op: already that type (no commit is written)
+    # a BLOOM-INDEXED column must stay in the canonical-bigint hash
+    # family: int→double is a lossless widening for the data but
+    # hashes a different value space than the existing bitmaps and
+    # probe path (_bloom_canon casts integrals only) — every key_in
+    # lookup and keyed delete on the column would break on a state
+    # the ALTER itself permitted
+    spec_cols = (seg.get("bloom") or {}).get("cols", [])
+    if _phys_name(seg, name) in spec_cols and not isinstance(
+        new_type,
+        (_st.ByteType, _st.ShortType, _st.IntegerType, _st.LongType,
+         _st.StringType),
+    ):
+        raise ValueError(
+            f"cannot widen bloom-indexed column {name!r} to "
+            f"{new_type.simpleString()}: the index hashes integral "
+            "values through a canonical bigint cast — "
+            "drop_bloom_index first, then widen and re-index"
+        )
     if not _widen_allowed(old_type, new_type):
         key_change = (
             isinstance(old_type, _st.MapType)
@@ -5262,9 +5307,7 @@ def clone_table(
         # no registry of its clones, so this is the one moment both
         # sides are in hand to say it (the source's vacuum docstring
         # carries the mirror warning)
-        import warnings as _warnings
-
-        _warnings.warn(
+        warnings.warn(
             f"shallow clone {dst_root} references {src_root}'s data "
             "files by URI: vacuum/retirement of the SOURCE can break "
             "this clone — run optimize on the clone to localize "

@@ -299,3 +299,27 @@ def test_growing_the_spec_never_causes_false_negatives(spark, root):
     # the doc-covered dir still prunes doc probes as before
     got = V.read_version(spark, root, key_in=["a-25"], key_col="doc")
     assert got.where("doc = 'a-25'").count() == 1
+
+
+def test_widen_out_of_hash_family_refused_on_indexed_col(spark, root):
+    """int→double is a legal widening in general but leaves the bloom
+    index's canonical-bigint hash family: on an indexed column it must
+    refuse (review finding r15) — otherwise every key_in lookup and
+    keyed delete breaks on a state the ALTER itself permitted."""
+    V.commit_append(
+        spark, root,
+        spark.createDataFrame(
+            [(1, 5, 7)], "k bigint, v int, w int").coalesce(1),
+        ["k"],
+    )
+    V.set_bloom_index(spark, root, ["v"])
+    with pytest.raises(ValueError, match="drop_bloom_index first"):
+        V.widen_column_type(spark, root, "v", "double")
+    # inside the family stays fine
+    V.widen_column_type(spark, root, "v", "bigint")
+    # un-indexed columns widen to double as before
+    V.widen_column_type(spark, root, "w", "double")
+    # and after dropping the index the refusal lifts (int-family col)
+    V.drop_bloom_index(spark, root)
+    d = dict(V.read_version(spark, root).dtypes)
+    assert d["v"] == "bigint" and d["w"] == "double"
