@@ -4498,7 +4498,19 @@ def stream_table_changes(
     Retention caveat (same as Delta CDF): :func:`vacuum` deletes
     change dirs outside its keep window — a consumer lagging further
     behind than the table's retention fails on the missing files. Size
-    ``keep_last`` to cover the slowest consumer's lag."""
+    ``keep_last`` to cover the slowest consumer's lag.
+
+    Crashed-writer caveat: change dirs are STAGED before the manifest
+    CAS, and a writer that dies in that window leaves an orphan dir
+    the file source cannot distinguish from a published commit (CAS
+    LOSERS clean up after themselves; only a process death between
+    staging and publish leaves one). Its rows would stream as changes
+    that never committed until :func:`vacuum` reclaims the orphan
+    past the grace window — the same dir-vs-log gap Delta closes by
+    reading the log as the source; bound the exposure by running
+    vacuum on a schedule, or drain via batch :func:`table_changes`
+    (log-driven, phantom-free) where exactness matters more than
+    latency."""
     _require_plain_root(root, "stream_table_changes")
     cur = current_version(spark, root)
     if cur < 0:
