@@ -638,3 +638,60 @@ def test_rebase_is_observable_in_history(spark, root, monkeypatch):
     assert "rebased_from" not in h[0] and "rebased_from" not in h[1]
     man = V._read_manifest(spark, root, 2)
     assert man["rebased_from"] == 1 and man["rebases"] == 1
+
+
+def test_delete_keys_race_disjoint_append_rebases(spark, root, monkeypatch):
+    """A keyed point-delete (r15) racing an append whose stats are
+    provably OUTSIDE the delete's key range: the delete declares a
+    pruned-kind footprint, so the loser re-bases instead of
+    recomputing, and both effects land."""
+    V.commit_append(
+        spark, root, _df(spark, 0, 100, "base").coalesce(1), ["k"]
+    )
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 1000, 1010, "win").coalesce(1)
+        ),
+    )
+    v, n_rw, _, n_del = V.commit_delete_keys(
+        spark, root, [3, 7], "k", mode="dv"
+    )
+    assert (v, n_rw, n_del) == (2, 0, 2)  # re-based, zero rewrites
+    m = V._read_manifest(spark, root, 2)
+    assert m["rebased_from"] == 1 and m["rebases"] == 1
+    got = V.read_version(spark, root)
+    assert got.count() == 108  # 100 - 2 deleted + 10 appended
+    assert got.where("k IN (3, 7)").count() == 0
+    assert got.where("k >= 1000").count() == 10
+
+
+def test_delete_keys_race_overlapping_append_recomputes(
+    spark, root, monkeypatch
+):
+    """The same race with the winner's append INSIDE the delete's key
+    range: classification refuses (the appended rows might hold a
+    deleted key the loser's finding scan never saw) and the conflict
+    surfaces for recompute — the retried delete then sees and deletes
+    the winner's matching row too."""
+    V.commit_append(
+        spark, root, _df(spark, 0, 100, "base").coalesce(1), ["k"]
+    )
+    _arm_race(
+        monkeypatch,
+        lambda: V.commit_append(
+            spark, root, _df(spark, 3, 5, "win").coalesce(1)
+        ),
+    )
+    calls = {"n": 0}
+
+    def closure():
+        calls["n"] += 1
+        return V.commit_delete_keys(spark, root, [3, 7], "k", mode="dv")
+
+    v = V.commit_with_retry(closure)[0]
+    assert calls["n"] == 2  # genuinely overlapping: recomputed
+    got = V.read_version(spark, root)
+    # both the base and the winner's k=3 rows are gone
+    assert got.where("k IN (3, 7)").count() == 0
+    assert got.count() == 98 + 2 - 1  # 100-2 deleted + winner's k=4
