@@ -103,10 +103,23 @@ def test_connected_components_raises_on_non_convergence(spark):
     chain = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
     )
+    # driver_cutoff=0 forces the DISTRIBUTED propagation loop (the r15
+    # hybrid folds bounded edge lists driver-side, where exhausting
+    # max_iter is impossible — union-find is exact)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, "doc_a", "doc_b", max_iter=1)
+        dedup.connected_components(
+            chain, "doc_a", "doc_b", max_iter=1, driver_cutoff=0
+        )
     # enough rounds: the whole chain collapses to min id 1
-    got = dedup.connected_components(chain, "doc_a", "doc_b", max_iter=10)
+    got = dedup.connected_components(
+        chain, "doc_a", "doc_b", max_iter=10, driver_cutoff=0
+    )
     assert {(r.id, r.cluster) for r in got.collect()} == {
+        (i, 1) for i in range(1, 6)
+    }
+    # r15 hybrid: the driver-side union-find fast path must yield the
+    # IDENTICAL label set as the distributed loop
+    fast = dedup.connected_components(chain, "doc_a", "doc_b")
+    assert {(r.id, r.cluster) for r in fast.collect()} == {
         (i, 1) for i in range(1, 6)
     }
