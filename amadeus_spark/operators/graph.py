@@ -48,7 +48,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Exact-integer PageRank over ``edges`` (one row per directed
     link, duplicates allowed — they are counted) for every row of
@@ -68,12 +68,25 @@ def pagerank(
             F.col("__deg"),
         )
     )
-    ranks = tracked_persist(
+    # STATIC node frame (r15 restructure): the per-iteration left join
+    # keys the teleport term off this fixed frame instead of the
+    # previous iteration's ranks — each rank frame then feeds exactly
+    # ONE consumer (the contribution join), so no per-iteration
+    # persist/checkpoint is needed for subtree sharing at all. The
+    # pre-r15 shape joined ranks into BOTH sides and persisted lazily
+    # while unpersisting the predecessor during plan BUILD — before
+    # anything materialized — so the final plan re-executed every
+    # iteration's subtree per consumer (measured 32 jobs ≈ 2^5 for 5
+    # iterations; eager per-iteration checkpoints fixed the sharing
+    # but paid ~6 stage-jobs of driver latency per round).
+    nodes0 = tracked_persist(
         nodes.crossJoin(F.broadcast(n_frame)).select(
-            F.col(node).alias("__node"),
-            F.expr(f"CAST({RANK_SCALE} AS BIGINT) div __n").alias("__pr"),
-            F.col("__n"),
+            F.col(node).alias("__node"), F.col("__n")
         )
+    )
+    ranks = nodes0.select(
+        "__node",
+        F.expr(f"CAST({RANK_SCALE} AS BIGINT) div __n").alias("__pr"),
     )
     for it in range(iterations):
         contribs = (
@@ -90,12 +103,10 @@ def pagerank(
             .groupBy("__node")
             .agg(F.sum("__c").alias("__s"))
         )
-        nxt = (
-            ranks.select("__node", "__n")
-            .join(contribs, "__node", "left")
+        ranks = (
+            nodes0.join(contribs, "__node", "left")
             .select(
                 "__node",
-                "__n",
                 F.expr(
                     f"(({100 - DAMPING_PCT}) * ({RANK_SCALE} div __n)"
                     f" + {DAMPING_PCT} * coalesce(__s, 0)) div 100"
@@ -103,12 +114,16 @@ def pagerank(
                 .cast("long")
                 .alias("__pr"),
             )
-            .select("__node", "__pr", "__n")
         )
+        # lineage truncation only (single-consumer chain): bound the
+        # analyzed plan depth on LONG runs. Spark 4.1's
+        # localCheckpoint(eager=False) measured NON-lazy (it executed
+        # the whole upstream chain, 27 jobs at iteration 4), so the
+        # truncation is explicitly eager and the default cadence is 8
+        # — a short run (the typical <=20-iteration convergence) pays
+        # at most 2 truncations, and a 5-iteration run none at all
         if (it + 1) % checkpoint_every == 0 and it + 1 < iterations:
-            nxt = nxt.localCheckpoint(eager=False)
-        prev, ranks = ranks, tracked_persist(nxt)
-        prev.unpersist()
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.col("__node").alias(node), F.col("__pr").alias("pr_us")
     )
