@@ -77,36 +77,78 @@ def train_hashed_lr(
     ``label_col`` must be 0/1. Returns the weight vector (dim weights +
     bias at index dim). Each step is one data-parallel pass; the
     gradient is normalized by n so ``lr`` is scale-free."""
+    from amadeus_spark.cache import tracked_persist
+
     data = df.select(
         F.col(text_col).alias("__t"), F.col(label_col).cast("double").alias("__y")
     )
-    n_total = data.count()
+
+    # FEATURIZE ONCE, train over the cached sparse rows (r15
+    # optimization; the module docstring always prescribed caching the
+    # featurized frame): tokenize+hash is the expensive per-row Python
+    # work, and the T gradient passes each re-ran it — T scans of raw
+    # text became one featurize pass + T passes over (idx, val, y)
+    # arrays. The count() both sizes the scale-free lr AND fills the
+    # cache in the same job.
+    def feat(batches):
+        for pdf in batches:
+            fd = _hash_tokens(pdf["__t"], dim)
+            yield pd.DataFrame(
+                {
+                    "idx": [
+                        np.fromiter(d.keys(), np.int64, len(d)) for d in fd
+                    ],
+                    "val": [
+                        np.fromiter(d.values(), np.float64, len(d))
+                        for d in fd
+                    ],
+                    "__y": pdf["__y"].to_numpy(),
+                }
+            )
+
+    feats = tracked_persist(
+        data.mapInPandas(
+            feat, schema="idx array<long>, val array<double>, __y double"
+        )
+    )
+    n_total = feats.count()
     w = np.zeros(dim + 1)
 
     for _ in range(steps):
         bw = w  # captured by value in the closure below
 
         def grad_pass(batches):
-            # gradient only — no per-row loss bookkeeping: the caller
-            # normalizes by the precomputed n_total and never read the
-            # loss/n columns, so two np.log calls per row per step were
-            # pure dead work in the innermost training loop
+            # vectorized over whole Arrow batches: per-row z via a
+            # scatter-add over the flattened (row, idx, val) triples,
+            # per-feature gradient the same way — no per-row Python
             g = np.zeros(dim + 1)
             for pdf in batches:
-                feats = _hash_tokens(pdf["__t"], dim)
-                ys = pdf["__y"].to_numpy()
-                for fdict, y in zip(feats, ys):
-                    z = bw[dim] + sum(
-                        bw[i] * v for i, v in fdict.items()
-                    )
-                    p = float(_sigmoid(np.array([z]))[0])
-                    err = p - y
-                    for i, v in fdict.items():
-                        g[i] += err * v
-                    g[dim] += err
+                n = len(pdf)
+                if n == 0:
+                    continue
+                rows_idx = pdf["idx"].to_numpy()
+                lens = np.fromiter(
+                    (len(a) for a in rows_idx), np.int64, n
+                )
+                idx = (
+                    np.concatenate(rows_idx)
+                    if lens.sum()
+                    else np.empty(0, np.int64)
+                ).astype(np.int64)
+                val = (
+                    np.concatenate(pdf["val"].to_numpy())
+                    if lens.sum()
+                    else np.empty(0, np.float64)
+                ).astype(np.float64)
+                row_of = np.repeat(np.arange(n), lens)
+                z = np.full(n, bw[dim])
+                np.add.at(z, row_of, bw[idx] * val)
+                err = _sigmoid(z) - pdf["__y"].to_numpy()
+                np.add.at(g, idx, err[row_of] * val)
+                g[dim] += err.sum()
             yield pd.DataFrame({"g": [g.tobytes()]})
 
-        parts = data.mapInPandas(grad_pass, schema="g binary").collect()
+        parts = feats.mapInPandas(grad_pass, schema="g binary").collect()
         g = np.zeros(dim + 1)
         for r in parts:
             g += np.frombuffer(r["g"], dtype=np.float64)
@@ -127,13 +169,21 @@ def score_hashed_lr(
         w = np.asarray(w_list)
         for pdf in batches:
             feats = _hash_tokens(pdf[text_col], dim)
-            zs = []
-            for fdict in feats:
-                zs.append(
-                    w[dim] + sum(w[i] * v for i, v in fdict.items())
-                )
+            n = len(pdf)
+            lens = np.fromiter((len(d) for d in feats), np.int64, n)
+            total = int(lens.sum())
+            idx = np.empty(total, np.int64)
+            val = np.empty(total, np.float64)
+            pos = 0
+            for d in feats:
+                k = len(d)
+                idx[pos : pos + k] = np.fromiter(d.keys(), np.int64, k)
+                val[pos : pos + k] = np.fromiter(d.values(), np.float64, k)
+                pos += k
+            z = np.full(n, w[dim])
+            np.add.at(z, np.repeat(np.arange(n), lens), w[idx] * val)
             out = pdf.copy()
-            out["prob"] = _sigmoid(np.asarray(zs))
+            out["prob"] = _sigmoid(z)
             yield out
 
     fields = df.schema.simpleString()[7:-1]  # struct<...> -> ...
