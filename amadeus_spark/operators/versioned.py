@@ -3154,9 +3154,30 @@ def commit_merge(
     cached: list[DataFrame] = [source]
     cdf_frame = None
     try:
-        bounds = source.agg(
-            F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
-        ).collect()[0]
+        # ONE bounded pass sizes the prune range AND (with matched
+        # clauses) detects duplicate source keys: min/max over the
+        # per-key counts' groups equal min/max over rows, and
+        # max(count)<=1 proves no source key repeats — the expensive
+        # dup-keys ⋈ target-keys cardinality probe below then skips
+        # entirely (r15: it was an unconditional extra action per
+        # merge; well-formed sources never need it)
+        if matched:
+            bounds = (
+                source.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .agg(
+                    F.min(prune_col).alias("lo"),
+                    F.max(prune_col).alias("hi"),
+                    F.max("__n").alias("__mx"),
+                )
+                .collect()[0]
+            )
+            src_has_dup_keys = (bounds["__mx"] or 0) > 1
+        else:
+            bounds = source.agg(
+                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+            ).collect()[0]
+            src_has_dup_keys = False
         lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
         # dv mode re-ADDS touched entries (stats must carry) — full
         # entries there; the rewrite path only needs identity/rows/dv
@@ -3207,7 +3228,7 @@ def commit_merge(
             # target row makes update/delete nondeterministic (Delta
             # raises; so do we). Only source keys that actually match
             # count — a duplicated INSERT key is two legitimate inserts.
-            if matched:
+            if matched and src_has_dup_keys:
                 dup_keys = (
                     source.groupBy(*key_cols)
                     .agg(F.count(F.lit(1)).alias("__n"))
