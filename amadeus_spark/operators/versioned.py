@@ -1102,11 +1102,14 @@ def _write_bloom_sidecar(
     )
 
 
-def _bloom_probe_hashes(spark: SparkSession, probes: list, dtype):
-    """(h1, h2) int64 pairs for the probe values — computed BY SPARK
-    (a tiny local-relation job) so they are bit-identical to the
-    build-side xxhash64, whatever the JVM does internally; no Python
-    xxhash reimplementation to drift."""
+def _bloom_probe_hash_cols(probes: list, dtype):
+    """(h1_array, h2_array) literal-hash COLUMNS for the probe values —
+    xxhash64 over literals is deterministic, so Catalyst constant-folds
+    the arrays at optimization time: the hashes are still computed by
+    the SAME JVM implementation as the build side (bit-identical, no
+    Python xxhash reimplementation to drift) but ride the membership
+    job's plan instead of costing a separate probe-hash job (r15: one
+    job per point lookup saved)."""
     from amadeus_spark.functions.bloom import H2_SEED
 
     integral = isinstance(
@@ -1123,15 +1126,13 @@ def _bloom_probe_hashes(spark: SparkSession, probes: list, dtype):
                 f"key_in probe {v!r} does not match the string column "
                 "type — pass strings"
             )
-    pdf = spark.createDataFrame(
-        [(v,) for v in probes],
-        "v bigint" if integral else "v string",
+    lits = [
+        F.lit(v).cast("bigint") if integral else F.lit(v) for v in probes
+    ]
+    return (
+        F.array(*[F.xxhash64(c) for c in lits]),
+        F.array(*[F.xxhash64(c, F.lit(H2_SEED)) for c in lits]),
     )
-    rows = pdf.select(
-        F.xxhash64("v").alias("h1"),
-        F.xxhash64("v", F.lit(H2_SEED)).alias("h2"),
-    ).collect()
-    return [(r["h1"], r["h2"]) for r in rows]
 
 
 def _bloom_refine(
@@ -1166,31 +1167,34 @@ def _bloom_refine(
     )
     if not cand_dirs:
         return entries
-    hashes = _bloom_probe_hashes(spark, probes, dtype)
-
-    import numpy as np
+    h1_col, h2_col = _bloom_probe_hash_cols(probes, dtype)
 
     from amadeus_spark.functions.bloom import _positions
-
-    h1s = np.array([h1 for h1, _ in hashes], dtype=np.int64)
-    h2s = np.array([h2 for _, h2 in hashes], dtype=np.int64)
 
     def _may(batches):
         # ONE pass serves both row kinds (a second action would double
         # the job-launch overhead on the point-lookup hot path):
         # bitmap rows get a membership verdict; MARKER rows (path="")
-        # pass through with may=NULL and split driver-side
+        # pass through with may=NULL and split driver-side. The probe
+        # hashes arrive as CONSTANT-FOLDED literal array columns
+        # (__h1/__h2) — same JVM xxhash64 as the build side, zero
+        # extra jobs.
         import numpy as _n
         import pandas as _p
 
         for pdf in batches:
             out = []
-            for pi, wi, mi, ki in zip(
-                pdf["path"], pdf["w"], pdf["m"], pdf["k"]
+            h1s = h2s = None
+            for pi, wi, mi, ki, h1l, h2l in zip(
+                pdf["path"], pdf["w"], pdf["m"], pdf["k"],
+                pdf["__h1"], pdf["__h2"],
             ):
                 if pi == "":
                     out.append(None)
                     continue
+                if h1s is None:
+                    h1s = _n.asarray(h1l, dtype=_n.int64)
+                    h2s = _n.asarray(h2l, dtype=_n.int64)
                 bm = _n.frombuffer(wi, dtype=_n.uint64)
                 pos = _positions(h1s, h2s, int(ki), int(mi))
                 word = pos >> _n.uint64(6)
@@ -1206,6 +1210,8 @@ def _bloom_refine(
         spark.read.schema(_BLOOM_SIDECAR_SCHEMA)
         .parquet(*[f"{root}/{BLOOM_DIR}/{d}" for d in cand_dirs])
         .where(F.col("col") == phys_col)
+        .withColumn("__h1", h1_col)
+        .withColumn("__h2", h2_col)
         .mapInPandas(_may, schema="dir string, path string, may boolean")
         .collect()
     )
