@@ -196,14 +196,19 @@ def hard_negatives(
     from amadeus_spark.cache import tracked_persist
 
     ids = ", ".join(str(i) for i in query_ids)
+    # stage the token array ONCE per row (no CSE across inlined
+    # subexpressions — the old shape split+filtered the text twice per
+    # row, once for dl and once for the explode; the r15 staging halves
+    # the tokenize work in the corpus-wide pass)
     toks_all = docs.select(
         F.col(id_col).alias("doc"),
-        F.size(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-        ).cast("double").alias("dl"),
-        F.explode(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != F.lit(""))
-        ).alias("t"),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != F.lit("")
+        ).alias("__arr"),
+    ).select(
+        "doc",
+        F.size("__arr").cast("double").alias("dl"),
+        F.explode("__arr").alias("t"),
     )
     qterms = (
         toks_all.filter(F.expr(f"doc IN ({ids})"))
