@@ -191,8 +191,12 @@ def test_star_cc_converges_on_high_diameter_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
     )
+    # driver_cutoff=0 forces the DISTRIBUTED propagation loop (the r15
+    # hybrid would fold this bounded chain driver-side and converge)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(chain, "doc_a", "doc_b", max_iter=20)
+        dedup.connected_components(
+            chain, "doc_a", "doc_b", max_iter=20, driver_cutoff=0
+        )
     got = dedup.connected_components_star(chain, "doc_a", "doc_b", max_iter=12)
     assert {(r.id, r.cluster) for r in got.collect()} == {
         (i, 0) for i in range(121)
