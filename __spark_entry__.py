@@ -1384,11 +1384,17 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition every stage was built for; each stage is the operator
     verified individually elsewhere."""
     docs = _t(spark, sf_dir, "documents")
-    quality = F.expr(
-        "cast(" + text.stopword_count_sql("text") + " as double)"
-        " / cast(size(filter(split(text, ' '), x -> x != '')) as double)"
+    # stage the token count once: the quality ratio consumes it here and
+    # the final agg sums it over survivors — without the staged column
+    # the agg re-tokenizes every surviving doc from raw text
+    staged = docs.withColumn(
+        "__ntok", F.expr("size(filter(split(text, ' '), x -> x != ''))")
     )
-    kept = docs.withColumn("__q", quality).filter(F.col("__q") >= 0.05)
+    quality = (
+        F.expr("cast(" + text.stopword_count_sql("text") + " as double)")
+        / F.col("__ntok").cast("double")
+    )
+    kept = staged.withColumn("__q", quality).filter(F.col("__q") >= 0.05)
     # dedup AFTER the quality filter (standard pipeline order): the
     # MinHash stage — the expensive one — only sees surviving docs
     pairs = dedup.minhash_lsh_pairs(
@@ -1403,9 +1409,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         surviving.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.expr("size(filter(split(text, ' '), x -> x != ''))")).alias(
-                "total_tokens"
-            ),
+            F.sum("__ntok").alias("total_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .orderBy("lang")
@@ -3723,14 +3727,23 @@ def q_corpusflow_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.expr("size(filter(split(text, ' '), w -> w != ''))").cast(
         "long"
     )
+    # stage the interpreted token-count HOF ONCE per chunk — inlining
+    # the same Column in two aggregates re-evaluates it per row (no CSE
+    # across inlined subexpressions; the hard_negatives class)
+    scored = chunks.select(
+        "lang",
+        "doc_id",
+        ntok.alias("__ntok"),
+        F.expr(hs).alias("__hs"),
+    )
     return (
-        chunks.groupBy("lang")
+        scored.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.count_distinct("doc_id").alias("n_docs"),
-            F.sum(ntok).alias("total_chunk_tokens"),
-            F.max(ntok).alias("max_chunk_tokens"),
-            F.sum(F.expr(hs)).cast("long").alias("content_sum"),
+            F.sum("__ntok").alias("total_chunk_tokens"),
+            F.max("__ntok").alias("max_chunk_tokens"),
+            F.sum("__hs").cast("long").alias("content_sum"),
         )
         .orderBy("lang")
     )
