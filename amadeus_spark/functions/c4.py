@@ -67,20 +67,25 @@ def _lex(dialect: str) -> dict[str, str]:
 
 def line_keep_frag(line_var: str, dialect: str) -> str:
     """Boolean fragment deciding whether one line survives C4's line
-    rules; ``line_var`` is the lambda variable name."""
-    lx = _lex(dialect)
+    rules; ``line_var`` is the lambda variable name.
+
+    The min-words gate is a single regexp find, not a split+filter
+    count: ">= n non-empty space-separated tokens" is exactly "n
+    maximal non-space runs separated by spaces", and inside an
+    interpreted HOF lambda the regexp (literal pattern, compiled once)
+    avoids allocating a word array and walking a sub-lambda per word
+    for every line. Both engines' regexp predicates are unanchored
+    partial matches over the same RE2-safe pattern, so the boolean is
+    dialect-identical."""
     ends = " OR ".join(
         f"{line_var} LIKE '%{t}'" for t in TERMINALS if t != "'"
     )
-    words = (
-        f"{lx['size']}({lx['filter']}({lx['split']}({line_var}, ' '),"
-        f" w -> w {lx['ne']} ''))"
-    )
+    n = C4_BOUNDS["line_min_words"]
+    pat = "[^ ]+" + (f"( +[^ ]+){{{n - 1}}}" if n > 1 else "")
+    re_fn = "regexp_like" if dialect == "spark" else "regexp_matches"
+    words = f"{re_fn}({line_var}, '{pat}')"
     no_js = f"NOT contains(lower({line_var}), '{LINE_DROP_NEEDLE}')"
-    return (
-        f"(({ends}) AND {words} >= {C4_BOUNDS['line_min_words']}"
-        f" AND {no_js})"
-    )
+    return f"(({ends}) AND {words} AND {no_js})"
 
 
 def kept_lines_frag(page_sql: str, dialect: str) -> str:
@@ -120,13 +125,32 @@ def c4_frags(page_sql: str, kept_sql: str, dialect: str) -> dict[str, str]:
 
 
 def c4_clean(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pinned: bool = True,
 ) -> DataFrame:
     """Per-document C4 cleaning: adds ``keep_doc`` (page survives),
     ``cleaned`` (kept lines re-joined), ``n_lines``/``n_kept_lines``.
-    One projection, no shuffle."""
+    No shuffle.
+
+    ``pinned`` (default) puts a plan barrier under the output
+    projection: this stage references ``text_col`` from four
+    expressions and its outputs feed downstream filters and hashes, so
+    in a pipeline the optimizer re-inlines the (possibly expensive)
+    text producer into every Filter condition and interpreted-HOF
+    argument — contexts codegen subexpression elimination cannot reach
+    (plans.barrier; measured 2.1x on corpusflow_e2e). Pass
+    ``pinned=False`` when the ONLY consumer is one flat aggregate
+    (c4_report's shape): there the collapsed projection is evaluated
+    once per row with codegen CSE, and the barrier's struct round trip
+    is pure cost (measured +0.1 s on c4_quality at sf0.1)."""
     kept = F.expr(kept_lines_frag(text_col, "spark"))
     staged = df.withColumn("__kept", kept)
+    if pinned:
+        from amadeus_spark.plans.barrier import plan_barrier
+
+        staged = plan_barrier(staged)
     frags = c4_frags(text_col, "__kept", "spark")
     return staged.select(
         *df.columns,
@@ -149,7 +173,10 @@ def c4_report(
     outputs BIGINT; map-only until the final rollup."""
     from amadeus_spark.functions.dedup import hash32_frag
 
-    cleaned = c4_clean(df, text_col, id_col)
+    # one flat aggregate consumer — the collapsed projection evaluates
+    # once per row with codegen CSE, so the plan barrier would be pure
+    # struct-round-trip cost here (see c4_clean docstring)
+    cleaned = c4_clean(df, text_col, id_col, pinned=False)
     hs, _ = hash32_frag(
         f"concat(cast({id_col} as string), chr(1), cleaned)", ""
     )

@@ -1,3 +1,4 @@
+from amadeus_spark.plans.barrier import plan_barrier
 from amadeus_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_python_udf,
@@ -9,6 +10,7 @@ from amadeus_spark.plans.inspect import (
 )
 
 __all__ = [
+    "plan_barrier",
     "plan_text",
     "shuffle_count",
     "assert_pushed_filters",
