@@ -119,6 +119,83 @@ _INDEX_SCHEMA = (
 )
 
 
+#: Broadcast-hint budget for commit-path joins, in CELLS (rows x
+#: columns) — the hint fires only when the build side's row count is
+#: KNOWN on the driver (a bounds/agg collect already paid for, or
+#: manifest entry totals), never from optimizer estimates (guide §3.1:
+#: estimates after filters are unreliable; measured counts are not).
+#: 1M cells of key/identity data ≈ 10-30 MB built — comfortably inside
+#: executor memory at any deployment size; larger batches keep the
+#: shuffled join. Env-tunable for cluster profiles; NOT a local-only
+#: knob: a CDC/merge micro-batch is small at 100 TB scale too, and the
+#: explicit hint removes the big side's exchange (and AQE's per-stage
+#: materialization jobs) that the estimate-blind planner would pay.
+_BC_CELLS = int(os.environ.get("AMADEUS_BROADCAST_CELLS", "1000000"))
+
+
+def _bc(df: DataFrame, n_rows, n_cols: int = 1) -> DataFrame:
+    """Broadcast-hint ``df`` when its DRIVER-KNOWN size (``n_rows`` x
+    ``n_cols``, None = unknown) fits the `_BC_CELLS` budget; identity
+    otherwise. Semantics-free: only the join strategy changes."""
+    if n_rows is not None and n_rows * max(n_cols, 1) <= _BC_CELLS:
+        return F.broadcast(df)
+    return df
+
+
+def _fuse_ok(root: str) -> bool:
+    """True when the fused data+CDF write applies: directory rename is
+    a cheap METADATA move on local/HDFS-like filesystems, so one Spark
+    job can stage both halves under a tag partition and the driver
+    renames them into place. Object stores rename by COPY — they keep
+    the two-write path. Env kill-switch for debugging only."""
+    scheme = root.split("://", 1)[0] if "://" in root else ""
+    return scheme in ("", "file", "hdfs") and os.environ.get(
+        "AMADEUS_FUSE_CDF", "1"
+    ) != "0"
+
+
+def _fused_write(
+    spark: SparkSession,
+    df: DataFrame,
+    cdf_full: DataFrame,
+    commit_dir: str,
+    cdf_path: str,
+) -> None:
+    """ONE job writes a commit's data rows AND its change rows (guide
+    §2.4 — the two frames share their upstream, and sequential writes
+    paid a second job launch + a second pass over the shared subtree's
+    cache): union by name under a reserved tag partition, write
+    partitioned to a unique staging dir, rename each leg's directory
+    into its home. Data files gain two all-NULL trailing columns
+    (``_change_type`` / ``_commit_version``) — invisible to every
+    consumer because reads plan the explicit manifest schema
+    (:func:`_reader`); change files come out byte-compatible with the
+    two-write path. An empty leg still yields its directory (narrow
+    commits must stay readable; the CDF contract expects the dir)."""
+    tag = "__cdf"
+    d = df
+    for c, t in (("_change_type", "string"), ("_commit_version", "bigint")):
+        d = d.withColumn(c, F.lit(None).cast(t))
+    fused = d.withColumn(tag, F.lit("d")).unionByName(
+        cdf_full.withColumn(tag, F.lit("c")), allowMissingColumns=True
+    )
+    tmp = f"{os.path.dirname(commit_dir)}/fuse-{uuid.uuid4().hex[:8]}"
+    fused.write.partitionBy(tag).mode("errorifexists").parquet(tmp)
+    fs, _ = _hadoop_fs(spark, tmp)
+    for leg, dst in (("d", commit_dir), ("c", cdf_path)):
+        src = _jpath(spark, f"{tmp}/{tag}={leg}")
+        dstp = _jpath(spark, dst)
+        fs.mkdirs(dstp.getParent())
+        if fs.exists(src):
+            if not fs.rename(src, dstp):
+                raise RuntimeError(
+                    f"fused commit rename failed: {src} -> {dst}"
+                )
+        else:
+            fs.mkdirs(dstp)
+    fs.delete(_jpath(spark, tmp), True)
+
+
 def _jpath(spark: SparkSession, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
@@ -1431,7 +1508,13 @@ def _snapshot_read(
             F.col("path").alias(_ID_COLS[1]),
             F.col("row_index").alias(_ID_COLS[2]),
         )
-        live = data.join(dvf, list(_ID_COLS), "left_anti")
+        # the manifest carries every entry's DV row count: a small
+        # deleted-row set broadcast-hints on the KNOWN total, so the
+        # data side of the anti-join never shuffles (guide §3.1); big
+        # DV debt falls back to the shuffled join (and is what
+        # optimize(purge_dv_over=...) exists to rewrite away)
+        n_dv = sum((e["dv"] or {}).get("rows", 0) for e in dved)
+        live = data.join(_bc(dvf, n_dv, 3), list(_ID_COLS), "left_anti")
         if not keep_identity:
             live = live.drop(*_ID_COLS)
         frames.append(live)
@@ -1828,6 +1911,21 @@ def _commit(
             df = df.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
             )
+    # data + change rows FUSE into one write job when the commit has
+    # both and renames are cheap (guide §2.4; see _fused_write) — the
+    # write itself then happens in the cdf block below. The reserved
+    # column names must be free on BOTH frames (a physical table
+    # column named like them would corrupt the union's alignment).
+    fuse_cdf = (
+        df is not None
+        and isinstance(cdf, DataFrame)
+        and _fuse_ok(root)
+        and not (
+            {"_change_type", "_commit_version", "__cdf"}
+            & (set(df.columns) | (set(cdf.columns) - {"_change_type"}))
+        )
+    )
+    if df is not None and not fuse_cdf:
         df.write.mode("errorifexists").parquet(commit_dir)
         fresh = _file_entries(commit_dir, stats_cols)
         new_files = new_files + fresh
@@ -1884,9 +1982,26 @@ def _commit(
             cdf = cdf.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in cdf.columns]
             )
-        cdf.withColumn("_commit_version", F.lit(version)).write.mode(
-            "errorifexists"
-        ).parquet(f"{root}/{CDF_DIR}/{cdf_dir}")
+        cdf_full = cdf.withColumn("_commit_version", F.lit(version))
+        if fuse_cdf:
+            _fused_write(
+                spark, df, cdf_full, commit_dir,
+                f"{root}/{CDF_DIR}/{cdf_dir}",
+            )
+            fresh = _file_entries(commit_dir, stats_cols)
+            new_files = new_files + fresh
+            if bloom_spec and bloom_spec.get("cols"):
+                _write_bloom_sidecar(
+                    spark, root, commit_dir, bloom_spec, fresh,
+                    _physical_schema(
+                        {"schema": schema_json, "column_mapping": mapping}
+                    ),
+                    set(df.columns),
+                )
+        else:
+            cdf_full.write.mode("errorifexists").parquet(
+                f"{root}/{CDF_DIR}/{cdf_dir}"
+            )
         cdf_mark = {"dir": cdf_dir}
     elif op == "append":
         cdf_mark = "add"
@@ -2301,10 +2416,16 @@ def commit_upsert(
             f"{seg['stats_cols']}); re-create the table with it"
         )
     _require_full_rows(_manifest_schema(seg), updates.columns, "updates")
+    # the bounds pass also counts the batch (free in the same agg): a
+    # MEASURED row count lets every downstream join of the batch's keys
+    # broadcast-hint deliberately (guide §3.1) instead of shuffling the
+    # touched-file side on an optimizer estimate
     bounds = updates.agg(
-        F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+        F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
+    n_src = int(bounds["n"])
     touched = _pruned_entries(spark, root, res, prune_col, lo, hi,
                               slim=True)
     n_kept = seg["total_files"] - len(touched)
@@ -2330,30 +2451,52 @@ def commit_upsert(
                 touched_read = touched_read.persist()
                 cached.append(touched_read)
             survivors = touched_read.join(
-                updates.select(*key_cols).distinct(), key_cols,
-                "left_anti"
+                # no distinct: anti-join is existence — dup build keys
+                # are free, the dedup Exchange is not
+                _bc(updates.select(*key_cols), n_src, len(key_cols)),
+                key_cols, "left_anti"
             )
             merged = survivors.unionByName(
                 upd_checked, allowMissingColumns=True
             )
             if changefeed:
                 pre = touched_read.join(
-                    updates.select(*key_cols), key_cols, "left_semi"
+                    _bc(updates.select(*key_cols), n_src, len(key_cols)),
+                    key_cols, "left_semi"
                 ).persist()
                 cached.append(pre)
                 ch_pre = pre.withColumn(
                     "_change_type", F.lit("update_preimage")
                 )
-                upd_keys = pre.select(*key_cols)
-                ch_post = updates.join(
-                    upd_keys, key_cols, "left_semi"
-                ).withColumn("_change_type", F.lit("update_postimage"))
-                ch_ins = updates.join(
-                    upd_keys, key_cols, "left_anti"
-                ).withColumn("_change_type", F.lit("insert"))
+                # post-images and inserts are both plain update rows —
+                # ONE membership join (matched key -> postimage, else
+                # insert) instead of a semi + an anti, and the matched-
+                # key side (≤ batch keys) broadcast-hints on the
+                # measured count: zero exchanges on the batch side
+                # distinct: the table may legitimately hold duplicate
+                # keys — a left join against duplicated match keys
+                # would fan each update row out (the semi/anti pair it
+                # replaces never did)
+                upd_keys = pre.select(*key_cols).distinct().withColumn(
+                    "__m", F.lit(True)
+                )
+                ch_rest = (
+                    updates.join(
+                        _bc(upd_keys, n_src, len(key_cols) + 1),
+                        key_cols, "left_outer",
+                    )
+                    .withColumn(
+                        "_change_type",
+                        F.when(
+                            F.coalesce(F.col("__m"), F.lit(False)),
+                            F.lit("update_postimage"),
+                        ).otherwise(F.lit("insert")),
+                    )
+                    .drop("__m")
+                )
                 cdf_frame = ch_pre.unionByName(
-                    ch_post, allowMissingColumns=True
-                ).unionByName(ch_ins, allowMissingColumns=True)
+                    ch_rest, allowMissingColumns=True
+                )
         else:
             merged = upd_checked
             if changefeed:
@@ -3175,15 +3318,22 @@ def commit_merge(
                     F.min(prune_col).alias("lo"),
                     F.max(prune_col).alias("hi"),
                     F.max("__n").alias("__mx"),
+                    # total source rows, free in the same agg: the
+                    # MEASURED count lets the merge join broadcast-hint
+                    # the source side deliberately (guide §3.1)
+                    F.sum("__n").alias("__tot"),
                 )
                 .collect()[0]
             )
             src_has_dup_keys = (bounds["__mx"] or 0) > 1
+            n_src = int(bounds["__tot"] or 0)
         else:
             bounds = source.agg(
-                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi")
+                F.min(prune_col).alias("lo"), F.max(prune_col).alias("hi"),
+                F.count(F.lit(1)).alias("__tot"),
             ).collect()[0]
             src_has_dup_keys = False
+            n_src = int(bounds["__tot"])
         lo, hi = _bound(bounds["lo"]), _bound(bounds["hi"])
         # dv mode re-ADDS touched entries (stats must carry) — full
         # entries there; the rewrite path only needs identity/rows/dv
@@ -3228,8 +3378,16 @@ def commit_merge(
             # anti-join) — persist the small distinct-key frame so the
             # key-file scan runs once.
             key_read = _snapshot_read(spark, root, seg, key_files)
-            tkeys = key_read.select(*key_cols).distinct().persist()
+            # no distinct: both consumers (cardinality semi, insert
+            # anti) are EXISTENCE joins — duplicate build-side keys
+            # change nothing, and dropping the dedup removes the only
+            # Exchange (+ its AQE stage job) in the merged write plan
+            tkeys = key_read.select(*key_cols).persist()
             cached.append(tkeys)
+            # distinct target keys in range: bounded by the key-pruned
+            # files' manifest row totals — known here with no extra
+            # action, so the anti/semi joins below can broadcast-hint
+            n_tkeys = sum(e["rows"] for e in key_files)
             # matched-clause cardinality: >1 source row hitting one
             # target row makes update/delete nondeterministic (Delta
             # raises; so do we). Only source keys that actually match
@@ -3242,7 +3400,8 @@ def commit_merge(
                     .select(*key_cols)
                 )
                 if not dup_keys.join(
-                    tkeys, key_cols, "left_semi"
+                    _bc(tkeys, n_tkeys, len(key_cols)),
+                    key_cols, "left_semi"
                 ).isEmpty():
                     raise ValueError(
                         "merge cardinality violation: >1 source row "
@@ -3256,6 +3415,7 @@ def commit_merge(
                     [_st.StructField(c, fields[c]) for c in key_cols]
                 ),
             )
+            n_tkeys = 0
         touched_read = (
             _snapshot_read(
                 spark, root, seg, touched, keep_identity=(mode == "dv")
@@ -3305,8 +3465,14 @@ def commit_merge(
             key_eq = F.lit(True)
             for c in key_cols:
                 key_eq = key_eq & (F.col(f"t.{c}") == F.col(f"s.{c}"))
+            # the bounds pass measured the source: a small batch
+            # broadcast-hints, so the touched-file side never shuffles
+            # for this join (guide §3.1/§2.4)
             j = t.alias("t").join(
-                src_side.withColumn("__s_matched", F.lit(True)).alias("s"),
+                _bc(
+                    src_side.withColumn("__s_matched", F.lit(True)),
+                    n_src, len(src_side.columns) + 1,
+                ).alias("s"),
                 key_eq,
                 "left_outer",
             )
@@ -3389,7 +3555,9 @@ def commit_merge(
         # ---- inserts (not matched by target)
         ins_rows = None
         if not_matched:
-            ins_src = source.join(tkeys, key_cols, "left_anti")
+            ins_src = source.join(
+                _bc(tkeys, n_tkeys, len(key_cols)), key_cols, "left_anti"
+            )
             prior = F.lit(False)
             flags = []
             for i, cl in enumerate(not_matched):
@@ -3925,14 +4093,18 @@ def apply_changes(
                 touched_read = touched_read.persist()
                 cached.append(touched_read)
             survivors = touched_read.join(
-                latest.select(key_col).distinct(), key_col, "left_anti"
+                # latest is already one-row-per-key (row_number = 1);
+                # and the anti-join is existence anyway — no distinct
+                _bc(latest.select(key_col), int(agg["n"])),
+                key_col, "left_anti"
             )
             merged = survivors.unionByName(
                 ups_checked, allowMissingColumns=True
             )
             if changefeed:
                 pre = touched_read.join(
-                    latest.select(key_col, op_col), key_col, "inner"
+                    _bc(latest.select(key_col, op_col), int(agg["n"]), 2),
+                    key_col, "inner"
                 ).persist()
                 cached.append(pre)
                 ch_pre = pre.select(
@@ -3941,16 +4113,32 @@ def apply_changes(
                     .otherwise(F.lit("update_preimage"))
                     .alias("_change_type"),
                 )
-                upd_keys = pre.select(key_col)
-                ch_post = upserts.join(
-                    upd_keys, key_col, "left_semi"
-                ).withColumn("_change_type", F.lit("update_postimage"))
-                ch_ins = upserts.join(
-                    upd_keys, key_col, "left_anti"
-                ).withColumn("_change_type", F.lit("insert"))
+                # post-images and inserts are both plain upsert rows —
+                # ONE membership join against the DISTINCT matched keys
+                # (the table may hold duplicate keys; a dup'd build
+                # side would fan rows out where the semi/anti pair it
+                # replaces never did), broadcast-hinted on the measured
+                # batch count: the batch side never shuffles
+                upd_keys = pre.select(key_col).distinct().withColumn(
+                    "__m", F.lit(True)
+                )
+                ch_rest = (
+                    upserts.join(
+                        _bc(upd_keys, int(agg["n"]), 2),
+                        key_col, "left_outer",
+                    )
+                    .withColumn(
+                        "_change_type",
+                        F.when(
+                            F.coalesce(F.col("__m"), F.lit(False)),
+                            F.lit("update_postimage"),
+                        ).otherwise(F.lit("insert")),
+                    )
+                    .drop("__m")
+                )
                 cdf_frame = ch_pre.unionByName(
-                    ch_post, allowMissingColumns=True
-                ).unionByName(ch_ins, allowMissingColumns=True)
+                    ch_rest, allowMissingColumns=True
+                )
         else:
             merged = ups_checked
             if changefeed:

@@ -326,6 +326,12 @@ def main() -> None:
         if len(json.dumps(compact, separators=(",", ":"))) > 1800:
             del compact["queries"][name]
             break
+    # Truncation vs removal must be distinguishable from the compact
+    # line alone: a sub-cutoff query that speeds up "disappears" from
+    # the slowest-N map and the driver's dropped-from-bench heuristic
+    # misfires (r15 PERF flagged 6 phantom drops). queries_omitted = how
+    # many timed queries the window truncated (all present in the file).
+    compact["queries_omitted"] = len(timings) - len(compact["queries"])
     line = json.dumps(compact, separators=(",", ":"))
     assert len(line) < 1950, len(line)
     print(line)
