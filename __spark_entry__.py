@@ -83,6 +83,62 @@ def _money_sum(col: F.Column) -> F.Column:
     return F.sum(F.round(col * 1e6).cast("long")) / F.lit(1e6)
 
 
+def _local_rows_df(spark: SparkSession, rows, ddl: str) -> DataFrame:
+    """Collected result rows as a LOCAL relation (``SELECT ... FROM
+    VALUES``) instead of ``spark.createDataFrame`` — the classic-mode
+    createDataFrame path is RDD-backed (``Scan ExistingRDD``), so every
+    downstream action on the returned frame launches one Spark job of
+    pure launch floor (~0.2 s/query on the bench box, paid once per
+    eager lifecycle query by the driver's final collect; see
+    plans/r16/lifecycle_job_ledger_before.json). A VALUES relation
+    collects driver-side with no job. Rendering is exact: doubles go
+    through CAST('repr' AS DOUBLE) (shortest-repr round-trips under
+    IEEE correctly-rounded parsing), strings escape backslash+quote,
+    NULLs cast to the column type. Only the declared output types
+    (BIGINT/DOUBLE/STRING/DATE/BOOLEAN) are rendered; anything else
+    falls back to createDataFrame unchanged."""
+    fields = []
+    for part in ddl.split(","):
+        name, typ = part.strip().rsplit(" ", 1)
+        fields.append((name.strip(), typ.strip().upper()))
+    if not rows:
+        return spark.createDataFrame([], ddl)
+
+    def lit(v, typ: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if typ == "BIGINT":
+            return f"CAST({int(v)} AS BIGINT)"
+        if typ == "DOUBLE":
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+        if typ == "BOOLEAN":
+            return "TRUE" if v else "FALSE"
+        if typ == "STRING":
+            s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{s}'"
+        if typ == "DATE":
+            return f"DATE'{v.isoformat()}'"
+        raise TypeError(typ)
+
+    try:
+        tuples = [
+            "(" + ", ".join(
+                lit(v, fields[i][1]) for i, v in enumerate(tuple(r))
+            ) + ")"
+            for r in rows
+        ]
+    except (TypeError, ValueError):
+        return spark.createDataFrame(rows, ddl)
+    cols = ", ".join(f"`{n}`" for n, _ in fields)
+    # Column NAMES and TYPES are identical to the createDataFrame
+    # return; only Spark-side nullability flags differ (VALUES infers
+    # non-null) — the driver's schema compare is Spark-vs-DuckDB, so
+    # nullability is not part of it.
+    return spark.sql(
+        f"SELECT * FROM VALUES {', '.join(tuples)} AS t({cols})"
+    )
+
+
 # --- §2.5 sketches ---------------------------------------------------------
 
 
@@ -283,9 +339,7 @@ def q_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     all_pos = aggregates.all_match(li, F.col("l_quantity") > 0)
     any_big = aggregates.any_match(li, F.col("l_quantity") > 1000)
-    return spark.createDataFrame(
-        [(all_pos, any_big)], "all_qty_positive boolean, any_qty_over_1000 boolean"
-    )
+    return _local_rows_df(spark, [(all_pos, any_big)], "all_qty_positive boolean, any_qty_over_1000 boolean")
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,7 +1421,7 @@ def q_most_frequent_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _ev(spark, sf_dir)
     top = most_frequent_sketch(ev, "event_type", 5, probability=0.99, tolerance=0.0001)
-    return spark.createDataFrame(top or [("<empty>", 0)], "event_type string, est_freq bigint")
+    return _local_rows_df(spark, top or [("<empty>", 0)], "event_type string, est_freq bigint")
 
 
 def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1667,7 +1721,8 @@ def q_postgres_copy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     pdf = _decode_pg_binary(raw, G.GOLDEN_SCHEMA)
     pdf = pdf.astype(object).where(pdf.notna(), None)
     rows = [G._project(tuple(r)) for r in pdf.itertuples(index=False)]
-    return spark.createDataFrame(rows, G.OUT_SCHEMA).orderBy("id")
+    return _local_rows_df(spark, sorted(rows, key=lambda r: r[0]),
+                          G.OUT_SCHEMA)
 
 
 def q_webdataset_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1748,8 +1803,13 @@ def q_webdataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(out, W.INDEX_SCHEMA).orderBy(
-        "shard", "offset"
+    return _local_rows_df(
+        spark,
+        sorted(out, key=lambda r: (r[0], r[4])),
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in W.INDEX_SCHEMA.fields
+        ),
     )
 
 
@@ -2744,11 +2804,8 @@ def q_time_travel_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = out.orderBy("probe").collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "probe bigint, version bigint, n_rows bigint, sum_val bigint, "
-        "min_k bigint, max_k bigint",
-    )
+    return _local_rows_df(spark, rows, "probe bigint, version bigint, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint")
 
 
 
@@ -2826,11 +2883,8 @@ def q_dml_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "grp bigint, n_rows bigint, sum_val bigint, "
-        "min_k bigint, max_k bigint",
-    )
+    return _local_rows_df(spark, rows, "grp bigint, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint")
 
 
 #: MERGE gate constants — one set drives the Spark clauses AND the
@@ -2975,11 +3029,8 @@ def q_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = state.unionByName(cdf).unionByName(cdf2).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "section string, grp string, n_rows bigint, sum_val bigint, "
-        "min_k bigint, max_k bigint",
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_val bigint, "
+        "min_k bigint, max_k bigint")
 
 
 #: RESTORE gate constants (iron rule 7). Base %4==3; the upsert wave
@@ -3059,7 +3110,8 @@ def q_restore_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
+    return _local_rows_df(
+        spark,
         [tuple(r) for r in state_rows] + hist_rows,
         "section string, grp string, n_rows bigint, sum_val bigint, "
         "min_k bigint, max_k bigint",
@@ -3169,11 +3221,8 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = state.unionByName(cdf1).unionByName(cdf2).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "section string, grp string, n_rows bigint, sum_val bigint, "
-        "n_note bigint, sum_mark bigint",
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_val bigint, "
+        "n_note bigint, sum_mark bigint")
 
 
 #: column_mapping gate constants — ONE set drives both dialects
@@ -3286,11 +3335,8 @@ def q_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = state.unionByName(tt).unionByName(cdf).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "section string, grp string, n_rows bigint, sum_a bigint, "
-        "n_tag bigint",
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_a bigint, "
+        "n_tag bigint")
 
 
 def q_dv_debt_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3357,11 +3403,8 @@ def q_dv_debt_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        [(s, g, n, a, b) for s, g, n, a, b in debt_rows]
-        + [tuple(r) for r in state_rows],
-        "section string, grp string, n_rows bigint, a bigint, b bigint",
-    )
+    return _local_rows_df(spark, [(s, g, n, a, b) for s, g, n, a, b in debt_rows]
+        + [tuple(r) for r in state_rows], "section string, grp string, n_rows bigint, a bigint, b bigint")
 
 
 def q_decon_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3886,9 +3929,7 @@ def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (q, est, bool(abs(est - r) <= 0.05 * (abs(r) + 1.0)))
         for (q, est), r in zip(ests, ref)
     ]
-    return spark.createDataFrame(
-        rows, "quantile double, estimate double, within_band boolean"
-    )
+    return _local_rows_df(spark, rows, "quantile double, estimate double, within_band boolean")
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4013,11 +4054,8 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "grp bigint, n_rows bigint, sum_val_us bigint, "
-        "min_k bigint, max_k bigint",
-    )
+    return _local_rows_df(spark, rows, "grp bigint, n_rows bigint, sum_val_us bigint, "
+        "min_k bigint, max_k bigint")
 
 
 def _cdc_apply_oracle() -> str:
@@ -4115,11 +4153,8 @@ def q_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "change_type string, n bigint, n_keys bigint, "
-        "sum_val_us bigint, min_k bigint, max_k bigint",
-    )
+    return _local_rows_df(spark, rows, "change_type string, n bigint, n_keys bigint, "
+        "sum_val_us bigint, min_k bigint, max_k bigint")
 
 
 def _table_changes_oracle() -> str:
@@ -4849,9 +4884,7 @@ def q_convert_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = src.unionByName(cl).collect()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "section string, grp string, n_rows bigint, sum_val bigint"
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_val bigint")
 
 
 def _convert_clone_oracle() -> str:
@@ -4969,9 +5002,7 @@ def q_hive_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "section string, grp string, n_rows bigint, sum_val bigint"
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_val bigint")
 
 
 def _hive_convert_oracle() -> str:
@@ -5063,9 +5094,7 @@ def q_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(("meta", "foreign_files", int(foreign > 0), 0))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "section string, grp string, n_rows bigint, sum_val bigint"
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_val bigint")
 
 
 def _shallow_clone_oracle() -> str:
@@ -5195,11 +5224,8 @@ def q_alter_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "section string, grp string, n_rows bigint, sum_val bigint, "
-        "n_tagged bigint, sum_arr bigint, sum_amt_c bigint",
-    )
+    return _local_rows_df(spark, rows, "section string, grp string, n_rows bigint, sum_val bigint, "
+        "n_tagged bigint, sum_arr bigint, sum_amt_c bigint")
 
 
 def _alter_schema_oracle() -> str:
@@ -5318,9 +5344,7 @@ def q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows, "section string, doc string, k bigint"
-    )
+    return _local_rows_df(spark, rows, "section string, doc string, k bigint")
 
 
 def _bloom_point_lookup_oracle() -> str:

@@ -155,6 +155,10 @@ def train_hashed_lr(
         g /= max(n_total, 1)
         g[:dim] += l2 * w[:dim]
         w = w - lr * g
+    # nothing returned references the featurized frame (only the numpy
+    # weights leave) — release it now; a live registered cache adds
+    # CacheManager plan-matching cost to every later analysis
+    feats.unpersist()
     return w
 
 

@@ -216,28 +216,35 @@ def minhash_lsh_pairs(
             "band_id", "bh"
         ),
     )
+    # Bucket-group pair generation instead of a bands⋈bands self-join:
+    # the join's two inputs each recomputed the 16-md5 band subtree
+    # from the cached signatures (one side rebuilt it under its
+    # BroadcastExchange — no exchange reuse), and the bucket cap paid a
+    # Window pass on top. ONE groupBy computes the bands once, the cap
+    # becomes a size() filter on the grouped list (the Window stage
+    # disappears), and the per-bucket pairs explode out of the list —
+    # same O(d²)-per-bucket output, one Exchange in place of
+    # join+window+broadcast (guide §2.4). Memory note: a bucket's doc
+    # list materializes in the agg buffer, the same rows the old
+    # window buffered per partition; max_bucket_size remains the
+    # at-scale guard, applied before any pair is emitted.
+    buckets = bands.groupBy("band_id", "bh").agg(
+        F.collect_list("doc").alias("ds")
+    )
+    size_ok = F.size("ds") >= 2
     if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        # one count-over-window on the same (band_id, bh) shuffle key the
-        # self-join needs anyway — no extra shuffle stage
-        w = Window.partitionBy("band_id", "bh")
-        bands = (
-            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        size_ok = size_ok & (F.size("ds") <= max_bucket_size)
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.bh") == F.col("b.bh"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
+        buckets.where(size_ok)
+        .select(F.posexplode("ds").alias("__i", "__da"), "ds")
+        .select(
+            "__da",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("__db"),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+        )
         .distinct()
     )
     sh = docs.select(F.col(id_col).alias("doc"), "sh")
@@ -379,9 +386,10 @@ def simhash_pairs(
     # from the groupBy; the oracle assigns them sh=0 (no bit has a
     # majority over zero tokens) — re-attach them so parity holds.
     all_ids = df.select(F.col(id_col).alias("doc"))
-    docs = tracked_persist(
-        all_ids.join(sigs, "doc", "left")
-        .withColumn("sh", F.coalesce("sh", F.lit(0)))
+    # no persist: since the bucket-group candidate shape (below) the
+    # signature frame feeds exactly one consumer
+    docs = all_ids.join(sigs, "doc", "left").withColumn(
+        "sh", F.coalesce("sh", F.lit(0))
     )
     bands = docs.select(
         "doc",
@@ -397,21 +405,29 @@ def simhash_pairs(
             )
         ).alias("band_id", "band_val"),
     )
+    # bucket-group pair generation (r16, the minhash_lsh_pairs shape):
+    # one groupBy computes the band subtree once where the self-join
+    # scanned it per side; per-bucket pairs explode from the grouped
+    # list (~N/32768 docs per bucket, near-linear as before)
+    buckets = bands.groupBy("band_id", "band_val").agg(
+        F.collect_list(F.struct("doc", "sh")).alias("ds")
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_val") == F.col("b.band_val"),
-                F.col("a.doc") < F.col("b.doc"),
-            ],
+        buckets.where(F.size("ds") >= 2)
+        .select(F.posexplode("ds").alias("__i", "__x"), "ds")
+        .select(
+            "__x",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("__y"),
         )
         .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sa"),
-            F.col("b.sh").alias("sb"),
+            F.least(F.col("__x.doc"), F.col("__y.doc")).alias("doc_a"),
+            F.greatest(F.col("__x.doc"), F.col("__y.doc")).alias("doc_b"),
+            F.when(
+                F.col("__x.doc") < F.col("__y.doc"), F.col("__x.sh")
+            ).otherwise(F.col("__y.sh")).alias("sa"),
+            F.when(
+                F.col("__x.doc") < F.col("__y.doc"), F.col("__y.sh")
+            ).otherwise(F.col("__x.sh")).alias("sb"),
         )
         .distinct()
     )
@@ -510,10 +526,30 @@ def ngram_jaccard_pairs(
         )
     shared = counts.filter(F.col("df") >= 2).select("h")
     ex2 = ex.join(shared, "h")
+    # bucket-group pair generation (r16, the minhash_lsh_pairs shape):
+    # the ex2⋈ex2 self-join ran the shared-hash join twice (once per
+    # side, both over the cached shingle frame) and shuffled both;
+    # grouping each shared hash's doc list once and exploding the
+    # per-hash pairs emits the identical (doc_a < doc_b) multiset into
+    # the intersection count — one Exchange in place of two join
+    # inputs. Per-hash lists are df-capped by construction (max_df_frac
+    # / the df >= 2 gate), the same bound the join's buckets had.
+    hdocs = ex2.groupBy("h").agg(F.collect_list("doc").alias("ds"))
     inter = (
-        ex2.alias("a")
-        .join(ex2.alias("b"), on=[F.col("a.h") == F.col("b.h"), F.col("a.doc") < F.col("b.doc")])
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        hdocs.where(F.size("ds") >= 2)
+        .select(F.posexplode("ds").alias("__i", "__da"), "ds")
+        .select(
+            "__da",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("__db"),
+        )
+        # one doc can hold two shingles hashing to the same h (in-doc
+        # cross-shingle collision) — the old a.doc < b.doc join never
+        # paired a doc with itself, so neither may the list form
+        .where(F.col("__da") != F.col("__db"))
+        .groupBy(
+            F.least("__da", "__db").alias("doc_a"),
+            F.greatest("__da", "__db").alias("doc_b"),
+        )
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return (
@@ -626,7 +662,12 @@ def connected_components(
     returning them silently corrupts downstream keep-one-per-cluster
     dedup (round-3 advice).
 
-    Returns (id, cluster) — cluster is the component's min id.
+    Returns (id, cluster) — cluster is the component's min id. Below
+    ``driver_cutoff`` edges the closure folds driver-side and the
+    result is an unordered LOCAL relation (collect-backed, no
+    distributed materialization); above it, a checkpointed distributed
+    frame. Same rows either way — callers relying on materialization
+    shape should not (r15 advice note).
     """
     # localCheckpoint (eager), not persist: persist caches DATA but the
     # logical plan still carries the full upstream lineage (here: the

@@ -250,28 +250,33 @@ def embedding_neardup_pairs(
             "band_id", "bucket"
         ),
     )
+    # bucket-group pair generation (r16, the minhash_lsh_pairs shape):
+    # the self-join evaluated the 32 interpreted band-projection HOFs
+    # on BOTH sides (r15's persist attempt was worse — the cache
+    # barrier cost more than it saved; this computes them once with no
+    # cache at all), and the skew-guard Window folds into a size()
+    # filter on the grouped list before any pair is emitted. Ids only
+    # ride the lists — the vector-carrying twin of this rewrite in
+    # semantic_dedup_stats measured WORSE and was reverted (r16
+    # negative: collect_list of embeddings + sorted slice costs more
+    # than the cell self-join it replaces at sampled-cell scale).
+    buckets = bands.groupBy("band_id", "bucket").agg(
+        F.collect_list("id").alias("ds")
+    )
+    size_ok = F.size("ds") >= 2
     if max_bucket_size is not None:
-        # same skew guard as minhash_lsh_pairs: a degenerate bucket (e.g.
-        # a zero-vector cluster all hashing to one code) emits O(d²)
-        # candidates; drop oversized buckets whole. One count-over-window
-        # on the (band_id, bucket) key the self-join shuffles on anyway.
-        w = Window.partitionBy("band_id", "bucket")
-        bands = (
-            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
-        )
+        size_ok = size_ok & (F.size("ds") <= max_bucket_size)
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.id") < F.col("b.id"),
-            ],
+        buckets.where(size_ok)
+        .select(F.posexplode("ds").alias("__i", "__xa"), "ds")
+        .select(
+            "__xa",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("__xb"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+        )
         .distinct()
     )
     va = base.select(

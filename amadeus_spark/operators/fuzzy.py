@@ -437,27 +437,41 @@ def fuzzy_self_join(
     # 13% whole-query at sf0.1); equal variants hash equal so recall is
     # untouched, and a hash collision only adds a candidate pair that
     # the levenshtein verify prunes — correctness is unaffected.
-    from amadeus_spark.cache import tracked_persist
-
-    # the variant frame feeds BOTH sides of the self-join — without a
-    # persist the scan+explode+hash subtree executes twice (CLAUDE.md
-    # multi-consumer rule; measured ~15-20% whole-query at sf0.1)
-    vars_df = tracked_persist(
-        df.select(
-            F.col(key_col).alias("k"),
-            F.col(name_col).alias("n"),
-            F.explode(F.array_distinct(F.expr(v))).alias("v"),
-        ).select("k", "n", F.xxhash64("v").alias("hv"))
+    vars_df = df.select(
+        F.col(key_col).alias("k"),
+        F.col(name_col).alias("n"),
+        F.explode(F.array_distinct(F.expr(v))).alias("v"),
+    ).select("k", "n", F.xxhash64("v").alias("hv"))
+    # Bucket-group pair generation instead of a vars⋈vars self-join
+    # (r16, the minhash_lsh_pairs shape): the join scanned the variant
+    # subtree twice (hence the old persist), shuffled both sides, and
+    # still needed the trailing distinct. ONE groupBy(hv) computes the
+    # variants once — the persist disappears with the second consumer —
+    # and per-bucket pairs explode out of the grouped list: same
+    # O(d²)-per-bucket candidates, one Exchange in place of two plus a
+    # cache round trip (guide §2.4). Two rows of one key can share a
+    # bucket only through a cross-variant hash collision — the k1!=k2
+    # guard keeps them out, exactly like the old a.k < b.k condition.
+    buckets = vars_df.groupBy("hv").agg(
+        F.collect_list(F.struct("k", "n")).alias("ds")
     )
-    a = vars_df.alias("a")
-    b = vars_df.alias("b")
     cand = (
-        a.join(b, (F.col("a.hv") == F.col("b.hv")) & (F.col("a.k") < F.col("b.k")))
+        buckets.where(F.size("ds") >= 2)
+        .select(F.posexplode("ds").alias("__i", "__x"), "ds")
         .select(
-            F.col("a.k").alias("k1"),
-            F.col("b.k").alias("k2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
+            "__x",
+            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("__y"),
+        )
+        .where(F.col("__x.k") != F.col("__y.k"))
+        .select(
+            F.least(F.col("__x.k"), F.col("__y.k")).alias("k1"),
+            F.greatest(F.col("__x.k"), F.col("__y.k")).alias("k2"),
+            F.when(
+                F.col("__x.k") < F.col("__y.k"), F.col("__x.n")
+            ).otherwise(F.col("__y.n")).alias("n1"),
+            F.when(
+                F.col("__x.k") < F.col("__y.k"), F.col("__y.n")
+            ).otherwise(F.col("__x.n")).alias("n2"),
         )
         .distinct()
     )

@@ -30,8 +30,19 @@ from pyspark.sql import functions as F
 
 def plan_barrier(df: DataFrame) -> DataFrame:
     """Materialize every column of ``df`` exactly once per row behind a
-    Generate node (see module docstring). Same rows, same schema."""
+    Generate node (see module docstring). Same rows, same schema.
+
+    The barrier also blocks column PRUNING below the Generate (every
+    packed column is scanned even if downstream reads two) — project to
+    the columns you need BEFORE pinning. Column names must be distinct
+    or ``getField`` silently resolves every duplicate to the first."""
     cols = df.columns
+    if len(set(cols)) != len(cols):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise ValueError(
+            f"plan_barrier needs distinct column names (duplicated: "
+            f"{dupes}) — getField would misresolve the copies"
+        )
     packed = F.explode(
         F.array(F.struct(*[F.col(c) for c in cols]))
     ).alias("__pin")
