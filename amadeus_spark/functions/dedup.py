@@ -526,30 +526,17 @@ def ngram_jaccard_pairs(
         )
     shared = counts.filter(F.col("df") >= 2).select("h")
     ex2 = ex.join(shared, "h")
-    # bucket-group pair generation (r16, the minhash_lsh_pairs shape):
-    # the ex2⋈ex2 self-join ran the shared-hash join twice (once per
-    # side, both over the cached shingle frame) and shuffled both;
-    # grouping each shared hash's doc list once and exploding the
-    # per-hash pairs emits the identical (doc_a < doc_b) multiset into
-    # the intersection count — one Exchange in place of two join
-    # inputs. Per-hash lists are df-capped by construction (max_df_frac
-    # / the df >= 2 gate), the same bound the join's buckets had.
-    hdocs = ex2.groupBy("h").agg(F.collect_list("doc").alias("ds"))
+    # NOTE (r16): the bucket-group pair rewrite that paid off for the
+    # banded LSH family (minhash/simhash/fuzzy/embedding) measured
+    # WORSE here at 10x scale (20.4 s vs 14.5 s, perturbed scale
+    # probe) — ngram's pair multiset is far denser (every shared
+    # shingle hash contributes pairs that only feed a COUNT), and the
+    # self-join's streamed partial aggregation beats materializing
+    # per-hash doc lists. The join shape stays.
     inter = (
-        hdocs.where(F.size("ds") >= 2)
-        .select(F.posexplode("ds").alias("__i", "__da"), "ds")
-        .select(
-            "__da",
-            F.explode(F.expr("slice(ds, __i + 2, size(ds))")).alias("__db"),
-        )
-        # one doc can hold two shingles hashing to the same h (in-doc
-        # cross-shingle collision) — the old a.doc < b.doc join never
-        # paired a doc with itself, so neither may the list form
-        .where(F.col("__da") != F.col("__db"))
-        .groupBy(
-            F.least("__da", "__db").alias("doc_a"),
-            F.greatest("__da", "__db").alias("doc_b"),
-        )
+        ex2.alias("a")
+        .join(ex2.alias("b"), on=[F.col("a.h") == F.col("b.h"), F.col("a.doc") < F.col("b.doc")])
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     return (

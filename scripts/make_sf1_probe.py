@@ -42,6 +42,41 @@ def shift(tbl: pa.Table, cols: dict[str, int], r: int) -> pa.Table:
     return tbl
 
 
+def perturb_text(tbl: pa.Table, col: str, r: int) -> pa.Table:
+    """Replica r>0 gets a DISJOINT token vocabulary (suffix every
+    token) so replicas are NOT near-duplicates of their originals: a
+    verbatim 10x replication turns every previously-unique shingle /
+    deletion variant into a 10-member bucket (C(10,2) pairs each) and
+    the dedup family's pair output explodes ~100x — an artifact of the
+    copy, not of a real 10x corpus, whose bucket-size distribution
+    stays ~flat. With per-replica vocabularies the within-replica
+    near-dup structure is preserved and cross-replica pairs vanish, so
+    pair output scales ~linearly, which is the scaling a shape probe
+    must measure."""
+    if r == 0 or col not in tbl.column_names:
+        return tbl
+    i = tbl.column_names.index(col)
+    texts = tbl.column(col).to_pylist()
+    suf = f"·{r}"  # middot: survives \w+ splits as a boundary-free mark
+    out = [
+        None if t is None else " ".join(w + suf for w in t.split(" "))
+        for t in texts
+    ]
+    return tbl.set_column(i, tbl.field(i), pa.array(out, tbl.field(i).type))
+
+
+def perturb_name(tbl: pa.Table, col: str, r: int) -> pa.Table:
+    """Replica r gets an edit-distance-separating suffix (3r chars) so
+    fuzzy d<=2 blocking never matches a name to its own replicas."""
+    if r == 0 or col not in tbl.column_names:
+        return tbl
+    i = tbl.column_names.index(col)
+    suffixed = pc.binary_join_element_wise(
+        tbl.column(col).cast(pa.string()), pa.scalar("x" * (3 * r)), ""
+    )
+    return tbl.set_column(i, tbl.field(i), suffixed)
+
+
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     os.makedirs(DST, exist_ok=True)
@@ -65,7 +100,16 @@ def main() -> None:
             print(f"{name}: copied ({tbl.num_rows} rows)")
             continue
         cols = {c: s for c, s in cols.items() if c in tbl.column_names}
-        parts = [shift(tbl, cols, r) for r in range(rep)]
+        parts = []
+        for r in range(rep):
+            p = shift(tbl, cols, r)
+            if name == "documents":
+                p = perturb_text(p, "text", r)
+            if name == "customer":
+                p = perturb_name(p, "c_name", r)
+            if name == "part":
+                p = perturb_name(p, "p_name", r)
+            parts.append(p)
         out = pa.concat_tables(parts)
         pq.write_table(out, f"{DST}/{name}.parquet",
                       row_group_size=1 << 20)
