@@ -114,12 +114,16 @@ def test_embedding_neardup_never_nested_loop(spark):
 
 
 def test_minhash_registered_queries_cap_buckets(spark):
-    """Registered MinHash queries must run with the band-bucket cap ON
-    (count-over-window stage present): one boilerplate bucket going
-    quadratic is the known skew risk at corpus scale."""
+    """Registered MinHash queries must run with the band-bucket cap ON:
+    one boilerplate bucket going quadratic is the known skew risk at
+    corpus scale. Since the r16 bucket-group rewrite the cap is a
+    size(ds) <= N filter on the grouped band lists (the old
+    count-over-window stage folded into it) — assert the size-bounded
+    filter is in the plan, and that the old window stage stayed gone."""
     for fn in (entrymod.q_minhash_lsh, entrymod.q_training_pipeline):
         txt = plans.plan_text(fn(spark, SF_ORACLE))
-        assert "Window" in txt, fn.__name__
+        assert "(size(ds" in txt and "<= " in txt, fn.__name__
+        assert "Window" not in txt, fn.__name__
 
 
 def test_set_ops_single_scan(spark):
